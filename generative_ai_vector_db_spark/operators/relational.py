@@ -1,0 +1,861 @@
+"""Relational operator surface: SURVEY.md §2.B Q1-Q23, Q30, Q34, Q36.
+
+Everything here is pure DataFrame built-ins — no UDFs, no collect() —
+so the whole surface stays inside whole-stage codegen and Catalyst gets
+pushdown/pruning/join-selection for free. Scale notes per query are in
+the docstrings; the global principles:
+
+* Dimension joins (region/nation/part/customer at TPC-H shapes) are
+  explicitly ``broadcast()``-hinted — at 100 TB the fact side never
+  shuffles for these.
+* Aggregations are expressed as single groupBy().agg() so Spark plans
+  partial (map-side) aggregation before the exchange.
+* Window top-k uses rank-pushdown-friendly ``row_number`` over a
+  partitioned window (Spark inserts a per-partition top-k filter before
+  the final sort at scale via WindowGroupLimit).
+
+Reference parity: each query's docstring cites the reference behavior it
+models (SURVEY.md §2.A R-numbers, file:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def _r4(c):
+    return F.round(c.cast("double"), 4)
+
+
+# ---------------------------------------------------------------------------
+# Q1 scan/project — reference R1-R8 source scans reduce to parquet scan.
+# Scale: projection prunes to 4 columns at the reader (check ReadSchema);
+# order+limit plans as TakeOrderedAndProject (no global sort materialized).
+# ---------------------------------------------------------------------------
+def q01_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+            "l_quantity",
+            "l_extendedprice",
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+Q01_SQL = """
+SELECT l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_quantity,
+       l_extendedprice
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q2 filter pushdown — TPC-H Q6 predicate shape (reference R23 metadata
+# equality filter generalized). Scale: all three predicates push to the
+# parquet scan (PushedFilters); only 4 columns read.
+# ---------------------------------------------------------------------------
+def q02_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _r4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q02_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3 grouped aggregation — TPC-H Q1 shape (reference R16 count generalized).
+# Scale: partial aggregation map-side; 4-group output so the exchange moves
+# O(partitions * groups) rows, not data.
+# ---------------------------------------------------------------------------
+def q03_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r4(F.sum("l_quantity")).alias("sum_qty"),
+            _r4(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r4(F.sum(disc_price)).alias("sum_disc_price"),
+            _r4(F.sum(charge)).alias("sum_charge"),
+            _r4(F.avg("l_quantity")).alias("avg_qty"),
+            _r4(F.avg("l_extendedprice")).alias("avg_price"),
+            _r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q03_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q4 distinct aggregation. Scale: countDistinct plans a two-phase
+# partial-distinct expand; for high-cardinality keys prefer Q5's HLL.
+# ---------------------------------------------------------------------------
+def q04_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q04_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5 approximate distinct (HLL++). No oracle entry: sketch estimates are
+# engine-specific (driver records rows-only). Scale: single pass, fixed
+# memory per group — this is the 100 TB path for Q4.
+# ---------------------------------------------------------------------------
+def q05_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 inner equi-join — orders ⋈ customer, revenue per market segment.
+# Scale: customer is the smaller side; at TPC-H ratios it still exceeds
+# broadcast threshold, so this is the canonical sort-merge / shuffle-hash
+# join on o_custkey with AQE free to downgrade to broadcast at runtime.
+# ---------------------------------------------------------------------------
+def q06_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            _r4(F.sum("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q06_SQL = """
+SELECT c_mktsegment,
+       round(sum(o_totalprice), 4) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q7 broadcast join — lineitem ⋈ part filtered by brand. Scale: part
+# filtered by brand is tiny → explicit broadcast hint; the 100 TB fact
+# table never shuffles. Filter on the dimension is applied BEFORE the
+# broadcast so only matching part rows ship.
+# ---------------------------------------------------------------------------
+def q07_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#2")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _r4(F.sum("l_quantity")).alias("sum_qty"),
+            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+Q07_SQL = """
+SELECT p_brand,
+       count(*) AS n_items,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#2'
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 multi-way join — TPC-H Q5 shape: region⋈nation⋈customer⋈orders⋈lineitem.
+# Scale: region/nation broadcast (tiny dims); customer⋈orders⋈lineitem
+# shuffle on their keys; Catalyst reorders so dim filters apply first.
+# ---------------------------------------------------------------------------
+def q08_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q08_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 left outer join — customers with/without orders, null-safe counts.
+# ---------------------------------------------------------------------------
+def q09_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            _r4(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+Q09_SQL = """
+SELECT c_custkey,
+       c_name,
+       count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 4) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10 semi join — reference R11 dedup probe shape (EXISTS). Scale: semi
+# join only ships join keys for the probe side; no fan-out duplication.
+# ---------------------------------------------------------------------------
+def q10_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 anti join — reference R22 delete shape (NOT EXISTS): documents with
+# no embedding row. Scale: the 100 TB delete path is exactly this plan
+# against the victims side (or a Delta DELETE which compiles to the same).
+# ---------------------------------------------------------------------------
+def q11_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id, "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+Q11_SQL = """
+SELECT doc_id, source
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 exact dedup — reference R10+R11: sha2 content hash, keep min id.
+# Scale: shuffle on the 32-byte hash (uniform — no skew); equivalent to
+# dropDuplicates but keeps a deterministic representative.
+# ---------------------------------------------------------------------------
+def q12_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("content_hash", F.sha2(F.col("text"), 256))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .orderBy("keep_id")
+    )
+
+
+Q12_SQL = """
+SELECT sha256(text) AS content_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY sha256(text)
+ORDER BY keep_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 window ranking — top-3 orders per customer (reference R17's top-k,
+# per-group). Scale: Spark plans WindowGroupLimit: each partition keeps a
+# running top-3 before the shuffle-sort, so no full sort of 100 TB.
+# ---------------------------------------------------------------------------
+def q13_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+Q13_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 analytic window — running revenue per customer.
+# ---------------------------------------------------------------------------
+def q14_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", TS_FMT_SPARK).alias("order_ts"),
+        _r4(F.sum("o_totalprice").over(w)).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+Q14_SQL = f"""
+SELECT o_custkey,
+       o_orderkey,
+       strftime(o_orderdate, '{TS_FMT_DUCK}') AS order_ts,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 lag/lead — day-over-day delta of daily event value.
+# ---------------------------------------------------------------------------
+def q15_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(_r4(F.sum("value")).alias("daily_value"))
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "daily_value",
+        _r4(F.col("daily_value") - F.lag("daily_value").over(w)).alias("delta"),
+    ).orderBy("day")
+
+
+Q15_SQL = """
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         round(sum(value), 4) AS daily_value
+  FROM events GROUP BY 1
+)
+SELECT day,
+       daily_value,
+       round(daily_value - lag(daily_value) OVER (ORDER BY day), 4) AS delta
+FROM daily
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 global top-k — reference R17's k-NN ordering as a relational sort.
+# Scale: orderBy().limit() plans TakeOrderedAndProject — per-partition
+# heaps, no global sort.
+# ---------------------------------------------------------------------------
+def q16_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .limit(10)
+    )
+
+
+Q16_SQL = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+ORDER BY p_retailprice DESC, p_partkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 set operations — nation keys of two market segments.
+# ---------------------------------------------------------------------------
+def q17_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    a = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_nationkey").distinct()
+    b = cust.where(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey").distinct()
+    tagged = (
+        a.union(b).distinct().select(F.lit("union").alias("op"), "c_nationkey")
+        .union(a.intersect(b).select(F.lit("intersect").alias("op"), "c_nationkey"))
+        .union(a.exceptAll(b).select(F.lit("except").alias("op"), "c_nationkey"))
+    )
+    return tagged.select(
+        "op", F.col("c_nationkey").cast("bigint").alias("c_nationkey")
+    ).orderBy("op", "c_nationkey")
+
+
+Q17_SQL = """
+WITH a AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     b AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+SELECT op, CAST(c_nationkey AS BIGINT) AS c_nationkey FROM (
+  SELECT 'union' AS op, c_nationkey FROM (SELECT c_nationkey FROM a UNION SELECT c_nationkey FROM b)
+  UNION ALL
+  SELECT 'intersect' AS op, c_nationkey FROM (SELECT c_nationkey FROM a INTERSECT SELECT c_nationkey FROM b)
+  UNION ALL
+  SELECT 'except' AS op, c_nationkey FROM (SELECT c_nationkey FROM a EXCEPT SELECT c_nationkey FROM b)
+) t
+ORDER BY op, c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 grouping sets / rollup.
+# ---------------------------------------------------------------------------
+def q18_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            _r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+Q18_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items,
+       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 string functions — reference R9/R12/R18 string handling surface.
+# ---------------------------------------------------------------------------
+def q19_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.lower("source").alias("source_lower"),
+        F.upper("lang").alias("lang_upper"),
+        F.substring("text", 1, 40).alias("text_head"),
+        F.length("text").cast("bigint").alias("text_len"),
+        F.concat_ws("|", "source", "lang").alias("source_lang"),
+        F.split("text", " ").getItem(0).alias("first_word"),
+        F.coalesce(F.regexp_extract("text", "([a-z]{6,})", 1), F.lit("")).alias(
+            "first_long_word"
+        ),
+    ).orderBy("doc_id")
+
+
+Q19_SQL = """
+SELECT doc_id,
+       lower(source) AS source_lower,
+       upper(lang) AS lang_upper,
+       substring(text, 1, 40) AS text_head,
+       CAST(length(text) AS BIGINT) AS text_len,
+       concat_ws('|', source, lang) AS source_lang,
+       string_split(text, ' ')[1] AS first_word,
+       coalesce(regexp_extract(text, '([a-z]{6,})', 1), '') AS first_long_word
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 date functions.
+# ---------------------------------------------------------------------------
+def q20_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+    ).orderBy("o_orderkey")
+
+
+Q20_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+           AS days_since_epoch_start
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 math functions.
+# ---------------------------------------------------------------------------
+def q21_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("price_r2"),
+        _r4(F.abs(F.col("p_retailprice") - 1000.0)).alias("abs_delta"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        F.ceil("p_retailprice").cast("bigint").alias("price_ceil"),
+        _r4(F.pow(F.col("p_size").cast("double"), 2.0)).alias("size_sq"),
+        _r4(F.sqrt(F.col("p_retailprice"))).alias("price_sqrt"),
+    ).orderBy("p_partkey")
+
+
+Q21_SQL = """
+SELECT p_partkey,
+       round(p_retailprice, 2) AS price_r2,
+       round(abs(p_retailprice - 1000.0), 4) AS abs_delta,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+       round(pow(CAST(p_size AS DOUBLE), 2.0), 4) AS size_sq,
+       round(sqrt(p_retailprice), 4) AS price_sqrt
+FROM part
+ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 array functions over the embedding column (reference R17/R18 vector
+# data). All math in double after exact float32->double widening; sums use
+# an explicit left-to-right fold so both engines add in index order.
+# ---------------------------------------------------------------------------
+def q22_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        _r4(F.element_at("embedding", 1).cast("double")).alias("e_first"),
+        _r4(F.array_max("embedding").cast("double")).alias("e_max"),
+        _r4(F.array_min("embedding").cast("double")).alias("e_min"),
+        _r4(
+            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x)
+        ).alias("e_sum"),
+        F.size(F.slice("embedding", 1, 8)).cast("bigint").alias("head_len"),
+    ).orderBy("vec_id")
+
+
+Q22_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 4) AS e_first,
+       round(CAST(list_max(embedding) AS DOUBLE), 4) AS e_max,
+       round(CAST(list_min(embedding) AS DOUBLE), 4) AS e_min,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS e_sum,
+       CAST(len(embedding[1:8]) AS BIGINT) AS head_len
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q23 JSON extraction — reference R12's open-ended metadata map modeled as
+# the events.props JSON column.
+# ---------------------------------------------------------------------------
+def q23_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_id", k.alias("k"))
+        .withColumn("k_bucket", (F.col("k") % 10).cast("bigint"))
+        .orderBy("event_id")
+    )
+
+
+Q23_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket
+FROM events
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q30 grouped metadata count — reference R16/R22 "what's in my store".
+# ---------------------------------------------------------------------------
+def q30_store_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id, "inner")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("vec_id").alias("n_vectors"),
+        )
+        .orderBy("source")
+    )
+
+
+Q30_SQL = """
+SELECT source,
+       count(DISTINCT doc_id) AS n_docs,
+       count(vec_id) AS n_vectors
+FROM documents JOIN embeddings ON doc_id = vec_id
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q34 dedup streaming-shape — latest event per user (reference R11 as a
+# keep-latest upsert). Scale: WindowGroupLimit again; in streaming this is
+# dropDuplicates within watermark (streaming/jobs.py).
+# ---------------------------------------------------------------------------
+def q34_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+            "event_type",
+        )
+        .orderBy("user_id")
+    )
+
+
+Q34_SQL = f"""
+SELECT user_id, event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_str, event_type
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q36 weighted average as built-in combo (sum(x*w)/sum(w)) — the declared
+# UDAF surface without a custom JVM aggregator.
+# ---------------------------------------------------------------------------
+def q36_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            _r4(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                / F.sum("l_quantity")
+            ).alias("weighted_avg_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q36_SQL = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS weighted_avg_price,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+QUERIES = {
+    "q01_scan_project": q01_scan_project,
+    "q02_filter_pushdown": q02_filter_pushdown,
+    "q03_tpch_q1": q03_tpch_q1,
+    "q04_count_distinct": q04_count_distinct,
+    "q05_approx_count_distinct": q05_approx_count_distinct,
+    "q06_join_inner": q06_join_inner,
+    "q07_join_broadcast": q07_join_broadcast,
+    "q08_join_multiway": q08_join_multiway,
+    "q09_join_left": q09_join_left,
+    "q10_join_semi": q10_join_semi,
+    "q11_join_anti": q11_join_anti,
+    "q12_dedup_exact": q12_dedup_exact,
+    "q13_window_topk": q13_window_topk,
+    "q14_window_running": q14_window_running,
+    "q15_window_lag": q15_window_lag,
+    "q16_global_topk": q16_global_topk,
+    "q17_set_ops": q17_set_ops,
+    "q18_rollup": q18_rollup,
+    "q19_string_fns": q19_string_fns,
+    "q20_date_fns": q20_date_fns,
+    "q21_math_fns": q21_math_fns,
+    "q22_array_fns": q22_array_fns,
+    "q23_json_fns": q23_json_fns,
+    "q30_store_counts": q30_store_counts,
+    "q34_latest_per_key": q34_latest_per_key,
+    "q36_weighted_avg": q36_weighted_avg,
+}
+
+ORACLE = {
+    "q01_scan_project": Q01_SQL,
+    "q02_filter_pushdown": Q02_SQL,
+    "q03_tpch_q1": Q03_SQL,
+    "q04_count_distinct": Q04_SQL,
+    "q06_join_inner": Q06_SQL,
+    "q07_join_broadcast": Q07_SQL,
+    "q08_join_multiway": Q08_SQL,
+    "q09_join_left": Q09_SQL,
+    "q10_join_semi": Q10_SQL,
+    "q11_join_anti": Q11_SQL,
+    "q12_dedup_exact": Q12_SQL,
+    "q13_window_topk": Q13_SQL,
+    "q14_window_running": Q14_SQL,
+    "q15_window_lag": Q15_SQL,
+    "q16_global_topk": Q16_SQL,
+    "q17_set_ops": Q17_SQL,
+    "q18_rollup": Q18_SQL,
+    "q19_string_fns": Q19_SQL,
+    "q20_date_fns": Q20_SQL,
+    "q21_math_fns": Q21_SQL,
+    "q22_array_fns": Q22_SQL,
+    "q23_json_fns": Q23_SQL,
+    "q30_store_counts": Q30_SQL,
+    "q34_latest_per_key": Q34_SQL,
+    "q36_weighted_avg": Q36_SQL,
+}

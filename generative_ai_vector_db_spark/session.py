@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+Defaults are chosen for correctness-first local runs but mirror what we
+would set on a real cluster:
+
+* AQE on (runtime re-plan: coalesce post-shuffle partitions, skew-join
+  splitting, dynamic broadcast conversion) — at 100 TB this is what turns
+  a mis-estimated sort-merge join back into a broadcast join.
+* Arrow on — every Pandas-UDF stage (embedding, multimodal decode) moves
+  columnar batches, not pickled rows.
+* UTC session timezone — timestamps hash-match the DuckDB oracle.
+* shuffle.partitions sized for the local core count; on a cluster this
+  would be ~2-3x total cores (AQE coalesces the excess).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "generative_ai_vector_db_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip()
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
+    if driver_memory is None:
+        driver_memory = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

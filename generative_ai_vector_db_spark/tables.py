@@ -1,0 +1,55 @@
+"""Fixture-table catalog (TESTDATA.md / FIXTURES.md).
+
+``load(spark, sf_dir, name)`` returns the parquet-backed DataFrame for one
+of the ten driver tables. Scans are plain ``spark.read.parquet`` so
+Catalyst gets predicate pushdown, column pruning and (on partitioned
+production layouts) partition pruning for free — callers express filters
+declaratively and never pre-materialize.
+
+At 100 TB the same catalog would point at partitioned/bucketed layouts
+(e.g. ``embeddings`` bucketed by hash(vec_id), ``events`` partitioned by
+day); the query code in ``operators/`` is layout-agnostic by design.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import TABLE_NAMES
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark
+        # rejects by default (SPARK-40819). Read nanos as long and truncate
+        # to microseconds — integer `div`, NOT double division: epoch-nanos
+        # (~1.7e18) exceeds double's 53-bit mantissa. Truncation matches
+        # DuckDB's nanos->micros conversion, so oracle hashes agree.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views for spark.sql() use."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,32 @@
+from __future__ import annotations
+
+import pytest
+
+from generative_ai_vector_db_spark.operators import relational
+
+from .oracle_utils import compare_query
+
+ORACLE_KEYS = sorted(relational.ORACLE)
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_relational_matches_oracle(spark, sf_dir, name):
+    compare_query(spark, sf_dir, relational.QUERIES[name], relational.ORACLE[name], name)
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    import duckdb
+
+    from .oracle_utils import duck_connection
+
+    pdf = relational.QUERIES["q05_approx_count_distinct"](spark, sf_dir).toPandas()
+    con = duck_connection(sf_dir)
+    exact = dict(
+        con.sql(
+            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    con.close()
+    for _, row in pdf.iterrows():
+        e = exact[row["event_type"]]
+        assert abs(row["approx_users"] - e) <= max(2, 0.05 * e)
