@@ -17,10 +17,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from generative_ai_vector_db_spark.operators import merge_registries  # noqa: E402
-from generative_ai_vector_db_spark.operators import relational  # noqa: E402
+from generative_ai_vector_db_spark.operators import (  # noqa: E402
+    chunker,
+    dedup,
+    ingest,
+    merge_registries,
+    multimodal,
+    pandas_udfs,
+    relational,
+    text,
+    vector,
+)
+from generative_ai_vector_db_spark.streaming import jobs as streaming_jobs  # noqa: E402
 
-_MODULES = [relational]
+_MODULES = [
+    relational,
+    vector,
+    chunker,
+    ingest,
+    text,
+    dedup,
+    multimodal,
+    pandas_udfs,
+    streaming_jobs,
+]
 
 _QUERIES, _ORACLE = merge_registries(*_MODULES)
 

@@ -1,0 +1,94 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver-side collect skew). Per-query wall-clock excludes session
+startup; a warmup query amortizes JVM/codegen first-run cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from generative_ai_vector_db_spark.session import get_session  # noqa: E402
+from generative_ai_vector_db_spark.operators import (  # noqa: E402
+    chunker,
+    dedup,
+    ingest,
+    merge_registries,
+    multimodal,
+    pandas_udfs,
+    relational,
+    text,
+    vector,
+)
+from generative_ai_vector_db_spark.streaming import jobs as streaming_jobs  # noqa: E402
+
+HEADLINE = [
+    "q01_scan_project",
+    "q02_filter_pushdown",
+    "q03_tpch_q1",
+    "q06_join_inner",
+    "q08_join_multiway",
+    "q13_window_topk",
+    "q24_chunk_stride",
+    "q25_knn_l2",
+    "q26_knn_cosine",
+    "q27_similarity_join",
+    "q31_tumbling_window",
+    "q33_session_window",
+    "q38_text_quality",
+    "q43_multimodal_decode",
+    "q44_minhash_neardup",
+    "q50_ingest_pipeline",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_session(
+        app_name="gavd-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    )
+    queries, _ = merge_registries(
+        relational, vector, chunker, ingest, text, dedup, multimodal,
+        pandas_udfs, streaming_jobs,
+    )
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    run("q03_tpch_q1")  # warmup: JVM/codegen/parquet-footer caches
+
+    times = {name: round(run(name), 3) for name in HEADLINE}
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+"""Vector math over ``array<float>`` columns via Spark higher-order fns.
+
+The reference delegates all vector math to Chroma/hnswlib (L2 metric,
+``app.py:73-76``, k=13 search at ``app.py:409``). Here the same semantics
+are Spark SQL expressions: ``zip_with`` + ``aggregate`` folds, evaluated
+JVM-side — no UDF, no Arrow crossing, codegen-friendly.
+
+Numeric policy (oracle-critical): every float32 element is widened to
+double BEFORE any arithmetic (exact conversion), and folds run strictly
+left-to-right in index order — the same order DuckDB's ``list_sum`` over
+a list comprehension uses — so Spark and the oracle produce bit-identical
+doubles, and ``round(_, 4)`` canonicalization is stable.
+
+At 100 TB: these are narrow per-row expressions (no shuffle). The scan
+cost is dominated by reading the embedding column; callers should prune
+other columns. For search, pair them with the pruning strategies in
+``operators/vector.py`` (broadcast query side, LSH/IVF bucketing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Strict left-to-right sum of a double array (deterministic order)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+
+
+def l2_sq(a: Column, b: Column) -> Column:
+    d = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
+    return _fold_sum(F.transform(d, lambda x: x * x))
+
+
+def l2(a: Column, b: Column) -> Column:
+    return F.sqrt(l2_sq(a, b))
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(_fold_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))

@@ -1,0 +1,303 @@
+"""Text-analysis operators for the LLM-data-pipeline (north star in
+BASELINE.json): language ID, quality scoring, token counting, document
+fingerprinting, and n-gram Jaccard near-dup — all over ``documents``.
+
+Everything is built-in expressions (regex counts, higher-order array
+fns) — no Python in the hot path, so a 100 TB corpus scan stays inside
+whole-stage codegen at parquet-scan speed. Each query has an exact
+DuckDB oracle twin (same regexes — both engines' classes used here are
+common to Java regex and RE2; same fold order for the rolling hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+# Tiny embedded stopword lists (public, language-characteristic words).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "a", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "por"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+}
+
+PUNCT_RE = "[.!?,;:]"
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _words(col):
+    return F.split(F.lower(col), " ")
+
+
+def _sql_list(xs):
+    return ", ".join("'" + x + "'" for x in xs)
+
+
+# ---------------------------------------------------------------------------
+# Language ID — n-gram/stopword-overlap heuristic: ratio of tokens found
+# in each language's stopword list; argmax with threshold.
+# ---------------------------------------------------------------------------
+def q37_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # materialize words once (each language ratio references it; inline
+    # expressions re-split per reference — dedup.py PERF NOTE)
+    docs = load(spark, sf_dir, "documents").withColumn("words", _words(F.col("text")))
+    words = F.col("words")
+    n_words = F.size(words)
+    cols = {"doc_id": F.col("doc_id")}
+    for lang, sw in STOPWORDS.items():
+        hits = F.size(F.filter(words, lambda w: w.isin(sw)))
+        cols[f"ratio_{lang}"] = F.round(hits / n_words, 4)
+    best_ratio = F.greatest(*[cols[f"ratio_{lang}"] for lang in STOPWORDS])
+    predicted = F.lit("unknown")
+    # argmax with first-wins tie-break in dict order (deterministic)
+    for lang in reversed(list(STOPWORDS)):
+        predicted = F.when(
+            (cols[f"ratio_{lang}"] == best_ratio) & (best_ratio >= 0.02),
+            F.lit(lang),
+        ).otherwise(predicted)
+    return (
+        docs.select(
+            *[v.alias(k) for k, v in cols.items()],
+            predicted.alias("predicted_lang"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q37_sql() -> str:
+    ratio_exprs = []
+    for lang, sw in STOPWORDS.items():
+        ratio_exprs.append(
+            f"round(CAST(len(list_filter(string_split(lower(text), ' '), "
+            f"w -> w IN ({_sql_list(sw)}))) AS DOUBLE) / "
+            f"len(string_split(lower(text), ' ')), 4) AS ratio_{lang}"
+        )
+    langs = list(STOPWORDS)
+    best = "greatest(" + ", ".join(f"ratio_{lang}" for lang in langs) + ")"
+    case = "CASE "
+    for lang in langs:
+        case += f"WHEN ratio_{lang} = {best} AND {best} >= 0.02 THEN '{lang}' "
+    case += "ELSE 'unknown' END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {", ".join(ratio_exprs)}
+  FROM documents
+)
+SELECT doc_id, {", ".join(f"ratio_{lang}" for lang in langs)}, {case} AS predicted_lang
+FROM scored
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring — length / punctuation / stopword signals combined
+# into a deterministic [0,1] score (the Gopher-rules / C4-style shape).
+# ---------------------------------------------------------------------------
+def q38_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn("words", _words(F.col("text")))
+    words = F.col("words")
+    n_chars = F.length("text")
+    n_words = F.size(words)
+    avg_wlen = (n_chars - (n_words - 1)) / n_words  # chars net of single spaces
+    punct_ratio = F.regexp_count("text", F.lit(PUNCT_RE)) / n_chars
+    sw_ratio = F.size(F.filter(words, lambda w: w.isin(STOPWORDS["en"]))) / n_words
+    score = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0),
+            F.lit(0.3)
+            + 2.0 * sw_ratio
+            - 2.0 * punct_ratio
+            + F.when((avg_wlen >= 3) & (avg_wlen <= 10), 0.2).otherwise(0.0),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars"),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(avg_wlen, 4).alias("avg_word_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(sw_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+Q38_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split(lower(text), ' ')) AS n_words,
+         len(regexp_extract_all(text, '{PUNCT_RE}')) AS n_punct,
+         len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ({_sql_list(STOPWORDS["en"])}))) AS n_sw
+  FROM documents
+), derived AS (
+  SELECT doc_id, n_chars, n_words,
+         CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS avg_wlen,
+         CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+         CAST(n_sw AS DOUBLE) / n_words AS sw_ratio
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(avg_wlen, 4) AS avg_word_len,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(sw_ratio, 4) AS stopword_ratio,
+       round(least(1.0, greatest(0.0,
+           0.3 + 2.0 * sw_ratio - 2.0 * punct_ratio
+           + CASE WHEN avg_wlen >= 3 AND avg_wlen <= 10 THEN 0.2 ELSE 0.0 END)), 4)
+           AS quality_score
+FROM derived
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token counting — whitespace tokens + a BPE-ish regex token count
+# (alpha runs, digit runs, single non-alnum marks).
+# ---------------------------------------------------------------------------
+def q39_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    lower = F.lower("text")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(lower, F.lit("[a-z]+")).cast("bigint").alias("alpha_tokens"),
+        F.regexp_count(lower, F.lit("[0-9]+")).cast("bigint").alias("num_tokens"),
+        F.regexp_count(lower, F.lit(TOKEN_RE)).cast("bigint").alias("bpe_ish_tokens"),
+    ).orderBy("doc_id")
+
+
+Q39_SQL = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS alpha_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS num_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS bpe_ish_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint — rolling polynomial hash over word features,
+# folded strictly left-to-right (same order both engines). Word feature
+# = 31*len(word) + codepoint(first char): engine-portable (no engine
+# hash fn crosses Spark/DuckDB), collision-tolerable for fingerprinting.
+# ---------------------------------------------------------------------------
+FP_MULT = 1000003
+FP_MOD = 2147483647
+
+
+def q40_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn("words", _words(F.col("text")))
+    words = F.col("words")
+    feats = F.transform(
+        words,
+        lambda w: (F.length(w) * 31 + F.ascii(F.substring(w, 1, 1))).cast("bigint"),
+    )
+    fp = F.aggregate(
+        feats,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * FP_MULT + x) % FP_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+Q40_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(lower(text), ' '),
+             w -> CAST(length(w) * 31 + ascii(substring(w, 1, 1)) AS BIGINT))),
+         (a, b) -> (a * {FP_MULT} + b) % {FP_MOD}) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup — word-bigram set Jaccard over same-source
+# pairs. Scale: source is the blocking key (like Q27's label); swap in
+# MinHash bands (dedup.py) when no natural block exists.
+# ---------------------------------------------------------------------------
+JACCARD_TAU = 0.03
+
+
+def _bigrams(words):
+    """``words`` MUST be an attribute (materialized column), not an
+    inline expression: the lambda indexes into it per element, and an
+    inlined array expression re-evaluates per element (see dedup.py
+    PERF NOTE — 22x measured)."""
+    n = F.size(words)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
+        )
+    )
+
+
+def q41_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", _words(F.col("text")).alias("words"))
+        .select("doc_id", "source", _bigrams(F.col("words")).alias("grams"))
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src"), F.col("grams").alias("grams_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"), F.col("grams").alias("grams_b")
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    return (
+        a.join(b, (F.col("src") == F.col("src_b")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("src").alias("source"),
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_TAU)
+        .orderBy("id_a", "id_b")
+    )
+
+
+Q41_SQL = f"""
+WITH g AS (
+  SELECT doc_id, source,
+         list_distinct([words[i] || ' ' || words[i+1]
+                        for i in generate_series(1, len(words) - 1)]) AS grams
+  FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS words FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.source AS source,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.grams, b.grams))), 4) >= {JACCARD_TAU}
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES = {
+    "q37_lang_id": q37_lang_id,
+    "q38_text_quality": q38_text_quality,
+    "q39_token_count": q39_token_count,
+    "q40_fingerprint": q40_fingerprint,
+    "q41_ngram_jaccard": q41_ngram_jaccard,
+}
+
+ORACLE = {
+    "q37_lang_id": _q37_sql(),
+    "q38_text_quality": Q38_SQL,
+    "q39_token_count": Q39_SQL,
+    "q40_fingerprint": Q40_SQL,
+    "q41_ngram_jaccard": Q41_SQL,
+}

@@ -1,0 +1,339 @@
+"""Vector search operators: SURVEY.md §2.B Q25-Q28 + ANN scale paths.
+
+Reference semantics being re-expressed (SURVEY §2.A):
+* R17 top-k similarity search — ``similarity_search(question, k=13)``,
+  Chroma default L2 metric, ``app.py:409``.
+* R18 context assembly — ``"\\n\\n".join(doc.page_content ...)``,
+  ``app.py:410``.
+
+Plan shapes (100 TB reasoning):
+* Exact top-k (Q25/Q26): the query side (a handful of vectors) is
+  ``broadcast()`` — the N-row embeddings table never shuffles for
+  scoring; scoring is a narrow projection. The per-query top-k uses
+  ``row_number`` over a window partitioned by query id; Spark's
+  WindowGroupLimit pushes the k-filter below the exchange, so each
+  input partition forwards at most k rows per query — the shuffle
+  carries O(partitions * Q * k) rows, not O(N * Q).
+* Similarity join (Q27): blocked on ``label`` so the cross product is
+  per-block; at scale the blocking key is an LSH bucket (see
+  ``ann_lsh``/MinHash in dedup.py) and AQE handles bucket skew.
+* ANN (LSH / IVF): prune candidates to one bucket/cluster before exact
+  re-scoring — the brute-force path stays as the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+from ..tables import load
+
+K = 13  # reference fan-out, app.py:409
+N_QUERY = 5  # FIXTURES.md: query vectors are vec_id < 5
+L2_TAU = 1.25  # Q27 threshold (~2% of same-label pairs at sf0.01)
+COS_TAU = 0.25  # cosine near-dup threshold (~3% of same-label pairs)
+
+# DuckDB twin of the zip_with/aggregate fold: list comprehension over
+# generate_series indices, summed by list_sum (same left-to-right order).
+_DUCK_L2 = (
+    "sqrt(list_sum([ (CAST(a.embedding[k] AS DOUBLE) - CAST(b.embedding[k] AS DOUBLE))"
+    " * (CAST(a.embedding[k] AS DOUBLE) - CAST(b.embedding[k] AS DOUBLE))"
+    " for k in generate_series(1, 64) ]))"
+)
+_DUCK_DOT = (
+    "list_sum([ CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)"
+    " for k in generate_series(1, 64) ])"
+)
+_DUCK_NORM_A = (
+    "sqrt(list_sum([ CAST(a.embedding[k] AS DOUBLE) * CAST(a.embedding[k] AS DOUBLE)"
+    " for k in generate_series(1, 64) ]))"
+)
+_DUCK_NORM_B = (
+    "sqrt(list_sum([ CAST(b.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)"
+    " for k in generate_series(1, 64) ]))"
+)
+
+
+def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast the query vectors against all embeddings, score L2+cosine."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = load(spark, sf_dir, "embeddings").crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    return pairs.select(
+        "q_id",
+        "vec_id",
+        F.round(V.l2(F.col("q_emb"), F.col("embedding")), 4).alias("dist"),
+        F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).alias("cos_sim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q25 exact L2 top-k (k=13 per reference app.py:409)
+# ---------------------------------------------------------------------------
+def q25_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("q_id").orderBy("dist", "vec_id")
+    return (
+        _scored_pairs(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= K)
+        .select("q_id", "vec_id", "dist", "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
+Q25_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < {N_QUERY}),
+pairs AS (
+  SELECT a.q_id, b.vec_id, round({_DUCK_L2}, 4) AS dist
+  FROM q a CROSS JOIN embeddings b
+  WHERE b.vec_id != a.q_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+  FROM pairs
+)
+SELECT q_id, vec_id, dist, rn FROM ranked WHERE rn <= {K}
+ORDER BY q_id, rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q26 exact cosine top-k (descending similarity)
+# ---------------------------------------------------------------------------
+def q26_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        _scored_pairs(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= K)
+        .select("q_id", "vec_id", "cos_sim", "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
+Q26_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < {N_QUERY}),
+pairs AS (
+  SELECT a.q_id, b.vec_id,
+         round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 4) AS cos_sim
+  FROM q a CROSS JOIN embeddings b
+  WHERE b.vec_id != a.q_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM pairs
+)
+SELECT q_id, vec_id, cos_sim, rn FROM ranked WHERE rn <= {K}
+ORDER BY q_id, rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q27 similarity join, label-blocked — all same-label pairs with L2 <= tau.
+# Scale: the block key bounds the quadratic term to within-block; swap the
+# label for an LSH band key (dedup.py) when no natural block exists.
+# ---------------------------------------------------------------------------
+def q27_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("label").alias("label_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("label").alias("label_b"),
+    )
+    return (
+        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("label_a").cast("bigint").alias("label"),
+            F.round(V.l2(F.col("emb_a"), F.col("emb_b")), 4).alias("dist"),
+        )
+        .where(F.col("dist") <= L2_TAU)
+        .orderBy("id_a", "id_b")
+    )
+
+
+Q27_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(a.label AS BIGINT) AS label,
+       round({_DUCK_L2}, 4) AS dist
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_DUCK_L2}, 4) <= {L2_TAU}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q28 context assembly — reference R18: join top-k hits to documents and
+# concatenate texts in ascending-distance order with "\n\n" (app.py:410).
+# Sorted-struct collect keeps the agg a single shuffle; array_sort gives
+# the deterministic within-group order without a global sort.
+# ---------------------------------------------------------------------------
+def q28_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits = q25_knn_l2(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    joined = hits.join(docs, hits.vec_id == docs.doc_id, "inner")
+    return (
+        joined.groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("k_found"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dist", "vec_id", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                "\n\n",
+            ).alias("context"),
+        )
+        .orderBy("q_id")
+    )
+
+
+Q28_SQL = f"""
+WITH hits AS ({Q25_SQL.replace("ORDER BY q_id, rn", "")})
+SELECT q_id,
+       count(*) AS k_found,
+       string_agg(text, chr(10) || chr(10) ORDER BY dist, vec_id) AS context
+FROM hits JOIN documents ON hits.vec_id = documents.doc_id
+GROUP BY q_id
+ORDER BY q_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (north-star dedup family).
+# ---------------------------------------------------------------------------
+def q42_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("label").alias("label_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("label").alias("label_b"),
+    )
+    return (
+        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(V.cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= COS_TAU)
+        .orderBy("id_a", "id_b")
+    )
+
+
+Q42_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 4) >= {COS_TAU}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN: random-hyperplane LSH bucketing (scale path for Q26). Hyperplanes
+# are derived deterministically from a fixed seed at plan-build time and
+# embedded as literal arrays, so the plan is reproducible run-to-run.
+# Rows-only check (the bucketing is not worth a 1024-literal SQL twin);
+# recall vs the exact path is asserted in tests/test_vector.py.
+#
+# Scale: bucket assignment is a narrow projection; the candidate search
+# shuffles only within-bucket groups (bucket key ~ uniform by
+# construction). 4 planes -> 16 buckets here; at 100 TB use ~16-20 planes
+# and multi-probe (flip one bit) to trade recall for candidate count.
+# ---------------------------------------------------------------------------
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _bucket_expr(emb_col, planes: list[list[float]]):
+    bits = []
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(w)) for w in plane])
+        bit = (V.dot(emb_col, plane_col) >= 0).cast("long") * F.lit(2**i)
+        bits.append(bit)
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def q46_ann_lsh_topk(
+    spark: SparkSession, sf_dir: str, n_planes: int = 4, dim: int = 64
+) -> DataFrame:
+    planes = _hyperplanes(n_planes, dim)
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _bucket_expr(F.col("embedding"), planes)
+    )
+    # Multi-probe: each query probes its own bucket plus every Hamming-1
+    # neighbor (one sign bit flipped) — the standard recall/candidate-count
+    # trade; probe fan-out is n_planes+1 rows on the tiny broadcast side.
+    probe_flips = F.array(F.lit(0), *[F.lit(2**i) for i in range(n_planes)])
+    q = (
+        emb.where(F.col("vec_id") < N_QUERY)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(
+                F.transform(
+                    probe_flips, lambda flip: F.col("bucket").bitwiseXOR(flip)
+                )
+            ).alias("q_bucket"),
+        )
+    )
+    cand = emb.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        cand.select(
+            "q_id",
+            "vec_id",
+            F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= K)
+        .orderBy("q_id", "rn")
+    )
+
+
+QUERIES = {
+    "q25_knn_l2": q25_knn_l2,
+    "q26_knn_cosine": q26_knn_cosine,
+    "q27_similarity_join": q27_similarity_join,
+    "q28_context_assembly": q28_context_assembly,
+    "q42_cosine_neardup": q42_cosine_neardup,
+    "q46_ann_lsh_topk": q46_ann_lsh_topk,
+}
+
+ORACLE = {
+    "q25_knn_l2": Q25_SQL,
+    "q26_knn_cosine": Q26_SQL,
+    "q27_similarity_join": Q27_SQL,
+    "q28_context_assembly": Q28_SQL,
+    "q42_cosine_neardup": Q42_SQL,
+}

@@ -1,0 +1,298 @@
+"""Structured Streaming surface — SURVEY §2.B Q31-Q33 + the reference's
+continuous-ingest/chat-log-append shapes (R14/R21) as streaming sinks.
+
+The t2-checked queries here are the deterministic BATCH twins (the
+driver hash-matches them against DuckDB); the ``run_*_stream`` functions
+execute the same logical windows through ``readStream`` with an
+``availableNow`` trigger, and tests/test_streaming.py asserts
+batch/stream equivalence and watermark late-data drop.
+
+Scale notes:
+* Tumbling/sliding windows are hash-partitioned by (window, key) —
+  state per group is O(1) aggregates; watermark bounds total state.
+* Session windows (Q33) in batch are the lag/cumsum assignment — a
+  single shuffle on user_id then a per-partition scan; in streaming,
+  ``session_window`` keeps per-key open-session state and the
+  watermark closes/evicts it.
+* ``dropDuplicates`` within watermark is the streaming face of Q34.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+SESSION_GAP_US = 30_000_000  # 30 seconds
+
+
+def _windowed(df: DataFrame, duration: str, slide: str | None = None) -> DataFrame:
+    win = F.window("ts", duration, slide) if slide else F.window("ts", duration)
+    return (
+        df.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q31 tumbling window (1 minute) — batch twin.
+# ---------------------------------------------------------------------------
+def q31_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _windowed(load(spark, sf_dir, "events"), "1 minute").orderBy(
+        "window_start", "event_type"
+    )
+
+
+Q31_SQL = f"""
+SELECT strftime(time_bucket(INTERVAL '1 minute', ts), '{TS_FMT_DUCK}') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q32 sliding window (5 minutes, 1-minute slide) — batch twin. Each event
+# belongs to exactly 5 windows; the oracle expands via generate_series.
+# ---------------------------------------------------------------------------
+def q32_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _windowed(load(spark, sf_dir, "events"), "5 minutes", "1 minute").orderBy(
+        "window_start", "event_type"
+    )
+
+
+Q32_SQL = f"""
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '1 minute', ts) - k * INTERVAL '1 minute' AS wstart,
+         event_type, value
+  FROM events, unnest(generate_series(0, 4)) AS t(k)
+)
+SELECT strftime(wstart, '{TS_FMT_DUCK}') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM expanded
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q33 session windows (30 s gap) per user — batch twin via lag/cumsum
+# session assignment (deterministic; microsecond integer math so Spark
+# and DuckDB agree exactly). A new session starts when the gap from the
+# previous event is >= 30 s — the same boundary rule as Spark's
+# session_window (window end = last_ts + gap, exclusive).
+# ---------------------------------------------------------------------------
+def q33_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    new_session = (
+        (us - F.lag(us).over(w) >= SESSION_GAP_US) | F.lag(us).over(w).isNull()
+    ).cast("long")
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("session_id", F.sum(new_session).over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), TS_FMT_SPARK).alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select("user_id", "session_id", "session_start", "n_events", "sum_value")
+        .orderBy("user_id", "session_id")
+    )
+
+
+Q33_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) >= {SESSION_GAP_US}
+              OR lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Native streaming executions (availableNow file-source replay). Used by
+# tests for batch-equivalence; not part of the oracle contract.
+# ---------------------------------------------------------------------------
+def _events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return spark.readStream.schema(schema).parquet(src_dir)
+
+
+def run_tumbling_stream(
+    spark: SparkSession,
+    src_dir: str,
+    sink_table: str = "tumbling_out",
+    watermark: str = "2 minutes",
+) -> None:
+    """Replay events through a file stream into an in-memory sink
+    (complete mode — every window, comparable to the batch twin)."""
+    agg = (
+        _events_stream(spark, src_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    (
+        agg.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def run_tumbling_stream_append(
+    spark: SparkSession,
+    src_dir: str,
+    sink_table: str = "tumbling_append_out",
+    watermark: str = "2 minutes",
+) -> None:
+    """Append mode: only watermark-finalized windows are emitted, and
+    late rows (beyond watermark) are dropped — used by the late-data
+    test."""
+    agg = (
+        _events_stream(spark, src_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"), "n_events"
+        )
+    )
+    (
+        agg.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("maxFilesPerTrigger", 1)
+        .start()
+        .awaitTermination()
+    )
+
+
+def run_session_stream(
+    spark: SparkSession, src_dir: str, sink_table: str = "session_out"
+) -> None:
+    """Native session_window streaming (complete mode) — equivalence
+    with the lag/cumsum batch twin is asserted in tests."""
+    agg = (
+        _events_stream(spark, src_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 seconds").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    (
+        agg.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def run_chatlog_append_stream(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """R21 chat-log append sink as a streaming foreachBatch parquet
+    append (the reference appends Q/A lines to chat_log.txt,
+    app.py:436-443)."""
+    ev = _events_stream(spark, src_dir)
+    log = ev.select(
+        F.col("ts"),
+        F.col("user_id").cast("string").alias("user_email"),
+        F.col("event_type").alias("question"),
+        F.col("props").alias("answer"),
+    )
+    (
+        log.writeStream.foreachBatch(
+            lambda batch, _id: batch.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+QUERIES = {
+    "q31_tumbling_window": q31_tumbling_window,
+    "q32_sliding_window": q32_sliding_window,
+    "q33_session_window": q33_session_window,
+}
+
+ORACLE = {
+    "q31_tumbling_window": Q31_SQL,
+    "q32_sliding_window": Q32_SQL,
+    "q33_session_window": Q33_SQL,
+}

@@ -29,6 +29,9 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    from ._bootstrap import ensure_worker_imports
+
+    ensure_worker_imports(spark)
     if name == "events":
         # events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark
         # rejects by default (SPARK-40819). Read nanos as long and truncate

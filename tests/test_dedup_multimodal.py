@@ -1,0 +1,67 @@
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from generative_ai_vector_db_spark.operators import dedup, multimodal, pandas_udfs
+
+from .oracle_utils import compare_query
+
+
+@pytest.mark.parametrize(
+    "mod,name",
+    [
+        ("multimodal", "q43_multimodal_decode"),
+        ("pandas_udfs", "q35_pandas_udf_zscore"),
+    ],
+)
+def test_udf_paths_match_oracle(spark, sf_dir, mod, name):
+    m = {"multimodal": multimodal, "pandas_udfs": pandas_udfs}[mod]
+    compare_query(spark, sf_dir, m.QUERIES[name], m.ORACLE[name], name)
+
+
+def _planted_docs(spark):
+    """20 distinct docs + 3 planted near-duplicates of doc 0."""
+    base = [
+        (i, " ".join(f"tok{i}w{j}" for j in range(60)))
+        for i in range(20)
+    ]
+    d0 = base[0][1]
+    near1 = (100, d0.replace("tok0w3", "tok0w3x"))          # 1 word changed
+    near2 = (101, d0 + " extra trailing words here now")     # appended
+    near3 = (102, d0.replace("tok0w10", "CHANGED", 1))       # 1 word changed
+    return spark.createDataFrame(base + [near1, near2, near3], "doc_id long, text string")
+
+
+def test_minhash_finds_planted_neardups(spark):
+    docs = _planted_docs(spark)
+    cand = dedup.minhash_candidates(docs)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    pairs = (
+        cand.select("id_a", "id_b", (inter / union).alias("j"))
+        .where(F.col("j") >= dedup.MINHASH_VERIFY_TAU)
+        .toPandas()
+    )
+    found = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert {(0, 100), (0, 101), (0, 102)} <= found, found
+    # distinct docs share no shingles -> no false positives survive verify
+    assert all(a in (0, 100, 101, 102) and b in (0, 100, 101, 102) for a, b in found)
+
+
+def test_simhash_planted_neardups(spark):
+    docs = _planted_docs(spark)
+    sigs = dedup.with_simhash(docs).select("doc_id", F.col("simhash").alias("sh")).toPandas()
+    by_id = dict(zip(sigs["doc_id"], sigs["sh"]))
+    ham = lambda a, b: bin((by_id[a] ^ by_id[b]) & (2**64 - 1)).count("1")
+    # near-dups are close in Hamming space; distinct docs are far
+    assert ham(0, 100) < 16
+    assert ham(0, 102) < 16
+    assert ham(1, 2) > 20
+
+
+def test_minhash_deterministic(spark, sf_dir):
+    a = dedup.q44_minhash_neardup(spark, sf_dir).toPandas()
+    b = dedup.q44_minhash_neardup(spark, sf_dir).toPandas()
+    assert a.equals(b)

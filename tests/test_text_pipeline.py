@@ -1,0 +1,70 @@
+from __future__ import annotations
+
+import pytest
+
+from generative_ai_vector_db_spark.operators import chunker, ingest, text
+
+from .oracle_utils import compare_query
+
+ALL = [
+    *(("chunker", k) for k in sorted(chunker.ORACLE)),
+    *(("ingest", k) for k in sorted(ingest.ORACLE)),
+    *(("text", k) for k in sorted(text.ORACLE)),
+]
+MODS = {"chunker": chunker, "ingest": ingest, "text": text}
+
+
+@pytest.mark.parametrize("mod,name", ALL)
+def test_text_pipeline_matches_oracle(spark, sf_dir, mod, name):
+    m = MODS[mod]
+    compare_query(spark, sf_dir, m.QUERIES[name], m.ORACLE[name], name)
+
+
+# ---- recursive chunker properties (SURVEY §5.2) ----
+TEXTS = [
+    "",
+    "   ",
+    "short text",
+    "word " * 500,
+    ("para one. " * 30 + "\n\n") * 5,
+    ("line\n" * 40 + "\n\n") * 3,
+    "x" * 3000,  # no separators at all -> char stride
+    "a b\n\nc d\n\n" + "e" * 1500 + "\n\nf g",
+]
+
+
+@pytest.mark.parametrize("i", range(len(TEXTS)))
+def test_recursive_chunker_invariants(i):
+    t = TEXTS[i]
+    chunks = chunker.recursive_chunks(t, size=100, overlap=20)
+    assert all(len(c) <= 100 for c in chunks), [len(c) for c in chunks]
+    assert all(c.strip() for c in chunks)  # blank-chunk filter (ref :127)
+    assert all(c in t for c in chunks)  # every chunk is a contiguous span
+    if t.strip() and len(t) <= 100:
+        assert chunks == [t]
+
+
+def test_recursive_chunker_coverage():
+    t = "word{} ".format(0) * 1 + " ".join(f"word{i}" for i in range(400))
+    chunks = chunker.recursive_chunks(t, size=100, overlap=20)
+    # every word appears in at least one chunk
+    joined = " ".join(chunks)
+    for i in range(400):
+        assert f"word{i}" in joined
+
+
+def test_ingest_pipeline_output(spark, sf_dir):
+    pdf = ingest.q50_ingest_pipeline(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    # only odd doc_ids survive the anti-join against the even-id store
+    assert (pdf["doc_id"] % 2 == 1).all()
+    assert (pdf["user"] == "user@example.com").all()
+    assert pdf["embedding"].map(len).eq(ingest.EMBED_DIM).all()
+    assert pdf["file_hash"].str.len().eq(64).all()
+
+
+def test_lang_id_mostly_english(spark, sf_dir):
+    pdf = text.q37_lang_id(spark, sf_dir).toPandas()
+    # fixture texts are English-ish word salad; heuristic should not
+    # misfire to other languages on a majority of docs
+    assert (pdf["predicted_lang"].isin(["en", "unknown"])).mean() > 0.9
