@@ -23,8 +23,11 @@ from generative_ai_vector_db_spark.operators import (  # noqa: E402
     ingest,
     merge_registries,
     multimodal,
+    mllib_index,
     pandas_udfs,
+    rag,
     relational,
+    store,
     text,
     vector,
 )
@@ -39,6 +42,9 @@ _MODULES = [
     dedup,
     multimodal,
     pandas_udfs,
+    mllib_index,
+    store,
+    rag,
     streaming_jobs,
 ]
 
@@ -46,8 +52,10 @@ _QUERIES, _ORACLE = merge_registries(*_MODULES)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: TPC-H Q1-shape aggregation over lineitem at sf0.001."""
-    return _QUERIES["q03_tpch_q1"](spark, "/root/testdata/sf0.001")
+    """Flagship: the reference's core capability end to end — top-k
+    vector retrieval -> context assembly -> prompt -> grounded answer
+    (POST /chat, SURVEY §3.2) at sf0.001."""
+    return _QUERIES["q53_rag_pipeline"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

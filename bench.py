@@ -26,9 +26,12 @@ from generative_ai_vector_db_spark.operators import (  # noqa: E402
     dedup,
     ingest,
     merge_registries,
+    mllib_index,
     multimodal,
     pandas_udfs,
+    rag,
     relational,
+    store,
     text,
     vector,
 )
@@ -50,7 +53,11 @@ HEADLINE = [
     "q38_text_quality",
     "q43_multimodal_decode",
     "q44_minhash_neardup",
+    "q47_ann_brp_lsh",
+    "q49_ann_ivf",
     "q50_ingest_pipeline",
+    "q52_delete_by_source",
+    "q53_rag_pipeline",
 ]
 
 
@@ -68,7 +75,7 @@ def main() -> None:
     )
     queries, _ = merge_registries(
         relational, vector, chunker, ingest, text, dedup, multimodal,
-        pandas_udfs, streaming_jobs,
+        pandas_udfs, mllib_index, store, rag, streaming_jobs,
     )
 
     def run(name: str) -> float:

@@ -1,0 +1,185 @@
+"""Batch ANN index build with MLlib — the north star's stated approach
+(BASELINE.json: "Batch index build with MLlib"). The reference's index
+is Chroma's hnswlib HNSW graph, built incrementally per upload
+(``app.py:73-76``); ours are Spark-fit model artifacts rebuilt in batch
+and persisted with ``model.write().save()`` — the online serving side
+loads them, which is out of Spark scope per the north star.
+
+Three index families:
+* ``BucketedRandomProjectionLSH`` (Euclidean — matches the reference's
+  L2 metric) — ``approxSimilarityJoin`` for the distributed search path.
+* ``MinHashLSH`` over CountVectorizer shingle vectors — Jaccard
+  near-dup at corpus scale (same family as dedup.py's explicit
+  implementation, here via MLlib's fitted hash tables).
+* IVF via seeded KMeans: coarse-quantize to k centroids, probe the
+  nearest ``n_probe`` cells, exact re-rank inside — the classic
+  recall/cost dial.
+
+All are seeded => deterministic model artifacts; driver checks are
+rows-only (model internals are Spark-specific), with recall-vs-exact
+asserted in tests/test_mllib_index.py.
+
+Scale: fit = one pass + small driver state (hyperplanes/centroids);
+transform = narrow map; approxSimilarityJoin shuffles on hash keys
+only. KMeans assignment broadcast is k*dim floats — trivial.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.feature import BucketedRandomProjectionLSH, CountVectorizer, MinHashLSH
+from pyspark.ml.functions import array_to_vector, vector_to_array
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+from ..tables import load
+from .dedup import with_shingles
+
+SEED = 42
+K = 13
+N_QUERY = 5
+
+
+def _emb_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+
+
+def build_brp_lsh(df: DataFrame, bucket_length: float = 0.5, num_tables: int = 3):
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=SEED,
+    )
+    return lsh.fit(df)
+
+
+def q47_ann_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ANN via approxSimilarityJoin: query rows x candidates
+    within distance 1.5, exact-ranked to top-13 per query."""
+    emb = _emb_vectors(spark, sf_dir)
+    model = build_brp_lsh(emb)
+    q = emb.where(F.col("vec_id") < N_QUERY)
+    joined = model.approxSimilarityJoin(q, emb, 1.5, distCol="dist")
+    pairs = joined.select(
+        F.col("datasetA.vec_id").alias("q_id"),
+        F.col("datasetB.vec_id").alias("vec_id"),
+        F.round("dist", 4).alias("dist"),
+    ).where(F.col("q_id") != F.col("vec_id"))
+    w = Window.partitionBy("q_id").orderBy("dist", "vec_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= K)
+        .orderBy("q_id", "rn")
+    )
+
+
+def build_ivf(df: DataFrame, k: int = 8):
+    km = KMeans(k=k, seed=SEED, featuresCol="features", predictionCol="cell")
+    return km.fit(df)
+
+
+def q49_ann_ivf(spark: SparkSession, sf_dir: str, n_probe: int = 2) -> DataFrame:
+    """IVF: assign every vector to its KMeans cell; each query probes its
+    ``n_probe`` nearest centroids and exact-ranks within those cells."""
+    emb = _emb_vectors(spark, sf_dir)
+    model = build_ivf(emb)
+    assigned = model.transform(emb).select("vec_id", "embedding", "cell")
+
+    centroids = [
+        (ci, [float(x) for x in c]) for ci, c in enumerate(model.clusterCenters())
+    ]
+    spark_centroids = spark.createDataFrame(
+        centroids, "cell int, centroid array<double>"
+    )
+    q = assigned.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    # rank centroids per query, keep n_probe nearest (tiny: Q x k rows)
+    qc = q.crossJoin(F.broadcast(spark_centroids)).select(
+        "q_id",
+        "q_emb",
+        "cell",
+        V.l2(F.col("q_emb"), F.col("centroid")).alias("cdist"),
+    )
+    wq = Window.partitionBy("q_id").orderBy("cdist", "cell")
+    probes = qc.withColumn("crn", F.row_number().over(wq)).where(
+        F.col("crn") <= n_probe
+    ).select("q_id", "q_emb", "cell")
+
+    cand = assigned.join(F.broadcast(probes), "cell").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    w = Window.partitionBy("q_id").orderBy("dist", "vec_id")
+    return (
+        cand.select(
+            "q_id",
+            "vec_id",
+            F.round(V.l2(F.col("q_emb"), F.col("embedding")), 4).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= K)
+        .orderBy("q_id", "rn")
+    )
+
+
+def build_minhash_lsh(docs: DataFrame, num_tables: int = 8):
+    """CountVectorizer over word-3-gram shingles -> MinHashLSH model.
+    Returns (model, vectorized_docs)."""
+    shingled = with_shingles(docs)
+    cv = CountVectorizer(
+        inputCol="shingles", outputCol="features", binary=True, minDF=1.0
+    )
+    cv_model = cv.fit(shingled)
+    vec = cv_model.transform(shingled)
+    # MinHashLSH requires at least one non-zero entry
+    vec = vec.where(F.size("shingles") > 0)
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=SEED
+    )
+    return mh.fit(vec), vec
+
+
+def q51_minhash_lsh_simjoin(
+    spark: SparkSession, sf_dir: str, jaccard_dist: float = 0.6
+) -> DataFrame:
+    """MLlib MinHash near-dup join: pairs with Jaccard distance <= 0.6
+    (similarity >= 0.4, same threshold family as dedup.py)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    model, vec = build_minhash_lsh(docs)
+    joined = model.approxSimilarityJoin(vec, vec, jaccard_dist, distCol="jdist")
+    return (
+        joined.select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round(1.0 - F.col("jdist"), 4).alias("jaccard"),
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .orderBy("id_a", "id_b")
+    )
+
+
+def save_index(model, path: str) -> None:
+    model.write().overwrite().save(path)
+
+
+def load_brp_index(path: str):
+    from pyspark.ml.feature import BucketedRandomProjectionLSHModel
+
+    return BucketedRandomProjectionLSHModel.load(path)
+
+
+QUERIES = {
+    "q47_ann_brp_lsh": q47_ann_brp_lsh,
+    "q49_ann_ivf": q49_ann_ivf,
+    "q51_minhash_lsh_simjoin": q51_minhash_lsh_simjoin,
+}
+
+ORACLE: dict[str, str] = {}

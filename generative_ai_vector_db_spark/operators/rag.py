@@ -1,0 +1,146 @@
+"""End-to-end RAG query pipeline — reference §3.2 (``POST /chat``):
+embed question → top-k retrieve (R17) → context assembly (R18) →
+prompt construction (R19) → LLM call (R20) → chat-log append (R21).
+
+Q53 runs the whole chain batch-wise for the 5 fixture query vectors and
+is oracle-matched END TO END through the prompt string; the LLM stage
+is a deterministic stand-in (the real Groq call, ``app.py:423-432``, is
+non-deterministic and excluded from the correctness contract per
+SURVEY §2.B — ``llm_answer_stage`` shows the external-UDF shape).
+
+Prompt template mirrors the reference's grounding contract
+(``app.py:412-421``): context block + question + "answer only from
+context, else say you don't know".
+
+Scale: the only wide operations are the top-k window (bounded per
+query) and the context collect_list (k rows per query) — everything
+else is narrow string projection. The LLM stage batches through
+mapInPandas with per-executor rate limiting in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .vector import Q25_SQL, q25_knn_l2
+from ..tables import load
+
+PROMPT_HEADER = "Answer the question using ONLY the context below. If the answer is not in the context, say: I don't know."
+
+
+def retrieve_with_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top-13 L2 hits joined to documents, assembled per query."""
+    hits = q25_knn_l2(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    joined = hits.join(docs, hits.vec_id == docs.doc_id, "inner")
+    return joined.groupBy("q_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dist", "vec_id", "text"))),
+                lambda s: s["text"],
+            ),
+            "\n\n",
+        ).alias("context")
+    )
+
+
+def build_prompt(df: DataFrame, question_col="question", context_col="context") -> DataFrame:
+    """R19: prompt template as a format_string projection."""
+    return df.withColumn(
+        "prompt",
+        F.format_string(
+            "%s\n\nContext:\n%s\n\nQuestion: %s\nAnswer:",
+            F.lit(PROMPT_HEADER),
+            F.col(context_col),
+            F.col(question_col),
+        ),
+    )
+
+
+def stub_answer(df: DataFrame) -> DataFrame:
+    """Deterministic LLM stand-in: echo the first 60 chars of context
+    (empty context -> the grounded refusal, mirroring the template)."""
+    return df.withColumn(
+        "answer",
+        F.when(F.length("context") > 0, F.substring("context", 1, 60)).otherwise(
+            F.lit("I don't know")
+        ),
+    )
+
+
+def llm_answer_stage(df: DataFrame, model: str = "llama-3.1-8b-instant") -> DataFrame:
+    """R20 shape: external chat-completion call batched via mapInPandas.
+    Import/credential-gated — NOT part of the correctness contract."""
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema] + ["answer string"]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import groq  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "groq client not installed; use stub_answer for deterministic runs"
+            ) from e
+        for pdf in batches:  # pragma: no cover - external service
+            raise NotImplementedError("wire client.chat.completions.create here")
+
+    return df.mapInPandas(gen, schema)
+
+
+def q53_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ctx = retrieve_with_context(spark, sf_dir)
+    with_q = ctx.withColumn(
+        "question", F.format_string("What does query %s relate to?", F.col("q_id"))
+    )
+    out = stub_answer(build_prompt(with_q))
+    return out.select(
+        "q_id",
+        "question",
+        F.length("context").cast("bigint").alias("context_len"),
+        "prompt",
+        "answer",
+    ).orderBy("q_id")
+
+
+_HEADER_SQL = PROMPT_HEADER.replace("'", "''")
+
+Q53_SQL = f"""
+WITH hits AS ({Q25_SQL.replace("ORDER BY q_id, rn", "")}),
+ctx AS (
+  SELECT q_id,
+         string_agg(text, chr(10) || chr(10) ORDER BY dist, vec_id) AS context
+  FROM hits JOIN documents ON hits.vec_id = documents.doc_id
+  GROUP BY q_id
+),
+built AS (
+  SELECT q_id,
+         printf('What does query %d relate to?', q_id) AS question,
+         context,
+         '{_HEADER_SQL}' || chr(10) || chr(10) || 'Context:' || chr(10) || context
+           || chr(10) || chr(10) || 'Question: ' || printf('What does query %d relate to?', q_id)
+           || chr(10) || 'Answer:' AS prompt
+  FROM ctx
+)
+SELECT q_id, question,
+       CAST(length(context) AS BIGINT) AS context_len,
+       prompt,
+       CASE WHEN length(context) > 0 THEN substring(context, 1, 60)
+            ELSE 'I don''t know' END AS answer
+FROM built
+ORDER BY q_id
+"""
+
+
+QUERIES = {
+    "q53_rag_pipeline": q53_rag_pipeline,
+}
+
+ORACLE = {
+    "q53_rag_pipeline": Q53_SQL,
+}

@@ -803,6 +803,67 @@ ORDER BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Q54 exact percentiles — Spark `percentile` and DuckDB `quantile_cont`
+# share linear interpolation, so values hash-match after round(4).
+# ---------------------------------------------------------------------------
+def q54_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            _r4(F.percentile("o_totalprice", F.lit(0.5))).alias("p50"),
+            _r4(F.percentile("o_totalprice", F.lit(0.9))).alias("p90"),
+            _r4(F.percentile("o_totalprice", F.lit(0.99))).alias("p99"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q54_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q55 pivot — event counts/value by type pivoted to columns (explicit
+# value list => no extra distinct-values job, stable output schema).
+# ---------------------------------------------------------------------------
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q55_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    return (
+        ev.groupBy(day)
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+        .select(
+            "day", *[F.col(t).cast("bigint").alias(f"n_{t}") for t in EVENT_TYPES]
+        )
+        .orderBy("day")
+    )
+
+
+Q55_SQL = f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       {", ".join(f"count(*) FILTER (event_type = '{t}') AS n_{t}" for t in EVENT_TYPES)}
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_pushdown": q02_filter_pushdown,
@@ -830,6 +891,8 @@ QUERIES = {
     "q30_store_counts": q30_store_counts,
     "q34_latest_per_key": q34_latest_per_key,
     "q36_weighted_avg": q36_weighted_avg,
+    "q54_percentiles": q54_percentiles,
+    "q55_pivot": q55_pivot,
 }
 
 ORACLE = {
@@ -858,4 +921,6 @@ ORACLE = {
     "q30_store_counts": Q30_SQL,
     "q34_latest_per_key": Q34_SQL,
     "q36_weighted_avg": Q36_SQL,
+    "q54_percentiles": Q54_SQL,
+    "q55_pivot": Q55_SQL,
 }

@@ -1,0 +1,104 @@
+"""Vector-store management — reference R14/R15/R22 (SURVEY §2.A):
+create-or-append (``helper/multiple_document_upload.py:161-168``), open
+existing (``app.py:70-79``), and delete-by-metadata-predicate
+(``helper/multiple_document_upload.py:178-200``).
+
+The reference's delete materializes the ENTIRE collection into Python
+twice and filters in a list comprehension (:182-189) — an O(2N) scan.
+Here the delete is the declarative anti-join / filter rewrite: the
+predicate pushes to the parquet scan, and on a partitioned-by-source
+production layout it becomes a metadata-only partition drop.
+
+Q52 is the oracle-checked delete shape: victims counted per the
+predicate (the reference returns the deleted count, :200) and the
+surviving store aggregated — both sides of the rewrite in one result.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+DELETE_SOURCE = "src3"  # fixture predicate (documents.source in src0..src19)
+
+
+def append_vectors(df: DataFrame, store_path: str) -> None:
+    """R14: create-or-append — one code path; parquet append creates the
+    table on first write. Production: partitionBy("source") so R22
+    deletes drop partitions."""
+    df.write.mode("append").parquet(store_path)
+
+
+def open_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """R15: open existing store (catalog load)."""
+    return spark.read.parquet(store_path)
+
+
+def delete_by_source(store: DataFrame, docs: DataFrame, source: str) -> DataFrame:
+    """R22 rewrite: survivors = store ANTI JOIN victims(doc ids of the
+    source). Returns the surviving store."""
+    victims = docs.where(F.lower(F.col("source")) == source.lower()).select("doc_id")
+    return store.join(victims, store.vec_id == victims.doc_id, "left_anti")
+
+
+def q52_delete_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    store = load(spark, sf_dir, "embeddings")
+    victims = docs.where(F.col("source") == DELETE_SOURCE).select("doc_id")
+    survivors = store.join(victims, store.vec_id == victims.doc_id, "left_anti")
+    deleted = store.join(victims, store.vec_id == victims.doc_id, "left_semi")
+    return (
+        deleted.select(F.lit("deleted").alias("side"), "vec_id")
+        .union(survivors.select(F.lit("kept").alias("side"), "vec_id"))
+        .groupBy("side")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_id"),
+            F.max("vec_id").alias("max_id"),
+        )
+        .orderBy("side")
+    )
+
+
+Q52_SQL = f"""
+WITH victims AS (
+  SELECT doc_id FROM documents WHERE source = '{DELETE_SOURCE}'
+),
+tagged AS (
+  SELECT CASE WHEN EXISTS (SELECT 1 FROM victims v WHERE v.doc_id = e.vec_id)
+              THEN 'deleted' ELSE 'kept' END AS side,
+         vec_id
+  FROM embeddings e
+)
+SELECT side, count(*) AS n_vectors, min(vec_id) AS min_id, max(vec_id) AS max_id
+FROM tagged
+GROUP BY side
+ORDER BY side
+"""
+
+
+def roundtrip_store(spark: SparkSession, sf_dir: str, work_dir: str) -> dict:
+    """R14+R15+R22 end-to-end against a real on-disk store (used by
+    tests): append -> open -> delete -> count."""
+    store_path = os.path.join(work_dir, "vector_store")
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    append_vectors(emb, store_path)
+    opened = open_store(spark, store_path)
+    n0 = opened.count()
+    survivors = delete_by_source(opened, docs, DELETE_SOURCE)
+    n1 = survivors.count()
+    return {"before": n0, "after": n1, "deleted": n0 - n1}
+
+
+QUERIES = {
+    "q52_delete_by_source": q52_delete_by_source,
+}
+
+ORACLE = {
+    "q52_delete_by_source": Q52_SQL,
+}

@@ -1,0 +1,58 @@
+"""Plan-shape assertions: the scale design claims in the operator
+docstrings are checked against the actual physical plans."""
+
+from __future__ import annotations
+
+from generative_ai_vector_db_spark.operators import relational, vector
+from generative_ai_vector_db_spark.plans.audit import assert_in_plan, plan_of
+
+
+def test_q02_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = relational.q02_filter_pushdown(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    # range + discount + quantity predicates all pushed
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    assert "l_discount" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q01_projection_prunes_scan(spark, sf_dir):
+    df = relational.q01_scan_project(spark, sf_dir)
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_shipdate" not in read_schema  # unused column never read
+    assert "TakeOrderedAndProject" in plan  # limit+order => no global sort
+
+
+def test_q07_broadcasts_dimension(spark, sf_dir):
+    assert_in_plan(
+        relational.q07_join_broadcast(spark, sf_dir), "BroadcastHashJoin"
+    )
+
+
+def test_q08_multiway_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(relational.q08_join_multiway(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region at least
+
+
+def test_q13_window_topk_group_limit(spark, sf_dir):
+    plan = plan_of(relational.q13_window_topk(spark, sf_dir))
+    # Spark 3.5+/4.x pushes rank<=k below the exchange
+    assert "WindowGroupLimit" in plan
+
+
+def test_q03_partial_aggregation(spark, sf_dir):
+    plan = plan_of(relational.q03_tpch_q1(spark, sf_dir))
+    assert "partial_" in plan or "HashAggregate" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_q25_broadcasts_query_side(spark, sf_dir):
+    plan = plan_of(vector.q25_knn_l2(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q10_semi_and_q11_anti_plan(spark, sf_dir):
+    assert "LeftSemi" in plan_of(relational.q10_join_semi(spark, sf_dir))
+    assert "LeftAnti" in plan_of(relational.q11_join_anti(spark, sf_dir))

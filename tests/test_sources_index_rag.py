@@ -1,0 +1,135 @@
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from generative_ai_vector_db_spark.operators import mllib_index, rag, relational, store, vector
+from generative_ai_vector_db_spark.sources import embedding_stage, loaders
+from generative_ai_vector_db_spark.tables import load
+
+from .oracle_utils import compare_query
+
+NEW_ORACLE = [
+    ("relational", "q54_percentiles"),
+    ("relational", "q55_pivot"),
+    ("store", "q52_delete_by_source"),
+    ("rag", "q53_rag_pipeline"),
+]
+MODS = {"relational": relational, "store": store, "rag": rag}
+
+
+@pytest.mark.parametrize("mod,name", NEW_ORACLE)
+def test_new_queries_match_oracle(spark, sf_dir, mod, name):
+    m = MODS[mod]
+    compare_query(spark, sf_dir, m.QUERIES[name], m.ORACLE[name], name)
+
+
+# ---------------- sources ----------------
+@pytest.fixture()
+def upload_dir():
+    d = tempfile.mkdtemp(prefix="uploads_")
+    files = {
+        "notes.txt": "hello world this is a text file",
+        "readme.md": "# title\nsome markdown content",
+        "data.csv": "name,age\nalice,30\nbob,25",
+        "page.html": "<html><head><style>x{}</style></head>"
+        "<body><h1>Heading</h1><p>Body text here</p>"
+        "<script>var x=1;</script></body></html>",
+        "empty.txt": "   ",
+        "report.pdf": "%PDF-1.4 fake binary content",
+        "archive.zip": "PK fake zip",
+    }
+    for name, content in files.items():
+        with open(os.path.join(d, name), "w") as f:
+            f.write(content)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_load_documents_routing(spark, upload_dir):
+    docs, rejected = loaders.load_documents(spark, upload_dir)
+    docs_pdf = docs.toPandas().set_index("source")
+    rej = dict(rejected.toPandas().itertuples(index=False))
+
+    assert set(docs_pdf.index) == {"notes.txt", "readme.md", "data.csv", "page.html"}
+    assert docs_pdf.loc["notes.txt", "text"] == "hello world this is a text file"
+    assert "name: alice" in docs_pdf.loc["data.csv", "text"]
+    html_text = docs_pdf.loc["page.html", "text"]
+    assert "Heading" in html_text and "Body text" in html_text
+    assert "var x" not in html_text and "x{}" not in html_text
+
+    assert rej["empty.txt"] == "No readable content found"
+    assert rej["report.pdf"].startswith("Loader error: ")  # pypdf not installed
+    assert rej["archive.zip"] == "Unsupported file type"
+    # doc_ids deterministic and unique
+    assert docs_pdf["doc_id"].is_unique
+
+
+def test_embedding_stage_hash_deterministic(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").limit(50)
+    a = embedding_stage.embed_text(docs).select("doc_id", "embedding").toPandas()
+    b = embedding_stage.embed_text(docs).select("doc_id", "embedding").toPandas()
+    assert a["embedding"].map(tuple).tolist() == b["embedding"].map(tuple).tolist()
+    import numpy as np
+
+    norms = a["embedding"].map(lambda v: np.linalg.norm(v))
+    assert ((norms - 1.0).abs() < 1e-5).all()  # L2-normalized
+
+
+# ---------------- MLlib index ----------------
+def test_brp_lsh_recall(spark, sf_dir):
+    exact = vector.q25_knn_l2(spark, sf_dir).toPandas()
+    approx = mllib_index.q47_ann_brp_lsh(spark, sf_dir).toPandas()
+    recalls = []
+    for q_id in exact["q_id"].unique():
+        e = set(exact[exact["q_id"] == q_id]["vec_id"])
+        a = set(approx[approx["q_id"] == q_id]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) > 0.5, recalls
+
+
+def test_ivf_recall(spark, sf_dir):
+    exact = vector.q25_knn_l2(spark, sf_dir).toPandas()
+    approx = mllib_index.q49_ann_ivf(spark, sf_dir).toPandas()
+    recalls = []
+    for q_id in exact["q_id"].unique():
+        e = set(exact[exact["q_id"] == q_id]["vec_id"])
+        a = set(approx[approx["q_id"] == q_id]["vec_id"])
+        assert q_id not in a
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) > 0.3, recalls
+
+
+def test_brp_index_save_load_roundtrip(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="brp_idx_")
+    try:
+        emb = mllib_index._emb_vectors(spark, sf_dir)
+        model = mllib_index.build_brp_lsh(emb)
+        path = os.path.join(d, "brp")
+        mllib_index.save_index(model, path)
+        loaded = mllib_index.load_brp_index(path)
+        a = model.transform(emb).select("vec_id", "hashes").toPandas()
+        b = loaded.transform(emb).select("vec_id", "hashes").toPandas()
+        assert a["hashes"].astype(str).tolist() == b["hashes"].astype(str).tolist()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_minhash_lsh_simjoin_runs(spark, sf_dir):
+    pdf = mllib_index.q51_minhash_lsh_simjoin(spark, sf_dir).toPandas()
+    assert (pdf["jaccard"] >= 0.4 - 1e-9).all()
+    assert (pdf["id_a"] < pdf["id_b"]).all()
+
+
+# ---------------- store ----------------
+def test_store_roundtrip(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="store_")
+    try:
+        res = store.roundtrip_store(spark, sf_dir, d)
+        assert res["before"] == res["after"] + res["deleted"]
+        assert res["deleted"] > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
