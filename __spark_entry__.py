@@ -27,6 +27,7 @@ from generative_ai_vector_db_spark.operators import (  # noqa: E402
     pandas_udfs,
     rag,
     relational,
+    scale,
     store,
     text,
     vector,
@@ -45,6 +46,7 @@ _MODULES = [
     mllib_index,
     store,
     rag,
+    scale,
     streaming_jobs,
 ]
 

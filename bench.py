@@ -31,6 +31,7 @@ from generative_ai_vector_db_spark.operators import (  # noqa: E402
     pandas_udfs,
     rag,
     relational,
+    scale,
     store,
     text,
     vector,
@@ -75,7 +76,7 @@ def main() -> None:
     )
     queries, _ = merge_registries(
         relational, vector, chunker, ingest, text, dedup, multimodal,
-        pandas_udfs, mllib_index, store, rag, streaming_jobs,
+        pandas_udfs, mllib_index, store, rag, scale, streaming_jobs,
     )
 
     def run(name: str) -> float:

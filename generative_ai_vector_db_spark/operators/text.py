@@ -286,12 +286,52 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# PII-style redaction — training-data hygiene op: mask email-shaped
+# tokens and digit runs. Spark regexp_replace is global by default;
+# DuckDB needs the 'g' flag — same RE2/Java-compatible patterns.
+# ---------------------------------------------------------------------------
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+DIGITS_RE = "[0-9]+"
+
+
+def q57_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), DIGITS_RE, "<NUM>"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.substring(redacted, 1, 80).alias("redacted_head"),
+            F.regexp_count("text", F.lit(DIGITS_RE)).cast("bigint").alias("n_digit_runs"),
+            F.regexp_count("text", F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+            (F.length("text") - F.length(redacted)).cast("bigint").alias("len_delta"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q57_SQL = f"""
+SELECT doc_id,
+       substring(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{DIGITS_RE}', '<NUM>', 'g'), 1, 80) AS redacted_head,
+       CAST(len(regexp_extract_all(text, '{DIGITS_RE}')) AS BIGINT) AS n_digit_runs,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(length(text) - length(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{DIGITS_RE}', '<NUM>', 'g')) AS BIGINT) AS len_delta
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q37_lang_id": q37_lang_id,
     "q38_text_quality": q38_text_quality,
     "q39_token_count": q39_token_count,
     "q40_fingerprint": q40_fingerprint,
     "q41_ngram_jaccard": q41_ngram_jaccard,
+    "q57_redact_pii": q57_redact_pii,
 }
 
 ORACLE = {
@@ -300,4 +340,5 @@ ORACLE = {
     "q39_token_count": Q39_SQL,
     "q40_fingerprint": Q40_SQL,
     "q41_ngram_jaccard": Q41_SQL,
+    "q57_redact_pii": Q57_SQL,
 }

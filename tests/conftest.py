@@ -15,11 +15,16 @@ SF_DIR_T2 = os.environ.get("SPARK_GRAFT_T2_SF_DIR", "/root/testdata/sf0.01")
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     s = get_session(
         app_name="gavd-spark-tests",
         master=os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[8]"),
         shuffle_partitions=8,
         driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="gavd_wh_")
+        },
     )
     yield s
 

@@ -1,0 +1,93 @@
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from generative_ai_vector_db_spark.operators import scale, text
+from generative_ai_vector_db_spark.plans.audit import plan_of
+from generative_ai_vector_db_spark.streaming import stateful
+from generative_ai_vector_db_spark.tables import load
+
+from .oracle_utils import compare_query
+
+
+@pytest.mark.parametrize(
+    "mod,name",
+    [("scale", "q56_salted_agg"), ("text", "q57_redact_pii")],
+)
+def test_new_ops_match_oracle(spark, sf_dir, mod, name):
+    m = {"scale": scale, "text": text}[mod]
+    compare_query(spark, sf_dir, m.QUERIES[name], m.ORACLE[name], name)
+
+
+def test_salted_join_equivalent_to_plain(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .count()
+        .toPandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    salted = (
+        scale.salted_join(orders, cust, "o_custkey", "c_custkey")
+        .groupBy("c_mktsegment")
+        .count()
+        .toPandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    assert plain.equals(salted)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    scale.write_bucketed(orders, "orders_b", "o_custkey")
+    scale.write_bucketed(cust, "cust_b", "c_custkey")
+    try:
+        ob = spark.table("orders_b")
+        cb = spark.table("cust_b")
+        # disable broadcast so the co-location (not a broadcast) is what
+        # removes the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = ob.join(cb, ob.o_custkey == cb.c_custkey)
+            plan = plan_of(joined)
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # bucketing removed both shuffles
+        # and the result is correct
+        n = joined.count()
+        plain = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+        assert n == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS cust_b")
+
+
+def test_stateful_profile_stream_matches_batch(spark, sf_dir):
+    src = tempfile.mkdtemp(prefix="prof_src_")
+    try:
+        load(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(src)
+        stateful.run_profile_stream(spark, src, sink_table="prof_out")
+        got = spark.table("prof_out").toPandas()
+        # update-mode sink may emit once per micro-batch; keep the last
+        # emission per user
+        got = got.groupby("user_id").tail(1).sort_values("user_id").reset_index(drop=True)
+        want = stateful.profile_batch_twin(spark, sf_dir).toPandas().reset_index(drop=True)
+        assert got["user_id"].tolist() == want["user_id"].tolist()
+        assert got["n_events"].tolist() == want["n_events"].tolist()
+        assert (got["total_value"].to_numpy() - want["total_value"].to_numpy()).max() < 1e-3
+        assert got["max_value"].tolist() == want["max_value"].tolist()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
