@@ -29,6 +29,7 @@ from generative_ai_vector_db_spark.operators import (  # noqa: E402
     relational,
     scale,
     store,
+    temporal,
     text,
     vector,
 )
@@ -47,6 +48,7 @@ _MODULES = [
     store,
     rag,
     scale,
+    temporal,
     streaming_jobs,
 ]
 

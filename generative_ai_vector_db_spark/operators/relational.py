@@ -864,6 +864,57 @@ ORDER BY day
 """
 
 
+# ---------------------------------------------------------------------------
+# Q60 deterministic systematic sampling — hash/modulo sampling that any
+# engine reproduces (df.sample is RNG-engine-specific => not oracle-able;
+# modulo-on-key is the portable pattern and what a 100 TB pipeline uses
+# for reproducible eval splits).
+# ---------------------------------------------------------------------------
+def q60_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_id") % 10 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            _r4(F.avg("value")).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q60_SQL = """
+SELECT event_type,
+       count(*) AS n_sampled,
+       round(avg(value), 4) AS avg_value
+FROM events
+WHERE event_id % 10 = 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q61 approximate quantiles (KLL/GK-style sketch). Rows-only: sketch
+# internals are engine-specific; tolerance vs the exact oracle asserted
+# in tests. This is the 100 TB path for Q54.
+# ---------------------------------------------------------------------------
+def q61_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            _r4(F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000))).alias(
+                "p50_approx"
+            ),
+            _r4(F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(1000))).alias(
+                "p90_approx"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_pushdown": q02_filter_pushdown,
@@ -893,6 +944,8 @@ QUERIES = {
     "q36_weighted_avg": q36_weighted_avg,
     "q54_percentiles": q54_percentiles,
     "q55_pivot": q55_pivot,
+    "q60_systematic_sample": q60_systematic_sample,
+    "q61_approx_quantiles": q61_approx_quantiles,
 }
 
 ORACLE = {
@@ -923,4 +976,5 @@ ORACLE = {
     "q36_weighted_avg": Q36_SQL,
     "q54_percentiles": Q54_SQL,
     "q55_pivot": Q55_SQL,
+    "q60_systematic_sample": Q60_SQL,
 }

@@ -1,0 +1,169 @@
+"""Temporal join operators Spark lacks as built-ins: AS-OF join and
+range join — composed from existing DataFrame ops (SURVEY's "custom
+operators" rule (a): composition before UDFs).
+
+AS-OF join (q58): for each event, the most recent 'signup' event of the
+same user at-or-before it. Implemented with the union trick:
+
+    union(left tagged 0, right tagged 1)
+    -> window per user ordered by (ts, right-first at ties)
+    -> last(right_value, ignoreNulls) over unbounded-preceding
+    -> keep left rows
+
+One shuffle on the key, one ordered scan per partition — O(n log n)
+per key group and NO range fan-out, versus the naive
+join-then-filter-then-argmax which is quadratic per key. This is the
+standard scalable formulation for point-in-time correctness joins
+(feature stores, trade/quote matching). Oracle: DuckDB's native
+ASOF LEFT JOIN — two independent implementations, one hash.
+
+Range join (q59): equi key + date-range predicate. Spark evaluates the
+range residual on the equi-join output; at 100 TB add a coarse bucket
+key (e.g. month) to both sides to bound the fan-in when the equi key
+alone is not selective.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Generic as-of join: attach the latest right row at-or-before each
+    left row's timestamp, per key. Returns left columns + right value
+    columns (null when no prior right row exists)."""
+    value_cols = value_cols or []
+    lt = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_is_right"),
+        F.struct(*left.columns).alias("_left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_rv_{c}") for c in value_cols],
+    )
+    rt = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_is_right"),
+        F.lit(None).cast(lt.schema["_left"].dataType).alias("_left"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    )
+    # right rows sort BEFORE left rows at equal ts => ts >= right_ts is
+    # inclusive, matching ASOF semantics
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lt.unionByName(rt).select(
+        "_is_right",
+        "_left",
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
+            for c in value_cols
+        ],
+    )
+    out = filled.where(F.col("_is_right") == 0).select(
+        "_left.*", *[F.col(f"_rv_{c}").alias(f"right_{c}") for c in value_cols]
+    )
+    return out
+
+
+def q58_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("ts").alias("signup_ts")
+    )
+    others = ev.where(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(others, signups, key="user_id", value_cols=["signup_ts"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        F.date_format("right_signup_ts", TS_FMT_SPARK).alias("signup_ts_str"),
+        # exact integer micros (a rounded double would hit engine-specific
+        # .5-boundary rounding on ~1/10^4 of rows)
+        (F.unix_micros("ts") - F.unix_micros("right_signup_ts"))
+        .cast("bigint")
+        .alias("usecs_since_signup"),
+    ).orderBy("event_id")
+
+
+Q58_SQL = f"""
+WITH signups AS (
+  SELECT user_id, ts AS signup_ts FROM events WHERE event_type = 'signup'
+),
+others AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type != 'signup'
+)
+SELECT o.event_id,
+       o.user_id,
+       strftime(o.ts, '{TS_FMT_DUCK}') AS ts_str,
+       strftime(s.signup_ts, '{TS_FMT_DUCK}') AS signup_ts_str,
+       CAST(epoch_us(o.ts) - epoch_us(s.signup_ts) AS BIGINT)
+           AS usecs_since_signup
+FROM others o ASOF LEFT JOIN signups s
+  ON o.user_id = s.user_id AND o.ts >= s.signup_ts
+ORDER BY event_id
+"""
+
+
+def q59_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lineitems shipped within 90 days of their order's
+    date — equi join on the key plus a range residual."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    j = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate.cast("date") <= F.date_add(orders.o_orderdate.cast("date"), 90)),
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("order_year")
+    )
+
+
+Q59_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+GROUP BY 1
+ORDER BY order_year
+"""
+
+
+QUERIES = {
+    "q58_asof_join": q58_asof_join,
+    "q59_range_join": q59_range_join,
+}
+
+ORACLE = {
+    "q58_asof_join": Q58_SQL,
+    "q59_range_join": Q59_SQL,
+}

@@ -1,0 +1,121 @@
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from generative_ai_vector_db_spark.streaming import jobs
+from generative_ai_vector_db_spark.tables import load
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def events_src(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="events_src2_")
+    load(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir, events_src):
+    agg = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(events_src)
+        .withWatermark("ts", "2 minutes")
+        .groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", jobs.TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    (
+        agg.writeStream.format("memory")
+        .queryName("t_slide")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    key = ["window_start", "event_type"]
+    got = spark.table("t_slide").toPandas().sort_values(key).reset_index(drop=True)
+    want = jobs.q32_sliding_window(spark, sf_dir).toPandas()
+    got = got[want.columns].sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got.equals(want), (len(got), len(want))
+
+
+def test_streaming_dropduplicates(spark):
+    """Q34's streaming face: dropDuplicates within watermark removes the
+    re-delivered event."""
+    d = tempfile.mkdtemp(prefix="dupe_src_")
+    try:
+        rows = [
+            (1, "2024-01-01 00:00:01", 1, "a", 1.0, "{}"),
+            (1, "2024-01-01 00:00:01", 1, "a", 1.0, "{}"),  # duplicate delivery
+            (2, "2024-01-01 00:00:02", 1, "a", 1.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        dedup = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .parquet(d)
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicates(["event_id"])
+        )
+        (
+            dedup.writeStream.format("memory")
+            .queryName("t_dedup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        got = spark.table("t_dedup").toPandas()
+        assert sorted(got["event_id"].tolist()) == [1, 2]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_partition_pruning_on_partitioned_layout(spark, sf_dir):
+    """The 100 TB layout story: events partitioned by day; a day filter
+    must prune partitions at planning time."""
+    d = tempfile.mkdtemp(prefix="events_part_")
+    try:
+        ev = load(spark, sf_dir, "events").withColumn(
+            "day", F.date_format("ts", "yyyy-MM-dd")
+        )
+        ev.write.mode("overwrite").partitionBy("day").parquet(d)
+        back = spark.read.parquet(d).where(F.col("day") == "2024-01-05")
+        from generative_ai_vector_db_spark.plans.audit import plan_of
+
+        plan = plan_of(back)
+        assert "PartitionFilters" in plan
+        assert "2024-01-05" in plan
+        n = back.count()
+        want = ev.where(F.col("day") == "2024-01-05").count()
+        assert n == want > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

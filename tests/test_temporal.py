@@ -1,0 +1,68 @@
+from __future__ import annotations
+
+import pytest
+
+from generative_ai_vector_db_spark.operators import relational, temporal
+
+from .oracle_utils import compare_query, duck_connection
+
+
+@pytest.mark.parametrize("name", sorted(temporal.ORACLE))
+def test_temporal_matches_oracle(spark, sf_dir, name):
+    compare_query(spark, sf_dir, temporal.QUERIES[name], temporal.ORACLE[name], name)
+
+
+def test_q60_sample_matches_oracle(spark, sf_dir):
+    compare_query(
+        spark,
+        sf_dir,
+        relational.QUERIES["q60_systematic_sample"],
+        relational.ORACLE["q60_systematic_sample"],
+        "q60",
+    )
+
+
+def test_q61_approx_quantiles_tolerance(spark, sf_dir):
+    pdf = relational.QUERIES["q61_approx_quantiles"](spark, sf_dir).toPandas()
+    con = duck_connection(sf_dir)
+    exact = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            "SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5), "
+            "quantile_cont(o_totalprice, 0.9) FROM orders GROUP BY 1"
+        ).fetchall()
+    }
+    con.close()
+    for _, row in pdf.iterrows():
+        e50, e90 = exact[row["o_orderstatus"]]
+        assert abs(row["p50_approx"] - e50) / e50 < 0.05
+        assert abs(row["p90_approx"] - e90) / e90 < 0.05
+
+
+def test_asof_join_edge_cases(spark):
+    """Events before any signup -> null; event at exactly signup ts ->
+    matched (inclusive >=); latest of multiple prior signups wins."""
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, "click", 1.0, "{}"),   # before signup
+            (2, "2024-01-01 00:01:00", 7, "signup", 1.0, "{}"),
+            (3, "2024-01-01 00:01:00", 7, "click", 1.0, "{}"),   # same-ts match
+            (4, "2024-01-01 00:02:00", 7, "signup", 1.0, "{}"),
+            (5, "2024-01-01 00:03:00", 7, "click", 1.0, "{}"),   # latest signup
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("ts").alias("signup_ts")
+    )
+    others = ev.where(F.col("event_type") != "signup").select("event_id", "user_id", "ts")
+    out = (
+        temporal.asof_join(others, signups, key="user_id", value_cols=["signup_ts"])
+        .orderBy("event_id")
+        .toPandas()
+    )
+    assert out.loc[0, "right_signup_ts"] is None or str(out.loc[0, "right_signup_ts"]) == "NaT"
+    assert str(out.loc[1, "right_signup_ts"]) == "2024-01-01 00:01:00"
+    assert str(out.loc[2, "right_signup_ts"]) == "2024-01-01 00:02:00"
