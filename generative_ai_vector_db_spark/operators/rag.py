@@ -137,10 +137,64 @@ ORDER BY q_id
 """
 
 
+# ---------------------------------------------------------------------------
+# R21 chat-log record format — byte-exact parity with the reference's
+# append format (app.py:436-443), including its quirks: the stray space
+# after the Timestamp line's newline, "User Email:" label, and a
+# 50-underscore separator. Timestamp is a column (the reference stamps
+# datetime.now; here it's data so the record is deterministic).
+# ---------------------------------------------------------------------------
+CHATLOG_TS = "2026-01-09T00:00:00+00:00"  # fixed stamp for the t2 fixture
+
+
+def format_chatlog_record(ts_iso, email, question, answer):
+    return F.concat(
+        F.lit("Timestamp:"), ts_iso, F.lit("\n "),
+        F.lit("User Email:"), email, F.lit("\n"),
+        F.lit("Question:"), question, F.lit("\n"),
+        F.lit("Answer:"), answer, F.lit("\n"),
+        F.lit("_" * 50 + "\n"),
+    )
+
+
+def q62_chatlog_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qa = q53_rag_pipeline(spark, sf_dir)
+    return qa.select(
+        "q_id",
+        format_chatlog_record(
+            F.lit(CHATLOG_TS),
+            F.lit("user@example.com"),
+            F.col("question"),
+            F.col("answer"),
+        ).alias("log_record"),
+    ).orderBy("q_id")
+
+
+Q62_SQL = f"""
+WITH qa AS ({Q53_SQL.replace("ORDER BY q_id", "")})
+SELECT q_id,
+       'Timestamp:{CHATLOG_TS}' || chr(10) || ' ' ||
+       'User Email:user@example.com' || chr(10) ||
+       'Question:' || question || chr(10) ||
+       'Answer:' || answer || chr(10) ||
+       repeat('_', 50) || chr(10) AS log_record
+FROM qa
+ORDER BY q_id
+"""
+
+
+def write_chatlog_text(df: DataFrame, out_dir: str) -> None:
+    """Append the formatted records as a text file — the reference's
+    chat_logs/chat_log.txt sink as a distributed text write."""
+    df.select(F.col("log_record").alias("value")).write.mode("append").text(out_dir)
+
+
 QUERIES = {
     "q53_rag_pipeline": q53_rag_pipeline,
+    "q62_chatlog_format": q62_chatlog_format,
 }
 
 ORACLE = {
     "q53_rag_pipeline": Q53_SQL,
+    "q62_chatlog_format": Q62_SQL,
 }
