@@ -33,6 +33,7 @@ from generative_ai_vector_db_spark.operators import (  # noqa: E402
     relational,
     scale,
     store,
+    temporal,
     text,
     vector,
 )
@@ -59,6 +60,10 @@ HEADLINE = [
     "q50_ingest_pipeline",
     "q52_delete_by_source",
     "q53_rag_pipeline",
+    "q56_salted_agg",
+    "q58_asof_join",
+    "q63_corpus_stats",
+    "q64_repetition_ratio",
 ]
 
 
@@ -76,7 +81,7 @@ def main() -> None:
     )
     queries, _ = merge_registries(
         relational, vector, chunker, ingest, text, dedup, multimodal,
-        pandas_udfs, mllib_index, store, rag, scale, streaming_jobs,
+        pandas_udfs, mllib_index, store, rag, scale, temporal, streaming_jobs,
     )
 
     def run(name: str) -> float:

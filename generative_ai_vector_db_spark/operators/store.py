@@ -45,6 +45,33 @@ def delete_by_source(store: DataFrame, docs: DataFrame, source: str) -> DataFram
     return store.join(victims, store.vec_id == victims.doc_id, "left_anti")
 
 
+def upsert_vectors(store: DataFrame, updates: DataFrame, key: str = "vec_id") -> DataFrame:
+    """Keep-latest upsert (MERGE shape without Delta): updates win over
+    store rows on key collision. union + per-key row_number, preferring
+    the updates side — one shuffle on the key. On Delta/Iceberg this is
+    `MERGE INTO`; the parquet-era rewrite is this exact plan."""
+    from pyspark.sql import Window
+
+    tagged = store.withColumn("_pri", F.lit(0)).unionByName(
+        updates.withColumn("_pri", F.lit(1))
+    )
+    w = Window.partitionBy(key).orderBy(F.col("_pri").desc())
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_pri", "_rn")
+    )
+
+
+def write_index_layout(
+    emb_with_cell: DataFrame, path: str, cell_col: str = "cell"
+) -> None:
+    """Persist embeddings partitioned by ANN cell (IVF cluster or LSH
+    bucket): a probe then reads ONLY its cells' partitions — ANN search
+    cost becomes partition-pruned I/O (asserted in tests)."""
+    emb_with_cell.write.mode("overwrite").partitionBy(cell_col).parquet(path)
+
+
 def q52_delete_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     store = load(spark, sf_dir, "embeddings")

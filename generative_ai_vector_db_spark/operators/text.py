@@ -325,6 +325,124 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-level stats — the one-screen training-data report: volume,
+# token mass, dedup rate, per-language distribution. One pass + one
+# tiny aggregation; at 100 TB this is the nightly corpus dashboard.
+# ---------------------------------------------------------------------------
+def q63_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn("words", _words(F.col("text")))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.sum(F.size("words")).cast("bigint").alias("total_words"),
+            F.round(F.avg(F.size("words")), 4).alias("avg_words"),
+            F.countDistinct(F.sha2("text", 256)).alias("n_unique_docs"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(1.0 - F.col("n_unique_docs") / F.col("n_docs"), 4),
+        )
+        .orderBy("lang")
+    )
+
+
+Q63_SQL = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_words,
+       round(avg(len(string_split(lower(text), ' '))), 4) AS avg_words,
+       count(DISTINCT sha256(text)) AS n_unique_docs,
+       round(1.0 - CAST(count(DISTINCT sha256(text)) AS DOUBLE) / count(*), 4) AS dup_rate
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition ratio (Gopher-rule shape): 1 - distinct_bigrams/total_bigrams
+# per document — high values flag boilerplate/spam for filtering.
+# ---------------------------------------------------------------------------
+def q64_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", _words(F.col("text")).alias("words"))
+        .select("doc_id", "words", _bigrams(F.col("words")).alias("distinct_grams"))
+    )
+    total = F.greatest(F.size("words") - 1, F.lit(1))
+    return docs.select(
+        "doc_id",
+        F.size("distinct_grams").cast("bigint").alias("n_distinct_bigrams"),
+        total.cast("bigint").alias("n_bigrams"),
+        F.round(1.0 - F.size("distinct_grams") / total.cast("double"), 4).alias(
+            "repetition_ratio"
+        ),
+    ).orderBy("doc_id")
+
+
+Q64_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         greatest(len(words) - 1, 1) AS n_bigrams,
+         len(list_distinct([words[i] || ' ' || words[i+1]
+                            for i in generate_series(1, len(words) - 1)])) AS n_distinct
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+)
+SELECT doc_id,
+       CAST(n_distinct AS BIGINT) AS n_distinct_bigrams,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams, 4) AS repetition_ratio
+FROM g
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check: documents sharing any word-3-gram with a
+# probe set (e.g. eval-benchmark passages). Exploded shingles -> semi-join
+# on the shingle — at 100 TB the probe side is broadcast and the corpus
+# side streams; no pairwise comparison ever materializes.
+# ---------------------------------------------------------------------------
+PROBE_SNIPPETS = [
+    "scan merge part",
+    "fast key order",
+    "window small hash",
+]
+
+
+def q65_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import with_shingles
+
+    docs = with_shingles(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    exploded = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+    probes = F.array(*[F.lit(s) for s in PROBE_SNIPPETS])
+    hits = exploded.where(F.array_contains(probes, F.col("shingle")))
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_contaminated_grams"))
+        .orderBy("doc_id")
+    )
+
+
+Q65_SQL = f"""
+WITH shingled AS (
+  SELECT doc_id,
+         unnest(list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                for i in generate_series(1, greatest(len(words) - 2, 1))])) AS shingle
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+)
+SELECT doc_id, count(DISTINCT shingle) AS n_contaminated_grams
+FROM shingled
+WHERE shingle IN ({", ".join("'" + s + "'" for s in PROBE_SNIPPETS)})
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q37_lang_id": q37_lang_id,
     "q38_text_quality": q38_text_quality,
@@ -332,6 +450,9 @@ QUERIES = {
     "q40_fingerprint": q40_fingerprint,
     "q41_ngram_jaccard": q41_ngram_jaccard,
     "q57_redact_pii": q57_redact_pii,
+    "q63_corpus_stats": q63_corpus_stats,
+    "q64_repetition_ratio": q64_repetition_ratio,
+    "q65_contamination": q65_contamination,
 }
 
 ORACLE = {
@@ -341,4 +462,7 @@ ORACLE = {
     "q40_fingerprint": Q40_SQL,
     "q41_ngram_jaccard": Q41_SQL,
     "q57_redact_pii": Q57_SQL,
+    "q63_corpus_stats": Q63_SQL,
+    "q64_repetition_ratio": Q64_SQL,
+    "q65_contamination": Q65_SQL,
 }

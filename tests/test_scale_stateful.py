@@ -75,6 +75,45 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS cust_b")
 
 
+def test_upsert_keep_latest(spark):
+    from generative_ai_vector_db_spark.operators.store import upsert_vectors
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "vec_id long, payload string"
+    )
+    new = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "vec_id long, payload string"
+    )
+    got = dict(
+        upsert_vectors(old, new).orderBy("vec_id").toPandas().itertuples(index=False)
+    )
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+
+
+def test_ann_index_layout_partition_pruned(spark, sf_dir):
+    """IVF cells as partition dirs: a probe's read is partition-pruned."""
+    import shutil
+    import tempfile
+
+    from generative_ai_vector_db_spark.operators import mllib_index
+    from generative_ai_vector_db_spark.operators.store import write_index_layout
+
+    d = tempfile.mkdtemp(prefix="ann_layout_")
+    try:
+        emb = mllib_index._emb_vectors(spark, sf_dir)
+        model = mllib_index.build_ivf(emb)
+        assigned = model.transform(emb).select("vec_id", "embedding", "cell")
+        write_index_layout(assigned, d)
+        probe = spark.read.parquet(d).where(F.col("cell").isin(0, 1))
+        plan = plan_of(probe)
+        assert "PartitionFilters" in plan and "cell" in plan
+        n_probe = probe.count()
+        n_all = assigned.count()
+        assert 0 < n_probe < n_all  # pruned read touches a strict subset
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_stateful_profile_stream_matches_batch(spark, sf_dir):
     src = tempfile.mkdtemp(prefix="prof_src_")
     try:
