@@ -92,10 +92,69 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Frame sampling — the video-shaped batch pattern: decode emits ONE ROW
+# PER SAMPLED FRAME (1:N mapInPandas), each with frame index + a
+# deterministic per-frame feature. The stub derives n_frames from the
+# payload; a real decoder (ffmpeg) yields actual frames through the
+# identical schema/batch shape.
+# ---------------------------------------------------------------------------
+FRAMES_SCHEMA = "doc_id bigint, frame_idx bigint, frame_feature bigint"
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        doc_ids, idxs, feats = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_bytes = len(payload)
+            n_frames = n_bytes % 16
+            for i in range(n_frames):
+                doc_ids.append(doc_id)
+                idxs.append(i)
+                # deterministic stand-in for a frame feature: byte at the
+                # frame's stride offset
+                feats.append(payload[(i * 997) % n_bytes])
+        yield pd.DataFrame(
+            {"doc_id": doc_ids, "frame_idx": idxs, "frame_feature": feats}
+        )
+
+
+def q66_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = binary_table(spark, sf_dir).mapInPandas(
+        _frame_sample_batches, FRAMES_SCHEMA
+    )
+    return out.orderBy("doc_id", "frame_idx")
+
+
+# Oracle: payloads here are ASCII text, so byte-at-offset equals
+# ord(char-at-offset) after casting the BLOB back to VARCHAR.
+Q66_SQL = """
+WITH sized AS (
+  SELECT doc_id, encode(text) AS payload, octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, payload, n_bytes,
+         unnest(generate_series(0, CAST(n_bytes % 16 AS BIGINT) - 1)) AS frame_idx
+  FROM sized
+  WHERE n_bytes % 16 > 0
+)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(ord(substring(CAST(payload AS VARCHAR),
+            CAST((frame_idx * 997) % n_bytes AS INTEGER) + 1, 1)) AS BIGINT)
+           AS frame_feature
+FROM frames
+ORDER BY doc_id, frame_idx
+"""
+
+
 QUERIES = {
     "q43_multimodal_decode": q43_multimodal_decode,
+    "q66_multimodal_framesample": q66_multimodal_framesample,
 }
 
 ORACLE = {
     "q43_multimodal_decode": Q43_SQL,
+    "q66_multimodal_framesample": Q66_SQL,
 }

