@@ -28,6 +28,7 @@ from generative_ai_vector_db_spark.operators import (  # noqa: E402
     rag,
     relational,
     scale,
+    sql_surface,
     store,
     temporal,
     text,
@@ -49,6 +50,7 @@ _MODULES = [
     rag,
     scale,
     temporal,
+    sql_surface,
     streaming_jobs,
 ]
 

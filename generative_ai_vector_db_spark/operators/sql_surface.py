@@ -1,0 +1,89 @@
+"""SQL front-end surface — queries expressed as ``spark.sql`` text over
+registered views, exercising constructs users write directly in SQL:
+correlated scalar subqueries, EXISTS with range predicates, and
+conditional-aggregation distributions (TPC-H Q2/Q4/Q13 shapes).
+
+Catalyst decorrelates these into the same join plans the DataFrame API
+produces — RewriteCorrelatedScalarSubquery turns the per-group min into
+an aggregate + join; EXISTS becomes a left-semi join. Registering views
+per call is catalog-only (no data copied).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import register_views
+
+
+def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(query)
+
+
+# TPC-H Q2 shape: rows matching the per-group minimum via a correlated
+# scalar subquery.
+Q67 = """
+SELECT p_partkey, p_name, p_retailprice, p_brand
+FROM part p
+WHERE p_retailprice = (
+  SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+)
+ORDER BY p_brand, p_partkey
+"""
+
+
+def q67_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, Q67)
+
+
+# TPC-H Q4 shape: order-priority distribution for orders with at least
+# one lineitem shipped after the order date (EXISTS + range predicate).
+Q68 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q68_exists_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, Q68)
+
+
+# TPC-H Q13 shape: distribution of customers by order count (left join +
+# two-level aggregation).
+Q69 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q69_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, Q69)
+
+
+QUERIES = {
+    "q67_correlated_min": q67_correlated_min,
+    "q68_exists_distribution": q68_exists_distribution,
+    "q69_count_distribution": q69_count_distribution,
+}
+
+# The same ANSI text runs on both engines (views share names/schemas).
+ORACLE = {
+    "q67_correlated_min": Q67,
+    "q68_exists_distribution": Q68,
+    "q69_count_distribution": Q69,
+}
