@@ -285,14 +285,143 @@ def run_chatlog_append_stream(
     )
 
 
+# ---------------------------------------------------------------------------
+# Q70 stream-stream join (attribution shape): each purchase joined to
+# the same user's signups within the preceding 10 minutes. Batch twin is
+# hash-matched; run_attribution_stream executes it as a watermarked
+# stream-stream inner join (state on both sides bounded by the
+# watermark + range condition — the canonical interval join).
+# ---------------------------------------------------------------------------
+ATTRIB_WINDOW_US = 600_000_000  # 10 minutes
+
+
+def q70_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value"),
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    j = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.unix_micros("p_ts") - F.unix_micros("s_ts") >= 0)
+        & (F.unix_micros("p_ts") - F.unix_micros("s_ts") <= ATTRIB_WINDOW_US),
+    )
+    return j.select(
+        "purchase_id",
+        "signup_id",
+        "user_id",
+        F.date_format("p_ts", TS_FMT_SPARK).alias("purchase_ts"),
+        (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("lag_us"),
+        F.round("value", 4).alias("value"),
+    ).orderBy("purchase_id", "signup_id")
+
+
+Q70_SQL = f"""
+SELECT p.event_id AS purchase_id,
+       s.event_id AS signup_id,
+       p.user_id,
+       strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
+       epoch_us(p.ts) - epoch_us(s.ts) AS lag_us,
+       round(p.value, 4) AS value
+FROM events p JOIN events s
+  ON p.user_id = s.user_id
+ AND p.event_type = 'purchase' AND s.event_type = 'signup'
+ AND epoch_us(p.ts) - epoch_us(s.ts) BETWEEN 0 AND {ATTRIB_WINDOW_US}
+ORDER BY purchase_id, signup_id
+"""
+
+
+def run_attribution_stream(
+    spark: SparkSession, src_dir: str, sink_table: str = "attrib_out"
+) -> None:
+    """Watermarked stream-stream inner join twin of q70."""
+    ev = _events_stream(spark, src_dir)
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "20 minutes")
+    )
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "20 minutes")
+    )
+    j = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("purchase_id", "signup_id", "user_id")
+    (
+        j.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q71 statistical aggregates — stddev/variance (sample), correlation,
+# covariance: same definitions in Spark and DuckDB.
+# ---------------------------------------------------------------------------
+def q71_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_discount", "l_tax"), 4).alias("disc_tax_covar"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q71_SQL = """
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+       round(var_samp(l_quantity), 4) AS qty_var,
+       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+       round(covar_samp(l_discount, l_tax), 4) AS disc_tax_covar,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "q31_tumbling_window": q31_tumbling_window,
     "q32_sliding_window": q32_sliding_window,
     "q33_session_window": q33_session_window,
+    "q70_interval_join": q70_interval_join,
+    "q71_stats_agg": q71_stats_agg,
 }
 
 ORACLE = {
     "q31_tumbling_window": Q31_SQL,
     "q32_sliding_window": Q32_SQL,
     "q33_session_window": Q33_SQL,
+    "q70_interval_join": Q70_SQL,
+    "q71_stats_agg": Q71_SQL,
 }

@@ -99,6 +99,30 @@ def test_streaming_dropduplicates(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_q70_q71_match_oracle(spark, sf_dir):
+    from .oracle_utils import compare_query
+
+    for name in ["q70_interval_join", "q71_stats_agg"]:
+        compare_query(spark, sf_dir, jobs.QUERIES[name], jobs.ORACLE[name], name)
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, events_src):
+    jobs.run_attribution_stream(spark, events_src, sink_table="t_attrib")
+    got = (
+        spark.table("t_attrib")
+        .toPandas()
+        .sort_values(["purchase_id", "signup_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        jobs.q70_interval_join(spark, sf_dir)
+        .toPandas()[["purchase_id", "signup_id", "user_id"]]
+        .sort_values(["purchase_id", "signup_id"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), (len(got), len(want))
+
+
 def test_partition_pruning_on_partitioned_layout(spark, sf_dir):
     """The 100 TB layout story: events partitioned by day; a day filter
     must prune partitions at planning time."""
