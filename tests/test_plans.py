@@ -53,6 +53,12 @@ def test_q25_broadcasts_query_side(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_aqe_active_on_shuffle_queries(spark, sf_dir):
+    plan = plan_of(relational.q06_join_inner(spark, sf_dir))
+    assert "AdaptiveSparkPlan" in plan
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
 def test_q10_semi_and_q11_anti_plan(spark, sf_dir):
     assert "LeftSemi" in plan_of(relational.q10_join_semi(spark, sf_dir))
     assert "LeftAnti" in plan_of(relational.q11_join_anti(spark, sf_dir))
