@@ -915,6 +915,42 @@ def q61_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q72 extended window functions — rank family beyond row_number.
+# ---------------------------------------------------------------------------
+def q72_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            _r4(F.percent_rank().over(w)).alias("pct_rank"),
+            _r4(F.cume_dist().over(w)).alias("cume"),
+            F.first("o_orderkey").over(w).alias("first_key"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+Q72_SQL = """
+SELECT o_orderkey,
+       o_orderstatus,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 4) AS pct_rank,
+       round(cume_dist() OVER w, 4) AS cume,
+       first_value(o_orderkey) OVER w AS first_key,
+       nth_value(o_orderkey, 2) OVER w AS second_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_pushdown": q02_filter_pushdown,
@@ -945,6 +981,7 @@ QUERIES = {
     "q54_percentiles": q54_percentiles,
     "q55_pivot": q55_pivot,
     "q60_systematic_sample": q60_systematic_sample,
+    "q72_window_rank_family": q72_window_rank_family,
     "q61_approx_quantiles": q61_approx_quantiles,
 }
 
@@ -977,4 +1014,5 @@ ORACLE = {
     "q54_percentiles": Q54_SQL,
     "q55_pivot": Q55_SQL,
     "q60_systematic_sample": Q60_SQL,
+    "q72_window_rank_family": Q72_SQL,
 }

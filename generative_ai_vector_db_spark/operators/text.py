@@ -443,6 +443,66 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Composite curation pipeline — the full training-data pass as ONE
+# logical plan: quality-filter -> exact-dedup (keep min id) -> redact ->
+# token-count -> deterministic eval split. Catalyst fuses the narrow
+# stages into a single scan + one dedup shuffle; at 100 TB this IS the
+# nightly curation job.
+# ---------------------------------------------------------------------------
+def q74_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").withColumn("words", _words(F.col("text")))
+    n_words = F.size("words")
+    sw_ratio = F.size(F.filter(F.col("words"), lambda w: w.isin(STOPWORDS["en"]))) / n_words
+    quality_ok = (n_words >= 10) & (sw_ratio >= 0.01)
+
+    filtered = docs.where(quality_ok)
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    redacted = F.regexp_replace("text", DIGITS_RE, "<NUM>")
+    return deduped.select(
+        "doc_id",
+        "lang",
+        F.substring(redacted, 1, 60).alias("clean_head"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.when(F.col("doc_id") % 10 == 0, "eval").otherwise("train").alias("split"),
+    ).orderBy("doc_id")
+
+
+Q74_SQL = f"""
+WITH scored AS (
+  SELECT *,
+         len(string_split(lower(text), ' ')) AS n_words,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+              w -> w IN ({_sql_list(STOPWORDS["en"])}))) AS DOUBLE)
+           / len(string_split(lower(text), ' ')) AS sw_ratio
+  FROM documents
+),
+filtered AS (
+  SELECT * FROM scored WHERE n_words >= 10 AND sw_ratio >= 0.01
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+    FROM filtered
+  ) WHERE rn = 1
+)
+SELECT doc_id,
+       lang,
+       substring(regexp_replace(text, '{DIGITS_RE}', '<NUM>', 'g'), 1, 60) AS clean_head,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CASE WHEN doc_id % 10 = 0 THEN 'eval' ELSE 'train' END AS split
+FROM deduped
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q37_lang_id": q37_lang_id,
     "q38_text_quality": q38_text_quality,
@@ -453,6 +513,7 @@ QUERIES = {
     "q63_corpus_stats": q63_corpus_stats,
     "q64_repetition_ratio": q64_repetition_ratio,
     "q65_contamination": q65_contamination,
+    "q74_curation_pipeline": q74_curation_pipeline,
 }
 
 ORACLE = {
@@ -465,4 +526,5 @@ ORACLE = {
     "q63_corpus_stats": Q63_SQL,
     "q64_repetition_ratio": Q64_SQL,
     "q65_contamination": Q65_SQL,
+    "q74_curation_pipeline": Q74_SQL,
 }

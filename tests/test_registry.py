@@ -47,8 +47,8 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_registry_size_floor():
-    assert len(QUERIES) >= 71
-    assert len(ORACLE) >= 61
+    assert len(QUERIES) >= 73
+    assert len(ORACLE) >= 63
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
