@@ -183,11 +183,56 @@ def q48_chunk_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Python UDTF form (Spark 4): the declared UDTF surface (SURVEY §2.A
+# "UDAF/UDTF surface beyond R9"). Same stride algorithm as Q24, consumed
+# via a LATERAL join — hash-matches the SAME oracle SQL, proving the
+# UDTF path computes identically to the pure-expression path.
+# Scale: UDTFs run in the Arrow python worker per partition — use for
+# 1:N expansions whose logic genuinely needs Python; prefer the
+# built-in expression form (q24) when expressible.
+# ---------------------------------------------------------------------------
+def _stride_chunk_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_index: bigint, chunk_text: string")
+    class StrideChunk:
+        def eval(self, text: str, size: int, stride: int):
+            if not text:
+                return
+            i, idx = 0, 0
+            while i < len(text):
+                yield idx, text[i : i + size]
+                idx += 1
+                i += stride
+
+    return StrideChunk
+
+
+def q75_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("stride_chunk", _stride_chunk_udtf())
+    out = spark.sql(
+        f"""
+        SELECT doc_id, chunk_index, chunk_text
+        FROM _udtf_docs, LATERAL stride_chunk(text, {SIZE}, {STRIDE})
+        """
+    )
+    return (
+        out.withColumn("chunk_len", F.length("chunk_text").cast("bigint"))
+        .where(F.trim("chunk_text") != "")
+        .orderBy("doc_id", "chunk_index")
+    )
+
+
 QUERIES = {
     "q24_chunk_stride": q24_chunk_stride,
     "q48_chunk_recursive": q48_chunk_recursive,
+    "q75_chunk_udtf": q75_chunk_udtf,
 }
 
 ORACLE = {
     "q24_chunk_stride": Q24_SQL,
+    "q75_chunk_udtf": Q24_SQL,  # identical semantics, independent engine path
 }
