@@ -98,6 +98,39 @@ def write_bucketed(
     )
 
 
+def compact(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 256,
+) -> int:
+    """Small-file compaction: rewrite a directory into ~target-sized
+    parquet files. The classic fix for ingest sprawl (the reference's
+    per-upload appends would produce one file per request): size-based
+    repartition -> one write. Returns the output file count.
+
+    At 100 TB this runs per partition-dir (day/source) so each rewrite
+    is bounded; with Delta/Iceberg it's OPTIMIZE/rewrite_data_files."""
+    import math
+    import os
+
+    df = spark.read.parquet(src_path)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(src_path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return sum(
+        1
+        for _r, _d, fs in os.walk(dst_path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
 QUERIES = {
     "q56_salted_agg": q56_salted_agg,
 }

@@ -114,6 +114,31 @@ def test_ann_index_layout_partition_pruned(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_compaction_reduces_file_count(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from generative_ai_vector_db_spark.operators.scale import compact
+    from generative_ai_vector_db_spark.tables import load
+
+    work = tempfile.mkdtemp(prefix="compact_")
+    sprawl = os.path.join(work, "sprawl")
+    tidy = os.path.join(work, "tidy")
+    try:
+        # simulate per-request append sprawl: 64 tiny files
+        load(spark, sf_dir, "events").repartition(64).write.parquet(sprawl)
+        n_before = sum(
+            1 for _r, _d, fs in os.walk(sprawl) for f in fs if f.endswith(".parquet")
+        )
+        assert n_before >= 32
+        n_after = compact(spark, sprawl, tidy)
+        assert n_after < n_before / 4
+        assert spark.read.parquet(tidy).count() == load(spark, sf_dir, "events").count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_stateful_profile_stream_matches_batch(spark, sf_dir):
     src = tempfile.mkdtemp(prefix="prof_src_")
     try:
