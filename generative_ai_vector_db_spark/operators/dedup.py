@@ -237,9 +237,115 @@ def q45_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Duplicate clusters — the step after pair detection: near-dup pairs are
+# edges; keep-one-per-cluster requires the TRANSITIVE closure (a~b, b~c
+# => drop two of {a,b,c}). Connected components via iterative min-label
+# propagation: each round every node takes the min label among itself
+# and its neighbors; converges in O(graph diameter) rounds (near-dup
+# clusters are shallow — a handful of rounds at any scale). Each round
+# is one join + one aggregation; the driver only checks a scalar
+# convergence flag. At extreme scale swap in large-star/small-star
+# (hash-to-min) — same join shape, fewer rounds.
+#
+# Oracle: DuckDB recursive CTE computing min reachable id — an
+# independent fixpoint implementation over the SAME edge set (the
+# q41 bigram-Jaccard pairs, themselves hash-matched).
+# ---------------------------------------------------------------------------
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """(node, cluster_id=min reachable node id) for every node that
+    appears in an edge."""
+    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct()
+    labels = both.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def q76_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import q41_ngram_jaccard
+
+    edges = q41_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(edges)
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "cluster_id")
+        .select(
+            F.col("node").alias("doc_id"),
+            "cluster_id",
+            "cluster_size",
+            (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+from .text import Q41_SQL as _Q41_SQL  # noqa: E402  (edge-set twin)
+
+Q76_SQL = f"""
+WITH RECURSIVE pairs AS ({_Q41_SQL.replace("ORDER BY id_a, id_b", "")}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.b AS node, reach.r
+  FROM reach JOIN edges e ON e.a = reach.node
+),
+comp AS (
+  SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT comp.node AS doc_id,
+       comp.cluster_id,
+       sizes.cluster_size,
+       comp.node = comp.cluster_id AS is_keeper
+FROM comp JOIN sizes USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q44_minhash_neardup": q44_minhash_neardup,
     "q45_simhash_neardup": q45_simhash_neardup,
+    "q76_dedup_clusters": q76_dedup_clusters,
 }
 
-ORACLE: dict[str, str] = {}
+ORACLE: dict[str, str] = {
+    "q76_dedup_clusters": Q76_SQL,
+}

@@ -61,6 +61,30 @@ def test_simhash_planted_neardups(spark):
     assert ham(1, 2) > 20
 
 
+def test_dedup_clusters_match_oracle(spark, sf_dir):
+    compare_query(
+        spark,
+        sf_dir,
+        dedup.QUERIES["q76_dedup_clusters"],
+        dedup.ORACLE["q76_dedup_clusters"],
+        "q76",
+    )
+
+
+def test_connected_components_transitive(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    comp = (
+        dedup.connected_components(edges)
+        .toPandas()
+        .set_index("node")["cluster_id"]
+        .to_dict()
+    )
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
 def test_minhash_deterministic(spark, sf_dir):
     a = dedup.q44_minhash_neardup(spark, sf_dir).toPandas()
     b = dedup.q44_minhash_neardup(spark, sf_dir).toPandas()
