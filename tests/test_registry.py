@@ -47,8 +47,8 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_registry_size_floor():
-    assert len(QUERIES) >= 74
-    assert len(ORACLE) >= 64
+    assert len(QUERIES) >= 75
+    assert len(ORACLE) >= 65
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
