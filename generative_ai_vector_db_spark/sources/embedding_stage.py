@@ -74,6 +74,9 @@ def embed_text(
     model_name: str = "all-MiniLM-L6-v2",
 ) -> DataFrame:
     """Append an ``array<float>`` embedding column via mapInPandas."""
+    from .._bootstrap import ensure_worker_imports
+
+    ensure_worker_imports(df.sparkSession)
     in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
     schema = f"{in_fields}, {out_col} array<float>"
 

@@ -175,6 +175,9 @@ def scan_directory(spark: SparkSession, input_dir: str) -> DataFrame:
 
 def parse_files(files: DataFrame) -> DataFrame:
     """(path, content) -> (path, filename, ext, text, error)."""
+    from .._bootstrap import ensure_worker_imports
+
+    ensure_worker_imports(files.sparkSession)
     return files.select("path", "content").mapInPandas(
         _parse_batches, PARSED_SCHEMA
     )
