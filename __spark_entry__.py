@@ -56,6 +56,63 @@ _MODULES = [
 
 _QUERIES, _ORACLE = merge_registries(*_MODULES)
 
+# Registry ordering: the driver's correctness pass covers the FIRST 50
+# entries, so ordering is evidence placement. Tier 1 = oracle-bearing
+# queries with no green CORRECTNESS row yet (round-1 slots ran out
+# before them) plus this round's new queries; tier 2 = previously-green
+# oracle queries most affected by this round's changes, then the rest;
+# tier 3 = previously-green oracle queries that overflow the window
+# (their round-1 rows stand); tier 4 = rows-only-by-design checks.
+_PRIORITY = [
+    # tier 1 — oracle-bearing, not yet driver-verified
+    "q31_tumbling_window", "q32_sliding_window", "q33_session_window",
+    "q35_pandas_udf_zscore", "q43_multimodal_decode",
+    "q52_delete_by_source", "q53_rag_pipeline", "q56_salted_agg",
+    "q58_asof_join", "q59_range_join", "q62_chatlog_format",
+    "q65_contamination", "q66_multimodal_framesample",
+    "q67_correlated_min", "q68_exists_distribution",
+    "q69_count_distribution", "q70_interval_join", "q71_stats_agg",
+    "q74_curation_pipeline", "q76_dedup_clusters",
+    "q77_user_filtered_knn", "q78_ingest_pipeline_stride",
+    # tier 2 — green in r01; first the ones this round's edits touch
+    "q41_ngram_jaccard", "q64_repetition_ratio", "q63_corpus_stats",
+    "q29_ingest_routing", "q24_chunk_stride", "q75_chunk_udtf",
+    "q25_knn_l2", "q26_knn_cosine", "q27_similarity_join",
+    "q28_context_assembly", "q42_cosine_neardup",
+    "q37_lang_id", "q38_text_quality", "q39_token_count",
+    "q40_fingerprint", "q57_redact_pii",
+    "q01_scan_project", "q02_filter_pushdown", "q03_tpch_q1",
+    "q06_join_inner", "q07_join_broadcast", "q08_join_multiway",
+    "q12_dedup_exact", "q13_window_topk", "q30_store_counts",
+    "q34_latest_per_key", "q36_weighted_avg", "q54_percentiles",
+    # ---- driver's 50-slot window ends here ----
+    # tier 3 — green in r01, overflow (r01 rows remain the evidence)
+    "q04_count_distinct", "q09_join_left", "q10_join_semi",
+    "q11_join_anti", "q14_window_running", "q15_window_lag",
+    "q16_global_topk", "q17_set_ops", "q18_rollup",
+    "q19_string_fns", "q20_date_fns", "q21_math_fns", "q22_array_fns",
+    "q23_json_fns", "q55_pivot", "q60_systematic_sample",
+    "q72_window_rank_family",
+    # tier 4 — rows-only by design (sketches, seeded LSH, Python algos)
+    "q05_approx_count_distinct", "q61_approx_quantiles",
+    "q46_ann_lsh_topk", "q48_chunk_recursive", "q50_ingest_pipeline",
+    "q44_minhash_neardup", "q45_simhash_neardup",
+    "q47_ann_brp_lsh", "q49_ann_ivf", "q51_minhash_lsh_simjoin",
+]
+
+
+def _ordered(queries: dict, oracle: dict) -> dict:
+    # unlisted keys (future additions): oracle-bearing up front (they
+    # are by definition unverified), rows-only at the back.
+    new_oracle = [k for k in queries if k not in _PRIORITY and k in oracle]
+    new_rows = [k for k in queries if k not in _PRIORITY and k not in oracle]
+    listed = [k for k in _PRIORITY if k in queries]
+    order = new_oracle + listed + new_rows
+    return {k: queries[k] for k in order}
+
+
+_QUERIES = _ordered(_QUERIES, _ORACLE)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's core capability end to end — top-k

@@ -3,11 +3,19 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>}
+   "queries": {name: sec, ...}, "sf": <float>,
+   "reps": N, "rep_totals": [...], "spread_pct": ...}
 
 Each query is forced end-to-end with the noop sink (full execution, no
 driver-side collect skew). Per-query wall-clock excludes session
 startup; a warmup query amortizes JVM/codegen first-run cost.
+
+Variance protocol: the whole set runs REPS times; per-query times and
+the headline value are MEDIANS, and rep_totals/spread_pct record the
+run-to-run spread — so a real regression is distinguishable from
+JVM/GC variance. ANN queries (q47/q49) fit their index on first touch
+(cached per session, as a pipeline would); the median therefore
+reflects the probe path, with build cost visible in rep_totals[0].
 """
 
 from __future__ import annotations
@@ -15,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -91,13 +100,26 @@ def main() -> None:
 
     run("q03_tpch_q1")  # warmup: JVM/codegen/parquet-footer caches
 
-    times = {name: round(run(name), 3) for name in HEADLINE}
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    per_rep: list[dict[str, float]] = []
+    for _ in range(reps):
+        per_rep.append({name: run(name) for name in HEADLINE})
+
+    times = {
+        name: round(statistics.median(r[name] for r in per_rep), 3)
+        for name in HEADLINE
+    }
+    rep_totals = [round(sum(r.values()), 3) for r in per_rep]
+    lo, hi = min(rep_totals), max(rep_totals)
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "reps": reps,
+        "rep_totals": rep_totals,
+        "spread_pct": round(100.0 * (hi - lo) / lo, 1) if lo else 0.0,
     }
     print(json.dumps(out))
     spark.stop()

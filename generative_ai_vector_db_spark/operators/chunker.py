@@ -14,7 +14,7 @@ Two implementations:
   reference's recursive separator cascade (``\\n\\n`` → ``\\n`` → space
   → char), greedy merge up to ``size`` with an ``overlap`` tail. Exposed
   as an Arrow-batched UDF + ``posexplode``; property-tested in
-  tests/test_chunker.py (every chunk ≤ size, non-blank, a substring of
+  tests/test_chunker_properties.py (every chunk ≤ size, non-blank, a substring of
   the source). Driver check is rows-only (a Python algorithm has no pure
   SQL twin).
 

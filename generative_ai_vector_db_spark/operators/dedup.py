@@ -7,7 +7,7 @@ Both operators are pure built-in expressions (xxhash64 / bit ops /
 higher-order fns) — deterministic run-to-run, JVM-side, no UDF.
 Driver checks are rows-only: the signatures depend on Spark's xxhash64,
 which has no DuckDB twin; correctness is asserted in
-tests/test_dedup.py by planting known near-duplicates and checking
+tests/test_dedup_multimodal.py by planting known near-duplicates and checking
 recall/precision against exact Jaccard.
 
 PERF NOTE (measured, sf0.1): intermediate arrays (words, shingles,
@@ -50,18 +50,23 @@ SIMHASH_HAM_TAU = 3
 def with_shingles(docs: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
     """Add a distinct word-n-gram ``shingles`` column. Two projection
     steps so ``words`` is an attribute when the shingle lambda indexes
-    into it (see PERF NOTE above)."""
+    into it (see PERF NOTE above).
+
+    Documents shorter than ``n`` words get an EMPTY shingle set (not a
+    partial gram built from out-of-bounds NULLs) — same contract as the
+    DuckDB twins' generate_series(1, len-n+1)."""
     words = docs.withColumn("words", F.split(F.lower(F.col(text_col)), " "))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("words") - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("words", i + j + 1) for j in range(n)]
+            ),
+        )
+    )
     return words.withColumn(
         "shingles",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("words") - n, F.lit(0))),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at("words", i + j + 1) for j in range(n)]
-                ),
-            )
-        ),
+        F.when(F.size("words") >= n, grams).otherwise(F.array().cast("array<string>")),
     ).drop("words")
 
 
@@ -256,12 +261,26 @@ def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
 ) -> DataFrame:
     """(node, cluster_id=min reachable node id) for every node that
-    appears in an edge."""
-    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct()
-    labels = both.select(F.col("a").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    appears in an edge.
+
+    Iterative-algorithm hygiene: the edge set and each round's labels
+    are materialized with ``localCheckpoint`` (eager), so round N's plan
+    does NOT embed rounds 1..N-1 — plan depth and the per-round
+    convergence count() stay O(1) regardless of iteration count. (On a
+    long-lived cluster job, swap localCheckpoint for a reliable
+    ``checkpoint`` with a checkpoint dir.)
+    """
+    both = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        both.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -277,6 +296,7 @@ def connected_components(
                     "label"
                 ),
             )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

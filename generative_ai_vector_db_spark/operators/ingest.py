@@ -24,11 +24,12 @@ the store.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
-from .chunker import chunk_udf
+from .chunker import SIZE as STRIDE_SIZE
+from .chunker import STRIDE, chunk_udf
 
 SUPPORTED_EXTENSIONS = [  # helper/multiple_document_upload.py:24-30
     "pdf", "txt", "md", "csv", "doc", "docx",
@@ -176,16 +177,14 @@ def ingest_pipeline(
     ).where(F.trim("chunk_text") != "")
 
     # R11 dedup: drop whole documents whose hash already exists in-batch
-    # (keep first) — the store side has no hash column in the fixture, so
-    # the store probe is the doc_id anti-join (R22/Q11 shape).
-    first_per_hash = (
-        chunks.groupBy("file_hash").agg(F.min("doc_id").alias("keep_id"))
-    )
-    deduped = chunks.join(
-        F.broadcast(first_per_hash),
-        (chunks.file_hash == first_per_hash.file_hash)
-        & (chunks.doc_id == first_per_hash.keep_id),
-        "left_semi",
+    # (keep min doc_id). A window min avoids the self-join-on-own-lineage
+    # pattern (Spark resolves both sides to the same attributes and the
+    # hash equality degenerates to a trivially-true predicate).
+    keep_id = F.min("doc_id").over(Window.partitionBy("file_hash"))
+    deduped = (
+        chunks.withColumn("_keep_id", keep_id)
+        .where(F.col("doc_id") == F.col("_keep_id"))
+        .drop("_keep_id")
     )
     fresh = deduped.join(store, deduped.doc_id == store.vec_id, "left_anti")
 
@@ -204,14 +203,119 @@ def ingest_pipeline(
 
 
 def q50_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ingest_pipeline(spark, sf_dir).orderBy("doc_id", "chunk_index")
+    """Rows-only driver check (the recursive chunker is a Python
+    algorithm with no SQL twin). The raw embedding array is reduced to a
+    scalar digest + dim so the output is flat-sortable; array values are
+    exercised by unit tests and by q78's oracle-matched twin."""
+    out = ingest_pipeline(spark, sf_dir)
+    return (
+        out.select(
+            "chunk_id",
+            "doc_id",
+            "chunk_index",
+            "chunk_text",
+            "source",
+            "user",
+            "type",
+            "file_hash",
+            F.sha2(F.to_json("embedding"), 256).alias("embedding_digest"),
+            F.size("embedding").cast("bigint").alias("embedding_dim"),
+        )
+        .orderBy("doc_id", "chunk_index")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q78 — the SAME pipeline shape with the stride chunker (Q24), which IS
+# SQL-expressible, so the whole route→chunk→hash→dedup→stamp pass gets a
+# full DuckDB hash-match (q50 keeps the recursive chunker, rows-only).
+# ---------------------------------------------------------------------------
+def q78_ingest_pipeline_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    store = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 2 == 0)
+
+    n_chunks = (F.floor((F.length("text") - 1) / STRIDE) + 1).cast("int")
+    chunks = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.sha2("text", 256).alias("file_hash"),
+            "text",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "file_hash",
+            F.col("chunk_index").cast("bigint").alias("chunk_index"),
+            F.col("text")
+            .substr(F.col("chunk_index").cast("int") * STRIDE + 1, F.lit(STRIDE_SIZE))
+            .alias("chunk_text"),
+        )
+        .where(F.trim("chunk_text") != "")
+    )
+    keep_id = F.min("doc_id").over(Window.partitionBy("file_hash"))
+    deduped = (
+        chunks.withColumn("_keep_id", keep_id)
+        .where(F.col("doc_id") == F.col("_keep_id"))
+        .drop("_keep_id")
+    )
+    fresh = deduped.join(store, deduped.doc_id == store.vec_id, "left_anti")
+    return fresh.select(
+        F.concat_ws("_", "doc_id", "chunk_index").alias("chunk_id"),
+        "doc_id",
+        "chunk_index",
+        "chunk_text",
+        F.lower("source").alias("source"),
+        F.lit("user@example.com").alias("user"),
+        F.element_at(F.split(F.lower("source"), "\\."), -1).alias("type"),
+        "file_hash",
+    ).orderBy("doc_id", "chunk_index")
+
+
+Q78_SQL = f"""
+WITH chunks AS (
+  SELECT doc_id, source, sha256(text) AS file_hash,
+         CAST(chunk_index AS BIGINT) AS chunk_index,
+         substring(text, CAST(chunk_index * {STRIDE} + 1 AS INTEGER), {STRIDE_SIZE}) AS chunk_text
+  FROM (
+    SELECT doc_id, source, text,
+           unnest(generate_series(0, CAST(floor((length(text) - 1) / {STRIDE}) AS BIGINT))) AS chunk_index
+    FROM documents
+  )
+  WHERE trim(substring(text, CAST(chunk_index * {STRIDE} + 1 AS INTEGER), {STRIDE_SIZE})) != ''
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY file_hash) AS keep_id FROM chunks
+  ) WHERE doc_id = keep_id
+),
+fresh AS (
+  SELECT d.* FROM deduped d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM embeddings e WHERE e.vec_id % 2 = 0 AND e.vec_id = d.doc_id
+  )
+)
+SELECT doc_id || '_' || chunk_index AS chunk_id,
+       doc_id,
+       chunk_index,
+       chunk_text,
+       lower(source) AS source,
+       'user@example.com' AS "user",
+       string_split(lower(source), '.')[-1] AS type,
+       file_hash
+FROM fresh
+ORDER BY doc_id, chunk_index
+"""
 
 
 QUERIES = {
     "q29_ingest_routing": q29_ingest_routing,
     "q50_ingest_pipeline": q50_ingest_pipeline,
+    "q78_ingest_pipeline_stride": q78_ingest_pipeline_stride,
 }
 
 ORACLE = {
     "q29_ingest_routing": Q29_SQL,
+    "q78_ingest_pipeline_stride": Q78_SQL,
 }

@@ -110,25 +110,20 @@ def compact(
     repartition -> one write. Returns the output file count.
 
     At 100 TB this runs per partition-dir (day/source) so each rewrite
-    is bounded; with Delta/Iceberg it's OPTIMIZE/rewrite_data_files."""
+    is bounded; with Delta/Iceberg it's OPTIMIZE/rewrite_data_files.
+
+    Sizing and the output count go through the Hadoop FileSystem API
+    (fsutil), so the same code runs against file:/, hdfs:/ or s3a:/
+    paths — no driver-local ``os.walk``."""
     import math
-    import os
+
+    from ..fsutil import count_files, dir_bytes
 
     df = spark.read.parquet(src_path)
-    total_bytes = sum(
-        os.path.getsize(os.path.join(r, f))
-        for r, _d, fs in os.walk(src_path)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    total_bytes = dir_bytes(spark, src_path)
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
-    return sum(
-        1
-        for _r, _d, fs in os.walk(dst_path)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    return count_files(spark, dst_path)
 
 
 QUERIES = {

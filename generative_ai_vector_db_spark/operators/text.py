@@ -232,14 +232,19 @@ def _bigrams(words):
     """``words`` MUST be an attribute (materialized column), not an
     inline expression: the lambda indexes into it per element, and an
     inlined array expression re-evaluates per element (see dedup.py
-    PERF NOTE — 22x measured)."""
+    PERF NOTE — 22x measured).
+
+    Guarded for size-1 arrays: sequence(0, -1) yields [0, -1] and
+    element_at(words, 0) throws at runtime; the CASE branch matches the
+    DuckDB twin's generate_series(1, len-1), which is simply empty."""
     n = F.size(words)
-    return F.array_distinct(
+    grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), n - 2),
             lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
         )
     )
+    return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
 
 
 def q41_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,7 +437,7 @@ Q65_SQL = f"""
 WITH shingled AS (
   SELECT doc_id,
          unnest(list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
-                for i in generate_series(1, greatest(len(words) - 2, 1))])) AS shingle
+                for i in generate_series(1, len(words) - 2)])) AS shingle
   FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
 )
 SELECT doc_id, count(DISTINCT shingle) AS n_contaminated_grams

@@ -256,15 +256,18 @@ ORDER BY id_a, id_b
 
 # ---------------------------------------------------------------------------
 # ANN: random-hyperplane LSH bucketing (scale path for Q26). Hyperplanes
-# are derived deterministically from a fixed seed at plan-build time and
-# embedded as literal arrays, so the plan is reproducible run-to-run.
-# Rows-only check (the bucketing is not worth a 1024-literal SQL twin);
+# are derived deterministically from a fixed seed and shipped as a
+# 1-row BROADCAST relation (not plan literals) — at dim 384 / 20 planes
+# the literal form would inflate every plan copy with ~8k constants;
+# as a relation the planes live in one broadcast variable regardless of
+# dim, and bucket assignment stays a narrow projection.
+# Rows-only check (seeded LSH has no SQL twin);
 # recall vs the exact path is asserted in tests/test_vector.py.
 #
-# Scale: bucket assignment is a narrow projection; the candidate search
-# shuffles only within-bucket groups (bucket key ~ uniform by
-# construction). 4 planes -> 16 buckets here; at 100 TB use ~16-20 planes
-# and multi-probe (flip one bit) to trade recall for candidate count.
+# Scale: the candidate search shuffles only within-bucket groups
+# (bucket key ~ uniform by construction). 4 planes -> 16 buckets here;
+# at 100 TB use ~16-20 planes and multi-probe (flip one bit) to trade
+# recall for candidate count.
 # ---------------------------------------------------------------------------
 def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     import numpy as np
@@ -273,25 +276,26 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def _bucket_expr(emb_col, planes: list[list[float]]):
-    bits = []
-    for i, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(float(w)) for w in plane])
-        bit = (V.dot(emb_col, plane_col) >= 0).cast("long") * F.lit(2**i)
-        bits.append(bit)
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+def with_lsh_buckets(
+    spark: SparkSession, df: DataFrame, planes: list[list[float]], emb_col: str = "embedding"
+) -> DataFrame:
+    """Add a ``bucket`` column: bit i = sign(embedding . planes[i])."""
+    planes_df = spark.createDataFrame([(planes,)], "planes: array<array<double>>")
+    with_planes = df.crossJoin(F.broadcast(planes_df))
+    bucket = F.lit(0).cast("long")
+    for i in range(len(planes)):
+        bit = (
+            V.dot(F.col(emb_col), F.element_at("planes", i + 1)) >= 0
+        ).cast("long") * F.lit(2**i)
+        bucket = bucket + bit
+    return with_planes.withColumn("bucket", bucket).drop("planes")
 
 
 def q46_ann_lsh_topk(
     spark: SparkSession, sf_dir: str, n_planes: int = 4, dim: int = 64
 ) -> DataFrame:
     planes = _hyperplanes(n_planes, dim)
-    emb = load(spark, sf_dir, "embeddings").withColumn(
-        "bucket", _bucket_expr(F.col("embedding"), planes)
-    )
+    emb = with_lsh_buckets(spark, load(spark, sf_dir, "embeddings"), planes)
     # Multi-probe: each query probes its own bucket plus every Hamming-1
     # neighbor (one sign bit flipped) — the standard recall/candidate-count
     # trade; probe fan-out is n_planes+1 rows on the tiny broadcast side.
@@ -325,6 +329,69 @@ def q46_ann_lsh_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Q77 per-user filtered retrieval — SURVEY §1.1's first-class option.
+# The reference searches GLOBALLY (similarity_search has no where=
+# filter, app.py:409) even though every chunk is stamped with the
+# uploading user (R12); here the metadata predicate is applied BEFORE
+# scoring via a semi-join against the owner's documents, so (a) the
+# filter pushes down to the documents parquet scan, and (b) the top-k
+# is computed within the user's corpus — k results all satisfy the
+# filter, instead of a post-filtered under-full list.
+# The fixture's per-owner metadata key is documents.lang.
+# ---------------------------------------------------------------------------
+USER_FILTER_LANG = "en"
+
+
+def user_filtered_knn(
+    spark: SparkSession, sf_dir: str, lang: str = USER_FILTER_LANG, k: int = K
+) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    owned = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("lang") == lang)
+        .select("doc_id")
+    )
+    q = emb.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.join(owned, emb.vec_id == owned.doc_id, "left_semi")
+    pairs = cand.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy("dist", "vec_id")
+    return (
+        pairs.select(
+            "q_id",
+            "vec_id",
+            F.round(V.l2(F.col("q_emb"), F.col("embedding")), 4).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= k)
+        .select("q_id", "vec_id", "dist", "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
+def q77_user_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_filtered_knn(spark, sf_dir)
+
+
+Q77_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < {N_QUERY}),
+pairs AS (
+  SELECT a.q_id, b.vec_id, round({_DUCK_L2}, 4) AS dist
+  FROM q a CROSS JOIN embeddings b
+  WHERE b.vec_id != a.q_id
+    AND b.vec_id IN (SELECT doc_id FROM documents WHERE lang = '{USER_FILTER_LANG}')
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+  FROM pairs
+)
+SELECT q_id, vec_id, dist, rn FROM ranked WHERE rn <= {K}
+ORDER BY q_id, rn
+"""
+
+
 QUERIES = {
     "q25_knn_l2": q25_knn_l2,
     "q26_knn_cosine": q26_knn_cosine,
@@ -332,6 +399,7 @@ QUERIES = {
     "q28_context_assembly": q28_context_assembly,
     "q42_cosine_neardup": q42_cosine_neardup,
     "q46_ann_lsh_topk": q46_ann_lsh_topk,
+    "q77_user_filtered_knn": q77_user_filtered_knn,
 }
 
 ORACLE = {
@@ -340,4 +408,5 @@ ORACLE = {
     "q27_similarity_join": Q27_SQL,
     "q28_context_assembly": Q28_SQL,
     "q42_cosine_neardup": Q42_SQL,
+    "q77_user_filtered_knn": Q77_SQL,
 }

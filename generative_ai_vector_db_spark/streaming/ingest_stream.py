@@ -23,6 +23,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fsutil import path_exists as _path_exists
 from ..operators.chunker import chunk_udf
 from ..sources.embedding_stage import embed_text
 from ..sources.loaders import parse_files
@@ -48,21 +49,27 @@ def _ingest_batch(
         ),
     ).where(F.trim("chunk_text") != "")
 
-    # in-batch dedup: first source per hash wins
-    first = chunks.groupBy("file_hash").agg(F.min("source").alias("keep_source"))
-    chunks = chunks.join(
-        F.broadcast(first),
-        (chunks.file_hash == first.file_hash)
-        & (chunks.source == first.keep_source),
-        "left_semi",
+    # in-batch dedup: first source per hash wins. Window min, not a
+    # self-join — a join of a frame against its own derived aggregate
+    # resolves both hash columns to the same lineage and Spark degrades
+    # the predicate to trivially-true (wrong plan the moment two hash
+    # groups share a source).
+    from pyspark.sql import Window
+
+    keep_source = F.min("source").over(Window.partitionBy("file_hash"))
+    chunks = (
+        chunks.withColumn("_keep_source", keep_source)
+        .where(F.col("source") == F.col("_keep_source"))
+        .drop("_keep_source")
     )
 
-    # R11 store-level dedup: skip files whose hash is already persisted
-    try:
+    # R11 store-level dedup: skip files whose hash is already persisted.
+    # Only the store-not-created-yet case is ignorable (R14
+    # create-or-append); any other read failure (corruption, permissions,
+    # schema drift) must fail the batch, not silently disable dedup.
+    if _path_exists(spark, store_path):
         existing = spark.read.parquet(store_path).select("file_hash").distinct()
         chunks = chunks.join(existing, "file_hash", "left_anti")
-    except Exception:
-        pass  # first batch: store does not exist yet (R14 create-or-append)
 
     out = embed_text(
         chunks.withColumn("user", F.lit(user_email)), text_col="chunk_text"

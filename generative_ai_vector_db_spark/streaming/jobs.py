@@ -153,7 +153,9 @@ ORDER BY user_id, session_id
 # Native streaming executions (availableNow file-source replay). Used by
 # tests for batch-equivalence; not part of the oracle contract.
 # ---------------------------------------------------------------------------
-def _events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+def _events_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -166,7 +168,12 @@ def _events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
             T.StructField("props", T.StringType()),
         ]
     )
-    return spark.readStream.schema(schema).parquet(src_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # READ option: bounds each micro-batch to N files (backpressure /
+        # deterministic multi-batch replay). On the writer it is ignored.
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir)
 
 
 def run_tumbling_stream(
@@ -212,7 +219,7 @@ def run_tumbling_stream_append(
     late rows (beyond watermark) are dropped — used by the late-data
     test."""
     agg = (
-        _events_stream(spark, src_dir)
+        _events_stream(spark, src_dir, max_files_per_trigger=1)
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 minute").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -225,7 +232,6 @@ def run_tumbling_stream_append(
         .queryName(sink_table)
         .outputMode("append")
         .trigger(availableNow=True)
-        .option("maxFilesPerTrigger", 1)
         .start()
         .awaitTermination()
     )

@@ -89,3 +89,20 @@ def test_minhash_deterministic(spark, sf_dir):
     a = dedup.q44_minhash_neardup(spark, sf_dir).toPandas()
     b = dedup.q44_minhash_neardup(spark, sf_dir).toPandas()
     assert a.equals(b)
+
+
+def test_connected_components_bounded_plan(spark):
+    """A 13-node chain forces many label-propagation rounds; the
+    per-round localCheckpoint must keep the RESULT plan shallow (no
+    geometric lineage growth), and labels must still converge."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 13)], "id_a long, id_b long"
+    )
+    labels = dedup.connected_components(edges)
+    comp = labels.toPandas().set_index("node")["cluster_id"].to_dict()
+    assert set(comp.values()) == {1}
+    assert len(comp) == 13
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    # checkpointed labels resolve to an ExistingRDD scan — the 12 rounds
+    # of joins must NOT be stacked in the final plan
+    assert plan.count("Join") == 0, plan

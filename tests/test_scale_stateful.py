@@ -132,7 +132,10 @@ def test_compaction_reduces_file_count(spark, sf_dir):
             1 for _r, _d, fs in os.walk(sprawl) for f in fs if f.endswith(".parquet")
         )
         assert n_before >= 32
-        n_after = compact(spark, sprawl, tidy)
+        # explicit file:/ URIs: compact() must go through the Hadoop FS
+        # API (fsutil), not driver-local os.walk — same code path as
+        # hdfs:/ or s3a:/ on a real cluster
+        n_after = compact(spark, "file://" + sprawl, "file://" + tidy)
         assert n_after < n_before / 4
         assert spark.read.parquet(tidy).count() == load(spark, sf_dir, "events").count()
     finally:

@@ -59,44 +59,53 @@ def test_session_stream_equals_batch_twin(spark, sf_dir, events_src):
 
 
 def test_watermark_drops_late_rows(spark):
-    """File 1 advances the watermark far past file 2's late rows; append
-    mode must finalize early windows and drop the late data."""
-    d = tempfile.mkdtemp(prefix="late_src_")
-    try:
-        early = spark.createDataFrame(
-            [(1, "2024-01-01 00:00:30", 1, "a", 1.0, "{}"),
-             (2, "2024-01-01 00:01:10", 1, "a", 1.0, "{}"),
-             (3, "2024-01-01 01:00:00", 1, "a", 1.0, "{}")],
-            "event_id long, ts string, user_id long, event_type string, value double, props string",
-        ).withColumn("ts", F.to_timestamp("ts"))
-        late = spark.createDataFrame(
-            [(4, "2024-01-01 00:00:40", 1, "a", 1.0, "{}")],
-            "event_id long, ts string, user_id long, event_type string, value double, props string",
-        ).withColumn("ts", F.to_timestamp("ts"))
-        import glob
-        import time
+    """Three single-row-group files replayed one per micro-batch
+    (maxFilesPerTrigger=1 on the READ side — on the writer it is
+    ignored): file 1 advances the watermark to 00:58, file 2 is an
+    on-time buffer batch (Spark filters late events against the
+    PREVIOUS batch's watermark — SPARK-41524's two-watermark model),
+    file 3's 00:00:40 row is then behind the late-events watermark and
+    MUST be dropped, leaving the finalized 00:00 window at exactly its
+    one on-time row.
 
-        early.coalesce(1).write.parquet(os.path.join(d, "batch1"))
-        late.coalesce(1).write.parquet(os.path.join(d, "batch2"))
-        # the file source orders by modification time: force batch1 (early
-        # data) strictly older so it forms micro-batch 1 and advances the
-        # watermark before the late row arrives in micro-batch 2
-        now = time.time()
-        for f in glob.glob(os.path.join(d, "batch1", "*.parquet")):
-            os.utime(f, (now - 3600, now - 3600))
-        for f in glob.glob(os.path.join(d, "batch2", "*.parquet")):
-            os.utime(f, (now, now))
+    The part files are placed in the SOURCE ROOT: the parquet file
+    source does not recurse into non-partition subdirectories, and a
+    subdir layout silently yields an empty stream."""
+    import glob
+    import time
+
+    d = tempfile.mkdtemp(prefix="late_src_")
+    stage = tempfile.mkdtemp(prefix="late_stage_")
+    schema = "event_id long, ts string, user_id long, event_type string, value double, props string"
+
+    def write_file(i: int, rows, age_sec: int) -> None:
+        df = spark.createDataFrame(rows, schema).withColumn("ts", F.to_timestamp("ts"))
+        sub = os.path.join(stage, f"b{i}")
+        df.coalesce(1).write.parquet(sub)
+        part = glob.glob(os.path.join(sub, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"file{i}.parquet")
+        shutil.copy(part, dst)
+        t = time.time() - age_sec
+        os.utime(dst, (t, t))
+
+    try:
+        write_file(1, [(1, "2024-01-01 00:00:30", 1, "a", 1.0, "{}"),
+                       (2, "2024-01-01 00:01:10", 1, "a", 1.0, "{}"),
+                       (3, "2024-01-01 01:00:00", 1, "a", 1.0, "{}")], 3600 * 3)
+        write_file(2, [(4, "2024-01-01 02:00:00", 1, "a", 1.0, "{}")], 3600 * 2)
+        write_file(3, [(5, "2024-01-01 00:00:40", 1, "a", 1.0, "{}")], 3600)
+
         jobs.run_tumbling_stream_append(spark, d, sink_table="t_late")
         got = spark.table("t_late").toPandas()
         finalized = dict(zip(got["window_start"], got["n_events"]))
-        # the 00:00 window was finalized by file 1's watermark advance
-        # (1:00:00 - 2min) BEFORE the late row arrived -> count stays 1
-        if "2024-01-01 00:00:00" in finalized:
-            assert finalized["2024-01-01 00:00:00"] == 1
-        # the late row must never appear as its own emitted increment
-        assert finalized.get("2024-01-01 00:00:00", 1) == 1
+        # the 00:00 window finalized with only its on-time row
+        assert finalized["2024-01-01 00:00:00"] == 1
+        assert finalized["2024-01-01 00:01:00"] == 1
+        # each finalized window is emitted exactly once (append mode)
+        assert got["window_start"].is_unique
     finally:
         shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def test_chatlog_append_sink(spark, sf_dir, events_src):

@@ -54,13 +54,20 @@ def test_recursive_chunker_coverage():
 
 
 def test_ingest_pipeline_output(spark, sf_dir):
-    pdf = ingest.q50_ingest_pipeline(spark, sf_dir).toPandas()
-    assert len(pdf) > 0
+    # the raw pipeline still carries the embedding array ...
+    raw = ingest.ingest_pipeline(spark, sf_dir).toPandas()
+    assert len(raw) > 0
     # only odd doc_ids survive the anti-join against the even-id store
-    assert (pdf["doc_id"] % 2 == 1).all()
-    assert (pdf["user"] == "user@example.com").all()
-    assert pdf["embedding"].map(len).eq(ingest.EMBED_DIM).all()
-    assert pdf["file_hash"].str.len().eq(64).all()
+    assert (raw["doc_id"] % 2 == 1).all()
+    assert (raw["user"] == "user@example.com").all()
+    assert raw["embedding"].map(len).eq(ingest.EMBED_DIM).all()
+    assert raw["file_hash"].str.len().eq(64).all()
+    # ... while the q50 driver surface flattens it to digest + dim
+    pdf = ingest.q50_ingest_pipeline(spark, sf_dir).toPandas()
+    assert len(pdf) == len(raw)
+    assert "embedding" not in pdf.columns
+    assert pdf["embedding_digest"].str.len().eq(64).all()
+    assert (pdf["embedding_dim"] == ingest.EMBED_DIM).all()
 
 
 def test_lang_id_mostly_english(spark, sf_dir):
@@ -68,3 +75,41 @@ def test_lang_id_mostly_english(spark, sf_dir):
     # fixture texts are English-ish word salad; heuristic should not
     # misfire to other languages on a majority of docs
     assert (pdf["predicted_lang"].isin(["en", "unknown"])).mean() > 0.9
+
+
+def test_bigrams_and_shingles_short_docs(spark):
+    """ADVICE r01: size-1 word arrays used to hit element_at(words, 0)
+    ('SQL array indices start at 1') via sequence(0, -1); short docs
+    must yield EMPTY gram sets, matching the DuckDB generate_series
+    twins."""
+    from pyspark.sql import functions as F
+
+    from generative_ai_vector_db_spark.operators.dedup import with_shingles
+    from generative_ai_vector_db_spark.operators.text import _bigrams, _words
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, "three word text")],
+        "doc_id long, text string",
+    )
+    grams = (
+        docs.select("doc_id", _words(F.col("text")).alias("words"))
+        .select("doc_id", _bigrams(F.col("words")).alias("grams"))
+        .toPandas()
+        .set_index("doc_id")["grams"]
+        .map(list)
+        .to_dict()
+    )
+    assert grams[1] == []  # split("") -> [""] -> one word -> no bigram
+    assert grams[2] == []
+    assert grams[3] == ["two words"]
+    assert grams[4] == ["three word", "word text"]
+
+    sh = (
+        with_shingles(docs)
+        .toPandas()
+        .set_index("doc_id")["shingles"]
+        .map(list)
+        .to_dict()
+    )
+    assert sh[1] == [] and sh[2] == [] and sh[3] == []
+    assert sh[4] == ["three word text"]
