@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from generative_ai_vector_db_spark.operators import (  # noqa: E402
     chunker,
+    corpus,
     dedup,
     ingest,
     merge_registries,
@@ -40,6 +41,7 @@ _MODULES = [
     relational,
     vector,
     chunker,
+    corpus,
     ingest,
     text,
     dedup,
@@ -74,6 +76,8 @@ _PRIORITY = [
     "q69_count_distribution", "q70_interval_join", "q71_stats_agg",
     "q74_curation_pipeline", "q76_dedup_clusters",
     "q77_user_filtered_knn", "q78_ingest_pipeline_stride",
+    "q79_token_packing", "q80_corpus_mixing",
+    "q81_embedding_quantize", "q82_length_histogram",
     # tier 2 — green in r01; first the ones this round's edits touch
     "q41_ngram_jaccard", "q64_repetition_ratio", "q63_corpus_stats",
     "q29_ingest_routing", "q24_chunk_stride", "q75_chunk_udtf",

@@ -1,0 +1,43 @@
+"""Corpus-preparation operators (q79-q82) vs their DuckDB twins, plus
+semantic invariants the hash-match alone doesn't show."""
+
+from __future__ import annotations
+
+import pytest
+
+from generative_ai_vector_db_spark.operators import corpus
+
+from .oracle_utils import compare_query
+
+
+@pytest.mark.parametrize("name", sorted(corpus.ORACLE))
+def test_corpus_matches_oracle(spark, sf_dir, name):
+    compare_query(spark, sf_dir, corpus.QUERIES[name], corpus.ORACLE[name], name)
+
+
+def test_token_packing_offsets_consistent(spark, sf_dir):
+    pdf = corpus.q79_token_packing(spark, sf_dir).toPandas()
+    # offsets stay inside the budget and packs are dense per lang
+    assert (pdf["pack_offset"] >= 0).all()
+    assert (pdf["pack_offset"] < corpus.PACK_BUDGET).all()
+    for _, g in pdf.groupby("lang"):
+        # concatenate-and-chop: start offsets are the running token sum
+        starts = (g["n_tokens"].cumsum() - g["n_tokens"]).tolist()
+        assert (g["pack_id"] == [s // corpus.PACK_BUDGET for s in starts]).all()
+
+
+def test_corpus_mixing_round_robin(spark, sf_dir):
+    pdf = corpus.q80_corpus_mixing(spark, sf_dir).toPandas()
+    # mix positions are unique and the first cycle covers every language
+    assert pdf["mix_pos"].is_unique
+    n_langs = pdf["lang"].nunique()
+    first_cycle = pdf.sort_values("mix_pos").head(n_langs)
+    assert first_cycle["lang"].nunique() == n_langs
+
+
+def test_quantize_int8_range(spark, sf_dir):
+    pdf = corpus.q81_embedding_quantize(spark, sf_dir).toPandas()
+    assert (pdf["q_min"] >= -127).all()
+    assert (pdf["q_max"] <= 127).all()
+    # symmetric quantization maps the max-magnitude element to +/-127
+    assert ((pdf["q_max"] == 127) | (pdf["q_min"] == -127)).all()

@@ -47,8 +47,8 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_registry_size_floor():
-    assert len(QUERIES) >= 75
-    assert len(ORACLE) >= 65
+    assert len(QUERIES) >= 81
+    assert len(ORACLE) >= 71
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
@@ -65,3 +65,11 @@ def test_oracle_sql_plans_on_duckdb(name, sf_dir):
         con.sql("EXPLAIN " + ORACLE[name])  # parse + bind, no execution
     finally:
         con.close()
+
+
+def test_driver_window_spends_slots_on_oracles():
+    """The driver's correctness pass covers the first 50 registry
+    entries; rows-only queries must never burn one of those slots."""
+    first50 = list(QUERIES)[:50]
+    rows_only = [k for k in first50 if k not in ORACLE]
+    assert not rows_only, f"rows-only queries inside the 50-slot window: {rows_only}"
