@@ -154,6 +154,11 @@ def recursive_chunks(
                     break
                 tail = cand
             cur = tail
+            # the overlap seed plus the incoming piece may itself exceed
+            # size (short text, overlap-sized seed): drop seed pieces
+            # oldest-first until the chunk bound holds
+            while cur and cur_len(p) > size:
+                cur.pop(0)
         cur.append(p)
     close()
     return chunks

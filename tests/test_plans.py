@@ -62,3 +62,26 @@ def test_aqe_active_on_shuffle_queries(spark, sf_dir):
 def test_q10_semi_and_q11_anti_plan(spark, sf_dir):
     assert "LeftSemi" in plan_of(relational.q10_join_semi(spark, sf_dir))
     assert "LeftAnti" in plan_of(relational.q11_join_anti(spark, sf_dir))
+
+
+def test_q77_user_filter_pushed_to_documents_scan(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import vector as v
+
+    plan = plan_of(v.q77_user_filtered_knn(spark, sf_dir))
+    # the metadata predicate reaches the documents parquet scan (one of
+    # the plan's PushedFilters sections carries the lang equality) ...
+    assert any("lang" in seg[:200] for seg in plan.split("PushedFilters")[1:])
+    # ... and the ownership restriction is a semi-join, applied BEFORE
+    # the scoring cross-join
+    assert "LeftSemi" in plan
+
+
+def test_q78_ingest_dedup_uses_window_not_selfjoin(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import ingest as ing
+
+    plan = plan_of(ing.q78_ingest_pipeline_stride(spark, sf_dir))
+    # the in-batch keep-min-doc_id dedup is a window aggregate; the only
+    # join left is the store anti-join (r01's trivially-true self-join
+    # predicate pattern is gone)
+    assert "Window" in plan
+    assert "LeftAnti" in plan
