@@ -102,3 +102,87 @@ def profile_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 successor API: transformWithStateInPandas. Same per-user
+# profile through a StatefulProcessor with an explicit ValueState —
+# the forward path for custom state (typed state vars, timers, TTL,
+# initial-state bootstrap) replacing applyInPandasWithState.
+#
+# Environment gate: the TWS Python runner requires google.protobuf in
+# the worker environment and the RocksDB state-store provider; where protobuf is
+# absent the stream fails at runner init — callers (and the test) treat
+# that as "API unavailable here" and fall back to
+# run_profile_stream/applyInPandasWithState, which carries the
+# correctness contract.
+# ---------------------------------------------------------------------------
+def _profile_processor():
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("profile", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total, mx = self._state.get()
+            else:
+                n, total, mx = 0, 0.0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 4)],
+                    "max_value": [round(mx, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return ProfileProcessor()
+
+
+def run_profile_stream_tws(
+    spark: SparkSession, src_dir: str, sink_table: str = "profile_tws_out"
+) -> None:
+    """transformWithStateInPandas execution of the per-user profile.
+    Requires the RocksDB state store (TWS rejects the HDFS-backed
+    provider) — set per-session before the query starts."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = spark.readStream.schema(schema).parquet(src_dir)
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_profile_processor(),
+        outputStructType=PROFILE_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    (
+        out.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

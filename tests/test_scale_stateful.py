@@ -158,3 +158,38 @@ def test_stateful_profile_stream_matches_batch(spark, sf_dir):
         assert got["max_value"].tolist() == want["max_value"].tolist()
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_tws_profile_stream_matches_batch(spark, sf_dir):
+    """Spark-4 transformWithStateInPandas twin of the profile stream.
+    The TWS Python runner needs google.protobuf + RocksDB state store;
+    where the environment lacks them the stream fails at runner init —
+    skip (applyInPandasWithState above carries the contract)."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf absent: TWS python runner cannot start")
+
+    src = tempfile.mkdtemp(prefix="tws_src_")
+    try:
+        load(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(src)
+        try:
+            stateful.run_profile_stream_tws(spark, src, sink_table="tws_out")
+        except Exception as ex:  # noqa: BLE001 - env-gated API
+            msg = str(ex)
+            if (
+                "STREAMING_PYTHON_RUNNER_INITIALIZATION" in msg
+                or "protobuf" in msg
+                or "TransformWithStateInPySpark driver worker exited" in msg
+            ):
+                pytest.skip("transformWithStateInPandas runner deps absent here")
+            raise
+        got = spark.table("tws_out").toPandas()
+        got = got.groupby("user_id").tail(1).sort_values("user_id").reset_index(drop=True)
+        want = stateful.profile_batch_twin(spark, sf_dir).toPandas().reset_index(drop=True)
+        assert got["user_id"].tolist() == want["user_id"].tolist()
+        assert got["n_events"].tolist() == want["n_events"].tolist()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
