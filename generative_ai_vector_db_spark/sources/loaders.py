@@ -10,11 +10,18 @@ Format support in THIS container (only stdlib is available):
              comma delimiter produces row-per-Document, :43-48)
 * html/htm — stdlib HTMLParser tag-strip (``UnstructuredHTMLLoader``,
              :59-60)
-* pdf/doc/docx/xls/xlsx/ppt/pptx — allow-listed but their parsers
-  (pypdf, python-docx, openpyxl, python-pptx) are not installed here:
-  the parse stage import-gates them and emits the reference's
-  "Loader error: <msg>" reject row (:102-109) instead of failing the
-  job. Installing the lib on the cluster makes them work unchanged.
+* docx/xlsx/pptx — prefer the full-fidelity lib (python-docx /
+  openpyxl / python-pptx) when installed; otherwise the stdlib
+  OOXML fallback in ``office_formats.py`` (ZIP + XML — real parsing,
+  not a stub)
+* pdf — prefer pypdf when installed; otherwise the stdlib minimal
+  extractor in ``office_formats.py`` (FlateDecode + text-operator
+  scan — covers programmatically-generated PDFs; exotic ones raise
+  and land in the reference's "Loader error: <msg>" reject row,
+  :102-109)
+* doc/xls/ppt — legacy OLE2 binaries: allow-listed, parseable only
+  with the optional libs; without them they route to the same
+  "Loader error" reject instead of failing the job.
 
 Scale: ``binaryFile`` gives a splittable listing of (path, content)
 with files distributed across tasks; parsing streams Arrow batches
@@ -87,7 +94,12 @@ def _parse_html(data: bytes) -> str:
 
 
 def _parse_pdf(data: bytes) -> str:
-    import pypdf  # not in this container -> "Loader error: ..." reject
+    try:
+        import pypdf  # full-fidelity path when installed on the cluster
+    except ImportError:
+        from .office_formats import parse_pdf_stdlib
+
+        return parse_pdf_stdlib(data)
     import io
 
     reader = pypdf.PdfReader(io.BytesIO(data))
@@ -95,7 +107,12 @@ def _parse_pdf(data: bytes) -> str:
 
 
 def _parse_docx(data: bytes) -> str:
-    import docx
+    try:
+        import docx
+    except ImportError:
+        from .office_formats import parse_docx_stdlib
+
+        return parse_docx_stdlib(data)
     import io
 
     d = docx.Document(io.BytesIO(data))
@@ -105,7 +122,12 @@ def _parse_docx(data: bytes) -> str:
 def _parse_xlsx(data: bytes) -> str:
     import io
 
-    import openpyxl
+    try:
+        import openpyxl
+    except ImportError:
+        from .office_formats import parse_xlsx_stdlib
+
+        return parse_xlsx_stdlib(data)
 
     wb = openpyxl.load_workbook(io.BytesIO(data), read_only=True)
     parts = []
@@ -118,7 +140,12 @@ def _parse_xlsx(data: bytes) -> str:
 def _parse_pptx(data: bytes) -> str:
     import io
 
-    import pptx
+    try:
+        import pptx
+    except ImportError:
+        from .office_formats import parse_pptx_stdlib
+
+        return parse_pptx_stdlib(data)
 
     pres = pptx.Presentation(io.BytesIO(data))
     parts = []
