@@ -28,6 +28,7 @@ from generative_ai_vector_db_spark.operators import (  # noqa: E402
     pandas_udfs,
     rag,
     relational,
+    retrieval,
     scale,
     sql_surface,
     store,
@@ -50,6 +51,7 @@ _MODULES = [
     mllib_index,
     store,
     rag,
+    retrieval,
     scale,
     temporal,
     sql_surface,
@@ -78,6 +80,7 @@ _PRIORITY = [
     "q77_user_filtered_knn", "q78_ingest_pipeline_stride",
     "q79_token_packing", "q80_corpus_mixing",
     "q81_embedding_quantize", "q82_length_histogram",
+    "q83_bm25_topk", "q84_hybrid_rrf",
     # tier 2 — green in r01; first the ones this round's edits touch
     "q41_ngram_jaccard", "q64_repetition_ratio", "q63_corpus_stats",
     "q29_ingest_routing", "q24_chunk_stride", "q75_chunk_udtf",

@@ -1,0 +1,289 @@
+"""Lexical + hybrid retrieval: BM25 scoring and reciprocal-rank-fusion.
+
+Extends the reference's retrieval surface (vector-only top-k,
+``app.py:409``) with the lexical side a production RAG deployment pairs
+with it: a BM25 ranker over the document corpus and an RRF fusion of
+the lexical and vector rankings (the standard "hybrid search" shape in
+Elasticsearch/OpenSearch/Vespa and pgvector deployments).
+
+Plan shapes (100 TB reasoning):
+* The token explode → (doc_id, term) is the classic inverted-index
+  build. Corpus statistics (doc length, df per term, N, avgdl) are
+  aggregations computed ONCE and reusable across queries — in a real
+  deployment they persist next to the store (store.py) like the ANN
+  index artifacts; here they are recomputed per call so the query stays
+  self-contained.
+* Per-query work filters the token stream to the query's terms BEFORE
+  any shuffle (predicate pushdown to the scan), so tf/df aggregation
+  shuffles only rows containing query terms — O(postings(q)), not
+  O(corpus).
+* df and corpus stats are tiny (one row per query term / one row
+  total): broadcast, never shuffled against.
+* Cross-engine float determinism (FIXTURES.md): per-term contributions
+  are summed in FIXED query-term order via conditional aggregation
+  (not a shuffle-order-dependent SUM), scores are rounded before
+  ranking, and ties break on doc_id — 1-ulp libm differences between
+  the JVM and DuckDB cannot reorder results.
+
+Test coverage: tests/test_retrieval.py (hand-computed BM25 on a toy
+corpus + fixture invariants); driver oracle twins below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+K1 = 1.2
+B = 0.75
+K = 13  # reference fan-out, app.py:409
+RRF_K = 60  # standard RRF damping constant
+QUERY_TERMS = ["spark", "window", "customer"]  # fixture-vocabulary query
+Q_VEC_ID = 0  # vector-side query: embedding of vec_id 0 (q26 pattern)
+DIM = 64
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "\\s+")).alias("term"),
+    ).where(F.col("term") != "")
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score): BM25 of QUERY_TERMS over every matching doc.
+
+    idf = ln(1 + (N - df + 0.5) / (df + 0.5))   (Lucene/ATIRE form)
+    tf_norm = tf / (tf + k1 * (1 - b + b * dl / avgdl))
+    """
+    tokens = _tokens(spark, sf_dir)
+    dl = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    qtok = tokens.where(F.col("term").isin(QUERY_TERMS))
+    tf = qtok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dft = (
+        qtok.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        / (
+            F.col("tf")
+            + F.lit(K1)
+            * (F.lit(1.0) - F.lit(B) + F.lit(B) * F.col("dl").cast("double") / avgdl)
+        )
+    )
+    per_term = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", "term", contrib.alias("contrib"))
+    )
+    # fixed-order sum across query terms (each term is one row per doc
+    # post-aggregation, so max() picks that single value)
+    parts = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("contrib"))), F.lit(0.0)
+        ).alias(f"_c{i}")
+        for i, t in enumerate(QUERY_TERMS)
+    ]
+    g = per_term.groupBy("doc_id").agg(*parts)
+    score = F.col("_c0")
+    for i in range(1, len(QUERY_TERMS)):
+        score = score + F.col(f"_c{i}")
+    return g.select("doc_id", score.alias("score"))
+
+
+def q83_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = bm25_scores(spark, sf_dir).select(
+        "doc_id", F.round("score", 4).alias("bm25")
+    )
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= K)
+        .orderBy("rn")
+    )
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+_CASE_SUM = "\n      + ".join(
+    f"coalesce(max(CASE WHEN term = '{t}' THEN contrib END), 0)"
+    for t in QUERY_TERMS
+)
+
+_BM25_CTE = f"""
+tokens AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+),
+tokens_f AS (SELECT * FROM tokens WHERE term != ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens_f GROUP BY doc_id),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS total_len
+  FROM dl
+),
+qtok AS (SELECT * FROM tokens_f WHERE term IN ({_TERMS_SQL})),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM qtok GROUP BY doc_id, term),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM qtok GROUP BY term),
+per AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (corpus.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * CAST(dl.dl AS DOUBLE)
+              / (CAST(corpus.total_len AS DOUBLE) / CAST(corpus.n_docs AS DOUBLE))))
+           AS contrib
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corpus
+),
+bm25s AS (
+  SELECT doc_id,
+         {_CASE_SUM} AS score
+  FROM per GROUP BY doc_id
+)"""
+
+Q83_SQL = f"""
+WITH {_BM25_CTE},
+ranked AS (
+  SELECT doc_id, round(score, 4) AS bm25,
+         row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM bm25s
+)
+SELECT doc_id, bm25, rn FROM ranked WHERE rn <= {K} ORDER BY rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# q84 — hybrid retrieval: RRF fusion of the BM25 ranking with the exact
+# cosine ranking against a query vector. Inner join on doc identity
+# (doc_id == vec_id): fused set = docs with both signals; the two rank
+# windows are global but over already-aggregated per-doc rows (N rows,
+# single ordering pass — at scale, rank only each side's top few
+# hundred candidates, which is how RRF is deployed).
+# ---------------------------------------------------------------------------
+def q84_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lex = bm25_scores(spark, sf_dir).select(
+        "doc_id", F.round("score", 4).alias("bm25")
+    )
+    lex = lex.withColumn(
+        "rank_lex",
+        F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")),
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == Q_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    from ..functions import vectors as V
+
+    vec = (
+        emb.where(F.col("vec_id") != Q_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn(
+            "rank_vec",
+            F.row_number().over(
+                Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+            ),
+        )
+    )
+
+    fused = lex.join(vec, lex.doc_id == vec.vec_id).select(
+        "doc_id",
+        "bm25",
+        "cos_sim",
+        F.col("rank_lex").cast("bigint").alias("rank_lex"),
+        F.col("rank_vec").cast("bigint").alias("rank_vec"),
+        F.round(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_lex"))
+            + F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_vec")),
+            6,
+        ).alias("rrf"),
+    )
+    w = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= K)
+        .orderBy("rn")
+    )
+
+
+_DUCK_DOT_Q = (
+    "list_sum([ CAST(q.q_emb[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)"
+    f" for k in generate_series(1, {DIM}) ])"
+)
+_DUCK_NORM_Q = (
+    "sqrt(list_sum([ CAST(q.q_emb[k] AS DOUBLE) * CAST(q.q_emb[k] AS DOUBLE)"
+    f" for k in generate_series(1, {DIM}) ]))"
+)
+_DUCK_NORM_B2 = (
+    "sqrt(list_sum([ CAST(b.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)"
+    f" for k in generate_series(1, {DIM}) ]))"
+)
+
+Q84_SQL = f"""
+WITH {_BM25_CTE},
+lex AS (
+  SELECT doc_id, round(score, 4) AS bm25,
+         row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank_lex
+  FROM bm25s
+),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {Q_VEC_ID}),
+vec AS (
+  SELECT b.vec_id,
+         round({_DUCK_DOT_Q} / ({_DUCK_NORM_Q} * {_DUCK_NORM_B2}), 4) AS cos_sim
+  FROM embeddings b CROSS JOIN q
+  WHERE b.vec_id != {Q_VEC_ID}
+),
+vecr AS (
+  SELECT vec_id, cos_sim,
+         row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank_vec
+  FROM vec
+),
+fused AS (
+  SELECT lex.doc_id, lex.bm25, vecr.cos_sim,
+         CAST(lex.rank_lex AS BIGINT) AS rank_lex,
+         CAST(vecr.rank_vec AS BIGINT) AS rank_vec,
+         round(1.0 / ({RRF_K} + lex.rank_lex) + 1.0 / ({RRF_K} + vecr.rank_vec), 6)
+           AS rrf
+  FROM lex JOIN vecr ON lex.doc_id = vecr.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM fused
+)
+SELECT doc_id, bm25, cos_sim, rank_lex, rank_vec, rrf, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {K} ORDER BY rn
+"""
+
+
+QUERIES = {
+    "q83_bm25_topk": q83_bm25_topk,
+    "q84_hybrid_rrf": q84_hybrid_rrf,
+}
+
+ORACLE = {
+    "q83_bm25_topk": Q83_SQL,
+    "q84_hybrid_rrf": Q84_SQL,
+}

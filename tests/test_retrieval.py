@@ -1,0 +1,92 @@
+"""BM25 + hybrid RRF retrieval (operators/retrieval.py).
+
+Covers: a hand-computed BM25 check on a toy corpus, the DuckDB-oracle
+mirror for q83/q84 at both test SFs, and ranking invariants."""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+
+from generative_ai_vector_db_spark.operators import retrieval
+
+from .oracle_utils import compare_query
+
+
+def test_bm25_hand_computed(spark):
+    """3-doc toy corpus; contributions worked out from the formula
+    idf = ln(1 + (N - df + .5)/(df + .5)), tf/(tf + k1*(1-b+b*dl/avgdl))."""
+    tmp = tempfile.mkdtemp(prefix="bm25_toy_")
+    try:
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "spark spark window",
+                    "customer table row",
+                    "the quick fox",
+                ],
+                "lang": ["en"] * 3,
+                "source": ["s1", "s2", "s3"],
+                "n_chars": [18, 18, 13],
+            }
+        )
+        docs.to_parquet(os.path.join(tmp, "documents.parquet"))
+        got = (
+            retrieval.bm25_scores(spark, tmp)
+            .toPandas()
+            .set_index("doc_id")["score"]
+            .to_dict()
+        )
+        # N=3, avgdl=3, every matched term has df=1
+        idf = math.log(1 + (3 - 1 + 0.5) / (1 + 0.5))
+        tf2 = 2 / (2 + 1.2 * (1 - 0.75 + 0.75 * 1.0))  # tf=2, dl/avgdl=1
+        tf1 = 1 / (1 + 1.2 * (1 - 0.75 + 0.75 * 1.0))
+        assert set(got) == {1, 2}  # doc 3 matches no query term
+        assert got[1] == pytest.approx(idf * tf2 + idf * tf1, abs=1e-12)
+        assert got[2] == pytest.approx(idf * tf1, abs=1e-12)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_q83_oracle_mirror(spark, sf_dir, sf_dir_t2):
+    compare_query(
+        spark, sf_dir, retrieval.q83_bm25_topk, retrieval.Q83_SQL, "q83"
+    )
+    compare_query(
+        spark, sf_dir_t2, retrieval.q83_bm25_topk, retrieval.Q83_SQL, "q83@t2"
+    )
+
+
+def test_q84_oracle_mirror(spark, sf_dir, sf_dir_t2):
+    compare_query(
+        spark, sf_dir, retrieval.q84_hybrid_rrf, retrieval.Q84_SQL, "q84"
+    )
+    compare_query(
+        spark, sf_dir_t2, retrieval.q84_hybrid_rrf, retrieval.Q84_SQL, "q84@t2"
+    )
+
+
+def test_q83_ranking_invariants(spark, sf_dir):
+    pdf = retrieval.q83_bm25_topk(spark, sf_dir).toPandas()
+    assert pdf["rn"].tolist() == list(range(1, len(pdf) + 1))
+    assert len(pdf) <= retrieval.K
+    assert (pdf["bm25"] > 0).all()
+    assert (pdf["bm25"].diff().dropna() <= 0).all()  # descending
+
+
+def test_q84_fusion_invariants(spark, sf_dir):
+    pdf = retrieval.q84_hybrid_rrf(spark, sf_dir).toPandas()
+    assert len(pdf) <= retrieval.K
+    assert (pdf["rank_lex"] >= 1).all() and (pdf["rank_vec"] >= 1).all()
+    want = (
+        1.0 / (retrieval.RRF_K + pdf["rank_lex"])
+        + 1.0 / (retrieval.RRF_K + pdf["rank_vec"])
+    ).round(6)
+    assert (pdf["rrf"] == want).all()
+    assert (pdf["rrf"].diff().dropna() <= 0).all()
