@@ -80,7 +80,8 @@ _PRIORITY = [
     "q77_user_filtered_knn", "q78_ingest_pipeline_stride",
     "q79_token_packing", "q80_corpus_mixing",
     "q81_embedding_quantize", "q82_length_histogram",
-    "q83_bm25_topk", "q84_hybrid_rrf",
+    "q83_bm25_topk", "q84_hybrid_rrf", "q85_dedup_corpus",
+    "q86_tfidf_keywords", "q87_vocab_coverage", "q88_median_length_filter",
     # tier 2 — green in r01; first the ones this round's edits touch
     "q41_ngram_jaccard", "q64_repetition_ratio", "q63_corpus_stats",
     "q29_ingest_routing", "q24_chunk_stride", "q75_chunk_udtf",

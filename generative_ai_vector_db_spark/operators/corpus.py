@@ -214,11 +214,49 @@ ORDER BY bucket_start
 """
 
 
+# ---------------------------------------------------------------------------
+# q88 — distribution-based curation: keep documents at or above their
+# language's median length. The per-lang medians are a 5-row exact
+# percentile aggregate (broadcast back); the filter itself is a narrow
+# scan-side predicate. Exact `percentile` on integer n_chars keeps both
+# engines bit-identical ((a+b)/2 on ints < 2^52 is exact in double).
+# ---------------------------------------------------------------------------
+def q88_median_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    med = docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("median_chars")
+    )
+    return (
+        docs.join(F.broadcast(med), "lang")
+        .where(F.col("n_chars") >= F.col("median_chars"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round("median_chars", 4).alias("median_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q88_SQL = """
+WITH med AS (
+  SELECT lang, percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars) AS median_chars
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars, round(med.median_chars, 4) AS median_chars
+FROM documents d JOIN med USING (lang)
+WHERE d.n_chars >= med.median_chars
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "q79_token_packing": q79_token_packing,
     "q80_corpus_mixing": q80_corpus_mixing,
     "q81_embedding_quantize": q81_embedding_quantize,
     "q82_length_histogram": q82_length_histogram,
+    "q88_median_length_filter": q88_median_length_filter,
 }
 
 ORACLE = {
@@ -226,4 +264,5 @@ ORACLE = {
     "q80_corpus_mixing": Q80_SQL,
     "q81_embedding_quantize": Q81_SQL,
     "q82_length_histogram": Q82_SQL,
+    "q88_median_length_filter": Q88_SQL,
 }

@@ -360,12 +360,64 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q85 — the deduplicated corpus itself: every document minus non-keeper
+# cluster members (keeper = min doc_id per near-dup cluster). This is
+# the materialization step a training-data pipeline actually ships —
+# q76 reports the clusters, q85 emits the kept corpus. The drop set is
+# tiny relative to the corpus (only near-dup docs), so the anti-join
+# broadcasts it; the corpus itself never shuffles.
+# ---------------------------------------------------------------------------
+def q85_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import q41_ngram_jaccard
+
+    docs = load(spark, sf_dir, "documents")
+    edges = q41_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(edges)
+    drop = comp.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+Q85_SQL = f"""
+WITH RECURSIVE pairs AS ({{q41}}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.b AS node, reach.r
+  FROM reach JOIN edges e ON e.a = reach.node
+),
+comp AS (
+  SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != cluster_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q44_minhash_neardup": q44_minhash_neardup,
     "q45_simhash_neardup": q45_simhash_neardup,
     "q76_dedup_clusters": q76_dedup_clusters,
+    "q85_dedup_corpus": q85_dedup_corpus,
 }
 
 ORACLE: dict[str, str] = {
     "q76_dedup_clusters": Q76_SQL,
+    "q85_dedup_corpus": Q85_SQL.format(
+        q41=_Q41_SQL.replace("ORDER BY id_a, id_b", "")
+    ),
 }

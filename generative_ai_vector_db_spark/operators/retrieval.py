@@ -278,12 +278,150 @@ FROM ranked WHERE rn <= {K} ORDER BY rn
 """
 
 
+# ---------------------------------------------------------------------------
+# q86 — TF-IDF keyword extraction: top-3 terms per document. Reuses the
+# inverted-index shape; idf is a broadcast-size per-term table; the
+# per-doc top-k is a WindowGroupLimit (k rows forwarded per partition,
+# same plan family as Q13/Q25). idf = ln(N / df), score = tf * idf.
+# ---------------------------------------------------------------------------
+TOP_TERMS = 3
+
+
+def q86_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tokens = _tokens(spark, sf_dir)
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dft = (
+        tokens.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = load(spark, sf_dir, "documents").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= TOP_TERMS)
+        .orderBy("doc_id", "rn")
+    )
+
+
+Q86_SQL = f"""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+),
+tokens_f AS (SELECT * FROM tokens WHERE term != ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens_f GROUP BY doc_id, term),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens_f GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(dft.df AS DOUBLE)), 4)
+           AS tfidf
+  FROM tf JOIN dft USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {TOP_TERMS}
+ORDER BY doc_id, rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# q87 — vocabulary build with coverage: top-20 terms by corpus
+# frequency and the cumulative fraction of all tokens they cover (the
+# "how big must the vocab be" curve). Counts aggregate map-side before
+# the single small ordered window (vocab rows, not token rows).
+# ---------------------------------------------------------------------------
+VOCAB_K = 20
+
+
+def q87_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = _tokens(spark, sf_dir).groupBy("term").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    total = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    w = Window.orderBy(F.col("n").desc(), "term").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("cum", F.sum("n").over(w).cast("bigint"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("n").desc(), "term")).cast(
+                "bigint"
+            ),
+        )
+    )
+    return (
+        ranked.where(F.col("rn") <= VOCAB_K)
+        .select(
+            "term",
+            "n",
+            "rn",
+            F.round(F.col("cum").cast("double") / F.col("total").cast("double"), 6)
+            .alias("coverage"),
+        )
+        .orderBy("rn")
+    )
+
+
+Q87_SQL = f"""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+),
+tokens_f AS (SELECT * FROM tokens WHERE term != ''),
+counts AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tokens_f GROUP BY term),
+total AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+ranked AS (
+  SELECT term, n,
+         CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rn,
+         CAST(sum(n) OVER (ORDER BY n DESC, term
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM counts CROSS JOIN total
+),
+final AS (
+  SELECT term, n, rn,
+         round(CAST(cum AS DOUBLE) / CAST((SELECT total FROM total) AS DOUBLE), 6)
+           AS coverage
+  FROM ranked WHERE rn <= {VOCAB_K}
+)
+SELECT * FROM final ORDER BY rn
+"""
+
+
 QUERIES = {
     "q83_bm25_topk": q83_bm25_topk,
     "q84_hybrid_rrf": q84_hybrid_rrf,
+    "q86_tfidf_keywords": q86_tfidf_keywords,
+    "q87_vocab_coverage": q87_vocab_coverage,
 }
 
 ORACLE = {
     "q83_bm25_topk": Q83_SQL,
     "q84_hybrid_rrf": Q84_SQL,
+    "q86_tfidf_keywords": Q86_SQL,
+    "q87_vocab_coverage": Q87_SQL,
 }

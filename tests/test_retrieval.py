@@ -90,3 +90,46 @@ def test_q84_fusion_invariants(spark, sf_dir):
     ).round(6)
     assert (pdf["rrf"] == want).all()
     assert (pdf["rrf"].diff().dropna() <= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# q85-q88: dedup-corpus materialization, tf-idf keywords, vocab
+# coverage, median-length curation — oracle mirrors + sanity.
+# ---------------------------------------------------------------------------
+def test_q85_q88_oracle_mirrors(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import corpus, dedup
+
+    compare_query(
+        spark, sf_dir, dedup.QUERIES["q85_dedup_corpus"],
+        dedup.ORACLE["q85_dedup_corpus"], "q85",
+    )
+    compare_query(
+        spark, sf_dir, retrieval.q86_tfidf_keywords, retrieval.Q86_SQL, "q86"
+    )
+    compare_query(
+        spark, sf_dir, retrieval.q87_vocab_coverage, retrieval.Q87_SQL, "q87"
+    )
+    compare_query(
+        spark, sf_dir, corpus.QUERIES["q88_median_length_filter"],
+        corpus.ORACLE["q88_median_length_filter"], "q88",
+    )
+
+
+def test_q85_dedup_corpus_drops_cluster_members(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import dedup
+    from generative_ai_vector_db_spark.tables import load
+
+    kept = dedup.QUERIES["q85_dedup_corpus"](spark, sf_dir).toPandas()
+    clusters = dedup.QUERIES["q76_dedup_clusters"](spark, sf_dir).toPandas()
+    n_docs = load(spark, sf_dir, "documents").count()
+    dropped = (~clusters["is_keeper"]).sum()
+    assert len(kept) == n_docs - dropped
+    non_keepers = set(clusters.loc[~clusters["is_keeper"], "doc_id"])
+    assert not (set(kept["doc_id"]) & non_keepers)
+
+
+def test_q87_coverage_monotone(spark, sf_dir):
+    pdf = retrieval.q87_vocab_coverage(spark, sf_dir).toPandas()
+    assert (pdf["coverage"].diff().dropna() > 0).all()
+    assert pdf["coverage"].iloc[-1] <= 1.0
+    assert (pdf["n"].diff().dropna() <= 0).all()
