@@ -85,3 +85,80 @@ def test_q78_ingest_dedup_uses_window_not_selfjoin(spark, sf_dir):
     # predicate pattern is gone)
     assert "Window" in plan
     assert "LeftAnti" in plan
+
+
+def test_q83_bm25_broadcasts_stats(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import retrieval
+
+    plan = plan_of(retrieval.q83_bm25_topk(spark, sf_dir))
+    # df (per-term) and corpus stats (1 row) join via broadcast — the
+    # token stream is never shuffled against them
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+
+
+def test_q83_query_term_filter_before_shuffle(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import retrieval
+
+    plan = plan_of(retrieval.q83_bm25_topk(spark, sf_dir))
+    # the IN-filter on query terms is a plain Filter on the exploded
+    # token stream, i.e. applied map-side before the tf aggregation
+    assert "spark" in plan and "customer" in plan
+
+
+def test_q86_tfidf_group_limit(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import retrieval
+
+    plan = plan_of(retrieval.q86_tfidf_keywords(spark, sf_dir))
+    assert "WindowGroupLimit" in plan  # per-doc top-3 pushed below exchange
+
+
+def test_q85_broadcast_anti_join(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import dedup
+
+    plan = plan_of(dedup.QUERIES["q85_dedup_corpus"](spark, sf_dir))
+    # the drop set broadcasts; the corpus side never shuffles for it
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join story for 100 TB: two tables bucketed on the join
+    key join WITHOUT either side shuffling (no Exchange above the scans
+    on the bucketed join)."""
+    from pyspark.sql import functions as F
+
+    from generative_ai_vector_db_spark.tables import load
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    # at fixture scale Spark would auto-broadcast and skip the bucketed
+    # scan; disable broadcast so the plan is the big-big join shape this
+    # test is about
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    try:
+        (
+            orders.write.mode("overwrite")
+            .bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .saveAsTable("b_orders")
+        )
+        (
+            customer.write.mode("overwrite")
+            .bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .saveAsTable("b_customer")
+        )
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: zero shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
