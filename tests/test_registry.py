@@ -47,8 +47,8 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_registry_size_floor():
-    assert len(QUERIES) >= 81
-    assert len(ORACLE) >= 71
+    assert len(QUERIES) >= 87
+    assert len(ORACLE) >= 77
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
