@@ -106,6 +106,7 @@ _PRIORITY = [
     "q46_ann_lsh_topk", "q48_chunk_recursive", "q50_ingest_pipeline",
     "q44_minhash_neardup", "q45_simhash_neardup",
     "q47_ann_brp_lsh", "q49_ann_ivf", "q51_minhash_lsh_simjoin",
+    "q89_mmr_rerank",
 ]
 
 

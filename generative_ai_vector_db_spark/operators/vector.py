@@ -392,6 +392,92 @@ ORDER BY q_id, rn
 """
 
 
+# ---------------------------------------------------------------------------
+# q89 — MMR (maximal marginal relevance) re-ranking: diversify the
+# top-k by greedily picking argmax[ λ·rel(d) − (1−λ)·max_sim(d, picked) ].
+# The retrieval stack's standard answer to redundant near-identical
+# hits (LangChain exposes it as search_type="mmr" on the same Chroma
+# store the reference uses — a capability the reference leaves on the
+# table).
+#
+# Plan shape (100 TB): stage 1 is the distributed exact/ANN top-N
+# prefilter (broadcast query side, WindowGroupLimit) — the only part
+# that touches the corpus. Stage 2 runs the O(N·k) greedy loop per
+# query inside applyInPandas: each group is N=50 candidate rows, a few
+# KB — thousands of queries parallelize across executors while the
+# corpus-side work stays in stage 1. The greedy loop is inherently
+# sequential per query — no SQL twin (rows-only check); exact
+# equivalence vs a pure-numpy reference is asserted in
+# tests/test_retrieval.py.
+# ---------------------------------------------------------------------------
+MMR_LAMBDA = 0.7
+MMR_PREFILTER = 50
+
+_MMR_SCHEMA = (
+    "q_id bigint, vec_id bigint, mmr_rank bigint, "
+    "relevance double, mmr_score double"
+)
+
+
+def _mmr_select(pdf, lam: float = MMR_LAMBDA, k: int = K):
+    """Greedy MMR over one query's candidate block (numpy, exact)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    rel = pdf["cos_sim"].to_numpy().astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    # candidate-candidate cosine matrix (N<=50: tiny)
+    norms = np.sqrt((emb * emb).sum(axis=1))
+    sim = (emb @ emb.T) / np.outer(norms, norms)
+    picked: list[int] = []
+    scores: list[float] = []
+    remaining = list(range(len(ids)))
+    while remaining and len(picked) < k:
+        if picked:
+            max_sim = sim[np.ix_(remaining, picked)].max(axis=1)
+        else:
+            max_sim = np.zeros(len(remaining))
+        mmr = lam * rel[remaining] - (1.0 - lam) * max_sim
+        # deterministic argmax: round, then smallest vec_id wins ties
+        key = np.round(mmr, 10)
+        best = max(
+            range(len(remaining)), key=lambda i: (key[i], -int(ids[remaining[i]]))
+        )
+        picked.append(remaining[best])
+        scores.append(float(mmr[best]))
+        remaining.pop(best)
+    return pd.DataFrame(
+        {
+            "q_id": pdf["q_id"].iloc[0],
+            "vec_id": ids[picked],
+            "mmr_rank": range(1, len(picked) + 1),
+            "relevance": np.round(rel[picked], 4),
+            "mmr_score": np.round(scores, 4),
+        }
+    )
+
+
+def q89_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .._bootstrap import ensure_worker_imports
+
+    ensure_worker_imports(spark)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    candidates = (
+        _scored_pairs(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= MMR_PREFILTER)
+        .drop("rn", "dist")
+    )
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    with_vecs = candidates.join(emb, "vec_id")
+    return (
+        with_vecs.groupBy("q_id")
+        .applyInPandas(lambda pdf: _mmr_select(pdf), _MMR_SCHEMA)
+        .orderBy("q_id", "mmr_rank")
+    )
+
+
 QUERIES = {
     "q25_knn_l2": q25_knn_l2,
     "q26_knn_cosine": q26_knn_cosine,
@@ -400,6 +486,7 @@ QUERIES = {
     "q42_cosine_neardup": q42_cosine_neardup,
     "q46_ann_lsh_topk": q46_ann_lsh_topk,
     "q77_user_filtered_knn": q77_user_filtered_knn,
+    "q89_mmr_rerank": q89_mmr_rerank,
 }
 
 ORACLE = {

@@ -384,6 +384,34 @@ def run_attribution_stream(
     )
 
 
+def run_dedup_stream(
+    spark: SparkSession,
+    src_dir: str,
+    sink_table: str = "dedup_out",
+    watermark: str = "30 minutes",
+) -> None:
+    """Native streaming dedup on ``event_id`` via
+    ``dropDuplicatesWithinWatermark`` — the R11 semantics (first
+    occurrence wins) executed with BOUNDED state: a key's dedup record
+    is dropped once the watermark passes it, unlike ``dropDuplicates``
+    on a stream whose state grows forever. The cross-batch/store-level
+    variant (anti-join vs the persisted store) is
+    ingest_stream.run_ingest_stream; this one covers replays and
+    at-least-once upstream retries within the event-time horizon."""
+    ev = _events_stream(spark, src_dir).withWatermark("ts", watermark)
+    deduped = ev.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    (
+        deduped.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q71 statistical aggregates — stddev/variance (sample), correlation,
 # covariance: same definitions in Spark and DuckDB.

@@ -133,3 +133,62 @@ def test_q87_coverage_monotone(spark, sf_dir):
     assert (pdf["coverage"].diff().dropna() > 0).all()
     assert pdf["coverage"].iloc[-1] <= 1.0
     assert (pdf["n"].diff().dropna() <= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# q89 MMR re-ranking: distributed applyInPandas result == local greedy
+# on the same candidate blocks, plus greedy invariants.
+# ---------------------------------------------------------------------------
+def test_q89_mmr_matches_local_reference(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from generative_ai_vector_db_spark.operators import vector
+    from generative_ai_vector_db_spark.tables import load
+
+    got = vector.q89_mmr_rerank(spark, sf_dir).toPandas()
+
+    # rebuild the candidate blocks through the same stage-1 ops, then
+    # run the greedy selection locally per query
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    cand = (
+        vector._scored_pairs(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= vector.MMR_PREFILTER)
+        .drop("rn", "dist")
+        .join(
+            load(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+            "vec_id",
+        )
+        .toPandas()
+    )
+    import pandas as pd
+
+    want = (
+        pd.concat(
+            [
+                vector._mmr_select(g.reset_index(drop=True))
+                for _, g in cand.groupby("q_id")
+            ]
+        )
+        .sort_values(["q_id", "mmr_rank"])
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(["q_id", "mmr_rank"]).reset_index(drop=True)
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert got["mmr_score"].tolist() == want["mmr_score"].tolist()
+
+
+def test_q89_mmr_invariants(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import vector
+
+    pdf = vector.q89_mmr_rerank(spark, sf_dir).toPandas()
+    for _, g in pdf.groupby("q_id"):
+        assert len(g) == min(vector.K, vector.MMR_PREFILTER)
+        assert g["vec_id"].is_unique
+        assert g["mmr_rank"].tolist() == list(range(1, len(g) + 1))
+        # greedy max is non-increasing round over round
+        assert (g.sort_values("mmr_rank")["mmr_score"].diff().dropna() <= 1e-9).all()
+        # first pick is pure relevance: the max-relevance candidate
+        first = g.loc[g["mmr_rank"] == 1].iloc[0]
+        assert first["relevance"] == g["relevance"].max()

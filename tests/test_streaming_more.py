@@ -143,3 +143,24 @@ def test_partition_pruning_on_partitioned_layout(spark, sf_dir):
         assert n == want > 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_stream_bounded_state(spark, sf_dir):
+    """run_dedup_stream (dropDuplicatesWithinWatermark): re-delivered
+    events within the watermark horizon are emitted exactly once, and
+    the full events table passes through unduplicated."""
+    d = tempfile.mkdtemp(prefix="dupes_src_")
+    try:
+        ev = load(spark, sf_dir, "events")
+        ev.coalesce(1).write.mode("overwrite").parquet(d)
+        # second file replays the first 20 events (at-least-once retry)
+        replay = ev.orderBy("event_id").limit(20)
+        replay.coalesce(1).write.mode("append").parquet(d)
+
+        jobs.run_dedup_stream(spark, d, sink_table="t_dedup_wm")
+        got = spark.table("t_dedup_wm").toPandas()
+        n_distinct = ev.select("event_id").distinct().count()
+        assert len(got) == n_distinct
+        assert got["event_id"].is_unique
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
