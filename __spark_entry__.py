@@ -82,6 +82,7 @@ _PRIORITY = [
     "q81_embedding_quantize", "q82_length_histogram",
     "q83_bm25_topk", "q84_hybrid_rrf", "q85_dedup_corpus",
     "q86_tfidf_keywords", "q87_vocab_coverage", "q88_median_length_filter",
+    "q90_tpch_q4_shape", "q91_tpch_q12_shape", "q92_tpch_q14_shape",
     # tier 2 — green in r01; first the ones this round's edits touch
     "q41_ngram_jaccard", "q64_repetition_ratio", "q63_corpus_stats",
     "q29_ingest_routing", "q24_chunk_stride", "q75_chunk_udtf",

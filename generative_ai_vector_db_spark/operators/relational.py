@@ -951,6 +951,112 @@ ORDER BY o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# q90 — TPC-H Q4 shape (order-priority checking), adapted to the fixture
+# columns: count orders per priority in a quarter that have at least one
+# line shipped after the order date. EXISTS = left-semi join; only order
+# keys shuffle. The date predicate prunes the orders scan first.
+# ---------------------------------------------------------------------------
+def q90_tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q90_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q91 — TPC-H Q12 shape (priority classes per line status): conditional
+# CASE aggregation over the orders⋈lineitem join in one shipping year.
+# ---------------------------------------------------------------------------
+def q91_tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q91_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q92 — TPC-H Q14 shape (promotion revenue share): ratio of conditional
+# to total revenue for one shipping month, lineitem⋈part with the part
+# dimension broadcast.
+# ---------------------------------------------------------------------------
+def q92_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        _r4(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev)
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q92_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1.0 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue_pct,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate <  TIMESTAMP '1997-04-01'
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_pushdown": q02_filter_pushdown,
@@ -983,6 +1089,9 @@ QUERIES = {
     "q60_systematic_sample": q60_systematic_sample,
     "q72_window_rank_family": q72_window_rank_family,
     "q61_approx_quantiles": q61_approx_quantiles,
+    "q90_tpch_q4_shape": q90_tpch_q4_shape,
+    "q91_tpch_q12_shape": q91_tpch_q12_shape,
+    "q92_tpch_q14_shape": q92_tpch_q14_shape,
 }
 
 ORACLE = {
@@ -1015,4 +1124,7 @@ ORACLE = {
     "q55_pivot": Q55_SQL,
     "q60_systematic_sample": Q60_SQL,
     "q72_window_rank_family": Q72_SQL,
+    "q90_tpch_q4_shape": Q90_SQL,
+    "q91_tpch_q12_shape": Q91_SQL,
+    "q92_tpch_q14_shape": Q92_SQL,
 }
