@@ -206,3 +206,46 @@ def test_load_documents_office_formats(spark):
         assert rej["legacy.doc"].startswith("Loader error: ")
     finally:
         shutil.rmtree(uploads, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# property tests: round-trip arbitrary text through the builders
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from xml.sax.saxutils import escape as xml_escape
+
+# printable text without XML-structural or control chars; the builders
+# escape XML entities so <>& are exercised deliberately
+_text = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("L", "N", "P", "S", "Zs"), max_codepoint=0x2FF
+    ),
+    min_size=1,
+    max_size=80,
+).map(lambda s: s.strip()).filter(bool)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=5))
+def test_docx_roundtrip_property(paragraphs):
+    data = make_docx([xml_escape(p) for p in paragraphs])
+    assert office_formats.parse_docx_stdlib(data) == "\n".join(paragraphs)
+
+
+# PDF literal strings are one-byte latin-1 in this minimal profile
+_pdf_text = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("L", "N", "P", "S", "Zs"), max_codepoint=0xFF
+    ),
+    min_size=1,
+    max_size=80,
+).map(lambda s: s.strip()).filter(bool)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(_pdf_text, min_size=1, max_size=4), min_size=1, max_size=3))
+def test_pdf_roundtrip_property(pages):
+    data = make_pdf(pages, compress=True)
+    want = "\n\n".join("\n".join(lines) for lines in pages)
+    assert office_formats.parse_pdf_stdlib(data) == want
