@@ -26,6 +26,7 @@ from generative_ai_vector_db_spark.operators import (  # noqa: E402
     multimodal,
     mllib_index,
     pandas_udfs,
+    quality,
     rag,
     relational,
     retrieval,
@@ -48,6 +49,7 @@ _MODULES = [
     dedup,
     multimodal,
     pandas_udfs,
+    quality,
     mllib_index,
     store,
     rag,
@@ -83,10 +85,16 @@ _PRIORITY = [
     "q83_bm25_topk", "q84_hybrid_rrf", "q85_dedup_corpus",
     "q86_tfidf_keywords", "q87_vocab_coverage", "q88_median_length_filter",
     "q90_tpch_q4_shape", "q91_tpch_q12_shape", "q92_tpch_q14_shape",
+    "q93_gopher_quality", "q94_source_cap", "q95_lang_kl_divergence",
+    "q96_event_funnel", "q97_tpch_q3_shape", "q98_tpch_q10_shape",
+    "q99_centroid_outliers",
     # tier 2 — green in r01; first the ones this round's edits touch
     "q41_ngram_jaccard", "q64_repetition_ratio", "q63_corpus_stats",
     "q29_ingest_routing", "q24_chunk_stride", "q75_chunk_udtf",
-    "q25_knn_l2", "q26_knn_cosine", "q27_similarity_join",
+    "q25_knn_l2", "q26_knn_cosine",
+    # ---- driver's 50-slot window ends here ----
+    # tier 3 — green in r01, overflow (r01 rows remain the evidence)
+    "q27_similarity_join",
     "q28_context_assembly", "q42_cosine_neardup",
     "q37_lang_id", "q38_text_quality", "q39_token_count",
     "q40_fingerprint", "q57_redact_pii",
@@ -94,8 +102,6 @@ _PRIORITY = [
     "q06_join_inner", "q07_join_broadcast", "q08_join_multiway",
     "q12_dedup_exact", "q13_window_topk", "q30_store_counts",
     "q34_latest_per_key", "q36_weighted_avg", "q54_percentiles",
-    # ---- driver's 50-slot window ends here ----
-    # tier 3 — green in r01, overflow (r01 rows remain the evidence)
     "q04_count_distinct", "q09_join_left", "q10_join_semi",
     "q11_join_anti", "q14_window_running", "q15_window_lag",
     "q16_global_topk", "q17_set_ops", "q18_rollup",

@@ -1,0 +1,341 @@
+"""Corpus-quality and analytics operators extending the curation
+surface (SURVEY §2.C): Gopher-style rule filtering, per-source caps,
+distribution drift, behavioural funnels and embedding outlier scoring.
+
+The reference stops at chunk+embed+store (helper/multiple_document_upload.py);
+a production 100 TB pretraining pipeline also curates. All five operators
+are pure built-in expressions with exact DuckDB twins:
+
+* q93 Gopher quality rules — the published Gopher (Rae et al. 2021)
+  document filters re-expressed as one narrow projection: word count,
+  mean word length and alphabetic-word fraction, each a higher-order
+  function over one ``split`` — no Python, no shuffle; the filter is
+  scan-side and pushes ahead of any downstream join at 100 TB.
+* q94 per-source cap — mixture control: keep the N longest documents
+  per source via one rank window (single shuffle on ``source``; skewed
+  sources would take the salted-window variant in scale.py).
+* q95 per-language KL divergence — distribution drift of each
+  language's length histogram vs the corpus: two tiny aggregations,
+  broadcast-joined; corpus totals never leave the executors.
+* q96 event funnel — min-timestamp ordering funnel
+  (signup -> view -> click -> purchase) over ``events``: one groupBy
+  per user, conditional mins, then a 4-row ``stack``. Per-user state
+  is O(#steps); 100 TB of events reduce map-side before one shuffle.
+* q99 centroid outliers — per-label mean embedding via
+  ``posexplode`` + avg (no all-pairs), distance of each vector to its
+  label centroid, top-3 outliers per label by rank window. The
+  centroid table is labels x dim rows — broadcast-sized at any corpus
+  scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+# Gopher rule thresholds (Rae et al. 2021, Table A1 — adapted bounds)
+MIN_WORDS, MAX_WORDS = 50, 100_000
+MIN_MEAN_WL, MAX_MEAN_WL = 3.0, 10.0
+MIN_ALPHA_FRAC = 0.8
+
+SOURCE_CAP = 20  # q94: keep the N longest docs per source
+KL_BUCKET = 100  # q95: histogram bucket width (chars)
+OUTLIER_K = 3  # q99: outliers kept per label
+
+
+# ---------------------------------------------------------------------------
+# q93 — Gopher-style quality rules
+# ---------------------------------------------------------------------------
+def q93_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("bigint")
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+    )
+    mean_wl = sum_len / n_words
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("bigint")
+    alpha_frac = alpha / n_words
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_wl"),
+        alpha_frac.alias("alpha_frac"),
+    )
+    r_words = (F.col("n_words") >= MIN_WORDS) & (F.col("n_words") <= MAX_WORDS)
+    r_mean_wl = (F.col("mean_wl") >= MIN_MEAN_WL) & (F.col("mean_wl") <= MAX_MEAN_WL)
+    r_alpha = F.col("alpha_frac") >= MIN_ALPHA_FRAC
+    return (
+        staged.select(
+            "doc_id",
+            "lang",
+            "n_words",
+            F.round("mean_wl", 4).alias("mean_wl"),
+            F.round("alpha_frac", 4).alias("alpha_frac"),
+            r_words.alias("r_words"),
+            r_mean_wl.alias("r_mean_wl"),
+            r_alpha.alias("r_alpha"),
+            (r_words & r_mean_wl & r_alpha).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q93_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         list_sum([CAST(len(w) AS BIGINT) for w in string_split(text, ' ')])
+           * 1.0 / len(string_split(text, ' ')) AS mean_wl,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+           * 1.0 / len(string_split(text, ' ')) AS alpha_frac
+  FROM documents
+)
+SELECT doc_id, lang, n_words,
+       round(mean_wl, 4) AS mean_wl,
+       round(alpha_frac, 4) AS alpha_frac,
+       (n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}) AS r_words,
+       (mean_wl >= {MIN_MEAN_WL} AND mean_wl <= {MAX_MEAN_WL}) AS r_mean_wl,
+       (alpha_frac >= {MIN_ALPHA_FRAC}) AS r_alpha,
+       ((n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS})
+        AND (mean_wl >= {MIN_MEAN_WL} AND mean_wl <= {MAX_MEAN_WL})
+        AND (alpha_frac >= {MIN_ALPHA_FRAC})) AS keep
+FROM staged
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q94 — per-source cap (mixture control)
+# ---------------------------------------------------------------------------
+def q94_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars", rk.cast("bigint").alias("rk"))
+        .where(F.col("rk") <= SOURCE_CAP)
+        .orderBy("doc_id")
+    )
+
+
+Q94_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+  FROM documents
+)
+SELECT doc_id, source, n_chars, rk
+FROM ranked WHERE rk <= {SOURCE_CAP}
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q95 — per-language KL divergence of length distribution vs corpus
+# ---------------------------------------------------------------------------
+def q95_lang_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / KL_BUCKET) * KL_BUCKET).cast("bigint")
+    lb = docs.select("lang", bucket.alias("bucket")).groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_lb")
+    )
+    b = docs.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    # corpus total as a broadcast 1-row cross join, NOT an unpartitioned
+    # window (which would single-partition the whole intermediate)
+    tot = b.agg(F.sum("n_b").alias("corpus_n"))
+    lang_total = Window.partitionBy("lang")
+    joined = (
+        lb.join(F.broadcast(b), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_lb",
+            (F.col("n_lb") / F.sum("n_lb").over(lang_total)).alias("p"),
+            (F.col("n_b") / F.col("corpus_n")).alias("q"),
+        )
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.sum("n_lb").cast("bigint").alias("n_docs"),
+            F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 4).alias("kl"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q95_SQL = f"""
+WITH lb AS (
+  SELECT lang, CAST(floor(n_chars / {KL_BUCKET}) * {KL_BUCKET} AS BIGINT) AS bucket,
+         count(*) AS n_lb
+  FROM documents GROUP BY 1, 2
+),
+b AS (
+  SELECT CAST(floor(n_chars / {KL_BUCKET}) * {KL_BUCKET} AS BIGINT) AS bucket,
+         count(*) AS n_b
+  FROM documents GROUP BY 1
+),
+joined AS (
+  SELECT lb.lang, lb.n_lb,
+         lb.n_lb * 1.0 / sum(lb.n_lb) OVER (PARTITION BY lb.lang) AS p,
+         b.n_b * 1.0 / sum(lb.n_lb) OVER () AS q
+  FROM lb JOIN b USING (bucket)
+)
+SELECT lang, CAST(sum(n_lb) AS BIGINT) AS n_docs,
+       round(sum(p * ln(p / q)), 4) AS kl
+FROM joined GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# q96 — behavioural event funnel (min-timestamp ordering semantics:
+# a user completes step k when the first occurrence of step k is
+# strictly after the first occurrence of step k-1)
+# ---------------------------------------------------------------------------
+_FUNNEL = ["signup", "view", "click", "purchase"]
+
+
+def q96_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in _FUNNEL
+        ]
+    )
+    s, v, c, p = (F.col(f"t_{x}") for x in _FUNNEL)
+    step1 = s.isNotNull()
+    step2 = step1 & (v > s)
+    step3 = step2 & (c > v)
+    step4 = step3 & (p > c)
+    agg = firsts.agg(
+        F.count(F.when(step1, 1)).alias("n1"),
+        F.count(F.when(step2, 1)).alias("n2"),
+        F.count(F.when(step3, 1)).alias("n3"),
+        F.count(F.when(step4, 1)).alias("n4"),
+    )
+    return agg.selectExpr(
+        "stack(4, CAST(1 AS BIGINT), 'signup', n1,"
+        "         CAST(2 AS BIGINT), 'view', n2,"
+        "         CAST(3 AS BIGINT), 'click', n3,"
+        "         CAST(4 AS BIGINT), 'purchase', n4) AS (step, event_type, n_users)"
+    ).orderBy("step")
+
+
+Q96_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'signup')   AS t_signup,
+         min(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+         min(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT
+    count(*) FILTER (WHERE t_signup IS NOT NULL) AS n1,
+    count(*) FILTER (WHERE t_signup IS NOT NULL AND t_view > t_signup) AS n2,
+    count(*) FILTER (WHERE t_signup IS NOT NULL AND t_view > t_signup
+                     AND t_click > t_view) AS n3,
+    count(*) FILTER (WHERE t_signup IS NOT NULL AND t_view > t_signup
+                     AND t_click > t_view AND t_purchase > t_click) AS n4
+  FROM firsts
+)
+SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type, n1 AS n_users FROM agg
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'view', n2 FROM agg
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'click', n3 FROM agg
+UNION ALL
+SELECT CAST(4 AS BIGINT), 'purchase', n4 FROM agg
+ORDER BY step
+"""
+
+
+# ---------------------------------------------------------------------------
+# q99 — per-label centroid outlier scoring
+# ---------------------------------------------------------------------------
+def q99_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    # widen to double BEFORE any arithmetic so both engines average the
+    # same doubles (float32 avg differs)
+    exploded = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "x"
+        ),
+    )
+    centroids = exploded.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    d2 = (
+        exploded.join(centroids, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("label").orderBy(F.desc("d2"), "vec_id")
+    )
+    return (
+        d2.withColumn("rk", rk.cast("bigint"))
+        .where(F.col("rk") <= OUTLIER_K)
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.round(F.sqrt("d2"), 4).alias("dist"),
+            "rk",
+        )
+        .orderBy("label", "rk")
+    )
+
+
+Q99_SQL = f"""
+WITH exploded AS (
+  SELECT vec_id, label,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         unnest([CAST(x AS DOUBLE) for x in embedding]) AS x
+  FROM embeddings
+),
+centroids AS (
+  SELECT label, pos, avg(x) AS c FROM exploded GROUP BY label, pos
+),
+d2 AS (
+  SELECT e.vec_id, e.label, sum((e.x - c.c) * (e.x - c.c)) AS d2
+  FROM exploded e JOIN centroids c USING (label, pos)
+  GROUP BY e.vec_id, e.label
+),
+ranked AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, d2,
+         CAST(row_number() OVER (
+           PARTITION BY label ORDER BY d2 DESC, vec_id) AS BIGINT) AS rk
+  FROM d2
+)
+SELECT vec_id, label, round(sqrt(d2), 4) AS dist, rk
+FROM ranked WHERE rk <= {OUTLIER_K}
+ORDER BY label, rk
+"""
+
+
+QUERIES = {
+    "q93_gopher_quality": q93_gopher_quality,
+    "q94_source_cap": q94_source_cap,
+    "q95_lang_kl_divergence": q95_lang_kl_divergence,
+    "q96_event_funnel": q96_event_funnel,
+    "q99_centroid_outliers": q99_centroid_outliers,
+}
+
+ORACLE = {
+    "q93_gopher_quality": Q93_SQL,
+    "q94_source_cap": Q94_SQL,
+    "q95_lang_kl_divergence": Q95_SQL,
+    "q96_event_funnel": Q96_SQL,
+    "q99_centroid_outliers": Q99_SQL,
+}

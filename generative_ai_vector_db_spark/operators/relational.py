@@ -1057,6 +1057,90 @@ WHERE l_shipdate >= TIMESTAMP '1997-03-01'
 """
 
 
+# ---------------------------------------------------------------------------
+# q97 — TPC-H Q3 shape (shipping-priority top-10): segment-filtered
+# customer dim broadcast into orders⋈lineitem, revenue per order,
+# top-10 by rounded revenue with a deterministic key tiebreak.
+# ---------------------------------------------------------------------------
+def q97_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-06-01")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-06-01")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_r4(F.sum(rev)).alias("revenue"))
+        .withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q97_SQL = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q98 — TPC-H Q10 shape (returned-item revenue per customer): one
+# order-quarter, returned lines only, customer+nation dims broadcast,
+# top-20 customers by rounded revenue with key tiebreak.
+# ---------------------------------------------------------------------------
+def q98_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _r4(F.sum(rev)).alias("revenue"),
+            F.round(F.first("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q98_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+       round(any_value(c_acctbal), 2) AS c_acctbal
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_pushdown": q02_filter_pushdown,
@@ -1092,6 +1176,8 @@ QUERIES = {
     "q90_tpch_q4_shape": q90_tpch_q4_shape,
     "q91_tpch_q12_shape": q91_tpch_q12_shape,
     "q92_tpch_q14_shape": q92_tpch_q14_shape,
+    "q97_tpch_q3_shape": q97_tpch_q3_shape,
+    "q98_tpch_q10_shape": q98_tpch_q10_shape,
 }
 
 ORACLE = {
@@ -1127,4 +1213,6 @@ ORACLE = {
     "q90_tpch_q4_shape": Q90_SQL,
     "q91_tpch_q12_shape": Q91_SQL,
     "q92_tpch_q14_shape": Q92_SQL,
+    "q97_tpch_q3_shape": Q97_SQL,
+    "q98_tpch_q10_shape": Q98_SQL,
 }

@@ -1,0 +1,71 @@
+"""Quality/curation operators (q93-q96, q99) and TPC-H Q3/Q10 shapes
+(q97/q98) vs their DuckDB twins, plus semantic invariants the
+hash-match alone doesn't show."""
+
+from __future__ import annotations
+
+import pytest
+
+from generative_ai_vector_db_spark.operators import quality, relational
+
+from .oracle_utils import compare_query
+
+
+@pytest.mark.parametrize("name", sorted(quality.ORACLE))
+def test_quality_matches_oracle(spark, sf_dir, name):
+    compare_query(spark, sf_dir, quality.QUERIES[name], quality.ORACLE[name], name)
+
+
+@pytest.mark.parametrize("name", ["q97_tpch_q3_shape", "q98_tpch_q10_shape"])
+def test_tpch_shapes_match_oracle(spark, sf_dir, name):
+    compare_query(
+        spark, sf_dir, relational.QUERIES[name], relational.ORACLE[name], name
+    )
+
+
+def test_gopher_rules_consistent(spark, sf_dir):
+    pdf = quality.q93_gopher_quality(spark, sf_dir).toPandas()
+    # keep is the conjunction of the three rules
+    assert (pdf["keep"] == (pdf["r_words"] & pdf["r_mean_wl"] & pdf["r_alpha"])).all()
+    # the word-count rule actually splits this corpus (not vacuous)
+    assert 0 < pdf["r_words"].sum() < len(pdf)
+    # recomputed rule from the emitted columns agrees with the flag
+    recomputed = (pdf["n_words"] >= quality.MIN_WORDS) & (
+        pdf["n_words"] <= quality.MAX_WORDS
+    )
+    assert (pdf["r_words"] == recomputed).all()
+
+
+def test_source_cap_bounds(spark, sf_dir):
+    pdf = quality.q94_source_cap(spark, sf_dir).toPandas()
+    per_source = pdf.groupby("source").size()
+    assert (per_source <= quality.SOURCE_CAP).all()
+    # within each source the kept docs are the longest ones: rank 1 has
+    # the max n_chars of the kept set
+    for _, g in pdf.groupby("source"):
+        assert g.loc[g["rk"].idxmin(), "n_chars"] == g["n_chars"].max()
+
+
+def test_kl_divergence_nonnegative(spark, sf_dir):
+    pdf = quality.q95_lang_kl_divergence(spark, sf_dir).toPandas()
+    # Gibbs' inequality: KL(P||Q) >= 0 (up to the 1e-4 rounding)
+    assert (pdf["kl"] >= -1e-4).all()
+    assert pdf["n_docs"].sum() > 0
+
+
+def test_funnel_monotone(spark, sf_dir):
+    pdf = quality.q96_event_funnel(spark, sf_dir).toPandas().sort_values("step")
+    counts = pdf["n_users"].tolist()
+    # each funnel step can only lose users
+    assert counts == sorted(counts, reverse=True)
+    assert pdf["event_type"].tolist() == ["signup", "view", "click", "purchase"]
+
+
+def test_centroid_outliers_shape(spark, sf_dir):
+    pdf = quality.q99_centroid_outliers(spark, sf_dir).toPandas()
+    per_label = pdf.groupby("label").size()
+    assert (per_label == quality.OUTLIER_K).all()
+    # rank 1 is the farthest outlier within each label
+    for _, g in pdf.groupby("label"):
+        assert g.sort_values("rk")["dist"].is_monotonic_decreasing
+    assert (pdf["dist"] >= 0).all()
