@@ -324,12 +324,145 @@ ORDER BY label, rk
 """
 
 
+# ---------------------------------------------------------------------------
+# q100 — rolling anomaly detection: per-event-type daily totals scored
+# against their own trailing 7-day window (RANGE frame on a day index,
+# so gaps in the calendar shrink the window instead of silently
+# widening it like a ROWS frame would). Partitioned by event_type —
+# the window never crosses keys, so 100 TB of events reduce to
+# O(types x days) rows before the single narrow window pass.
+# ---------------------------------------------------------------------------
+ROLL_DAYS = 7  # trailing window width (days, inclusive of current)
+Z_EPS = 1e-9  # guard: a zero-variance window yields z = null
+
+
+def q100_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day_ts"),
+    ).agg(F.sum("value").alias("daily_value"))
+    day_num = F.datediff(F.col("day_ts"), F.lit("1970-01-01")).cast("bigint")
+    staged = daily.select(
+        "event_type",
+        F.date_format("day_ts", "yyyy-MM-dd").alias("day"),
+        day_num.alias("day_num"),
+        "daily_value",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-(ROLL_DAYS - 1), 0)
+    )
+    scored = staged.select(
+        "event_type",
+        "day",
+        "daily_value",
+        F.avg("daily_value").over(w).alias("avg7"),
+        F.stddev_samp("daily_value").over(w).alias("std7"),
+    )
+    z = F.when(
+        F.col("std7") > Z_EPS,
+        (F.col("daily_value") - F.col("avg7")) / F.col("std7"),
+    )
+    return (
+        scored.select(
+            "event_type",
+            "day",
+            F.round("daily_value", 4).alias("daily_value"),
+            F.round("avg7", 4).alias("avg7"),
+            F.round("std7", 4).alias("std7"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+Q100_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         date_trunc('day', ts) AS day_ts,
+         sum(value) AS daily_value
+  FROM events GROUP BY 1, 2
+),
+staged AS (
+  SELECT event_type,
+         strftime(day_ts, '%Y-%m-%d') AS day,
+         CAST(date_diff('day', DATE '1970-01-01', day_ts) AS BIGINT) AS day_num,
+         daily_value
+  FROM daily
+),
+scored AS (
+  SELECT event_type, day, daily_value,
+         avg(daily_value) OVER w AS avg7,
+         stddev_samp(daily_value) OVER w AS std7
+  FROM staged
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+               RANGE BETWEEN {ROLL_DAYS - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day,
+       round(daily_value, 4) AS daily_value,
+       round(avg7, 4) AS avg7,
+       round(std7, 4) AS std7,
+       round(CASE WHEN std7 > {Z_EPS}
+                  THEN (daily_value - avg7) / std7 END, 4) AS z
+FROM scored
+ORDER BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# q101 — deterministic stratified downsampling (mixture rebalancing):
+# overrepresented languages keep a smaller slice, selected by a
+# deterministic key residue (doc_id % 100) so the sample is
+# reproducible run-to-run and engine-to-engine — no RNG, no
+# sample()-by-fraction nondeterminism. The keep predicate is scan-side
+# (pushes to the reader); the per-lang rate table is a broadcast map.
+# ---------------------------------------------------------------------------
+KEEP_PCT = {"en": 25, "de": 50, "es": 50, "fr": 50, "zh": 50}
+DEFAULT_PCT = 50
+
+
+def q101_stratified_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pct = F.lit(DEFAULT_PCT)
+    for lang, p in sorted(KEEP_PCT.items()):
+        pct = F.when(F.col("lang") == lang, F.lit(p)).otherwise(pct)
+    kept = docs.where((F.col("doc_id") % 100) < pct)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+_PCT_CASE = "\n    ".join(
+    f"WHEN lang = '{lang}' THEN {p}" for lang, p in sorted(KEEP_PCT.items())
+)
+
+Q101_SQL = f"""
+WITH kept AS (
+  SELECT lang, n_chars FROM documents
+  WHERE doc_id % 100 < (CASE
+    {_PCT_CASE}
+    ELSE {DEFAULT_PCT} END)
+)
+SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "q93_gopher_quality": q93_gopher_quality,
     "q94_source_cap": q94_source_cap,
     "q95_lang_kl_divergence": q95_lang_kl_divergence,
     "q96_event_funnel": q96_event_funnel,
     "q99_centroid_outliers": q99_centroid_outliers,
+    "q100_rolling_anomaly": q100_rolling_anomaly,
+    "q101_stratified_downsample": q101_stratified_downsample,
 }
 
 ORACLE = {
@@ -338,4 +471,6 @@ ORACLE = {
     "q95_lang_kl_divergence": Q95_SQL,
     "q96_event_funnel": Q96_SQL,
     "q99_centroid_outliers": Q99_SQL,
+    "q100_rolling_anomaly": Q100_SQL,
+    "q101_stratified_downsample": Q101_SQL,
 }

@@ -61,6 +61,30 @@ def test_funnel_monotone(spark, sf_dir):
     assert pdf["event_type"].tolist() == ["signup", "view", "click", "purchase"]
 
 
+def test_rolling_anomaly_window_semantics(spark, sf_dir):
+    pdf = quality.q100_rolling_anomaly(spark, sf_dir).toPandas()
+    # the very first day of each event type has a 1-row window: no
+    # sample stddev, so z must be null there
+    # (nth(0), not first(): pandas first() skips NaN cells)
+    firsts = pdf.sort_values("day").groupby("event_type").nth(0)
+    assert firsts["z"].isna().all()
+    # recompute one trailing window by hand and compare avg7
+    g = pdf[pdf["event_type"] == "click"].sort_values("day").reset_index(drop=True)
+    if len(g) >= quality.ROLL_DAYS:
+        i = quality.ROLL_DAYS - 1
+        manual = g["daily_value"][: i + 1].mean()
+        assert abs(g.loc[i, "avg7"] - manual) < 1e-2
+
+
+def test_stratified_downsample_deterministic(spark, sf_dir):
+    a = quality.q101_stratified_downsample(spark, sf_dir).toPandas()
+    b = quality.q101_stratified_downsample(spark, sf_dir).toPandas()
+    # no RNG anywhere: byte-identical across runs
+    assert a.equals(b)
+    # the 'en' stratum is downsampled harder than the default rate
+    assert quality.KEEP_PCT["en"] < quality.DEFAULT_PCT
+
+
 def test_centroid_outliers_shape(spark, sf_dir):
     pdf = quality.q99_centroid_outliers(spark, sf_dir).toPandas()
     per_label = pdf.groupby("label").size()
