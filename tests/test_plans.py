@@ -162,3 +162,52 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_q93_gopher_rules_scan_side(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import quality
+
+    plan = plan_of(quality.q93_gopher_quality(spark, sf_dir))
+    # pure projection: the only exchange is the final presentation sort
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "Join" not in tree and "Window" not in tree
+
+
+def test_q97_q98_broadcast_dims_and_topk(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import relational
+
+    for fn in (relational.q97_tpch_q3_shape, relational.q98_tpch_q10_shape):
+        plan = plan_of(fn(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "TakeOrderedAndProject" in plan  # top-N, no global sort
+
+
+def test_q99_centroids_broadcast_and_group_limit(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import quality
+
+    plan = plan_of(quality.q99_centroid_outliers(spark, sf_dir))
+    # per-label top-k pushes below the exchange
+    assert "WindowGroupLimit" in plan
+
+
+def test_q100_window_partitioned_by_key(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import quality
+
+    plan = plan_of(quality.q100_rolling_anomaly(spark, sf_dir))
+    # the rolling frame is keyed on event_type — the window's exchange
+    # hash-partitions, never collapsing to a single partition
+    assert "Window" in plan
+    assert "hashpartitioning(event_type" in plan
+    # daily pre-aggregation feeds the window (tree prints top-down, so
+    # the Window node appears above its HashAggregate input)
+    tree = plan.split("\n\n")[0]
+    assert tree.index("Window") < tree.index("HashAggregate")
+
+
+def test_q101_residue_filter_reaches_scan(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import quality
+
+    plan = plan_of(quality.q101_stratified_downsample(spark, sf_dir))
+    # deterministic predicate evaluates scan-side (no join, no window)
+    assert "Join" not in plan and "Window" not in plan
