@@ -455,6 +455,187 @@ FROM kept GROUP BY lang ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# q102 — deterministic leak-free train/val/test split: the split key is
+# a doc_id residue, so membership is reproducible engine-to-engine and
+# run-to-run, and a document can never drift between splits as the
+# corpus grows (the classic requirement for eval hygiene). Scan-side
+# CASE + one aggregation; at 100 TB the split column would be written
+# as a partition key so downstream reads prune to one split.
+# ---------------------------------------------------------------------------
+TRAIN_MOD, VAL_RESIDUE = 10, 8  # 0-7 train, 8 val, 9 test
+
+
+def _split_expr():
+    r = F.col("doc_id") % TRAIN_MOD
+    return (
+        F.when(r < VAL_RESIDUE, "train")
+        .when(r == VAL_RESIDUE, "val")
+        .otherwise("test")
+    )
+
+
+def q102_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(_split_expr().alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+Q102_SQL = f"""
+SELECT CASE WHEN doc_id % {TRAIN_MOD} < {VAL_RESIDUE} THEN 'train'
+            WHEN doc_id % {TRAIN_MOD} = {VAL_RESIDUE} THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+FROM documents
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# q104 — context-length truncation stats: what a fixed token budget
+# (the model's context length) costs per language — docs clipped,
+# tokens kept vs dropped. Narrow projection + one aggregation; the
+# expensive tokenize happens once, scan-side.
+# ---------------------------------------------------------------------------
+TRUNC_TOKENS = 64
+
+
+def q104_truncation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    staged = docs.select(
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.least(n_tokens, F.lit(TRUNC_TOKENS)).alias("kept"),
+    )
+    return (
+        staged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("n_tokens") > TRUNC_TOKENS, 1)).alias("n_truncated"),
+            F.sum("kept").cast("bigint").alias("tokens_kept"),
+            F.sum(F.col("n_tokens") - F.col("kept")).cast("bigint").alias(
+                "tokens_dropped"
+            ),
+            F.round(
+                F.sum(F.col("n_tokens") - F.col("kept"))
+                / F.sum("n_tokens"),
+                4,
+            ).alias("drop_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q104_SQL = f"""
+WITH staged AS (
+  SELECT lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         least(CAST(len(string_split(text, ' ')) AS BIGINT),
+               {TRUNC_TOKENS}) AS kept
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE n_tokens > {TRUNC_TOKENS}) AS n_truncated,
+       CAST(sum(kept) AS BIGINT) AS tokens_kept,
+       CAST(sum(n_tokens - kept) AS BIGINT) AS tokens_dropped,
+       round(sum(n_tokens - kept) * 1.0 / sum(n_tokens), 4) AS drop_frac
+FROM staged
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# q105 — cross-source overlap matrix: shared content (by prefix
+# fingerprint — the boilerplate/header signature) between every pair
+# of sources. The engine-portable rolling hash from text.q40 applied
+# to the first PREFIX_WORDS words, then an equi-self-join on the
+# fingerprint (hash-partitioned, never all-pairs) counted per
+# source pair. The diagnostic behind "which scrapes duplicate each
+# other" in a multi-source 100 TB crawl.
+# ---------------------------------------------------------------------------
+PREFIX_WORDS = 8
+
+
+def _prefix_fingerprint():
+    from .text import FP_MOD, FP_MULT
+
+    words = F.slice(F.split(F.lower(F.col("text")), " "), 1, PREFIX_WORDS)
+    feats = F.transform(
+        words,
+        lambda w: (F.length(w) * 31 + F.ascii(F.substring(w, 1, 1))).cast("bigint"),
+    )
+    return F.aggregate(
+        feats,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * FP_MULT + x) % FP_MOD,
+    )
+
+
+def q105_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", "source", _prefix_fingerprint().alias("fingerprint"))
+    a = fp.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("source_a"),
+        "fingerprint",
+    )
+    b = fp.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("source_b"),
+        F.col("fingerprint").alias("fingerprint_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("fingerprint") == F.col("fingerprint_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.col("source_a") < F.col("source_b")),
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+Q105_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, source,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(lower(text), ' ')[1:{PREFIX_WORDS}],
+               w -> CAST(length(w) * 31 + ascii(substring(w, 1, 1)) AS BIGINT))),
+           (a, b) -> (a * {{mult}} + b) % {{mod}}) AS fingerprint
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+FROM fp a JOIN fp b
+  ON a.fingerprint = b.fingerprint
+ AND a.doc_id < b.doc_id
+ AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
+def _finalize_q105_sql() -> str:
+    from .text import FP_MOD, FP_MULT
+
+    return Q105_SQL.format(mult=FP_MULT, mod=FP_MOD)
+
+
 QUERIES = {
     "q93_gopher_quality": q93_gopher_quality,
     "q94_source_cap": q94_source_cap,
@@ -463,6 +644,9 @@ QUERIES = {
     "q99_centroid_outliers": q99_centroid_outliers,
     "q100_rolling_anomaly": q100_rolling_anomaly,
     "q101_stratified_downsample": q101_stratified_downsample,
+    "q102_hash_split": q102_hash_split,
+    "q104_truncation_stats": q104_truncation_stats,
+    "q105_source_overlap_matrix": q105_source_overlap_matrix,
 }
 
 ORACLE = {
@@ -473,4 +657,7 @@ ORACLE = {
     "q99_centroid_outliers": Q99_SQL,
     "q100_rolling_anomaly": Q100_SQL,
     "q101_stratified_downsample": Q101_SQL,
+    "q102_hash_split": Q102_SQL,
+    "q104_truncation_stats": Q104_SQL,
+    "q105_source_overlap_matrix": _finalize_q105_sql(),
 }

@@ -85,6 +85,37 @@ def test_stratified_downsample_deterministic(spark, sf_dir):
     assert quality.KEEP_PCT["en"] < quality.DEFAULT_PCT
 
 
+def test_hash_split_partition_of_corpus(spark, sf_dir):
+    pdf = quality.q102_hash_split(spark, sf_dir).toPandas()
+    # splits partition the corpus: per-split doc counts sum to the total
+    import duckdb
+
+    total = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert pdf["n_docs"].sum() == total
+    assert set(pdf["split"]) == {"train", "val", "test"}
+    # ~80/10/10 by construction of the residue split
+    by_split = pdf.groupby("split")["n_docs"].sum()
+    assert by_split["train"] > by_split["val"]
+    assert by_split["train"] > by_split["test"]
+
+
+def test_truncation_stats_conservation(spark, sf_dir):
+    pdf = quality.q104_truncation_stats(spark, sf_dir).toPandas()
+    # kept + dropped = total tokens (conservation), and drop_frac agrees
+    frac = pdf["tokens_dropped"] / (pdf["tokens_kept"] + pdf["tokens_dropped"])
+    assert (abs(frac - pdf["drop_frac"]) < 1e-3).all()
+    assert (pdf["n_truncated"] <= pdf["n_docs"]).all()
+
+
+def test_source_overlap_symmetric_key_order(spark, sf_dir):
+    pdf = quality.q105_source_overlap_matrix(spark, sf_dir).toPandas()
+    # canonical ordering: every pair reported once with source_a < source_b
+    assert (pdf["source_a"] < pdf["source_b"]).all()
+    assert (pdf["n_shared"] >= 1).all()
+
+
 def test_centroid_outliers_shape(spark, sf_dir):
     pdf = quality.q99_centroid_outliers(spark, sf_dir).toPandas()
     per_label = pdf.groupby("label").size()
