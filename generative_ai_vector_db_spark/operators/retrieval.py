@@ -173,11 +173,17 @@ SELECT doc_id, bm25, rn FROM ranked WHERE rn <= {K} ORDER BY rn
 # ---------------------------------------------------------------------------
 # q84 — hybrid retrieval: RRF fusion of the BM25 ranking with the exact
 # cosine ranking against a query vector. Inner join on doc identity
-# (doc_id == vec_id): fused set = docs with both signals; the two rank
-# windows are global but over already-aggregated per-doc rows (N rows,
-# single ordering pass — at scale, rank only each side's top few
-# hundred candidates, which is how RRF is deployed).
+# (doc_id == vec_id): fused set = docs with both signals. Each side is
+# ranked within a fixed candidate window (RRF_WINDOW, the standard
+# deployed form — rank lists are always truncated) — the rank filter
+# immediately after each row_number lets Spark rewrite the global
+# window as a distributed TakeOrderedAndProject(top-W) instead of a
+# single-partition sort of every candidate, so the plan survives a
+# 100 TB corpus.
 # ---------------------------------------------------------------------------
+RRF_WINDOW = 1000  # per-side candidate cap (rank_window_size)
+
+
 def q84_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = bm25_scores(spark, sf_dir).select(
         "doc_id", F.round("score", 4).alias("bm25")
@@ -185,7 +191,7 @@ def q84_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = lex.withColumn(
         "rank_lex",
         F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")),
-    )
+    ).where(F.col("rank_lex") <= RRF_WINDOW)
 
     emb = load(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == Q_VEC_ID).select(
@@ -208,6 +214,7 @@ def q84_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.orderBy(F.col("cos_sim").desc(), "vec_id")
             ),
         )
+        .where(F.col("rank_vec") <= RRF_WINDOW)
     )
 
     fused = lex.join(vec, lex.doc_id == vec.vec_id).select(
@@ -249,6 +256,7 @@ lex AS (
   SELECT doc_id, round(score, 4) AS bm25,
          row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank_lex
   FROM bm25s
+  QUALIFY rank_lex <= {RRF_WINDOW}
 ),
 q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {Q_VEC_ID}),
 vec AS (
@@ -261,6 +269,7 @@ vecr AS (
   SELECT vec_id, cos_sim,
          row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank_vec
   FROM vec
+  QUALIFY rank_vec <= {RRF_WINDOW}
 ),
 fused AS (
   SELECT lex.doc_id, lex.bm25, vecr.cos_sim,

@@ -211,3 +211,14 @@ def test_q101_residue_filter_reaches_scan(spark, sf_dir):
     plan = plan_of(quality.q101_stratified_downsample(spark, sf_dir))
     # deterministic predicate evaluates scan-side (no join, no window)
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_q84_rrf_rank_windows_are_distributed_topk(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import retrieval
+
+    plan = plan_of(retrieval.q84_hybrid_rrf(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    # every global rank window is capped (RRF_WINDOW / final top-K), so
+    # the optimizer plans a distributed top-N, not a single-partition
+    # sort of all candidates
+    assert tree.count("TakeOrderedAndProject") >= 3
