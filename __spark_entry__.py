@@ -89,12 +89,14 @@ _PRIORITY = [
     "q96_event_funnel", "q97_tpch_q3_shape", "q98_tpch_q10_shape",
     "q99_centroid_outliers", "q100_rolling_anomaly",
     "q101_stratified_downsample", "q102_hash_split",
-    "q104_truncation_stats", "q105_source_overlap_matrix",
+    "q103_length_bucketing", "q104_truncation_stats",
+    "q105_source_overlap_matrix",
     # tier 2 — green in r01; the ones this round's edits touch most
-    "q41_ngram_jaccard", "q64_repetition_ratio", "q24_chunk_stride",
+    "q41_ngram_jaccard", "q64_repetition_ratio",
     # ---- driver's 50-slot window ends here ----
     # tier 3 — green in r01, overflow (r01 rows remain the evidence)
-    "q63_corpus_stats", "q29_ingest_routing", "q75_chunk_udtf",
+    "q24_chunk_stride", "q63_corpus_stats", "q29_ingest_routing",
+    "q75_chunk_udtf",
     "q25_knn_l2", "q26_knn_cosine", "q27_similarity_join",
     "q28_context_assembly", "q42_cosine_neardup",
     "q37_lang_id", "q38_text_quality", "q39_token_count",

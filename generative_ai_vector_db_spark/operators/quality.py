@@ -502,6 +502,66 @@ ORDER BY split, lang
 
 
 # ---------------------------------------------------------------------------
+# q103 — sequence-length bucketing with padding waste: documents are
+# assigned to the smallest power-of-two length bucket that fits them
+# (the standard batching strategy — fixed bucket shapes keep compiled
+# kernels cacheable), and the profile reports how many pad tokens each
+# bucket burns. Explicit CASE boundaries, not log2 (FP-exact at the
+# power-of-two edges in both engines). Scan-side + one aggregation.
+# ---------------------------------------------------------------------------
+SEQ_BUCKETS = [16, 32, 64, 128]  # docs cap at 99 words in the fixtures
+
+
+def q103_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    bucket = F.lit(SEQ_BUCKETS[-1])
+    for b in reversed(SEQ_BUCKETS[:-1]):
+        bucket = F.when(n_tokens <= b, F.lit(b)).otherwise(bucket)
+    staged = docs.select(
+        bucket.cast("bigint").alias("bucket_len"),
+        n_tokens.alias("n_tokens"),
+    )
+    return (
+        staged.groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("bucket_len") - F.col("n_tokens"))
+            .cast("bigint")
+            .alias("pad_tokens"),
+            F.round(
+                F.sum(F.col("bucket_len") - F.col("n_tokens"))
+                / F.sum(F.col("bucket_len")),
+                4,
+            ).alias("waste_frac"),
+        )
+        .orderBy("bucket_len")
+    )
+
+
+_BUCKET_CASE = " ".join(
+    f"WHEN n_tokens <= {b} THEN {b}" for b in SEQ_BUCKETS[:-1]
+)
+
+Q103_SQL = f"""
+WITH staged AS (
+  SELECT CAST(CASE {_BUCKET_CASE} ELSE {SEQ_BUCKETS[-1]} END AS BIGINT)
+           AS bucket_len,
+         n_tokens
+  FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents)
+)
+SELECT bucket_len,
+       count(*) AS n_docs,
+       CAST(sum(bucket_len - n_tokens) AS BIGINT) AS pad_tokens,
+       round(sum(bucket_len - n_tokens) * 1.0 / sum(bucket_len), 4) AS waste_frac
+FROM staged
+GROUP BY bucket_len
+ORDER BY bucket_len
+"""
+
+
+# ---------------------------------------------------------------------------
 # q104 — context-length truncation stats: what a fixed token budget
 # (the model's context length) costs per language — docs clipped,
 # tokens kept vs dropped. Narrow projection + one aggregation; the
@@ -645,6 +705,7 @@ QUERIES = {
     "q100_rolling_anomaly": q100_rolling_anomaly,
     "q101_stratified_downsample": q101_stratified_downsample,
     "q102_hash_split": q102_hash_split,
+    "q103_length_bucketing": q103_length_bucketing,
     "q104_truncation_stats": q104_truncation_stats,
     "q105_source_overlap_matrix": q105_source_overlap_matrix,
 }
@@ -658,6 +719,7 @@ ORACLE = {
     "q100_rolling_anomaly": Q100_SQL,
     "q101_stratified_downsample": Q101_SQL,
     "q102_hash_split": Q102_SQL,
+    "q103_length_bucketing": Q103_SQL,
     "q104_truncation_stats": Q104_SQL,
     "q105_source_overlap_matrix": _finalize_q105_sql(),
 }

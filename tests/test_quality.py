@@ -101,6 +101,14 @@ def test_hash_split_partition_of_corpus(spark, sf_dir):
     assert by_split["train"] > by_split["test"]
 
 
+def test_length_bucketing_fits(spark, sf_dir):
+    pdf = quality.q103_length_bucketing(spark, sf_dir).toPandas()
+    assert set(pdf["bucket_len"]).issubset(set(quality.SEQ_BUCKETS))
+    # padding is non-negative and waste_frac < 1 by construction
+    assert (pdf["pad_tokens"] >= 0).all()
+    assert ((pdf["waste_frac"] >= 0) & (pdf["waste_frac"] < 1)).all()
+
+
 def test_truncation_stats_conservation(spark, sf_dir):
     pdf = quality.q104_truncation_stats(spark, sf_dir).toPandas()
     # kept + dropped = total tokens (conservation), and drop_frac agrees
