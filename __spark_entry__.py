@@ -94,7 +94,11 @@ _PRIORITY = [
     # tier 2 — green in r01; the ones this round's edits touch most
     "q41_ngram_jaccard", "q64_repetition_ratio",
     # ---- driver's 50-slot window ends here ----
-    # tier 3 — green in r01, overflow (r01 rows remain the evidence)
+    # tier 3 — locally-verified oracle queries awaiting window rotation
+    # (front of the tier = first into next round's window)
+    "q106_sessionize", "q107_retention_cohorts", "q108_grouping_sets",
+    "q109_tpch_q5_shape", "q110_tpch_q18_shape",
+    # green in r01, overflow (r01 rows remain the evidence)
     "q24_chunk_stride", "q63_corpus_stats", "q29_ingest_routing",
     "q75_chunk_udtf",
     "q25_knn_l2", "q26_knn_cosine", "q27_similarity_join",

@@ -1141,6 +1141,106 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# q109 — TPC-H Q5 shape (local-supplier revenue per nation): the
+# 6-table join with the co-nationality predicate. region/nation/
+# supplier/customer broadcast; the only shuffles are the fact-side
+# orders⋈lineitem join and the final 5-row aggregate.
+# ---------------------------------------------------------------------------
+def q109_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_r4(F.sum(rev)).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q109_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q110 — TPC-H Q18 shape (large-volume orders): orders whose total
+# quantity exceeds a threshold, with customer attribution. The HAVING
+# subquery is one partial-aggregated pass over lineitem; its output
+# (few thousand keys) semi-joins the fact side.
+# ---------------------------------------------------------------------------
+BIG_ORDER_QTY = 250
+
+
+def q110_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > BIG_ORDER_QTY)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            _r4(F.col("total_qty")).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+Q110_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(CAST(total_qty AS DOUBLE), 4) AS total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > {BIG_ORDER_QTY}
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_pushdown": q02_filter_pushdown,
@@ -1178,6 +1278,8 @@ QUERIES = {
     "q92_tpch_q14_shape": q92_tpch_q14_shape,
     "q97_tpch_q3_shape": q97_tpch_q3_shape,
     "q98_tpch_q10_shape": q98_tpch_q10_shape,
+    "q109_tpch_q5_shape": q109_tpch_q5_shape,
+    "q110_tpch_q18_shape": q110_tpch_q18_shape,
 }
 
 ORACLE = {
@@ -1215,4 +1317,6 @@ ORACLE = {
     "q92_tpch_q14_shape": Q92_SQL,
     "q97_tpch_q3_shape": Q97_SQL,
     "q98_tpch_q10_shape": Q98_SQL,
+    "q109_tpch_q5_shape": Q109_SQL,
+    "q110_tpch_q18_shape": Q110_SQL,
 }

@@ -75,10 +75,32 @@ def q69_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, Q69)
 
 
+# Multi-granularity corpus profile in one pass: GROUPING SETS computes
+# the (lang, source), (lang), (source) and grand-total aggregates in a
+# single Expand + aggregation — one shuffle instead of four queries.
+# GROUPING() flags disambiguate real NULLs from rollup rows.
+Q108 = """
+SELECT coalesce(lang, '(all)') AS lang,
+       coalesce(source, '(all)') AS source,
+       CAST(grouping(lang) AS BIGINT) AS g_lang,
+       CAST(grouping(source) AS BIGINT) AS g_source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+ORDER BY g_lang, g_source, lang, source
+"""
+
+
+def q108_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, Q108)
+
+
 QUERIES = {
     "q67_correlated_min": q67_correlated_min,
     "q68_exists_distribution": q68_exists_distribution,
     "q69_count_distribution": q69_count_distribution,
+    "q108_grouping_sets": q108_grouping_sets,
 }
 
 # The same ANSI text runs on both engines (views share names/schemas).
@@ -86,4 +108,5 @@ ORACLE = {
     "q67_correlated_min": Q67,
     "q68_exists_distribution": Q68,
     "q69_count_distribution": Q69,
+    "q108_grouping_sets": Q108,
 }

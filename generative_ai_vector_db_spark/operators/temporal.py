@@ -158,12 +158,126 @@ ORDER BY order_year
 """
 
 
+# ---------------------------------------------------------------------------
+# q106 — batch sessionization with session IDs (gaps-and-islands): a
+# new session starts when a user's inter-event gap exceeds SESSION_GAP
+# seconds; the running sum of new-session markers IS the session id.
+# Two keyed window passes over one shuffle on user_id — the batch twin
+# of the streaming session window (q33), but emitting stable per-user
+# session sequence numbers that downstream joins can key on. Second
+# timestamps via truncation (cast long / date_diff) — identical in
+# both engines.
+# ---------------------------------------------------------------------------
+SESSION_GAP = 1800  # seconds
+
+
+def q106_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("long")
+    prev = F.lag(secs).over(w)
+    is_new = F.when(
+        prev.isNull() | ((secs - prev) > SESSION_GAP), F.lit(1)
+    ).otherwise(F.lit(0))
+    marked = ev.select("user_id", "event_id", "ts", is_new.alias("is_new"))
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = marked.withColumn(
+        "session_seq", F.sum("is_new").over(cum).cast("bigint")
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), TS_FMT_SPARK).alias("session_start"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+            .cast("bigint")
+            .alias("duration_sec"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+Q106_SQL = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+FROM sess
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# q107 — retention cohort matrix: users grouped by first-activity week
+# (the cohort), counted in each subsequent activity week as an offset.
+# Two aggregations + one broadcast-size join (cohort table is one row
+# per user); weeks via date_trunc (Monday start in both engines).
+# ---------------------------------------------------------------------------
+def q107_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    joined = activity.join(cohort, "user_id").select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        (F.datediff("week", "cohort_week") / 7).cast("bigint").alias("week_offset"),
+    )
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+Q107_SQL = """
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', c.cohort_week, a.week) / 7 AS BIGINT)
+         AS week_offset,
+       count(*) AS n_active_users
+FROM activity a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
     "q59_range_join": q59_range_join,
+    "q106_sessionize": q106_sessionize,
+    "q107_retention_cohorts": q107_retention_cohorts,
 }
 
 ORACLE = {
     "q58_asof_join": Q58_SQL,
     "q59_range_join": Q59_SQL,
+    "q106_sessionize": Q106_SQL,
+    "q107_retention_cohorts": Q107_SQL,
 }

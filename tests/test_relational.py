@@ -30,3 +30,14 @@ def test_approx_count_distinct_tolerance(spark, sf_dir):
     for _, row in pdf.iterrows():
         e = exact[row["event_type"]]
         assert abs(row["approx_users"] - e) <= max(2, 0.05 * e)
+
+
+def test_q109_q110_match_oracle(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import relational
+
+    from .oracle_utils import compare_query
+
+    for name in ("q109_tpch_q5_shape", "q110_tpch_q18_shape"):
+        compare_query(
+            spark, sf_dir, relational.QUERIES[name], relational.ORACLE[name], name
+        )

@@ -66,3 +66,50 @@ def test_asof_join_edge_cases(spark):
     assert out.loc[0, "right_signup_ts"] is None or str(out.loc[0, "right_signup_ts"]) == "NaT"
     assert str(out.loc[1, "right_signup_ts"]) == "2024-01-01 00:01:00"
     assert str(out.loc[2, "right_signup_ts"]) == "2024-01-01 00:02:00"
+
+
+def test_sessionize_matches_oracle(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import temporal
+
+    from .oracle_utils import compare_query
+
+    compare_query(
+        spark, sf_dir,
+        temporal.QUERIES["q106_sessionize"],
+        temporal.ORACLE["q106_sessionize"],
+        "q106_sessionize",
+    )
+
+
+def test_sessionize_gap_invariant(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import temporal
+
+    pdf = temporal.q106_sessionize(spark, sf_dir).toPandas()
+    # session sequence numbers are dense per user starting at 1
+    for _, g in pdf.groupby("user_id"):
+        seqs = sorted(g["session_seq"])
+        assert seqs == list(range(1, len(seqs) + 1))
+    assert (pdf["duration_sec"] >= 0).all()
+
+
+def test_retention_cohorts_matches_oracle(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import temporal
+
+    from .oracle_utils import compare_query
+
+    compare_query(
+        spark, sf_dir,
+        temporal.QUERIES["q107_retention_cohorts"],
+        temporal.ORACLE["q107_retention_cohorts"],
+        "q107_retention_cohorts",
+    )
+
+
+def test_retention_offsets_nonnegative(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import temporal
+
+    pdf = temporal.q107_retention_cohorts(spark, sf_dir).toPandas()
+    assert (pdf["week_offset"] >= 0).all()
+    # offset-0 cell exists for every cohort (a user is active in their
+    # own first week by definition)
+    assert (pdf.groupby("cohort_week")["week_offset"].min() == 0).all()
