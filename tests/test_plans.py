@@ -222,3 +222,13 @@ def test_q84_rrf_rank_windows_are_distributed_topk(spark, sf_dir):
     # the optimizer plans a distributed top-N, not a single-partition
     # sort of all candidates
     assert tree.count("TakeOrderedAndProject") >= 3
+
+
+def test_q109_six_table_join_broadcasts_all_dims(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import relational
+
+    plan = plan_of(relational.q109_tpch_q5_shape(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    # all four dimension joins broadcast: only the fact-fact
+    # orders⋈lineitem join and the final agg may shuffle
+    assert tree.count("BroadcastHashJoin") >= 4
