@@ -98,6 +98,7 @@ _PRIORITY = [
     # (front of the tier = first into next round's window)
     "q106_sessionize", "q107_retention_cohorts", "q108_grouping_sets",
     "q109_tpch_q5_shape", "q110_tpch_q18_shape",
+    "q111_stream_static_enrich",
     # green in r01, overflow (r01 rows remain the evidence)
     "q24_chunk_stride", "q63_corpus_stats", "q29_ingest_routing",
     "q75_chunk_udtf",

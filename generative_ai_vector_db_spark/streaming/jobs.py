@@ -444,12 +444,78 @@ ORDER BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# q111 — stream-static enrichment: the event stream joined to a static
+# dimension (customer profile on user_id = c_custkey), aggregated per
+# market segment. In the streaming execution the static side is
+# broadcast into every micro-batch — no state store, no watermark
+# needed for the join itself — which is exactly how a 100 TB/day event
+# firehose picks up slowly-changing dimensions. Batch twin below is
+# the oracle-checked semantics; ``run_enrich_stream`` executes it as a
+# real stream and the equivalence test asserts identical output.
+# ---------------------------------------------------------------------------
+def q111_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q111_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def run_enrich_stream(
+    spark: SparkSession,
+    src_dir: str,
+    sf_dir: str,
+    sink_table: str = "enrich_out",
+) -> None:
+    """Stream-static join execution of q111: static customer dim joined
+    into each micro-batch, complete-mode aggregate into a memory sink."""
+    cust = load(spark, sf_dir, "customer")
+    agg = (
+        _events_stream(spark, src_dir)
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+    )
+    (
+        agg.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 QUERIES = {
     "q31_tumbling_window": q31_tumbling_window,
     "q32_sliding_window": q32_sliding_window,
     "q33_session_window": q33_session_window,
     "q70_interval_join": q70_interval_join,
     "q71_stats_agg": q71_stats_agg,
+    "q111_stream_static_enrich": q111_stream_static_enrich,
 }
 
 ORACLE = {
@@ -458,4 +524,5 @@ ORACLE = {
     "q33_session_window": Q33_SQL,
     "q70_interval_join": Q70_SQL,
     "q71_stats_agg": Q71_SQL,
+    "q111_stream_static_enrich": Q111_SQL,
 }

@@ -47,8 +47,8 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_registry_size_floor():
-    assert len(QUERIES) >= 109
-    assert len(ORACLE) >= 98
+    assert len(QUERIES) >= 110
+    assert len(ORACLE) >= 99
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE))

@@ -120,3 +120,28 @@ def test_chatlog_append_sink(spark, sf_dir, events_src):
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_enrich_stream_equals_batch_twin(spark, sf_dir, events_src):
+    """Stream-static join: the streamed aggregate matches the batch twin
+    exactly on the supported aggregates (distinct counts are approximate
+    in streaming mode, so n_users is compared with HLL tolerance)."""
+    jobs.run_enrich_stream(spark, events_src, sf_dir, sink_table="t_enrich")
+    got = (
+        spark.table("t_enrich")
+        .toPandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    want = (
+        jobs.q111_stream_static_enrich(spark, sf_dir)
+        .toPandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    assert got["c_mktsegment"].tolist() == want["c_mktsegment"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert got["sum_value"].tolist() == want["sum_value"].tolist()
+    # HLL++ default relative error ~2.3%; fixture cardinalities are tiny
+    for approx, exact in zip(got["n_users_approx"], want["n_users"]):
+        assert abs(approx - exact) <= max(2, 0.1 * exact)
