@@ -193,3 +193,76 @@ def test_tws_profile_stream_matches_batch(spark, sf_dir):
         assert got["n_events"].tolist() == want["n_events"].tolist()
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    """100 TB skew story, asserted: a join with one megakey triggers
+    AQE's skew-join split (the final adaptive plan marks the join
+    skew=true) once the skew thresholds are scaled down to fixture
+    bytes."""
+    from pyspark.sql import functions as F
+
+    from generative_ai_vector_db_spark.plans.audit import plan_of
+
+    conf_keys = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in conf_keys}
+    for k, v in conf_keys.items():
+        spark.conf.set(k, v)
+    try:
+        # one hot key carrying ~90% of rows, with padding bytes so the
+        # hot partition crosses the (scaled-down) skew threshold
+        fact = spark.range(0, 60_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        dim = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        # NOTE: the join must be materialized bare — an aggregation
+        # compiled into the join's stage suppresses the skew split
+        # (AQE preserves the stage's output partitioning contract)
+        j = fact.join(dim, "k").select(F.length("pad").alias("l"))
+        j.collect()  # run so AQE finalizes the plan
+        plan = plan_of(j)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan.split("\n\n")[0]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """The 100 TB layout story: documents written partitioned by lang
+    are read back with a lang predicate as a PARTITION filter — the
+    scan never touches other languages' files."""
+    from pyspark.sql import functions as F
+
+    from generative_ai_vector_db_spark.plans.audit import plan_of
+    from generative_ai_vector_db_spark.tables import load
+
+    out = str(tmp_path / "docs_by_lang")
+    load(spark, sf_dir, "documents").write.partitionBy("lang").mode(
+        "overwrite"
+    ).parquet(out)
+    df = spark.read.parquet(out).where(F.col("lang") == "en").select("doc_id")
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "lang" in seg
+    # correctness of the pruned read
+    got = df.count()
+    want = (
+        load(spark, sf_dir, "documents").where(F.col("lang") == "en").count()
+    )
+    assert got == want
