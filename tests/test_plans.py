@@ -232,3 +232,41 @@ def test_q109_six_table_join_broadcasts_all_dims(spark, sf_dir):
     # all four dimension joins broadcast: only the fact-fact
     # orders⋈lineitem join and the final agg may shuffle
     assert tree.count("BroadcastHashJoin") >= 4
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime row-level filtering for big-big joins: a selective dim
+    predicate makes Spark build a bloom filter on the dim side and apply
+    `might_contain` on the fact side BEFORE its shuffle — at 100 TB the
+    fact exchange moves only rows that can match. (Size thresholds are
+    scaled to fixture bytes; the rewrite itself is what's asserted.)"""
+    from pyspark.sql import functions as F
+
+    from generative_ai_vector_db_spark.tables import load
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        plan = plan_of(j)
+        assert "bloom_filter_agg" in plan  # built from the filtered dim
+        assert "might_contain" in plan  # applied on the fact side
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_app,
+        )
