@@ -171,13 +171,14 @@ ORDER BY order_year
 SESSION_GAP = 1800  # seconds
 
 
-def q106_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+def sessionize_events(ev: DataFrame, gap_sec: int = SESSION_GAP) -> DataFrame:
+    """Generic gaps-and-islands sessionizer over (user_id, event_id, ts)
+    columns; see q106 docstring for semantics."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     secs = F.col("ts").cast("long")
     prev = F.lag(secs).over(w)
     is_new = F.when(
-        prev.isNull() | ((secs - prev) > SESSION_GAP), F.lit(1)
+        prev.isNull() | ((secs - prev) > gap_sec), F.lit(1)
     ).otherwise(F.lit(0))
     marked = ev.select("user_id", "event_id", "ts", is_new.alias("is_new"))
     cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
@@ -197,6 +198,10 @@ def q106_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+def q106_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize_events(load(spark, sf_dir, "events"))
 
 
 Q106_SQL = f"""
