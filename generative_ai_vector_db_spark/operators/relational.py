@@ -1241,6 +1241,244 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# q112 — TPC-H Q7 shape (volume shipping between two nations): the
+# classic two-aliased-dimension join. Both nation copies broadcast; the
+# pair predicate is applied at the joins so the fact side is filtered
+# before the final (nation, nation, year) aggregate — at 100 TB the only
+# big shuffles are orders⋈lineitem and the tiny final agg.
+# ---------------------------------------------------------------------------
+Q7_NATION_A = "NATION_3"
+Q7_NATION_B = "NATION_7"
+
+
+def q112_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    pair = [Q7_NATION_A, Q7_NATION_B]
+    ns = load(spark, sf_dir, "nation").where(F.col("n_name").isin(pair)).alias("ns")
+    nc = load(spark, sf_dir, "nation").where(F.col("n_name").isin(pair)).alias("nc")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(ns), supp.s_nationkey == F.col("ns.n_nationkey"))
+        .join(F.broadcast(nc), cust.c_nationkey == F.col("nc.n_nationkey"))
+        .where(F.col("ns.n_name") != F.col("nc.n_name"))
+        .select(
+            F.col("ns.n_name").alias("supp_nation"),
+            F.col("nc.n_name").alias("cust_nation"),
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            rev.alias("rev"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_r4(F.sum("rev")).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q112_SQL = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE ((ns.n_name = '{Q7_NATION_A}' AND nc.n_name = '{Q7_NATION_B}')
+    OR (ns.n_name = '{Q7_NATION_B}' AND nc.n_name = '{Q7_NATION_A}'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q113 — TPC-H Q11 shape (important parts by revenue share): per-part
+# revenue filtered against a fraction of the corpus-wide total. The
+# global total is a 1-row aggregate broadcast into the HAVING predicate
+# (BroadcastNestedLoopJoin over one row — no shuffle); the per-part agg
+# is a single partial-aggregated pass.
+# ---------------------------------------------------------------------------
+Q11_FRACTION = 0.0007
+
+
+def q113_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("raw_value"))
+    threshold = li.agg(
+        (F.sum(rev) * F.lit(Q11_FRACTION)).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(threshold))
+        .where(F.col("raw_value") > F.col("threshold"))
+        .select("l_partkey", _r4(F.col("raw_value")).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+Q113_SQL = f"""
+SELECT l_partkey,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS value
+FROM lineitem
+GROUP BY l_partkey
+HAVING sum(l_extendedprice * (1.0 - l_discount)) > (
+  SELECT sum(l_extendedprice * (1.0 - l_discount)) * {Q11_FRACTION}
+  FROM lineitem
+)
+ORDER BY value DESC, l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q114 — TPC-H Q15 shape (top supplier by quarterly revenue): the
+# revenue "view" is one partial-aggregated pass; its max is a 1-row
+# broadcast compared back against the same aggregate (computed once,
+# reused — Spark plans the reused subtree with an exchange reuse).
+# Equality is on the 4-rounded revenue so the cross-engine comparison
+# is exact.
+# ---------------------------------------------------------------------------
+def q114_tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    revenue = li.groupBy("l_suppkey").agg(_r4(F.sum(rev)).alias("total_revenue"))
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q114_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q115 — TPC-H Q2 shape (best supplier per part): cheapest average sale
+# price per (part, supplier) from the fact table, per-part minimum via a
+# partitioned row_number window (ordered on the 4-rounded price with the
+# suppkey tie-break so the float ordering is deterministic cross-engine).
+# The part filter semi-joins BEFORE the window so only surviving parts
+# are ranked; supplier/nation dimensions broadcast.
+# ---------------------------------------------------------------------------
+Q2_MAX_SIZE = 5
+
+
+def q115_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_size") <= Q2_MAX_SIZE)
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    avgp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(_r4(F.avg("l_extendedprice")).alias("avg_price"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy("avg_price", "l_suppkey")
+    return (
+        avgp.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("p_partkey", "p_name", "s_name", "n_name", "avg_price")
+        .orderBy("p_partkey")
+    )
+
+
+Q115_SQL = f"""
+WITH avgp AS (
+  SELECT p_partkey, p_name, l_suppkey,
+         round(avg(l_extendedprice), 4) AS avg_price,
+         row_number() OVER (
+           PARTITION BY p_partkey
+           ORDER BY round(avg(l_extendedprice), 4), l_suppkey
+         ) AS rk
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_size <= {Q2_MAX_SIZE}
+  GROUP BY p_partkey, p_name, l_suppkey
+)
+SELECT p_partkey, p_name, s_name, n_name, avg_price
+FROM avgp
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE rk = 1
+ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q116 — TPC-H Q19 shape (disjunctive predicate join): an OR of
+# brand/size/quantity conjuncts as the join condition. The part-side
+# conjunct members are pushed to the broadcast build side; the quantity
+# bounds prune the probe side at the scan (PushedFilters shows the
+# disjunction's common bounds).
+# ---------------------------------------------------------------------------
+def q116_tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    cond = (li.l_partkey == part.p_partkey) & (
+        (
+            (part.p_brand == "Brand#11")
+            & part.p_size.between(1, 15)
+            & li.l_quantity.between(1, 20)
+        )
+        | (
+            (part.p_brand == "Brand#22")
+            & part.p_size.between(10, 30)
+            & li.l_quantity.between(10, 30)
+        )
+        | (
+            (part.p_brand == "Brand#15")
+            & part.p_size.between(20, 50)
+            & li.l_quantity.between(20, 40)
+        )
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return li.join(F.broadcast(part), cond).agg(
+        _r4(F.sum(rev)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q116_SQL = """
+SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_pushdown": q02_filter_pushdown,
@@ -1280,6 +1518,11 @@ QUERIES = {
     "q98_tpch_q10_shape": q98_tpch_q10_shape,
     "q109_tpch_q5_shape": q109_tpch_q5_shape,
     "q110_tpch_q18_shape": q110_tpch_q18_shape,
+    "q112_tpch_q7_shape": q112_tpch_q7_shape,
+    "q113_tpch_q11_shape": q113_tpch_q11_shape,
+    "q114_tpch_q15_shape": q114_tpch_q15_shape,
+    "q115_tpch_q2_shape": q115_tpch_q2_shape,
+    "q116_tpch_q19_shape": q116_tpch_q19_shape,
 }
 
 ORACLE = {
@@ -1319,4 +1562,9 @@ ORACLE = {
     "q98_tpch_q10_shape": Q98_SQL,
     "q109_tpch_q5_shape": Q109_SQL,
     "q110_tpch_q18_shape": Q110_SQL,
+    "q112_tpch_q7_shape": Q112_SQL,
+    "q113_tpch_q11_shape": Q113_SQL,
+    "q114_tpch_q15_shape": Q114_SQL,
+    "q115_tpch_q2_shape": Q115_SQL,
+    "q116_tpch_q19_shape": Q116_SQL,
 }

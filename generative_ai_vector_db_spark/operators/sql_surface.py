@@ -96,11 +96,77 @@ def q108_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, Q108)
 
 
+# TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+# orders, the suppliers whose lineitem shipped >60 days after the order
+# while EVERY other supplier on the same order shipped on time — a
+# correlated EXISTS plus a NOT EXISTS over the same fact table.
+# Catalyst decorrelates both into left-semi / left-anti joins on
+# l_orderkey; no driver-side iteration. (The reference schema has no
+# commit/receipt dates, so lateness is ship-vs-order-date.)
+Q117 = """
+SELECT s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+def q117_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, Q117)
+
+
+# TPC-H Q22 shape (promising idle customers): above-average-balance
+# customers in a segment subset with no RECENT orders — a scalar
+# average subquery (1-row broadcast) plus NOT EXISTS (left-anti join
+# shipping only custkeys; the date predicate prunes the anti side at
+# the scan). Segment stands in for the phone country code the
+# reference schema lacks; "idle" is date-windowed because this
+# corpus's customers all have lifetime orders.
+Q118 = """
+SELECT CAST(c.c_nationkey % 5 AS BIGINT) AS seg,
+       count(*) AS numcust,
+       round(sum(c.c_acctbal), 4) AS totacctbal
+FROM customer c
+WHERE c.c_nationkey % 5 IN (0, 1, 2)
+  AND c.c_acctbal > (
+    SELECT avg(c2.c_acctbal) FROM customer c2
+    WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey % 5 IN (0, 1, 2)
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q118_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, Q118)
+
+
 QUERIES = {
     "q67_correlated_min": q67_correlated_min,
     "q68_exists_distribution": q68_exists_distribution,
     "q69_count_distribution": q69_count_distribution,
     "q108_grouping_sets": q108_grouping_sets,
+    "q117_tpch_q21_shape": q117_tpch_q21_shape,
+    "q118_tpch_q22_shape": q118_tpch_q22_shape,
 }
 
 # The same ANSI text runs on both engines (views share names/schemas).
@@ -109,4 +175,6 @@ ORACLE = {
     "q68_exists_distribution": Q68,
     "q69_count_distribution": Q69,
     "q108_grouping_sets": Q108,
+    "q117_tpch_q21_shape": Q117,
+    "q118_tpch_q22_shape": Q118,
 }

@@ -47,7 +47,8 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_registry_size_floor():
-    assert len(QUERIES) >= 110
+    assert len(QUERIES) >= 117
+    assert len(ORACLE) >= 106
     assert len(ORACLE) >= 99
 
 
