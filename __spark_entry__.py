@@ -104,6 +104,8 @@ _PRIORITY = [
     "q112_tpch_q7_shape", "q113_tpch_q11_shape", "q114_tpch_q15_shape",
     "q115_tpch_q2_shape", "q116_tpch_q19_shape",
     "q117_tpch_q21_shape", "q118_tpch_q22_shape",
+    "q119_ngram_decontam", "q120_span_dedup", "q121_unigram_logprob",
+    "q122_scd2_dimension", "q123_store_upsert", "q124_outer_attribution",
     # green in r01, overflow (r01 rows remain the evidence)
     "q41_ngram_jaccard", "q64_repetition_ratio",
     "q24_chunk_stride", "q63_corpus_stats", "q29_ingest_routing",

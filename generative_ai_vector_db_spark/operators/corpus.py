@@ -251,12 +251,234 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q119 — n-gram decontamination (GPT-3-style 13-gram overlap): a train
+# document is contaminated if any of its 13-grams appears in the eval
+# split. Eval membership is the deterministic doc_id residue (same rule
+# family as q102's leak-free split); the eval gram set is DISTINCT and
+# broadcast — eval sets are small by construction, so the train side
+# never shuffles. Complements q65 (whole-doc fingerprint semi-join)
+# with the industry-standard partial-overlap rule.
+# Scale: train grams stay (doc_id, gram) pairs, deduped per doc via
+# array_distinct BEFORE the explode — the join is |train grams| x
+# broadcast. At larger vocabularies swap the gram string for
+# xxhash64(gram) on both sides of the join (engine-local, never
+# compared cross-engine).
+# ---------------------------------------------------------------------------
+DECONTAM_N = 13
+EVAL_MOD = 20  # doc_id % EVAL_MOD == 0 -> eval split
+
+
+def _word_ngrams(words, n: int):
+    """n-gram strings over a MATERIALIZED words attribute (see dedup.py
+    PERF NOTE), guarded for short docs like text._bigrams."""
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def q119_ngram_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower(F.col("text")), " ").alias("words"))
+        .select("doc_id", _word_ngrams(F.col("words"), DECONTAM_N).alias("grams"))
+    )
+    pairs = docs.select("doc_id", F.explode("grams").alias("gram"))
+    eval_grams = (
+        pairs.where(F.col("doc_id") % EVAL_MOD == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = pairs.where(F.col("doc_id") % EVAL_MOD != 0).alias("t")
+    joined = train.join(F.broadcast(eval_grams).alias("e"),
+                        F.col("t.gram") == F.col("e.gram"), "left")
+    return (
+        joined.groupBy("t.doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("e.hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q119_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+),
+g0 AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(words) - {DECONTAM_N - 1}, 0)),
+           i -> array_to_string(words[i:i+{DECONTAM_N - 1}], ' '))) AS gram
+  FROM w
+),
+g AS (SELECT DISTINCT doc_id, gram FROM g0),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_MOD} = 0)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
+         AS contaminated
+FROM g LEFT JOIN ev ON g.gram = ev.gram
+WHERE g.doc_id % {EVAL_MOD} <> 0
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q120 — duplicated-span profile (exact substring dedup, Lee et al.
+# "Deduplicating Training Data Makes Language Models Better" shape):
+# every 20-word rolling window is an instance; an instance is
+# duplicated if its window text occurs in at least one OTHER document.
+# Two shuffles on the window key (per-gram doc count, then the join
+# back) + one on doc_id — never all-pairs. At scale the window string
+# becomes a rolling hash (engine-local); the fixture-scale oracle
+# groups on the exact string so both engines agree byte-for-byte.
+# ---------------------------------------------------------------------------
+SPAN_W = 20
+
+
+def q120_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower(F.col("text")), " ").alias("words"))
+        .select(
+            "doc_id",
+            F.when(
+                F.size("words") >= SPAN_W,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("words") - SPAN_W),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("words"), i + 1, SPAN_W)),
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("spans"),
+        )
+    )
+    inst = docs.select("doc_id", F.explode("spans").alias("span"))
+    per_span = inst.groupBy("span").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    return (
+        inst.alias("i")
+        .join(per_span.alias("s"), F.col("i.span") == F.col("s.span"))
+        .groupBy("i.doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("s.n_docs") > 1).cast("bigint")).alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 4).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q120_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+),
+inst AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(words) - {SPAN_W - 1}, 0)),
+           i -> array_to_string(words[i:i+{SPAN_W - 1}], ' '))) AS span
+  FROM w
+),
+per_span AS (
+  SELECT span, count(DISTINCT doc_id) AS n_docs FROM inst GROUP BY span
+)
+SELECT i.doc_id,
+       count(*) AS n_windows,
+       CAST(sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       round(CAST(sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS dup_frac
+FROM inst i JOIN per_span s ON i.span = s.span
+GROUP BY i.doc_id
+ORDER BY i.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q121 — unigram language-model scoring (the cheap perplexity proxy
+# used for corpus quality filtering, e.g. CCNet-style): build the
+# corpus unigram distribution (one agg), broadcast it back onto the
+# token stream, and score each document by its mean token log
+# probability. The vocabulary aggregate is orders of magnitude smaller
+# than the corpus (Heaps' law) — broadcast is the deployment shape up
+# to multi-million-term vocabularies; the token stream never shuffles
+# except for the per-doc aggregate.
+# ---------------------------------------------------------------------------
+def q121_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    freq = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(total))
+        .select("w", F.log(F.col("cnt") / F.col("total")).alias("logp"))
+    )
+    return (
+        toks.alias("t")
+        .join(F.broadcast(freq).alias("f"), F.col("t.w") == F.col("f.w"))
+        .groupBy("t.doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("f.logp") / F.count(F.lit(1)), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q121_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+freq AS (
+  SELECT w, ln(CAST(count(*) AS DOUBLE)
+               / (SELECT count(*) FROM toks)) AS logp
+  FROM toks GROUP BY w
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       round(sum(f.logp) / count(*), 4) AS avg_logprob
+FROM toks t JOIN freq f ON t.w = f.w
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "q79_token_packing": q79_token_packing,
     "q80_corpus_mixing": q80_corpus_mixing,
     "q81_embedding_quantize": q81_embedding_quantize,
     "q82_length_histogram": q82_length_histogram,
     "q88_median_length_filter": q88_median_length_filter,
+    "q119_ngram_decontam": q119_ngram_decontam,
+    "q120_span_dedup": q120_span_dedup,
+    "q121_unigram_logprob": q121_unigram_logprob,
 }
 
 ORACLE = {
@@ -265,4 +487,7 @@ ORACLE = {
     "q81_embedding_quantize": Q81_SQL,
     "q82_length_histogram": Q82_SQL,
     "q88_median_length_filter": Q88_SQL,
+    "q119_ngram_decontam": Q119_SQL,
+    "q120_span_dedup": Q120_SQL,
+    "q121_unigram_logprob": Q121_SQL,
 }

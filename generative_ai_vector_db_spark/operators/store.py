@@ -122,10 +122,66 @@ def roundtrip_store(spark: SparkSession, sf_dir: str, work_dir: str) -> dict:
     return {"before": n0, "after": n1, "deleted": n0 - n1}
 
 
+# ---------------------------------------------------------------------------
+# q123 — store upsert (MERGE semantics): a deterministic update batch
+# (every 10th vector relabeled) plus an insert batch (every 100th
+# vector re-keyed above the id space) merged into the store via
+# ``upsert_vectors`` — union + per-key keep-highest-priority window,
+# ONE shuffle on the key; on Delta/Iceberg this plan IS MERGE INTO.
+# Output is flat (id, label, dim) — embedding arrays stay internal
+# (driver canonicalizers don't sort arrays; the q50 lesson).
+# ---------------------------------------------------------------------------
+UPSERT_UPDATE_MOD = 10
+UPSERT_INSERT_MOD = 100
+UPSERT_ID_OFFSET = 1_000_000
+
+
+def q123_store_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    updates = emb.where(F.col("vec_id") % UPSERT_UPDATE_MOD == 0).select(
+        "vec_id", "embedding", F.lit("updated").alias("label")
+    )
+    inserts = emb.where(F.col("vec_id") % UPSERT_INSERT_MOD == 0).select(
+        (F.col("vec_id") + UPSERT_ID_OFFSET).alias("vec_id"),
+        "embedding",
+        F.lit("new").alias("label"),
+    )
+    merged = upsert_vectors(
+        emb.select(
+            "vec_id", "embedding", F.col("label").cast("string").alias("label")
+        ),
+        updates.unionByName(inserts),
+        key="vec_id",
+    )
+    return merged.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("bigint").alias("emb_dim"),
+    ).orderBy("vec_id")
+
+
+Q123_SQL = f"""
+SELECT vec_id,
+       CASE WHEN vec_id % {UPSERT_UPDATE_MOD} = 0 THEN 'updated'
+            ELSE CAST(label AS VARCHAR) END AS label,
+       CAST(len(embedding) AS BIGINT) AS emb_dim
+FROM embeddings
+UNION ALL
+SELECT vec_id + {UPSERT_ID_OFFSET} AS vec_id,
+       'new' AS label,
+       CAST(len(embedding) AS BIGINT) AS emb_dim
+FROM embeddings
+WHERE vec_id % {UPSERT_INSERT_MOD} = 0
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "q52_delete_by_source": q52_delete_by_source,
+    "q123_store_upsert": q123_store_upsert,
 }
 
 ORACLE = {
     "q52_delete_by_source": Q52_SQL,
+    "q123_store_upsert": Q123_SQL,
 }

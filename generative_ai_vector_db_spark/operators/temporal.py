@@ -273,11 +273,79 @@ ORDER BY cohort_week, week_offset
 """
 
 
+# ---------------------------------------------------------------------------
+# q122 — SCD2 dimension build (slowly-changing-dimension type 2): the
+# per-user event-type timeline collapses into validity intervals —
+# a row per STATE CHANGE with [valid_from, valid_to) and a current
+# flag. Two stacked windows on the same (user_id, ts, event_id)
+# ordering, so Spark plans ONE shuffle + one sort for both (the lag
+# that marks changes and the lead that closes intervals). This is the
+# standard warehouse pattern for turning an event stream into a
+# point-in-time joinable dimension (pairs with q58's AS-OF join).
+# ---------------------------------------------------------------------------
+def scd2_intervals(
+    df: DataFrame, key: str, state: str, ts: str, tiebreak: str
+) -> DataFrame:
+    """Generic SCD2 collapse: rows where ``state`` changes per ``key``,
+    each with its [valid_from, valid_to) interval (valid_to null on the
+    open current row)."""
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    marked = df.withColumn("_prev", F.lag(state).over(w)).where(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col(state))
+    )
+    w2 = Window.partitionBy(key).orderBy(ts, tiebreak)
+    return (
+        marked.withColumn("valid_to_ts", F.lead(ts).over(w2))
+        .withColumn("valid_from_ts", F.col(ts))
+        .drop("_prev")
+    )
+
+
+def q122_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    iv = scd2_intervals(ev, key="user_id", state="event_type", ts="ts",
+                        tiebreak="event_id")
+    return iv.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("valid_from_ts", TS_FMT_SPARK).alias("valid_from"),
+        F.date_format("valid_to_ts", TS_FMT_SPARK).alias("valid_to"),
+        F.col("valid_to_ts").isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from", "state")
+
+
+Q122_SQL = f"""
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id FROM marked
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id,
+       event_type AS state,
+       strftime(ts, '{TS_FMT_DUCK}') AS valid_from,
+       strftime(lead(ts) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id), '{TS_FMT_DUCK}')
+         AS valid_to,
+       lead(ts) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM changes
+ORDER BY user_id, valid_from, state
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
     "q59_range_join": q59_range_join,
     "q106_sessionize": q106_sessionize,
     "q107_retention_cohorts": q107_retention_cohorts,
+    "q122_scd2_dimension": q122_scd2_dimension,
 }
 
 ORACLE = {
@@ -285,4 +353,5 @@ ORACLE = {
     "q59_range_join": Q59_SQL,
     "q106_sessionize": Q106_SQL,
     "q107_retention_cohorts": Q107_SQL,
+    "q122_scd2_dimension": Q122_SQL,
 }

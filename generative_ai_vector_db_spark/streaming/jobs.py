@@ -384,6 +384,109 @@ def run_attribution_stream(
     )
 
 
+# ---------------------------------------------------------------------------
+# q124 — OUTER attribution (stream-stream LEFT OUTER interval join):
+# q70 keeps only attributed purchases; the outer variant also emits
+# unattributed ones with null signup columns — the shape marketing
+# pipelines actually run ("which conversions have no touchpoint?").
+# Batch twin below is the deterministic oracle; the streaming runner
+# uses the watermarked left-outer join, whose unmatched rows are
+# emitted only once the watermark passes the join window (state stays
+# bounded: each side holds at most watermark+interval of rows).
+# ---------------------------------------------------------------------------
+def q124_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value"),
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    j = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.unix_micros("p_ts") - F.unix_micros("s_ts") >= 0)
+        & (F.unix_micros("p_ts") - F.unix_micros("s_ts") <= ATTRIB_WINDOW_US),
+        "left",
+    )
+    return j.select(
+        "purchase_id",
+        "signup_id",
+        "user_id",
+        F.date_format("p_ts", TS_FMT_SPARK).alias("purchase_ts"),
+        (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("lag_us"),
+        F.round("value", 4).alias("value"),
+    ).orderBy("purchase_id", "signup_id")
+
+
+Q124_SQL = f"""
+SELECT p.event_id AS purchase_id,
+       s.event_id AS signup_id,
+       p.user_id,
+       strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
+       epoch_us(p.ts) - epoch_us(s.ts) AS lag_us,
+       round(p.value, 4) AS value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id
+ AND epoch_us(p.ts) - epoch_us(s.ts) BETWEEN 0 AND {ATTRIB_WINDOW_US}
+ORDER BY purchase_id, signup_id
+"""
+
+
+def run_attribution_stream_outer(
+    spark: SparkSession,
+    src_dir: str,
+    sink_table: str = "attrib_outer_out",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Watermarked stream-stream LEFT OUTER join twin of q124.
+
+    Unmatched purchases surface only after the watermark passes their
+    join window, so a replay that should flush ALL rows must advance
+    the watermark past the data (tests append a far-future sentinel
+    file and replay file-per-batch)."""
+    ev = _events_stream(spark, src_dir, max_files_per_trigger)
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "20 minutes")
+    )
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "20 minutes")
+    )
+    j = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    ).select("purchase_id", "signup_id", "user_id")
+    (
+        j.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_dedup_stream(
     spark: SparkSession,
     src_dir: str,
@@ -516,6 +619,7 @@ QUERIES = {
     "q70_interval_join": q70_interval_join,
     "q71_stats_agg": q71_stats_agg,
     "q111_stream_static_enrich": q111_stream_static_enrich,
+    "q124_outer_attribution": q124_outer_attribution,
 }
 
 ORACLE = {
@@ -525,4 +629,5 @@ ORACLE = {
     "q70_interval_join": Q70_SQL,
     "q71_stats_agg": Q71_SQL,
     "q111_stream_static_enrich": Q111_SQL,
+    "q124_outer_attribution": Q124_SQL,
 }

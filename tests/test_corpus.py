@@ -41,3 +41,33 @@ def test_quantize_int8_range(spark, sf_dir):
     assert (pdf["q_max"] <= 127).all()
     # symmetric quantization maps the max-magnitude element to +/-127
     assert ((pdf["q_max"] == 127) | (pdf["q_min"] == -127)).all()
+
+
+def test_decontam_flags_planted_overlaps(spark, sf_dir):
+    pdf = corpus.q119_ngram_decontam(spark, sf_dir).toPandas()
+    # only train docs appear, hits bounded by gram count
+    assert (pdf["doc_id"] % corpus.EVAL_MOD != 0).all()
+    assert (pdf["n_hits"] <= pdf["n_grams"]).all()
+    assert (pdf["contaminated"] == (pdf["n_hits"] > 0)).all()
+    # the fixture's planted near-duplicates straddle the split, so the
+    # check is not vacuous
+    assert pdf["contaminated"].any()
+    assert not pdf["contaminated"].all()
+
+
+def test_span_dedup_fraction_bounds(spark, sf_dir):
+    pdf = corpus.q120_span_dedup(spark, sf_dir).toPandas()
+    assert (pdf["n_dup_windows"] <= pdf["n_windows"]).all()
+    assert ((pdf["dup_frac"] >= 0) & (pdf["dup_frac"] <= 1)).all()
+    # planted near-dups produce duplicated spans; unique docs exist too
+    assert (pdf["n_dup_windows"] > 0).any()
+    assert (pdf["n_dup_windows"] == 0).any()
+
+
+def test_unigram_logprob_is_proper(spark, sf_dir):
+    pdf = corpus.q121_unigram_logprob(spark, sf_dir).toPandas()
+    # log probabilities are negative and finite
+    assert (pdf["avg_logprob"] < 0).all()
+    assert pdf["avg_logprob"].notna().all()
+    # every document scored
+    assert len(pdf) == 500

@@ -270,3 +270,42 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             prev_app,
         )
+
+
+def test_q113_scalar_threshold_is_broadcast_nested_loop(spark, sf_dir):
+    """The HAVING-vs-global-total compares against a 1-row aggregate:
+    must plan as BroadcastNestedLoopJoin (one broadcast row), never a
+    shuffle join."""
+    plan = plan_of(relational.q113_tpch_q11_shape(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q114_max_of_agg_broadcasts_one_row(spark, sf_dir):
+    plan = plan_of(relational.q114_tpch_q15_shape(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # supplier dim broadcast, never shuffled
+    assert "SortMergeJoin" not in plan
+
+
+def test_q115_per_part_min_uses_group_limit(spark, sf_dir):
+    """rank==1 filter over the per-part window must engage
+    WindowGroupLimit (per-partition top-1 before the exchange)."""
+    plan = plan_of(relational.q115_tpch_q2_shape(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q112_q116_broadcast_dimensions(spark, sf_dir):
+    for q in (relational.q112_tpch_q7_shape, relational.q116_tpch_q19_shape):
+        plan = plan_of(q(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, q.__name__
+
+
+def test_q119_eval_gram_set_is_broadcast(spark, sf_dir):
+    """Decontamination joins the train gram stream against the eval
+    gram set: the eval side must broadcast (train side never
+    shuffles for the join)."""
+    from generative_ai_vector_db_spark.operators import corpus
+
+    plan = plan_of(corpus.q119_ngram_decontam(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

@@ -47,9 +47,8 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_registry_size_floor():
-    assert len(QUERIES) >= 117
-    assert len(ORACLE) >= 106
-    assert len(ORACLE) >= 99
+    assert len(QUERIES) >= 123
+    assert len(ORACLE) >= 112
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE))

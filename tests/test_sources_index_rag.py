@@ -16,6 +16,7 @@ NEW_ORACLE = [
     ("relational", "q54_percentiles"),
     ("relational", "q55_pivot"),
     ("store", "q52_delete_by_source"),
+    ("store", "q123_store_upsert"),
     ("rag", "q53_rag_pipeline"),
 ]
 MODS = {"relational": relational, "store": store, "rag": rag}

@@ -123,6 +123,73 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, events_src):
     assert got.equals(want), (len(got), len(want))
 
 
+def test_q124_outer_attribution_matches_oracle(spark, sf_dir):
+    from .oracle_utils import compare_query
+
+    compare_query(
+        spark,
+        sf_dir,
+        jobs.QUERIES["q124_outer_attribution"],
+        jobs.ORACLE["q124_outer_attribution"],
+        "q124_outer_attribution",
+    )
+
+
+def test_stream_outer_join_equals_batch(spark, sf_dir):
+    """Left-outer stream-stream join vs the batch twin. Outer (null)
+    rows are only emitted once the watermark passes their join window,
+    so the replay appends a far-future sentinel file and runs
+    file-per-batch: batch 1 = all real events, batch 2 = the sentinel,
+    whose watermark flushes every unmatched purchase from batch 1."""
+    d = tempfile.mkdtemp(prefix="events_outer_")
+    try:
+        ev = load(spark, sf_dir, "events")
+        ev.coalesce(1).write.mode("overwrite").parquet(d)
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        # Two sentinel batches: the first advances the watermark past
+        # all real data, the second is the buffer batch in which that
+        # advanced watermark actually evicts (and thus emits) the last
+        # unmatched purchases — Spark's two-watermark model. Sentinels
+        # MUST survive the event_type filters (purchase + signup, on
+        # BOTH sides: the global watermark is the min across watermark
+        # operators), so they are typed rows with negative ids that the
+        # assertion excludes.
+        for i, days in enumerate((1, 2)):
+            sentinel = spark.createDataFrame(
+                [
+                    (-1 - 2 * i, max_ts, -1, "purchase", 0.0, "{}"),
+                    (-2 - 2 * i, max_ts, -2, "signup", 0.0, "{}"),
+                ],
+                EVENT_SCHEMA,
+            ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAY"))
+            sentinel.coalesce(1).write.mode("append").parquet(d)
+
+        jobs.run_attribution_stream_outer(
+            spark, d, sink_table="t_attrib_outer", max_files_per_trigger=1
+        )
+        got = spark.table("t_attrib_outer").toPandas()
+        got = (
+            got[got["purchase_id"] >= 0]
+            .fillna({"signup_id": -1})
+            .sort_values(["purchase_id", "signup_id"])
+            .reset_index(drop=True)
+        )
+        want = (
+            jobs.q124_outer_attribution(spark, sf_dir)
+            .toPandas()[["purchase_id", "signup_id", "user_id"]]
+            .fillna({"signup_id": -1})
+            .sort_values(["purchase_id", "signup_id"])
+            .reset_index(drop=True)
+        )
+        got = got.astype({"signup_id": "int64"})
+        want = want.astype({"signup_id": "int64"})
+        assert got.equals(want), (len(got), len(want))
+        # the outer rows are actually present (not vacuously equal)
+        assert (got["signup_id"] == -1).any()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_partition_pruning_on_partitioned_layout(spark, sf_dir):
     """The 100 TB layout story: events partitioned by day; a day filter
     must prune partitions at planning time."""

@@ -113,3 +113,18 @@ def test_retention_offsets_nonnegative(spark, sf_dir):
     # offset-0 cell exists for every cohort (a user is active in their
     # own first week by definition)
     assert (pdf.groupby("cohort_week")["week_offset"].min() == 0).all()
+
+
+def test_scd2_intervals_tile_the_timeline(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import temporal
+
+    pdf = temporal.q122_scd2_dimension(spark, sf_dir).toPandas()
+    for _, g in pdf.groupby("user_id"):
+        g = g.sort_values("valid_from").reset_index(drop=True)
+        # exactly one open (current) interval per user, and it is last
+        assert g["is_current"].sum() == 1
+        assert bool(g["is_current"].iloc[-1])
+        # intervals chain: each valid_to equals the next valid_from
+        assert (g["valid_to"].iloc[:-1].values == g["valid_from"].iloc[1:].values).all()
+        # consecutive states actually change
+        assert (g["state"].iloc[:-1].values != g["state"].iloc[1:].values).all()
