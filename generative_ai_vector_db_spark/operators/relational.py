@@ -1479,6 +1479,131 @@ WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
 """
 
 
+# ---------------------------------------------------------------------------
+# q126 — TPC-H Q8 shape (national market share): the share of one
+# supplier nation's revenue within a customer region's purchases of
+# one part type, by order year — conditional-sum ratio over a 7-table
+# join. Every dimension (part/supplier/customer/nation x2/region)
+# broadcasts; the fact side shuffles once for orders⋈lineitem and the
+# tiny per-year aggregate. The conditional sums share one aggregation
+# pass (no self-join on the year).
+# ---------------------------------------------------------------------------
+Q8_REGION = "EUROPE"
+Q8_TYPE = "PROMO"
+Q8_NATION = "NATION_8"
+
+
+def q126_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == Q8_TYPE)
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    sn = load(spark, sf_dir, "nation").alias("sn")
+    cn = load(spark, sf_dir, "nation").alias("cn")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == Q8_REGION)
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn.n_nationkey"))
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn.n_nationkey"))
+        .join(F.broadcast(region), F.col("cn.n_regionkey") == region.r_regionkey)
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("volume"),
+            (F.col("sn.n_name") == Q8_NATION).alias("is_target"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("is_target"), F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share"),
+            _r4(F.sum("volume")).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q126_SQL = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN sn.n_name = '{Q8_NATION}'
+                      THEN l_extendedprice * (1.0 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1.0 - l_discount)), 4) AS mkt_share,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+WHERE p_type = '{Q8_TYPE}' AND r_name = '{Q8_REGION}'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q127 — TPC-H Q9 shape (product-line profit): profit per supplier
+# nation per year over parts matching a name pattern. The schema has
+# no partsupp/supplycost, so cost is proxied by retail price
+# (amount = revenue - 0.1 * p_retailprice * l_quantity) — the join
+# topology and aggregation shape are Q9's. The LIKE filter prunes the
+# broadcast part build side before the join.
+# ---------------------------------------------------------------------------
+Q9_NAME_PAT = "%red%"
+Q9_COST_FACTOR = 0.1
+
+
+def q127_tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part").where(F.col("p_name").like(Q9_NAME_PAT))
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) - (
+        F.lit(Q9_COST_FACTOR) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(_r4(F.sum("amount")).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q127_SQL = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l_extendedprice * (1.0 - l_discount)
+                 - {Q9_COST_FACTOR} * p_retailprice * l_quantity), 4)
+         AS sum_profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '{Q9_NAME_PAT}'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_pushdown": q02_filter_pushdown,
@@ -1523,6 +1648,8 @@ QUERIES = {
     "q114_tpch_q15_shape": q114_tpch_q15_shape,
     "q115_tpch_q2_shape": q115_tpch_q2_shape,
     "q116_tpch_q19_shape": q116_tpch_q19_shape,
+    "q126_tpch_q8_shape": q126_tpch_q8_shape,
+    "q127_tpch_q9_shape": q127_tpch_q9_shape,
 }
 
 ORACLE = {
@@ -1567,4 +1694,6 @@ ORACLE = {
     "q114_tpch_q15_shape": Q114_SQL,
     "q115_tpch_q2_shape": Q115_SQL,
     "q116_tpch_q19_shape": Q116_SQL,
+    "q126_tpch_q8_shape": Q126_SQL,
+    "q127_tpch_q9_shape": Q127_SQL,
 }

@@ -340,12 +340,76 @@ ORDER BY user_id, valid_from, state
 """
 
 
+# ---------------------------------------------------------------------------
+# q125 — multi-grain time rollup (the hypertable "continuous aggregate"
+# shape): hour, day and week buckets of the event stream computed in
+# ONE pass via GROUPING SETS (single Expand + one shuffle — not three
+# queries over the fact table). Uses the Spark 4 DataFrame
+# ``groupingSets`` API; grain disambiguation via grouping() flags.
+# At scale this materializes incrementally per closed window; the
+# batch form here is the backfill/bootstrap pass.
+# ---------------------------------------------------------------------------
+def q125_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("week", "ts").alias("week"),
+        "value",
+    )
+    gs = ev.groupingSets(
+        [[F.col("day"), F.col("hour")], [F.col("day")], [F.col("week")]],
+        F.col("day"), F.col("hour"), F.col("week"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        # grouping() is only resolvable inside the aggregate list
+        F.grouping("hour").alias("g_hour"),
+        F.grouping("day").alias("g_day"),
+    )
+    grain = (
+        F.when(F.col("g_hour") == 0, F.lit("hour"))
+        .when(F.col("g_day") == 0, F.lit("day"))
+        .otherwise(F.lit("week"))
+    )
+    bucket = F.coalesce("hour", "day", "week")
+    return (
+        gs.select(
+            grain.alias("grain"),
+            F.date_format(bucket, TS_FMT_SPARK).alias("bucket_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("grain", "bucket_start")
+    )
+
+
+Q125_SQL = f"""
+WITH base AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         date_trunc('day', ts) AS day,
+         date_trunc('week', ts) AS week,
+         value
+  FROM events
+)
+SELECT CASE WHEN grouping(hour) = 0 THEN 'hour'
+            WHEN grouping(day) = 0 THEN 'day'
+            ELSE 'week' END AS grain,
+       strftime(coalesce(hour, day, week), '{TS_FMT_DUCK}') AS bucket_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM base
+GROUP BY GROUPING SETS ((day, hour), (day), (week))
+ORDER BY grain, bucket_start
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
     "q59_range_join": q59_range_join,
     "q106_sessionize": q106_sessionize,
     "q107_retention_cohorts": q107_retention_cohorts,
     "q122_scd2_dimension": q122_scd2_dimension,
+    "q125_time_rollup": q125_time_rollup,
 }
 
 ORACLE = {
@@ -354,4 +418,5 @@ ORACLE = {
     "q106_sessionize": Q106_SQL,
     "q107_retention_cohorts": Q107_SQL,
     "q122_scd2_dimension": Q122_SQL,
+    "q125_time_rollup": Q125_SQL,
 }
