@@ -107,6 +107,7 @@ _PRIORITY = [
     "q119_ngram_decontam", "q120_span_dedup", "q121_unigram_logprob",
     "q122_scd2_dimension", "q123_store_upsert", "q124_outer_attribution",
     "q125_time_rollup", "q126_tpch_q8_shape", "q127_tpch_q9_shape",
+    "q128_zorder_stats", "q129_unpivot_metrics",
     # green in r01, overflow (r01 rows remain the evidence)
     "q41_ngram_jaccard", "q64_repetition_ratio",
     "q24_chunk_stride", "q63_corpus_stats", "q29_ingest_routing",

@@ -1604,6 +1604,51 @@ ORDER BY nation, o_year DESC
 """
 
 
+# ---------------------------------------------------------------------------
+# q129 — unpivot/melt (wide -> long): the inverse of q55's pivot, via
+# the DataFrame ``unpivot`` API (Spark's Expand operator — one pass, no
+# join). Long-format metric rows then aggregate per metric; at scale
+# Expand multiplies rows map-side, so the only shuffle is the 3-group
+# aggregate.
+# ---------------------------------------------------------------------------
+def q129_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            _r4(F.sum("val")).alias("sum_val"),
+            _r4(F.min("val")).alias("min_val"),
+            _r4(F.max("val")).alias("max_val"),
+        )
+        .orderBy("metric")
+    )
+
+
+Q129_SQL = """
+SELECT metric,
+       count(*) AS n_values,
+       round(sum(val), 4) AS sum_val,
+       round(min(val), 4) AS min_val,
+       round(max(val), 4) AS max_val
+FROM (
+  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice' AS metric, l_extendedprice AS val FROM lineitem
+  UNION ALL
+  SELECT 'l_discount' AS metric, l_discount AS val FROM lineitem
+)
+GROUP BY metric
+ORDER BY metric
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_pushdown": q02_filter_pushdown,
@@ -1650,6 +1695,7 @@ QUERIES = {
     "q116_tpch_q19_shape": q116_tpch_q19_shape,
     "q126_tpch_q8_shape": q126_tpch_q8_shape,
     "q127_tpch_q9_shape": q127_tpch_q9_shape,
+    "q129_unpivot_metrics": q129_unpivot_metrics,
 }
 
 ORACLE = {
@@ -1696,4 +1742,5 @@ ORACLE = {
     "q116_tpch_q19_shape": Q116_SQL,
     "q126_tpch_q8_shape": Q126_SQL,
     "q127_tpch_q9_shape": Q127_SQL,
+    "q129_unpivot_metrics": Q129_SQL,
 }

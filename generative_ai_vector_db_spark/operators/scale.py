@@ -126,10 +126,111 @@ def compact(
     return count_files(spark, dst_path)
 
 
+# ---------------------------------------------------------------------------
+# q128 — Z-order (Morton) multi-column layout: interleave the bits of
+# two filter dimensions so range predicates on EITHER column map to
+# contiguous z-value ranges — the lakehouse data-skipping layout
+# (Delta OPTIMIZE ZORDER BY / Iceberg rewrite with a z-order strategy).
+# The z-value is a pure integer expression (div/mod arithmetic — the
+# same text computes in any engine); ``zorder_layout`` range-partitions
+# and sorts by it so every output file covers a tight (user, day)
+# bounding box — asserted against a row-count-identical unordered
+# layout via parquet footer stats in tests. The registry query reports
+# per-z-bucket locality stats (count + per-dimension min/max), which is
+# exactly the file-skipping metadata a reader would prune on.
+# ---------------------------------------------------------------------------
+ZBITS = 8  # bits per dimension -> 16-bit z-value
+
+
+def _zvalue(x, y, bits: int = ZBITS):
+    """Morton-interleave two non-negative int columns (div/mod form —
+    no engine-specific bit operators)."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        xbit = (x.cast("bigint") / F.lit(2**i)).cast("bigint") % 2
+        ybit = (y.cast("bigint") / F.lit(2**i)).cast("bigint") % 2
+        z = z + xbit * F.lit(2 ** (2 * i)) + ybit * F.lit(2 ** (2 * i + 1))
+    return z
+
+
+def _zvalue_sql(x: str, y: str, bits: int = ZBITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((CAST({x} AS BIGINT) // {2**i}) % 2) * {2 ** (2 * i)}")
+        terms.append(f"((CAST({y} AS BIGINT) // {2**i}) % 2) * {2 ** (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+Z_BUCKET_SHIFT = 64  # z-values per locality bucket
+
+
+def q128_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(2**ZBITS)).alias("u"),
+        (F.dayofmonth("ts") - 1).alias("d"),
+    )
+    z = _zvalue(F.col("u"), F.col("d"))
+    return (
+        ev.select("u", "d", z.alias("zval"))
+        .groupBy((F.col("zval") / F.lit(Z_BUCKET_SHIFT)).cast("bigint").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("u").alias("u_min"),
+            F.max("u").alias("u_max"),
+            F.min("d").alias("d_min"),
+            F.max("d").alias("d_max"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+Q128_SQL = f"""
+WITH base AS (
+  SELECT CAST(user_id % {2**ZBITS} AS BIGINT) AS u,
+         CAST(dayofmonth(ts) - 1 AS BIGINT) AS d
+  FROM events
+),
+zed AS (
+  SELECT u, d, {_zvalue_sql('u', 'd')} AS zval FROM base
+)
+SELECT CAST(zval // {Z_BUCKET_SHIFT} AS BIGINT) AS z_bucket,
+       count(*) AS n_rows,
+       min(u) AS u_min, max(u) AS u_max,
+       min(d) AS d_min, max(d) AS d_max
+FROM zed
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def zorder_layout(
+    df: DataFrame, x_col: str, y_col: str, out_path: str, n_files: int = 8
+) -> None:
+    """Write ``df`` z-ordered on (x_col, y_col): range-partition by the
+    Morton value then sort within partitions, so each parquet file's
+    footer stats cover a tight bounding box in BOTH dimensions and a
+    reader skips files for 2-D range predicates (row-group pruning at
+    scan time). The write is one repartitionByRange shuffle."""
+    z = _zvalue(
+        F.pmod(F.col(x_col), F.lit(2**ZBITS)),
+        F.pmod(F.col(y_col), F.lit(2**ZBITS)),
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+
+
 QUERIES = {
     "q56_salted_agg": q56_salted_agg,
+    "q128_zorder_stats": q128_zorder_stats,
 }
 
 ORACLE = {
     "q56_salted_agg": Q56_SQL,
+    "q128_zorder_stats": Q128_SQL,
 }
