@@ -42,3 +42,15 @@ def count_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> int
         if it.next().getPath().getName().endswith(suffix):
             n += 1
     return n
+
+
+def rename_dir(spark: SparkSession, src: str, dst: str) -> None:
+    """Atomic-as-the-FS-allows directory swap: drop ``dst`` and rename
+    ``src`` onto it. HDFS rename is atomic; on object stores a table
+    format (Delta/Iceberg commit) replaces this step."""
+    spath, fs = _hadoop_path_and_fs(spark, src)
+    dpath, _ = _hadoop_path_and_fs(spark, dst)
+    if fs.exists(dpath):
+        fs.delete(dpath, True)
+    if not fs.rename(spath, dpath):
+        raise IOError(f"rename {src} -> {dst} failed")

@@ -1649,6 +1649,136 @@ ORDER BY metric
 """
 
 
+# ---------------------------------------------------------------------------
+# q131 — co-purchase lift (market-basket pairs): part pairs that
+# co-occur in the same order, scored by lift = P(a,b)/(P(a)P(b)).
+# The pair join shuffles on l_orderkey only and is quadratic strictly
+# WITHIN an order (orders have bounded line counts — the same blocked-
+# pair bound as the label-blocked similarity join); per-part counts are
+# a broadcast-sized dimension joined back. Top pairs by support with a
+# deterministic tie-break.
+# ---------------------------------------------------------------------------
+MIN_PAIR_SUPPORT = 3
+
+
+def q131_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= MIN_PAIR_SUPPORT)
+    )
+    per_part = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders_part"))
+    pa = per_part.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_orders_part").alias("na")
+    )
+    pb = per_part.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_orders_part").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(
+                (F.col("support") * F.col("n_orders"))
+                / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+Q131_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_PAIR_SUPPORT}
+),
+per_part AS (SELECT l_partkey, count(*) AS n_orders_part FROM li GROUP BY 1)
+SELECT part_a, part_b, support,
+       round((support * CAST(n.n_orders AS DOUBLE))
+             / (pa.n_orders_part * pb.n_orders_part), 4) AS lift
+FROM pairs
+JOIN per_part pa ON part_a = pa.l_partkey
+JOIN per_part pb ON part_b = pb.l_partkey
+CROSS JOIN n
+ORDER BY support DESC, part_a, part_b
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# q132 — deterministic weighted sampling (A-Res, Efraimidis-Spirakis):
+# key_i = u_i^(1/w_i) with a deterministic engine-portable uniform
+# u_i from a Knuth multiplicative hash of the doc id; the global top-k
+# by key IS a weighted sample without replacement. Top-k plans as
+# TakeOrderedAndProject (per-partition heaps — no global sort); the
+# whole operator is one narrow pass + one k-row reduce, which is the
+# scalable form of "sample 1k docs by length from 100 TB".
+# ---------------------------------------------------------------------------
+WSAMPLE_K = 25
+KNUTH = 2654435761
+HASH_MOD = 2147483647
+
+
+def q132_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * KNUTH + 12345) % HASH_MOD + 1).cast("double") / (
+        HASH_MOD + 1
+    )
+    key = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 10)
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(WSAMPLE_K)
+        .select("doc_id", "n_chars", F.round("sample_key", 4).alias("sample_key"))
+    )
+
+
+# NB: the top-k ORDER BY must bind to the 10-digit key, not the
+# 4-rounded display value (alias shadowing in an outer ORDER BY picks
+# the wrong one and the tie-break changes the selected set).
+Q132_SQL = f"""
+SELECT doc_id, n_chars, round(k10, 4) AS sample_key
+FROM (
+  SELECT doc_id, n_chars,
+         round(pow(CAST((doc_id * {KNUTH} + 12345) % {HASH_MOD} + 1 AS DOUBLE)
+                   / {HASH_MOD + 1}, 1.0 / n_chars), 10) AS k10
+  FROM documents
+  ORDER BY k10 DESC, doc_id
+  LIMIT {WSAMPLE_K}
+)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_pushdown": q02_filter_pushdown,
@@ -1696,6 +1826,8 @@ QUERIES = {
     "q126_tpch_q8_shape": q126_tpch_q8_shape,
     "q127_tpch_q9_shape": q127_tpch_q9_shape,
     "q129_unpivot_metrics": q129_unpivot_metrics,
+    "q131_copurchase_lift": q131_copurchase_lift,
+    "q132_weighted_sample": q132_weighted_sample,
 }
 
 ORACLE = {
@@ -1743,4 +1875,6 @@ ORACLE = {
     "q126_tpch_q8_shape": Q126_SQL,
     "q127_tpch_q9_shape": Q127_SQL,
     "q129_unpivot_metrics": Q129_SQL,
+    "q131_copurchase_lift": Q131_SQL,
+    "q132_weighted_sample": Q132_SQL,
 }

@@ -478,6 +478,41 @@ def q89_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q130 — range search (radius query): every vector within L2 distance
+# RANGE_TAU of each query — the "all neighbors in radius" retrieval
+# mode vector stores expose beside top-k. Same broadcast-query scoring
+# pass as Q25 (corpus side never shuffles); the radius predicate
+# replaces the rank window entirely, so there is NO window at all —
+# one narrow filtered pass. At scale the IVF/LSH candidate pruning
+# (mllib_index.py) applies unchanged: a radius maps to the same probe
+# cells as a top-k.
+# ---------------------------------------------------------------------------
+RANGE_TAU = 1.25
+
+
+def q130_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _scored_pairs(spark, sf_dir)
+        .where(F.col("dist") <= RANGE_TAU)
+        .select("q_id", "vec_id", "dist")
+        .orderBy("q_id", "dist", "vec_id")
+    )
+
+
+Q130_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < {N_QUERY}),
+pairs AS (
+  SELECT a.q_id, b.vec_id, round({_DUCK_L2}, 4) AS dist
+  FROM q a CROSS JOIN embeddings b
+  WHERE b.vec_id != a.q_id
+)
+SELECT q_id, vec_id, dist FROM pairs
+WHERE dist <= {RANGE_TAU}
+ORDER BY q_id, dist, vec_id
+"""
+
+
 QUERIES = {
     "q25_knn_l2": q25_knn_l2,
     "q26_knn_cosine": q26_knn_cosine,
@@ -487,6 +522,7 @@ QUERIES = {
     "q46_ann_lsh_topk": q46_ann_lsh_topk,
     "q77_user_filtered_knn": q77_user_filtered_knn,
     "q89_mmr_rerank": q89_mmr_rerank,
+    "q130_range_search": q130_range_search,
 }
 
 ORACLE = {
@@ -496,4 +532,5 @@ ORACLE = {
     "q28_context_assembly": Q28_SQL,
     "q42_cosine_neardup": Q42_SQL,
     "q77_user_filtered_knn": Q77_SQL,
+    "q130_range_search": Q130_SQL,
 }

@@ -117,3 +117,85 @@ def run_ingest_stream(
 
 def open_store(spark: SparkSession, store_path: str) -> DataFrame:
     return spark.read.parquet(store_path)
+
+
+# ---------------------------------------------------------------------------
+# Streaming upsert sink: MERGE-per-micro-batch. The append-only sink
+# above matches the reference's ingest; this one maintains a
+# KEEP-LATEST store (CDC apply / device shadow / feature-store online
+# view). Per batch: dedup within the batch (newest event wins by
+# (ts, event_id)), union with the store, keep-newest window, atomic
+# swap via write-to-temp + rename — a crash mid-batch never leaves a
+# half store (the checkpoint re-runs the batch). The merge compares
+# TIMESTAMPS, not batch priority, so replayed or reordered batches
+# converge to the same store — the idempotence the foreachBatch
+# at-least-once contract requires. On Delta/Iceberg the body is
+# MERGE INTO and the swap is a table commit.
+# ---------------------------------------------------------------------------
+def _upsert_batch(batch: DataFrame, store_path: str, key: str, ts_col: str) -> None:
+    from pyspark.sql import Window
+    from ..fsutil import rename_dir
+
+    spark = batch.sparkSession
+    # last-writer-wins within the batch; event_id breaks ts ties so the
+    # result is deterministic under replay
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts_col).desc(), F.col("event_id").desc()
+    )
+    latest = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if _path_exists(spark, store_path):
+        # ts-based merge (not batch-priority): the stored row survives
+        # unless the incoming one is NEWER, so replayed or reordered
+        # micro-batches converge to the same store (the at-least-once
+        # foreachBatch contract needs exactly this idempotence)
+        merged = (
+            spark.read.parquet(store_path)
+            .unionByName(latest)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        merged = latest
+    tmp = store_path + "._staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    rename_dir(spark, tmp, store_path)
+
+
+def run_upsert_stream(
+    spark: SparkSession,
+    src_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> None:
+    """Maintain a keep-latest keyed store from an event stream — the
+    'current state per key' materialization (CDC apply / device
+    shadow / feature-store online view)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    ev = spark.readStream.schema(schema).parquet(src_dir)
+    (
+        ev.writeStream.foreachBatch(
+            lambda batch, _id: _upsert_batch(batch, store_path, key, ts_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -94,3 +94,54 @@ def test_sql_api_parity(spark, sf_dir):
     ).df()
     con.close()
     assert sql_df.values.tolist() == duck.values.tolist()
+
+
+def test_upsert_stream_materializes_latest_per_key(spark, sf_dir, tmp_path):
+    """run_upsert_stream maintains the keep-latest-per-user store; the
+    final store must equal the batch 'latest per key' computed over all
+    events, and re-applying a batch must not change it (idempotence)."""
+    from pyspark.sql import Window
+
+    from generative_ai_vector_db_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    # two files -> (typically) two chronological micro-batches
+    cut = "2024-01-15"
+    ev.where(F.col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(src)
+    ev.where(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+
+    ingest_stream.run_upsert_stream(spark, src, store, ckpt)
+
+    got = (
+        spark.read.parquet(store)
+        .select("user_id", "event_id")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "event_id")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), (len(got), len(want))
+
+    # idempotence: re-applying the full event set leaves the store as-is
+    ingest_stream._upsert_batch(ev, store, "user_id", "ts")
+    again = (
+        spark.read.parquet(store)
+        .select("user_id", "event_id")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert again.equals(want)
