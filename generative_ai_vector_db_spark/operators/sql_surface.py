@@ -160,6 +160,89 @@ def q118_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, Q118)
 
 
+# TPC-H Q16 shape (supplier diversity per part attribute): distinct
+# suppliers per (brand, type, size) for a filtered part subset,
+# excluding a supplier denylist via NOT IN. The reference corpus has
+# no partsupp table, so the part↔supplier relation is the DISTINCT
+# (l_partkey, l_suppkey) projection of lineitem — same topology:
+# NOT IN decorrelates to a null-aware anti-join on the (tiny,
+# broadcast) denylist, then a two-key distinct-count aggregation.
+# (Denylist = negative balance, standing in for Q16's complaints
+# predicate; empty at tiny SF, non-empty from sf0.01 up.)
+Q133 = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM part p
+JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+  ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_type NOT LIKE 'MEDIUM%'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND ps.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 40
+"""
+
+
+def q133_tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, Q133)
+
+
+# TPC-H Q17 shape (small-quantity-order revenue): yearly-average
+# revenue from orders whose quantity is below 20% of the per-part
+# average — a correlated scalar aggregate on the fact table itself.
+# Catalyst's RewriteCorrelatedScalarSubquery turns the inner avg into
+# a per-partkey aggregate joined back on l_partkey: one extra
+# aggregation + one equi-join, never a per-row subquery execution.
+# The brand filter prunes the probe side at the scan.
+Q134 = """
+SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+def q134_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, Q134)
+
+
+# TPC-H Q20 shape (suppliers with significant stock of a part class):
+# suppliers whose 1996 shipments of 'blue%' parts exceed a volume
+# threshold — a nested IN chain (supplier ← grouped lineitem ← part
+# name filter). Both INs become left-semi joins; the inner part filter
+# is a broadcast semi on l_partkey, the HAVING aggregate runs on the
+# pruned fact partition only. (The reference corpus has no partsupp
+# availqty, so the threshold is on shipped volume — same plan shape.)
+Q135 = """
+SELECT s.s_suppkey, s.s_name, round(s.s_acctbal, 4) AS s_acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  WHERE l.l_partkey IN (
+      SELECT p.p_partkey FROM part p WHERE p.p_name LIKE 'blue%'
+    )
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l.l_suppkey
+  HAVING sum(l.l_quantity) > 50.0
+)
+ORDER BY s.s_name
+"""
+
+
+def q135_tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, Q135)
+
+
 QUERIES = {
     "q67_correlated_min": q67_correlated_min,
     "q68_exists_distribution": q68_exists_distribution,
@@ -167,6 +250,9 @@ QUERIES = {
     "q108_grouping_sets": q108_grouping_sets,
     "q117_tpch_q21_shape": q117_tpch_q21_shape,
     "q118_tpch_q22_shape": q118_tpch_q22_shape,
+    "q133_tpch_q16_shape": q133_tpch_q16_shape,
+    "q134_tpch_q17_shape": q134_tpch_q17_shape,
+    "q135_tpch_q20_shape": q135_tpch_q20_shape,
 }
 
 # The same ANSI text runs on both engines (views share names/schemas).
@@ -177,4 +263,7 @@ ORACLE = {
     "q108_grouping_sets": Q108,
     "q117_tpch_q21_shape": Q117,
     "q118_tpch_q22_shape": Q118,
+    "q133_tpch_q16_shape": Q133,
+    "q134_tpch_q17_shape": Q134,
+    "q135_tpch_q20_shape": Q135,
 }
