@@ -696,6 +696,127 @@ def _finalize_q105_sql() -> str:
     return Q105_SQL.format(mult=FP_MULT, mod=FP_MOD)
 
 
+# ---------------------------------------------------------------------------
+# q136 — per-language quality-percentile gate: keep each language's top
+# quartile by alphabetic-character fraction. Percentile thresholds per
+# stratum (not one global cutoff) are how production quality filters
+# are calibrated — a global cutoff would empty out languages whose
+# score distribution sits lower. One rank window per language (single
+# shuffle on lang); the score is a narrow scan-side projection. The
+# score is rounded BEFORE ranking so both engines rank identical keys
+# (bit-level float drift cannot reorder ties), with doc_id as the
+# deterministic tie-break.
+# ---------------------------------------------------------------------------
+QGATE_PCT = 0.75
+
+
+def _alpha_score(docs: DataFrame) -> DataFrame:
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    score = F.round(
+        alpha.cast("double") / F.greatest(F.col("n_chars"), F.lit(1)), 6
+    )
+    return docs.select("doc_id", "lang", "text", "n_chars", score.alias("score"))
+
+
+def q136_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _alpha_score(load(spark, sf_dir, "documents"))
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .where(F.col("pr") >= QGATE_PCT)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.min("score"), 4).alias("gate_score"),
+            F.round(F.avg("score"), 4).alias("avg_kept_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SCORE_SQL = (
+    "round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    " / greatest(n_chars, 1), 6)"
+)
+
+Q136_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang, {_SCORE_SQL} AS score FROM documents
+),
+ranked AS (
+  SELECT lang, score,
+         percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id) AS pr
+  FROM scored
+)
+SELECT lang, count(*) AS n_kept,
+       round(min(score), 4) AS gate_score,
+       round(avg(score), 4) AS avg_kept_score
+FROM ranked
+WHERE pr >= {QGATE_PCT}
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# q137 — token-budget curriculum assignment: within each language,
+# documents are ordered best-quality-first and sliced into fixed
+# token-budget epochs (epoch 0 = the highest-quality budget's worth —
+# the "anneal on best data last/first" curriculum step every
+# pretraining data pipeline performs). The epoch is derived from the
+# EXCLUSIVE running token total (where the doc STARTS), so a document
+# never straddles the boundary decision. One window per language —
+# partitioned, never a global sort; per-epoch totals then reduce
+# map-side.
+# ---------------------------------------------------------------------------
+EPOCH_TOKENS = 1_500
+
+
+def q137_token_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _alpha_score(load(spark, sf_dir, "documents"))
+    toks = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("score"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("toks").over(w), F.lit(0).cast("bigint"))
+    return (
+        scored.withColumn("toks", toks)
+        .withColumn("epoch", F.floor(start / EPOCH_TOKENS))
+        .groupBy("lang", "epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("lang", "epoch")
+    )
+
+
+Q137_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang, {_SCORE_SQL} AS score,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+  FROM documents
+),
+placed AS (
+  SELECT lang, score, toks,
+         CAST(floor(coalesce(sum(toks) OVER (
+             PARTITION BY lang ORDER BY score DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / {EPOCH_TOKENS}) AS BIGINT) AS epoch
+  FROM scored
+)
+SELECT lang, epoch, count(*) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       round(avg(score), 4) AS avg_score
+FROM placed
+GROUP BY lang, epoch
+ORDER BY lang, epoch
+"""
+
+
 QUERIES = {
     "q93_gopher_quality": q93_gopher_quality,
     "q94_source_cap": q94_source_cap,
@@ -708,6 +829,8 @@ QUERIES = {
     "q103_length_bucketing": q103_length_bucketing,
     "q104_truncation_stats": q104_truncation_stats,
     "q105_source_overlap_matrix": q105_source_overlap_matrix,
+    "q136_quality_percentile_gate": q136_quality_percentile_gate,
+    "q137_token_curriculum": q137_token_curriculum,
 }
 
 ORACLE = {
@@ -722,4 +845,6 @@ ORACLE = {
     "q103_length_bucketing": Q103_SQL,
     "q104_truncation_stats": Q104_SQL,
     "q105_source_overlap_matrix": _finalize_q105_sql(),
+    "q136_quality_percentile_gate": Q136_SQL,
+    "q137_token_curriculum": Q137_SQL,
 }

@@ -225,12 +225,110 @@ def zorder_layout(
     )
 
 
+# ---------------------------------------------------------------------------
+# q138 — join-key skew profile: the heavy-hitter report that decides
+# whether a join/agg key needs salting (q56) or AQE skew splitting.
+# Per-key counts reduce map-side; the key-count table (|distinct keys|
+# rows) is then compared to its own mean via a 1-row broadcast — the
+# fact table is touched exactly once. skew_ratio >> 1 on the top keys
+# is the signal to pre-salt before a 100 TB shuffle.
+# ---------------------------------------------------------------------------
+SKEW_TOPK = 20
+
+
+def q138_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    mean = per_key.agg(F.avg("n").alias("mean_n"))
+    return (
+        per_key.join(F.broadcast(mean))
+        .select(
+            "l_partkey",
+            "n",
+            F.round(F.col("n") / F.col("mean_n"), 4).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("n"), "l_partkey")
+        .limit(SKEW_TOPK)
+    )
+
+
+Q138_SQL = f"""
+WITH per_key AS (
+  SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1
+),
+m AS (SELECT avg(n) AS mean_n FROM per_key)
+SELECT l_partkey, n, round(n / mean_n, 4) AS skew_ratio
+FROM per_key CROSS JOIN m
+ORDER BY n DESC, l_partkey
+LIMIT {SKEW_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q139 — referential-integrity audit: orphan counts for every FK edge
+# of the star schema in one report — the data-quality gate run before
+# a corpus/warehouse snapshot is published. Each edge is ONE pass over
+# the child: a left join against the parent's distinct keys with a hit
+# marker, counted conditionally (never count()+anti-join, which would
+# scan the child twice). Dimension parents broadcast; the two
+# fact-fact edges (lineitem->orders) shuffle on the join key only.
+# ---------------------------------------------------------------------------
+_FK_EDGES = [
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def q139_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for fk, child_t, ckey, parent_t, pkey in _FK_EDGES:
+        parent_keys = (
+            load(spark, sf_dir, parent_t)
+            .select(F.col(pkey).alias(ckey))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        row = (
+            load(spark, sf_dir, child_t)
+            .select(ckey)
+            .join(parent_keys, ckey, "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+            .select(F.lit(fk).alias("fk"), "n_child", "n_orphans")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk")
+
+
+Q139_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{fk}' AS fk,
+  (SELECT count(*) FROM {child_t}) AS n_child,
+  (SELECT count(*) FROM {child_t} c
+   WHERE NOT EXISTS (SELECT 1 FROM {parent_t} p WHERE p.{pkey} = c.{ckey})
+  ) AS n_orphans"""
+    for fk, child_t, ckey, parent_t, pkey in _FK_EDGES
+) + "\nORDER BY fk"
+
+
 QUERIES = {
     "q56_salted_agg": q56_salted_agg,
     "q128_zorder_stats": q128_zorder_stats,
+    "q138_skew_profile": q138_skew_profile,
+    "q139_integrity_audit": q139_integrity_audit,
 }
 
 ORACLE = {
     "q56_salted_agg": Q56_SQL,
     "q128_zorder_stats": Q128_SQL,
+    "q138_skew_profile": Q138_SQL,
+    "q139_integrity_audit": Q139_SQL,
 }

@@ -47,8 +47,8 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_registry_size_floor():
-    assert len(QUERIES) >= 134
-    assert len(ORACLE) >= 123
+    assert len(QUERIES) >= 138
+    assert len(ORACLE) >= 127
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
