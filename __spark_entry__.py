@@ -112,6 +112,8 @@ _PRIORITY = [
     "q133_tpch_q16_shape", "q134_tpch_q17_shape", "q135_tpch_q20_shape",
     "q136_quality_percentile_gate", "q137_token_curriculum",
     "q138_skew_profile", "q139_integrity_audit",
+    "q140_pergroup_trend", "q141_incremental_agg",
+    "q142_event_bitmask", "q143_embedding_dim_stats",
     # green in r01, overflow (r01 rows remain the evidence)
     "q41_ngram_jaccard", "q64_repetition_ratio",
     "q24_chunk_stride", "q63_corpus_stats", "q29_ingest_routing",

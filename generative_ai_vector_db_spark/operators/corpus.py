@@ -470,6 +470,53 @@ ORDER BY t.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q143 — embedding dimension health report: per-dimension mean/stddev/
+# min/max over the first DIM_STATS_K dimensions — the collapsed-
+# dimension / dead-unit check run before trusting an embedding table
+# for retrieval or dedup (a dimension with ~0 stddev carries no
+# signal; a wildly off-center mean breaks cosine assumptions).
+# ``posexplode`` fans out rows but the per-dim aggregation state is 4
+# moments × dim — partial aggregation reduces map-side, the shuffle
+# carries only DIM_STATS_K groups regardless of corpus size. Stats are
+# rounded to 3 (not 4) decimals: sums of millions of floats differ in
+# the last ulp between engines, and 3 decimals absorbs that without
+# hiding a dead dimension.
+# ---------------------------------------------------------------------------
+DIM_STATS_K = 8
+
+
+def q143_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).where(F.col("dim") < DIM_STATS_K)
+    x = F.col("x").cast("double")
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(x), 3).alias("mean"),
+            F.round(F.stddev(x), 3).alias("std"),
+            F.round(F.min(x), 3).alias("min_v"),
+            F.round(F.max(x), 3).alias("max_v"),
+        )
+        .orderBy("dim")
+    )
+
+
+Q143_SQL = f"""
+SELECT g.i - 1 AS dim, count(*) AS n,
+       round(avg(CAST(embedding[g.i] AS DOUBLE)), 3) AS mean,
+       round(stddev(CAST(embedding[g.i] AS DOUBLE)), 3) AS std,
+       round(min(CAST(embedding[g.i] AS DOUBLE)), 3) AS min_v,
+       round(max(CAST(embedding[g.i] AS DOUBLE)), 3) AS max_v
+FROM embeddings, generate_series(1, {DIM_STATS_K}) AS g(i)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "q79_token_packing": q79_token_packing,
     "q80_corpus_mixing": q80_corpus_mixing,
@@ -479,6 +526,7 @@ QUERIES = {
     "q119_ngram_decontam": q119_ngram_decontam,
     "q120_span_dedup": q120_span_dedup,
     "q121_unigram_logprob": q121_unigram_logprob,
+    "q143_embedding_dim_stats": q143_embedding_dim_stats,
 }
 
 ORACLE = {
@@ -490,4 +538,5 @@ ORACLE = {
     "q119_ngram_decontam": Q119_SQL,
     "q120_span_dedup": Q120_SQL,
     "q121_unigram_logprob": Q121_SQL,
+    "q143_embedding_dim_stats": Q143_SQL,
 }

@@ -403,6 +403,191 @@ ORDER BY grain, bucket_start
 """
 
 
+# ---------------------------------------------------------------------------
+# q140 — per-key OLS trend: the least-squares slope/intercept of daily
+# event volume per event type, via the built-in regression aggregates
+# (regr_slope/regr_intercept/regr_r2 — Spark >= 3.4, JVM-side partial
+# aggregation). Two stacked aggregations, no window, no Python: the
+# daily rollup reduces map-side, the per-type regression state is four
+# running moments. This is the "is this source growing/decaying"
+# monitor a 100 TB ingest runs per partition-day.
+# ---------------------------------------------------------------------------
+TREND_X0 = "2024-01-01"
+
+
+def q140_pergroup_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    x = F.datediff("day", F.lit(TREND_X0)).cast("double")
+    y = F.col("n").cast("double")
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 4).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q140_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, count(*) AS n_days,
+       round(regr_slope(CAST(n AS DOUBLE),
+                        CAST(day - DATE '{TREND_X0}' AS DOUBLE)), 4) AS slope,
+       round(regr_intercept(CAST(n AS DOUBLE),
+                        CAST(day - DATE '{TREND_X0}' AS DOUBLE)), 4) AS intercept,
+       round(regr_r2(CAST(n AS DOUBLE),
+                        CAST(day - DATE '{TREND_X0}' AS DOUBLE)), 4) AS r2
+FROM daily
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q141 — incremental aggregate maintenance: a published per-type daily
+# aggregate (events before the cutoff) is brought current by merging
+# ONLY the delta (events at/after the cutoff) — union of two partial
+# aggregates, re-aggregated — instead of rescanning history. At 100 TB
+# this is the difference between touching one partition-day and
+# touching the table; the merge is correct because count/sum are
+# decomposable (the same property partial map-side aggregation relies
+# on). Output = the merged aggregate restricted to days the delta
+# touched, with base/delta provenance counts.
+# ---------------------------------------------------------------------------
+INCR_CUTOFF = "2024-01-25"
+
+
+def q141_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    cut = F.lit(INCR_CUTOFF).cast("date")
+
+    def partial(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.lit(tag).alias("part"),
+        )
+
+    base = partial(ev.where(F.col("day") < cut), "base")
+    delta = partial(ev.where(F.col("day") >= cut), "delta")
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("sum_value"), 4).alias("sum_value"),
+            F.max(F.when(F.col("part") == "base", F.col("n"))).alias("n_base"),
+            F.max(F.when(F.col("part") == "delta", F.col("n"))).alias("n_delta"),
+        )
+    )
+    return (
+        merged.where(F.col("n_delta").isNotNull())
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "sum_value",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            "n_delta",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+Q141_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, value FROM events
+),
+base AS (
+  SELECT event_type, day, count(*) AS n, sum(value) AS sum_value
+  FROM ev WHERE day < DATE '{INCR_CUTOFF}' GROUP BY 1, 2
+),
+delta AS (
+  SELECT event_type, day, count(*) AS n, sum(value) AS sum_value
+  FROM ev WHERE day >= DATE '{INCR_CUTOFF}' GROUP BY 1, 2
+),
+unioned AS (
+  SELECT *, 'base' AS part FROM base
+  UNION ALL
+  SELECT *, 'delta' AS part FROM delta
+),
+merged AS (
+  SELECT event_type, day,
+         CAST(sum(n) AS BIGINT) AS n_events,
+         round(sum(sum_value), 4) AS sum_value,
+         max(CASE WHEN part = 'base' THEN n END) AS n_base,
+         max(CASE WHEN part = 'delta' THEN n END) AS n_delta
+  FROM unioned GROUP BY 1, 2
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events, sum_value,
+       CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+       CAST(n_delta AS BIGINT) AS n_delta
+FROM merged
+WHERE n_delta IS NOT NULL
+ORDER BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# q142 — event-type presence bitmask per (user, day): one BIT_OR
+# aggregation folds each user-day's event types into an int bitmask
+# (signup=1, view=2, click=4, purchase=8), then the mask distribution —
+# the O(1)-state funnel/segment encoding (a 100 TB event log reduces to
+# one int per user-day map-side; every segment predicate is then a
+# bitwise AND, no re-scan per segment).
+# ---------------------------------------------------------------------------
+_MASK_BITS = [("signup", 1), ("view", 2), ("click", 4), ("purchase", 8)]
+
+
+def q142_event_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bit = F.lit(0)
+    for name, b in _MASK_BITS:
+        bit = F.when(F.col("event_type") == name, F.lit(b)).otherwise(bit)
+    masks = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.bit_or(bit).cast("bigint").alias("mask")
+    )
+    full = sum(b for _, b in _MASK_BITS)
+    return (
+        masks.groupBy("mask")
+        .agg(
+            F.count(F.lit(1)).alias("n_user_days"),
+            F.max((F.col("mask") == full).cast("int")).alias("is_full_funnel"),
+        )
+        .orderBy("mask")
+    )
+
+
+_MASK_CASE = "CASE event_type " + " ".join(
+    f"WHEN '{n}' THEN {b}" for n, b in _MASK_BITS
+) + " ELSE 0 END"
+
+Q142_SQL = f"""
+WITH masks AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(bit_or({_MASK_CASE}) AS BIGINT) AS mask
+  FROM events GROUP BY 1, 2
+)
+SELECT mask, count(*) AS n_user_days,
+       CAST(max(CASE WHEN mask = {sum(b for _, b in _MASK_BITS)} THEN 1 ELSE 0 END)
+            AS INTEGER) AS is_full_funnel
+FROM masks
+GROUP BY mask
+ORDER BY mask
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
     "q59_range_join": q59_range_join,
@@ -410,6 +595,9 @@ QUERIES = {
     "q107_retention_cohorts": q107_retention_cohorts,
     "q122_scd2_dimension": q122_scd2_dimension,
     "q125_time_rollup": q125_time_rollup,
+    "q140_pergroup_trend": q140_pergroup_trend,
+    "q141_incremental_agg": q141_incremental_agg,
+    "q142_event_bitmask": q142_event_bitmask,
 }
 
 ORACLE = {
@@ -419,4 +607,7 @@ ORACLE = {
     "q107_retention_cohorts": Q107_SQL,
     "q122_scd2_dimension": Q122_SQL,
     "q125_time_rollup": Q125_SQL,
+    "q140_pergroup_trend": Q140_SQL,
+    "q141_incremental_agg": Q141_SQL,
+    "q142_event_bitmask": Q142_SQL,
 }

@@ -47,8 +47,8 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_registry_size_floor():
-    assert len(QUERIES) >= 138
-    assert len(ORACLE) >= 127
+    assert len(QUERIES) >= 142
+    assert len(ORACLE) >= 131
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
