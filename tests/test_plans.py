@@ -309,3 +309,84 @@ def test_q119_eval_gram_set_is_broadcast(spark, sf_dir):
 
     plan = plan_of(corpus.q119_ngram_decontam(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_q131_pair_join_shuffles_on_orderkey_only(spark, sf_dir):
+    """Market-basket pair join keys on l_orderkey; the per-part count
+    dims and the 1-row order total must broadcast."""
+    from generative_ai_vector_db_spark.operators import relational as rel
+
+    plan = plan_of(rel.q131_copurchase_lift(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan  # top-50 is a distributed heap
+
+
+def test_q133_not_in_becomes_anti_join(spark, sf_dir):
+    """The NOT IN denylist must decorrelate to an anti join — never a
+    per-row subquery execution."""
+    from generative_ai_vector_db_spark.operators import sql_surface
+
+    plan = plan_of(sql_surface.q133_tpch_q16_shape(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q134_correlated_scalar_decorrelates(spark, sf_dir):
+    """Catalyst must rewrite the correlated per-part avg into an
+    aggregate + equi-join (plan shows joins/aggregates, no iterative
+    subquery node)."""
+    from generative_ai_vector_db_spark.operators import sql_surface
+
+    plan = plan_of(sql_surface.q134_tpch_q17_shape(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q135_nested_in_becomes_semi_joins(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import sql_surface
+
+    plan = plan_of(sql_surface.q135_tpch_q20_shape(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_q137_curriculum_window_is_partitioned(spark, sf_dir):
+    """The running-token window must partition by lang — a global
+    (single-partition) window would serialize the corpus."""
+    from generative_ai_vector_db_spark.operators import quality
+
+    plan = plan_of(quality.q137_token_curriculum(spark, sf_dir))
+    assert "Window" in plan
+    assert "hashpartitioning(lang" in plan
+
+
+def test_q138_mean_is_broadcast_one_row(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import scale
+
+    plan = plan_of(scale.q138_skew_profile(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row mean, no shuffle
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q139_integrity_audit_broadcasts_parents(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import scale
+
+    plan = plan_of(scale.q139_integrity_audit(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5  # dim parents broadcast
+
+
+def test_q140_regression_aggregates_partial(spark, sf_dir):
+    """regr_* must partially aggregate map-side (two HashAggregate
+    levels per stage, no Python in the plan)."""
+    from generative_ai_vector_db_spark.operators import temporal
+
+    plan = plan_of(temporal.q140_pergroup_trend(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "Python" not in plan
+
+
+def test_q143_dim_stats_partial_agg_after_explode(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import corpus
+
+    plan = plan_of(corpus.q143_embedding_dim_stats(spark, sf_dir))
+    assert "Generate" in plan  # posexplode
+    assert plan.count("HashAggregate") >= 2  # partial + final
