@@ -98,6 +98,8 @@ _PRIORITY = [
     # ---- driver's 50-slot window ends here ----
     # tier 3 — locally-verified oracle queries awaiting window rotation
     # (front of the tier = first into next round's window)
+    "q144_zipf_fit", "q145_token_entropy", "q146_pmi_collocations",
+    "q147_late_arrival_profile",
     "q108_grouping_sets",
     "q109_tpch_q5_shape", "q110_tpch_q18_shape",
     "q111_stream_static_enrich",

@@ -421,11 +421,176 @@ SELECT * FROM final ORDER BY rn
 """
 
 
+# ---------------------------------------------------------------------------
+# q144 — Zipf-law fit over the term-frequency distribution: the
+# log-log regression of frequency against rank for the top-K vocabulary
+# terms. The slope (~ -1 for natural language) is the standard corpus
+# health check — boilerplate-heavy or machine-generated corpora flatten
+# or steepen it. Plan: one map-side-combined term count, one rank
+# window immediately capped (WindowGroupLimit / distributed top-N per
+# the unpartitioned-window policy), then a single-row regr_* aggregate
+# (JVM-side running moments, same family as q140).
+# ---------------------------------------------------------------------------
+ZIPF_K = 200
+
+
+def q144_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = _tokens(spark, sf_dir).groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ranked = (
+        counts.withColumn(
+            "rn",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "term"))
+            .cast("bigint"),
+        )
+        .where(F.col("rn") <= ZIPF_K)
+    )
+    x = F.log(F.col("rn").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 4).alias("r2"),
+    )
+
+
+Q144_SQL = f"""
+WITH tokens AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents
+),
+tokens_f AS (SELECT term FROM tokens WHERE term != ''),
+counts AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tokens_f GROUP BY term),
+ranked AS (
+  SELECT term, n,
+         CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rn
+  FROM counts
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rn AS DOUBLE))), 4) AS slope,
+       round(regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rn AS DOUBLE))), 4)
+         AS intercept,
+       round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rn AS DOUBLE))), 4) AS r2
+FROM ranked WHERE rn <= {ZIPF_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q146 — PMI collocations: the top word pairs by pointwise mutual
+# information ln(p(ab) / (p(a) p(b))) over ADJACENT word pairs (the
+# classic collocation detector; also the bigram-merge signal BPE-style
+# tokenizer training uses). Tokenization matches q41/q120 (split on
+# single space) so bigram instances line up with the span/Jaccard ops.
+# Plan: positional bigrams via transform-over-sequence on the
+# materialized words array (the dedup.py HOF rule); two map-side-
+# combined counts (bigram, unigram); the bigram table is filtered to
+# count >= PMI_MIN_COUNT BEFORE joining unigram counts, so the two
+# equi-joins on term ship only the surviving candidates. The unigram
+# vocabulary is Heaps-law small relative to the corpus but NOT hinted
+# broadcast — at 100 TB a 100M-term vocab should shuffle, and AQE
+# promotes it to broadcast when it is small. Corpus totals are 1-row
+# broadcasts. Final ordering is by the ROUNDED pmi (FIXTURES.md float
+# policy) with the bigram as tie-break, capped to a TakeOrdered.
+# ---------------------------------------------------------------------------
+PMI_MIN_COUNT = 5
+PMI_TOP = 20
+
+
+def q146_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        F.split(F.lower(F.col("text")), " ").alias("words")
+    )
+    n = F.size("words")
+    bigrams = docs.select(
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("words"), i + 1),
+                    F.element_at(F.col("words"), i + 2),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bgs")
+    ).select(F.explode("bgs").alias("bigram"))
+    uni = (
+        docs.select(F.explode("words").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    bc = bigrams.groupBy("bigram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pair")
+    )
+    n1 = uni.agg(F.sum("c").cast("double").alias("n1"))
+    n2 = bc.agg(F.sum("n_pair").cast("double").alias("n2"))
+    parts = F.split(F.col("bigram"), " ")
+    cand = (
+        bc.where(F.col("n_pair") >= PMI_MIN_COUNT)
+        .withColumn("w1", parts.getItem(0))
+        .withColumn("w2", parts.getItem(1))
+    )
+    ua = uni.select(F.col("t").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("t").alias("w2"), F.col("c").alias("c_b"))
+    pmi = F.log(
+        (F.col("n_pair").cast("double") * F.col("n1") * F.col("n1"))
+        / (F.col("n2") * F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+    )
+    return (
+        cand.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select("bigram", "n_pair", F.round(pmi, 4).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(PMI_TOP)
+    )
+
+
+Q146_SQL = f"""
+WITH w AS (
+  SELECT string_split(lower(text), ' ') AS words FROM documents
+),
+uni AS (SELECT unnest(words) AS t FROM w),
+uc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY t),
+n1 AS (SELECT CAST(sum(c) AS DOUBLE) AS n1 FROM uc),
+bg AS (
+  SELECT unnest(list_transform(
+           generate_series(1, greatest(len(words) - 1, 0)),
+           i -> words[i] || ' ' || words[i + 1])) AS bigram
+  FROM w
+),
+bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_pair FROM bg GROUP BY bigram),
+n2 AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS n2 FROM bc),
+cand AS (
+  SELECT bigram, n_pair,
+         string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2
+  FROM bc WHERE n_pair >= {PMI_MIN_COUNT}
+)
+SELECT cand.bigram, cand.n_pair,
+       round(ln((CAST(cand.n_pair AS DOUBLE) * n1.n1 * n1.n1)
+                / (n2.n2 * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))), 4) AS pmi
+FROM cand
+JOIN uc ua ON cand.w1 = ua.t
+JOIN uc ub ON cand.w2 = ub.t
+CROSS JOIN n1 CROSS JOIN n2
+ORDER BY pmi DESC, cand.bigram
+LIMIT {PMI_TOP}
+"""
+
+
 QUERIES = {
     "q83_bm25_topk": q83_bm25_topk,
     "q84_hybrid_rrf": q84_hybrid_rrf,
     "q86_tfidf_keywords": q86_tfidf_keywords,
     "q87_vocab_coverage": q87_vocab_coverage,
+    "q144_zipf_fit": q144_zipf_fit,
+    "q146_pmi_collocations": q146_pmi_collocations,
 }
 
 ORACLE = {
@@ -433,4 +598,6 @@ ORACLE = {
     "q84_hybrid_rrf": Q84_SQL,
     "q86_tfidf_keywords": Q86_SQL,
     "q87_vocab_coverage": Q87_SQL,
+    "q144_zipf_fit": Q144_SQL,
+    "q146_pmi_collocations": Q146_SQL,
 }

@@ -588,6 +588,91 @@ ORDER BY mask
 """
 
 
+# ---------------------------------------------------------------------------
+# q147 — late-arrival profile (the watermark advisor): for every event,
+# its lateness = (max event-time seen so far in arrival order) - its
+# own event-time, then per-type max/p95/late-share. This is the
+# measurement that justifies a `withWatermark` bound (q32 uses 2 min);
+# run it before deploying a streaming job, not after it drops data.
+# Arrival order = event_id (the generator's append order).
+#
+# Scale shape: a running prefix-max over petabytes of events cannot be
+# one global window per type (that single partition would sort the
+# whole type). It decomposes exactly: (1) events bucket into arrival
+# blocks of LATE_BLOCK ids; (2) a tiny per-(type, block) max aggregate
+# (rows = events/LATE_BLOCK) gets an exclusive prefix-max window —
+# bounded input, satisfying the unpartitioned-window policy; (3) the
+# prefix joins back (broadcast) and combines with the within-block
+# running max (partitions bounded by LATE_BLOCK rows). greatest(prior
+# blocks, in-block prefix) == the global running max, verified against
+# the DuckDB twin's single global window.
+# ---------------------------------------------------------------------------
+LATE_BLOCK = 8192
+LATE_P = 0.95
+
+
+def q147_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("ms"),
+        F.floor(F.col("event_id") / LATE_BLOCK).cast("bigint").alias("blk"),
+    )
+    block_max = ev.groupBy("event_type", "blk").agg(F.max("ms").alias("bmax"))
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = block_max.select(
+        "event_type", "blk", F.max("bmax").over(w_prev).alias("prev_max")
+    )
+    w_in = (
+        Window.partitionBy("event_type", "blk")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runmax = F.greatest(
+        F.coalesce(F.col("prev_max"), F.lit(-(1 << 62))),
+        F.max("ms").over(w_in),
+    )
+    late = ev.join(F.broadcast(prev), ["event_type", "blk"]).select(
+        "event_type", (runmax - F.col("ms")).alias("late_ms")
+    )
+    return (
+        late.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum((F.col("late_ms") > 0).cast("bigint")).alias("n_late"),
+            F.max("late_ms").cast("bigint").alias("max_late_ms"),
+            F.round(F.percentile("late_ms", F.lit(LATE_P)), 4).alias("p95_late_ms"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q147_SQL = f"""
+WITH e AS (
+  SELECT event_id, event_type, epoch_ms(ts) AS ms FROM events
+),
+r AS (
+  SELECT event_type,
+         max(ms) OVER (PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - ms AS late_ms
+  FROM e
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(max(late_ms) AS BIGINT) AS max_late_ms,
+       round(quantile_cont(late_ms, {LATE_P}), 4) AS p95_late_ms
+FROM r
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
     "q59_range_join": q59_range_join,
@@ -598,6 +683,7 @@ QUERIES = {
     "q140_pergroup_trend": q140_pergroup_trend,
     "q141_incremental_agg": q141_incremental_agg,
     "q142_event_bitmask": q142_event_bitmask,
+    "q147_late_arrival_profile": q147_late_arrival_profile,
 }
 
 ORACLE = {
@@ -610,4 +696,5 @@ ORACLE = {
     "q140_pergroup_trend": Q140_SQL,
     "q141_incremental_agg": Q141_SQL,
     "q142_event_bitmask": Q142_SQL,
+    "q147_late_arrival_profile": Q147_SQL,
 }

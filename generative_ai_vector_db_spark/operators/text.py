@@ -508,6 +508,67 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q145 — per-document token entropy: Shannon entropy of the word
+# distribution, H = ln(N) - sum(c ln c)/N over per-word counts c (one
+# pass, no join — the identity avoids dividing each count by N before
+# the log). Low-entropy documents are template/boilerplate/spam; this
+# is the standard diversity signal next to the repetition ratio (q64).
+# norm_entropy divides by ln(n_distinct) (max achievable H), 0.0 for
+# single-word docs. Plan: two stacked aggregations, both map-side
+# partial; tokenization matches q41/q120 (split on single space).
+# ---------------------------------------------------------------------------
+def q145_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    per = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    c = F.col("c").cast("double")
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(c * F.log(c)).alias("clogc"),
+    )
+    big_n = F.col("n_words").cast("double")
+    h = F.log(big_n) - F.col("clogc") / big_n
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        F.round(h, 4).alias("entropy"),
+        F.round(
+            F.when(
+                F.col("n_distinct") > 1,
+                h / F.log(F.col("n_distinct").cast("double")),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("norm_entropy"),
+    ).orderBy("doc_id")
+
+
+Q145_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+per AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, n_words, n_distinct,
+       round(ln(CAST(n_words AS DOUBLE)) - clogc / n_words, 4) AS entropy,
+       round(CASE WHEN n_distinct > 1
+                  THEN (ln(CAST(n_words AS DOUBLE)) - clogc / n_words)
+                       / ln(CAST(n_distinct AS DOUBLE))
+                  ELSE 0.0 END, 4) AS norm_entropy
+FROM agg
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q37_lang_id": q37_lang_id,
     "q38_text_quality": q38_text_quality,
@@ -519,6 +580,7 @@ QUERIES = {
     "q64_repetition_ratio": q64_repetition_ratio,
     "q65_contamination": q65_contamination,
     "q74_curation_pipeline": q74_curation_pipeline,
+    "q145_token_entropy": q145_token_entropy,
 }
 
 ORACLE = {
@@ -532,4 +594,5 @@ ORACLE = {
     "q64_repetition_ratio": Q64_SQL,
     "q65_contamination": Q65_SQL,
     "q74_curation_pipeline": Q74_SQL,
+    "q145_token_entropy": Q145_SQL,
 }

@@ -47,8 +47,8 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_registry_size_floor():
-    assert len(QUERIES) >= 142
-    assert len(ORACLE) >= 131
+    assert len(QUERIES) >= 146
+    assert len(ORACLE) >= 135
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE))

@@ -128,6 +128,31 @@ def test_q85_dedup_corpus_drops_cluster_members(spark, sf_dir):
     assert not (set(kept["doc_id"]) & non_keepers)
 
 
+def test_q144_q146_oracle_mirrors(spark, sf_dir):
+    compare_query(
+        spark, sf_dir, retrieval.q144_zipf_fit, retrieval.Q144_SQL, "q144"
+    )
+    compare_query(
+        spark, sf_dir, retrieval.q146_pmi_collocations, retrieval.Q146_SQL, "q146"
+    )
+
+
+def test_q144_zipf_slope_negative(spark, sf_dir):
+    """Rank-frequency on natural-ish text must slope downward, with a
+    meaningful log-log linear fit over the top terms."""
+    row = retrieval.q144_zipf_fit(spark, sf_dir).collect()[0]
+    assert 2 <= row["n_terms"] <= retrieval.ZIPF_K  # vocab-capped at tiny SF
+    assert row["slope"] < 0
+    assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_q146_pmi_invariants(spark, sf_dir):
+    pdf = retrieval.q146_pmi_collocations(spark, sf_dir).toPandas()
+    assert len(pdf) == retrieval.PMI_TOP
+    assert (pdf["n_pair"] >= retrieval.PMI_MIN_COUNT).all()
+    assert (pdf["pmi"].diff().dropna() <= 0).all()  # ordered by pmi desc
+
+
 def test_q87_coverage_monotone(spark, sf_dir):
     pdf = retrieval.q87_vocab_coverage(spark, sf_dir).toPandas()
     assert (pdf["coverage"].diff().dropna() > 0).all()

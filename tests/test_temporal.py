@@ -128,3 +128,15 @@ def test_scd2_intervals_tile_the_timeline(spark, sf_dir):
         assert (g["valid_to"].iloc[:-1].values == g["valid_from"].iloc[1:].values).all()
         # consecutive states actually change
         assert (g["state"].iloc[:-1].values != g["state"].iloc[1:].values).all()
+
+
+def test_q147_block_decomposition_exact(spark, sf_dir, monkeypatch):
+    """The blocked prefix-max must equal the single global window for
+    ANY block size — shrink LATE_BLOCK so sf0.001 spans many blocks and
+    every cross-block seam is exercised."""
+    from generative_ai_vector_db_spark.operators import temporal
+
+    baseline = temporal.q147_late_arrival_profile(spark, sf_dir).toPandas()
+    monkeypatch.setattr(temporal, "LATE_BLOCK", 37)
+    blocked = temporal.q147_late_arrival_profile(spark, sf_dir).toPandas()
+    assert baseline.equals(blocked)

@@ -113,3 +113,18 @@ def test_bigrams_and_shingles_short_docs(spark):
     )
     assert sh[1] == [] and sh[2] == [] and sh[3] == []
     assert sh[4] == ["three word text"]
+
+
+def test_q145_entropy_bounds(spark, sf_dir):
+    """0 <= H <= ln(n_distinct); norm_entropy in [0, 1]; single-word
+    docs (if any) pin both to 0."""
+    import numpy as np
+
+    from generative_ai_vector_db_spark.operators import text
+
+    pdf = text.QUERIES["q145_token_entropy"](spark, sf_dir).toPandas()
+    assert (pdf["entropy"] >= 0).all()
+    cap = np.log(pdf["n_distinct"].astype(float)).round(4)
+    assert (pdf["entropy"] <= cap + 1e-9).all()
+    assert pdf["norm_entropy"].between(0.0, 1.0).all()
+    assert (pdf["n_distinct"] <= pdf["n_words"]).all()
