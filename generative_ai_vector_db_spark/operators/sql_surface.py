@@ -243,6 +243,27 @@ def q135_tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, Q135)
 
 
+# TPC-H Q6 shape (forecast revenue change): single-table filter +
+# global aggregate — the canonical predicate-pushdown benchmark. All
+# three range predicates reach the parquet scan as PushedFilters, the
+# scan reads only 4 of 11 columns (ReadSchema), and the aggregate is a
+# partial/final pair with no shuffle beyond the single-row exchange.
+# This completes the 22/22 TPC-H query-shape inventory (Q1-Q22).
+Q148 = """
+SELECT CAST(round(sum(l_extendedprice * l_discount), 4) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24.0
+"""
+
+
+def q148_tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, Q148)
+
+
 QUERIES = {
     "q67_correlated_min": q67_correlated_min,
     "q68_exists_distribution": q68_exists_distribution,
