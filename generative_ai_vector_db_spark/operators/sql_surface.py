@@ -250,7 +250,8 @@ def q135_tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partial/final pair with no shuffle beyond the single-row exchange.
 # This completes the 22/22 TPC-H query-shape inventory (Q1-Q22).
 Q148 = """
-SELECT CAST(round(sum(l_extendedprice * l_discount), 4) AS DOUBLE) AS revenue,
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -274,6 +275,7 @@ QUERIES = {
     "q133_tpch_q16_shape": q133_tpch_q16_shape,
     "q134_tpch_q17_shape": q134_tpch_q17_shape,
     "q135_tpch_q20_shape": q135_tpch_q20_shape,
+    "q148_tpch_q6_shape": q148_tpch_q6_shape,
 }
 
 # The same ANSI text runs on both engines (views share names/schemas).
@@ -287,4 +289,5 @@ ORACLE = {
     "q133_tpch_q16_shape": Q133,
     "q134_tpch_q17_shape": Q134,
     "q135_tpch_q20_shape": Q135,
+    "q148_tpch_q6_shape": Q148,
 }

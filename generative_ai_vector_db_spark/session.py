@@ -47,6 +47,10 @@ def get_session(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Read parquet TIMESTAMP(isAdjustedToUTC=false) as plain TIMESTAMP,
+        # not TIMESTAMP_NTZ — epoch math (unix_micros etc.) requires TIMESTAMP
+        # and the session TZ is UTC so semantics are identical.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -517,32 +517,87 @@ def run_dedup_stream(
 
 # ---------------------------------------------------------------------------
 # Q71 statistical aggregates — stddev/variance (sample), correlation,
-# covariance: same definitions in Spark and DuckDB.
+# covariance. Native stddev_samp/corr aggregate doubles in partition
+# order, which differs between Spark (parallel partial-agg) and DuckDB
+# (sequential) — the r2/r3 hash mismatches were last-digit float drift.
+# Fix: accumulate the raw moments (Σx, Σx², Σxy, n) as DECIMAL, which is
+# EXACT and order-independent in both engines, then derive the statistics
+# with one identical double-arithmetic expression per side. Identical
+# inputs + identical IEEE op sequence = identical bits = hash match.
+# At 100 TB this is also the better plan: decimal partial sums combine
+# map-side exactly, one shuffle per group key, no numeric drift across
+# 1000 executors.
 # ---------------------------------------------------------------------------
 def q71_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    # casts are exact-deterministic: a double is never an exact half-ulp
+    # tie at these scales, so Spark and DuckDB round identically
+    xd = F.col("l_extendedprice").cast("decimal(18,4)")
+    qd = F.col("l_quantity").cast("decimal(18,4)")
+    dd = F.col("l_discount").cast("decimal(18,6)")
+    td = F.col("l_tax").cast("decimal(18,6)")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("nf"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(qd).cast("double").alias("sq"),
+        F.sum(qd * qd).cast("double").alias("sqq"),
+        F.sum(qd * xd).cast("double").alias("sqx"),
+        F.sum(dd).cast("double").alias("sd"),
+        F.sum(td).cast("double").alias("st"),
+        F.sum(dd * td).cast("double").alias("sdt"),
+    )
+    mx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("nf")
+    mq = F.col("sqq") - F.col("sq") * F.col("sq") / F.col("nf")
+    mqx = F.col("sqx") - F.col("sq") * F.col("sx") / F.col("nf")
+    mdt = F.col("sdt") - F.col("sd") * F.col("st") / F.col("nf")
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
-            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
-            F.round(F.covar_samp("l_discount", "l_tax"), 4).alias("disc_tax_covar"),
-            F.count(F.lit(1)).alias("n"),
+        g.select(
+            "l_returnflag",
+            F.round(F.sqrt(mx / (F.col("nf") - 1)), 4).alias("price_stddev"),
+            F.round(mq / (F.col("nf") - 1), 4).alias("qty_var"),
+            F.round(mqx / F.sqrt(mq * mx), 4).alias("qty_price_corr"),
+            F.round(mdt / (F.col("nf") - 1), 4).alias("disc_tax_covar"),
+            "n",
         )
         .orderBy("l_returnflag")
     )
 
 
 Q71_SQL = """
+WITH m AS (
+  -- one product operand is DECIMAL(19,·): DuckDB then computes the
+  -- product in int128 (DECIMAL(18)x(18) overflows its int64 fast path).
+  -- Values are identical to Spark's BigDecimal products — width is
+  -- storage, not value.
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS nf,
+         count(*) AS n,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))
+                  * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq,
+         CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+                  * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sqq,
+         CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+                  * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sqx,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sd,
+         CAST(sum(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) AS st,
+         CAST(sum(CAST(l_discount AS DECIMAL(19,6))
+                  * CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) AS sdt
+  FROM lineitem
+  GROUP BY l_returnflag
+)
 SELECT l_returnflag,
-       round(stddev_samp(l_extendedprice), 4) AS price_stddev,
-       round(var_samp(l_quantity), 4) AS qty_var,
-       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
-       round(covar_samp(l_discount, l_tax), 4) AS disc_tax_covar,
-       count(*) AS n
-FROM lineitem
-GROUP BY l_returnflag
+       round(sqrt((sxx - sx * sx / nf) / (nf - 1)), 4) AS price_stddev,
+       round((sqq - sq * sq / nf) / (nf - 1), 4) AS qty_var,
+       round((sqx - sq * sx / nf)
+             / sqrt((sqq - sq * sq / nf) * (sxx - sx * sx / nf)), 4)
+           AS qty_price_corr,
+       round((sdt - sd * st / nf) / (nf - 1), 4) AS disc_tax_covar,
+       n
+FROM m
 ORDER BY l_returnflag
 """
 

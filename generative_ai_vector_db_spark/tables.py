@@ -32,20 +32,33 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from ._bootstrap import ensure_worker_imports
 
     ensure_worker_imports(spark)
-    if name == "events":
-        # events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark
-        # rejects by default (SPARK-40819). Read nanos as long and truncate
-        # to microseconds — integer `div`, NOT double division: epoch-nanos
-        # (~1.7e18) exceeds double's 53-bit mantissa. Truncation matches
-        # DuckDB's nanos->micros conversion, so oracle hashes agree.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
+    # Timestamp physical types have drifted across testdata generations:
+    # TIMESTAMP(NANOS), then TIMESTAMP(MICROS, isAdjustedToUTC=false) which
+    # Spark by default reads as TIMESTAMP_NTZ — and epoch expressions
+    # (unix_micros, cast-to-long, interval joins) reject NTZ at analysis.
+    # Setting the runtime conf BEFORE the read makes the scan produce
+    # session-TZ TIMESTAMP natively, so range predicates still push down to
+    # parquet (a cast on top of the scan would block PushedFilters). The
+    # session TZ is UTC, so this is a re-tag, not a wall-clock shift, and
+    # values hash-match DuckDB's naive timestamps. Set here, not only in
+    # session.py: the driver calls queries() with its own default session.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    from pyspark.sql import functions as F
 
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
+        # Older generations stored ts as TIMESTAMP(NANOS), which Spark
+        # rejects by default (SPARK-40819); read nanos as long and truncate.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col_name, dtype in df.dtypes:
+        if dtype == "bigint" and name == "events" and col_name == "ts":
+            # nanos as long: integer `div`, NOT double division — epoch-nanos
+            # (~1.7e18) exceeds double's 53-bit mantissa.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        elif dtype == "timestamp_ntz":
+            # defensive: only reachable if a future Spark ignores the conf
+            df = df.withColumn(col_name, F.col(col_name).cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
