@@ -77,8 +77,11 @@ _PRIORITY = [
     "q33_session_window", "q58_asof_join", "q70_interval_join",
     "q106_sessionize", "q71_stats_agg", "q50_ingest_pipeline",
     # tier 2 — oracle-bearing queries with NO driver row ever (the r2/r3
-    # 50-slot windows never reached them); q148 newly registered.
-    "q148_tpch_q6_shape",
+    # 50-slot windows never reached them); q148–q151 newly registered
+    # this round (TPC-H Q6 shape, gap-fill/LOCF, keep-best dedup,
+    # traffic-burst detection).
+    "q148_tpch_q6_shape", "q149_gap_fill", "q150_dedup_keep_best",
+    "q151_traffic_bursts",
     "q144_zipf_fit", "q145_token_entropy", "q146_pmi_collocations",
     "q147_late_arrival_profile",
     "q108_grouping_sets",
@@ -97,8 +100,7 @@ _PRIORITY = [
     "q138_skew_profile", "q139_integrity_audit",
     "q140_pergroup_trend", "q141_incremental_agg",
     "q142_event_bitmask", "q143_embedding_dim_stats",
-    # ---- driver's 50-slot window ends here (47 listed + room for 3
-    # new this-round queries, which _ordered() places at the front) ----
+    # ---- driver's 50-slot window ends here (exactly 50 listed) ----
     # tier 3 — driver-green in a prior round (rows stand as evidence)
     "q31_tumbling_window", "q32_sliding_window",
     "q35_pandas_udf_zscore", "q43_multimodal_decode",

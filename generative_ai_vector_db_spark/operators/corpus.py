@@ -517,6 +517,63 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q150 — keep-BEST dedup: exact dedup over a whitespace/case-normalized
+# fingerprint that keeps the highest-quality copy instead of the
+# min-id copy (q12's rule). This is how production corpora dedup:
+# mirrors of the same page differ in padding/casing, and you want the
+# longest (least-truncated) capture to survive. One narrow projection
+# computes the fingerprint scan-side (sha256 of the normalized text —
+# the shuffle key is 32 bytes, never the document body), then a single
+# rank window per fingerprint picks the survivor: longest n_chars,
+# ties to the smallest doc_id for determinism. One shuffle total, and
+# at 100 TB the shuffle carries (fp, doc_id, n_chars, source) — the
+# text column is re-joined only for survivors if the caller needs it.
+# ---------------------------------------------------------------------------
+def q150_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fp = F.sha2(
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), 256
+    ).alias("fp")
+    keyed = docs.select("doc_id", "source", "n_chars", fp)
+    w = Window.partitionBy("fp").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n_dupes", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("n_dupes").cast("bigint").alias("n_dupes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q150_SQL = r"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY fp
+                            ORDER BY n_chars DESC, doc_id) AS rk,
+         count(*) OVER (PARTITION BY fp) AS n_dupes
+  FROM keyed
+)
+SELECT doc_id, source, n_chars, CAST(n_dupes AS BIGINT) AS n_dupes
+FROM ranked
+WHERE rk = 1
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q79_token_packing": q79_token_packing,
     "q80_corpus_mixing": q80_corpus_mixing,
@@ -527,6 +584,7 @@ QUERIES = {
     "q120_span_dedup": q120_span_dedup,
     "q121_unigram_logprob": q121_unigram_logprob,
     "q143_embedding_dim_stats": q143_embedding_dim_stats,
+    "q150_dedup_keep_best": q150_dedup_keep_best,
 }
 
 ORACLE = {
@@ -539,4 +597,5 @@ ORACLE = {
     "q120_span_dedup": Q120_SQL,
     "q121_unigram_logprob": Q121_SQL,
     "q143_embedding_dim_stats": Q143_SQL,
+    "q150_dedup_keep_best": Q150_SQL,
 }

@@ -817,6 +817,67 @@ ORDER BY lang, epoch
 """
 
 
+# ---------------------------------------------------------------------------
+# q151 — traffic-burst detection: hourly event-rate profile per type
+# with a per-type p99 threshold; a burst hour is one whose count
+# strictly exceeds its type's p99. The abuse/ops primitive behind
+# rate-limiting and crawler-loop detection in an ingest firehose.
+# Shape: map-side partial count to (type, hour) — at 100 TB the
+# shuffle carries one row per type-hour, not per event; the p99 is an
+# exact percentile over the SMALL per-type hour series (~720 rows per
+# month per type), broadcast back onto the same aggregate. Counts are
+# integers, so both engines interpolate the percentile over identical
+# exact inputs — deterministic hash parity.
+# ---------------------------------------------------------------------------
+BURST_P = 0.99
+
+
+def q151_traffic_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    thr = hourly.groupBy("event_type").agg(
+        F.percentile("n", F.lit(BURST_P)).alias("p99")
+    )
+    return (
+        hourly.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum((F.col("n") > F.col("p99")).cast("bigint")).alias(
+                "n_burst_hours"
+            ),
+            F.max("n").cast("bigint").alias("max_hourly"),
+            F.round(F.max("p99"), 4).alias("p99_hourly"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q151_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+  FROM events
+  GROUP BY 1, 2
+), thr AS (
+  SELECT event_type, quantile_cont(n, {BURST_P}) AS p99
+  FROM hourly
+  GROUP BY 1
+)
+SELECT h.event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(CASE WHEN h.n > t.p99 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_burst_hours,
+       CAST(max(h.n) AS BIGINT) AS max_hourly,
+       round(max(t.p99), 4) AS p99_hourly
+FROM hourly h
+JOIN thr t USING (event_type)
+GROUP BY h.event_type
+ORDER BY h.event_type
+"""
+
+
 QUERIES = {
     "q93_gopher_quality": q93_gopher_quality,
     "q94_source_cap": q94_source_cap,
@@ -831,6 +892,7 @@ QUERIES = {
     "q105_source_overlap_matrix": q105_source_overlap_matrix,
     "q136_quality_percentile_gate": q136_quality_percentile_gate,
     "q137_token_curriculum": q137_token_curriculum,
+    "q151_traffic_bursts": q151_traffic_bursts,
 }
 
 ORACLE = {
@@ -847,4 +909,5 @@ ORACLE = {
     "q105_source_overlap_matrix": _finalize_q105_sql(),
     "q136_quality_percentile_gate": Q136_SQL,
     "q137_token_curriculum": Q137_SQL,
+    "q151_traffic_bursts": Q151_SQL,
 }

@@ -673,6 +673,95 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q149 — time-series gap fill + LOCF (last observation carried forward),
+# the Timescale/kdb "locf(gapfill(...))" operator the reference family
+# has no analog for. Spark-first decomposition, no UDF:
+#   (1) bucket observations to the hour (map-side partial agg),
+#   (2) generate each key's dense hourly spine DISTRIBUTEDLY with
+#       sequence()+explode — the spine is built per-key on executors,
+#       never enumerated on the driver,
+#   (3) left-join observations onto the spine (equi join on (key, hr)),
+#   (4) forward-fill with last(ignorenulls) over an unbounded-preceding
+#       row frame — one shuffle on the key, one ordered pass.
+# Scale: spine size is keys x span-hours, independent of event count; a
+# 100 TB firehose first collapses to hourly partials map-side. For
+# multi-year spans, partition the window by (key, month) and carry the
+# boundary value with the q147 block-decomposition trick.
+# Oracle: DuckDB generate_series + last_value IGNORE NULLS.
+# ---------------------------------------------------------------------------
+GAPFILL_USERS = 50
+
+
+def q149_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        (F.col("user_id") < GAPFILL_USERS) & (F.col("event_type") == "purchase")
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.max("value").alias("v"))
+    span = hourly.groupBy("user_id").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    )
+    joined = spine.join(hourly, ["user_id", "hr"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = joined.select(
+        "user_id",
+        "hr",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("locf"),
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum(F.col("v").isNull().cast("bigint")).alias("n_gap_hours"),
+            F.round(F.sum("locf"), 4).alias("locf_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q149_SQL = f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr, max(value) AS v
+  FROM events
+  WHERE user_id < {GAPFILL_USERS} AND event_type = 'purchase'
+  GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM hourly GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+  FROM span
+), filled AS (
+  SELECT s.user_id, s.hr, h.v,
+         last_value(h.v IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+  FROM spine s
+  LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr = h.hr
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_gap_hours,
+       round(sum(locf), 4) AS locf_sum
+FROM filled
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
     "q59_range_join": q59_range_join,
@@ -684,6 +773,7 @@ QUERIES = {
     "q141_incremental_agg": q141_incremental_agg,
     "q142_event_bitmask": q142_event_bitmask,
     "q147_late_arrival_profile": q147_late_arrival_profile,
+    "q149_gap_fill": q149_gap_fill,
 }
 
 ORACLE = {
@@ -697,4 +787,5 @@ ORACLE = {
     "q141_incremental_agg": Q141_SQL,
     "q142_event_bitmask": Q142_SQL,
     "q147_late_arrival_profile": Q147_SQL,
+    "q149_gap_fill": Q149_SQL,
 }

@@ -69,6 +69,41 @@ def test_load_documents_routing(spark, upload_dir):
     assert docs_pdf["doc_id"].is_unique
 
 
+def test_embedding_stage_model_path(spark, sf_dir):
+    """Integration coverage for the gated sentence-transformers path
+    (R13, reference app.py:46-48). With the package absent (this
+    container) the stage must fail FAST with the documented
+    NotImplementedError — surfaced through the mapInPandas worker, not
+    a silent fallback to hash vectors. With the package present (a real
+    cluster) it must produce 384-d all-MiniLM-L6-v2 embeddings."""
+    docs = load(spark, sf_dir, "documents").limit(4)
+    staged = embedding_stage.embed_text(
+        docs, method="sentence-transformers"
+    ).select("doc_id", "embedding")
+    try:
+        import sentence_transformers  # noqa: F401
+
+        have_model = True
+    except ImportError:
+        have_model = False
+    if have_model:
+        pdf = staged.toPandas()
+        assert pdf["embedding"].map(len).eq(384).all()
+    else:
+        from pyspark.errors.exceptions.base import PySparkException
+
+        with pytest.raises(PySparkException, match="sentence-transformers"):
+            staged.toPandas()
+
+
+def test_embedding_stage_unknown_method_rejected(spark, sf_dir):
+    from pyspark.errors.exceptions.base import PySparkException
+
+    docs = load(spark, sf_dir, "documents").limit(1)
+    with pytest.raises(PySparkException, match="unknown embedding method"):
+        embedding_stage.embed_text(docs, method="bogus").collect()
+
+
 def test_embedding_stage_hash_deterministic(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").limit(50)
     a = embedding_stage.embed_text(docs).select("doc_id", "embedding").toPandas()
