@@ -390,3 +390,44 @@ def test_q143_dim_stats_partial_agg_after_explode(spark, sf_dir):
     plan = plan_of(corpus.q143_embedding_dim_stats(spark, sf_dir))
     assert "Generate" in plan  # posexplode
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_q149_gapfill_filters_pushed_and_window_partitioned(spark, sf_dir):
+    """The user/event-type predicates must reach the parquet scan, the
+    spine explode must be a Generate (executor-side, never a driver
+    loop), and the LOCF window must be partitioned by user_id (no
+    global single-partition sort)."""
+    from generative_ai_vector_db_spark.operators import temporal
+
+    plan = plan_of(temporal.q149_gap_fill(spark, sf_dir))
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "user_id" in pushed and "event_type" in pushed
+    assert "Generate" in plan  # sequence()+explode spine
+    assert "CartesianProduct" not in plan
+    # partitioned forward-fill: every window spec is keyed by user_id
+    assert "windowspecdefinition(user_id" in plan
+
+
+def test_q150_keep_best_single_window_shuffle(spark, sf_dir):
+    """Fingerprint computed scan-side; one rank window on fp is the
+    only wide stage (plus the final presentation sort)."""
+    from generative_ai_vector_db_spark.operators import corpus
+
+    plan = plan_of(corpus.q150_dedup_keep_best(spark, sf_dir))
+    assert "WindowGroupLimit" in plan or "Window" in plan
+    assert "sha2" in plan  # fp is an expression, not a Python stage
+    assert "Python" not in plan
+    # 2 real exchanges (window hash + presentation sort); formatted
+    # explain prints each node in both the tree and the detail section
+    assert plan.count("Exchange") <= 6
+
+
+def test_q151_bursts_broadcasts_threshold(spark, sf_dir):
+    """The per-type p99 relation (5 rows) must broadcast back onto the
+    hourly aggregate; counts partially aggregate map-side."""
+    from generative_ai_vector_db_spark.operators import quality
+
+    plan = plan_of(quality.q151_traffic_bursts(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x (hourly, thr)
+    assert "Python" not in plan
