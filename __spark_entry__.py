@@ -101,6 +101,9 @@ _PRIORITY = [
     "q140_pergroup_trend", "q141_incremental_agg",
     "q142_event_bitmask", "q143_embedding_dim_stats",
     # ---- driver's 50-slot window ends here (exactly 50 listed) ----
+    # tier 3 head — new this round, below the window (locally
+    # oracle-verified; first into next round's slots)
+    "q152_multimodal_resize",
     # tier 3 — driver-green in a prior round (rows stand as evidence)
     "q31_tumbling_window", "q32_sliding_window",
     "q35_pandas_udf_zscore", "q43_multimodal_decode",

@@ -149,12 +149,78 @@ ORDER BY doc_id, frame_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# q152 — resize planning: the third leg of the multimodal pipeline
+# (decode -> RESIZE -> feature-extract). Computes each asset's
+# aspect-preserving fit into a 224x224 model input box (the standard
+# vision-model preprocessing step) inside the same Arrow-batched
+# mapInPandas stage a real resampler would occupy; a real PIL
+# Image.resize drops into `_resize_batches` with the schema, batch
+# shape and partitioning unchanged. All dims use INTEGER arithmetic
+# ((d * 224) // max(w, h, 1)) so the stub is exactly reproducible in
+# SQL — the oracle checks the planning math end to end.
+# ---------------------------------------------------------------------------
+RESIZE_BOX = 224
+RESIZED_SCHEMA = (
+    "doc_id bigint, in_w bigint, in_h bigint, out_w bigint, out_h bigint, "
+    "scale_bp bigint"
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len)
+        in_w = n_bytes % 640
+        in_h = (n_bytes * 7) % 480
+        m = pd.concat([in_w, in_h], axis=1).max(axis=1).clip(lower=1)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "in_w": in_w,
+                "in_h": in_h,
+                "out_w": (in_w * RESIZE_BOX) // m,
+                "out_h": (in_h * RESIZE_BOX) // m,
+                # scale in basis points — integer, no float rounding drift
+                "scale_bp": (RESIZE_BOX * 10000) // m,
+            }
+        )
+
+
+def q152_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = binary_table(spark, sf_dir).mapInPandas(_resize_batches, RESIZED_SCHEMA)
+    return out.orderBy("doc_id")
+
+
+Q152_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         octet_length(encode(text)) % 640 AS in_w,
+         octet_length(encode(text)) * 7 % 480 AS in_h
+  FROM documents
+), m AS (
+  SELECT doc_id, in_w, in_h,
+         greatest(in_w, in_h, 1) AS mx
+  FROM dims
+)
+SELECT doc_id,
+       CAST(in_w AS BIGINT) AS in_w,
+       CAST(in_h AS BIGINT) AS in_h,
+       CAST(in_w * {RESIZE_BOX} // mx AS BIGINT) AS out_w,
+       CAST(in_h * {RESIZE_BOX} // mx AS BIGINT) AS out_h,
+       CAST({RESIZE_BOX} * 10000 // mx AS BIGINT) AS scale_bp
+FROM m
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q43_multimodal_decode": q43_multimodal_decode,
     "q66_multimodal_framesample": q66_multimodal_framesample,
+    "q152_multimodal_resize": q152_multimodal_resize,
 }
 
 ORACLE = {
     "q43_multimodal_decode": Q43_SQL,
     "q66_multimodal_framesample": Q66_SQL,
+    "q152_multimodal_resize": Q152_SQL,
 }

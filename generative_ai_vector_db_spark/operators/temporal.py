@@ -693,6 +693,41 @@ ORDER BY event_type
 GAPFILL_USERS = 50
 
 
+def gap_fill(
+    observed: DataFrame,
+    key: str,
+    bucket: str,
+    value: str,
+    step: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """Reusable gapfill+locf: densify ``observed`` (one row per
+    (key, bucket), bucket already truncated to the grid) to every grid
+    point between each key's min and max bucket, carrying ``value``
+    forward into the generated gaps. Returns (key, bucket, <value>
+    observed-or-null, locf). The spine is generated per-key on the
+    executors via sequence()+explode; the fill is one partitioned
+    window — no driver enumeration, no global sort."""
+    span = observed.groupBy(key).agg(
+        F.min(bucket).alias("_lo"), F.max(bucket).alias("_hi")
+    )
+    spine = span.select(
+        key,
+        F.explode(F.sequence("_lo", "_hi", F.expr(step))).alias(bucket),
+    )
+    joined = spine.join(observed, [key, bucket], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(bucket)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key,
+        bucket,
+        value,
+        F.last(value, ignorenulls=True).over(w).alias("locf"),
+    )
+
+
 def q149_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").where(
         (F.col("user_id") < GAPFILL_USERS) & (F.col("event_type") == "purchase")
@@ -700,27 +735,7 @@ def q149_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("hr")
     ).agg(F.max("value").alias("v"))
-    span = hourly.groupBy("user_id").agg(
-        F.min("hr").alias("lo"), F.max("hr").alias("hi")
-    )
-    spine = span.select(
-        "user_id",
-        F.explode(
-            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-        ).alias("hr"),
-    )
-    joined = spine.join(hourly, ["user_id", "hr"], "left")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("hr")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = joined.select(
-        "user_id",
-        "hr",
-        "v",
-        F.last("v", ignorenulls=True).over(w).alias("locf"),
-    )
+    filled = gap_fill(hourly, key="user_id", bucket="hr", value="v")
     return (
         filled.groupBy("user_id")
         .agg(
