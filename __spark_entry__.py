@@ -103,7 +103,8 @@ _PRIORITY = [
     # ---- driver's 50-slot window ends here (exactly 50 listed) ----
     # tier 3 head — new this round, below the window (locally
     # oracle-verified; first into next round's slots)
-    "q152_multimodal_resize",
+    "q152_multimodal_resize", "q153_matryoshka_retention",
+    "q154_novelty_curve",
     # tier 3 — driver-green in a prior round (rows stand as evidence)
     "q31_tumbling_window", "q32_sliding_window",
     "q35_pandas_udf_zscore", "q43_multimodal_decode",

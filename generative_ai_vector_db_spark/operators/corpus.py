@@ -574,6 +574,90 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q154 — corpus novelty curve: as documents stream in (doc_id order),
+# what fraction of each arrival decile's distinct 5-grams was never
+# seen before? The saturation diagnostic for corpus growth — when the
+# novel-gram share flattens, additional same-source data stops adding
+# information (scaling-laws data curation). Each gram's first-seen doc
+# is one min() agg keyed by the gram (shuffle rows = distinct grams,
+# map-side combined); novelty joins back on the SAME gram key (no
+# second shuffle shape), then deciles are a broadcast 1-row width
+# computed from max(doc_id) — integer arithmetic, no global sort/ntile.
+# ---------------------------------------------------------------------------
+NOVELTY_N = 5
+NOVELTY_BUCKETS = 10
+
+
+def q154_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", F.split(F.lower("text"), " ").alias("words"))
+        .select("doc_id", F.explode(_word_ngrams(F.col("words"), NOVELTY_N)).alias("gram"))
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    width = docs.agg(
+        F.floor(F.max("doc_id") / NOVELTY_BUCKETS + 1).alias("_w")
+    )
+    per_doc = (
+        grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("bigint")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(width))
+        .groupBy(F.floor(F.col("doc_id") / F.col("_w")).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("n_grams"),
+            F.sum("n_novel").cast("bigint").alias("n_novel"),
+            F.round(F.sum("n_novel") / F.sum("n_grams"), 4).alias("novel_share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q154_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+),
+g0 AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(words) - {NOVELTY_N - 1}, 0)),
+           i -> array_to_string(words[i:i+{NOVELTY_N - 1}], ' ')))) AS gram
+  FROM w
+),
+first_seen AS (
+  SELECT gram, min(doc_id) AS first_doc FROM g0 GROUP BY gram
+),
+width AS (
+  SELECT CAST(floor(max(doc_id) / {NOVELTY_BUCKETS} + 1) AS BIGINT) AS _w
+  FROM documents
+),
+per_doc AS (
+  SELECT g.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM g0 g JOIN first_seen f USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT CAST(floor(d.doc_id / w._w) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_grams) AS BIGINT) AS n_grams,
+       CAST(sum(d.n_novel) AS BIGINT) AS n_novel,
+       round(CAST(sum(d.n_novel) AS DOUBLE) / sum(d.n_grams), 4) AS novel_share
+FROM per_doc d CROSS JOIN width w
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "q79_token_packing": q79_token_packing,
     "q80_corpus_mixing": q80_corpus_mixing,
@@ -585,6 +669,7 @@ QUERIES = {
     "q121_unigram_logprob": q121_unigram_logprob,
     "q143_embedding_dim_stats": q143_embedding_dim_stats,
     "q150_dedup_keep_best": q150_dedup_keep_best,
+    "q154_novelty_curve": q154_novelty_curve,
 }
 
 ORACLE = {
@@ -598,4 +683,5 @@ ORACLE = {
     "q121_unigram_logprob": Q121_SQL,
     "q143_embedding_dim_stats": Q143_SQL,
     "q150_dedup_keep_best": Q150_SQL,
+    "q154_novelty_curve": Q154_SQL,
 }

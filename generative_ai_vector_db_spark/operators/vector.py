@@ -513,6 +513,84 @@ ORDER BY q_id, dist, vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q153 — Matryoshka truncation profile: how much of each embedding's
+# energy survives prefix truncation to d in {8, 16, 32} of 64 dims.
+# retention(d) = ||x[1:d]|| / ||x|| — exactly the cosine between the
+# zero-padded truncation and the full vector, the quantity that governs
+# how far an MRL-style index can shorten vectors before recall drops
+# (Kusupati et al. 2022). Per-vector ratios are sequential array folds
+# (identical fp order in both engines); the corpus mean accumulates as
+# DECIMAL so partition order cannot move the 4th decimal (the q71
+# lesson). One narrow scan + one tiny agg per d; the three d-profiles
+# union to a 3-row result — no shuffle carries vectors anywhere.
+# ---------------------------------------------------------------------------
+MATRYOSHKA_DIMS = (8, 16, 32)
+
+
+def q153_matryoshka_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    full = V.norm(F.col("embedding"))
+    per_d = []
+    for d in MATRYOSHKA_DIMS:
+        ratio = V.norm(F.slice("embedding", 1, d)) / full
+        per_d.append(
+            emb.select(
+                F.lit(d).cast("bigint").alias("trunc_dim"),
+                ratio.alias("retention"),
+            )
+        )
+    scored = per_d[0]
+    for extra in per_d[1:]:
+        scored = scored.unionAll(extra)
+    return (
+        scored.groupBy("trunc_dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(
+                (
+                    F.sum(F.col("retention").cast("decimal(18,12)"))
+                    / F.count(F.lit(1))
+                ).cast("double"),
+                4,
+            ).alias("mean_retention"),
+            F.round(F.min("retention"), 4).alias("min_retention"),
+            F.round(F.percentile("retention", F.lit(0.1)), 4).alias(
+                "p10_retention"
+            ),
+        )
+        .orderBy("trunc_dim")
+    )
+
+
+def _duck_prefix_norm(d: int) -> str:
+    return (
+        f"sqrt(list_sum([ CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)"
+        f" for k in generate_series(1, {d}) ]))"
+    )
+
+
+Q153_SQL = f"""
+WITH scored AS (
+  {" UNION ALL ".join(
+      f'''SELECT CAST({d} AS BIGINT) AS trunc_dim,
+          {_duck_prefix_norm(d)} / {_duck_prefix_norm(64)} AS retention
+          FROM embeddings'''
+      for d in MATRYOSHKA_DIMS
+  )}
+)
+SELECT trunc_dim,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(CAST(sum(CAST(retention AS DECIMAL(18,12))) / count(*) AS DOUBLE), 4)
+           AS mean_retention,
+       round(min(retention), 4) AS min_retention,
+       round(quantile_cont(retention, 0.1), 4) AS p10_retention
+FROM scored
+GROUP BY trunc_dim
+ORDER BY trunc_dim
+"""
+
+
 QUERIES = {
     "q25_knn_l2": q25_knn_l2,
     "q26_knn_cosine": q26_knn_cosine,
@@ -523,6 +601,7 @@ QUERIES = {
     "q77_user_filtered_knn": q77_user_filtered_knn,
     "q89_mmr_rerank": q89_mmr_rerank,
     "q130_range_search": q130_range_search,
+    "q153_matryoshka_retention": q153_matryoshka_retention,
 }
 
 ORACLE = {
@@ -533,4 +612,5 @@ ORACLE = {
     "q42_cosine_neardup": Q42_SQL,
     "q77_user_filtered_knn": Q77_SQL,
     "q130_range_search": Q130_SQL,
+    "q153_matryoshka_retention": Q153_SQL,
 }

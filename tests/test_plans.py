@@ -431,3 +431,26 @@ def test_q151_bursts_broadcasts_threshold(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 4  # partial+final x (hourly, thr)
     assert "Python" not in plan
+
+
+def test_q153_matryoshka_no_python_no_cartesian(spark, sf_dir):
+    """Per-vector folds must stay in JVM expressions (no Python stage)
+    and the three truncation profiles must not multiply the scan into
+    a join — unions of narrow projections only."""
+    from generative_ai_vector_db_spark.operators import vector
+
+    plan = plan_of(vector.q153_matryoshka_retention(spark, sf_dir))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+def test_q154_novelty_first_seen_is_partial_agg(spark, sf_dir):
+    """Gram first-seen must partially aggregate map-side before its
+    shuffle (distinct grams, not doc-gram pairs, cross the wire), and
+    the decile width must broadcast as a 1-row relation."""
+    from generative_ai_vector_db_spark.operators import corpus
+
+    plan = plan_of(corpus.q154_novelty_curve(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4  # partial+final per agg
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
