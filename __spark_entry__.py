@@ -104,7 +104,8 @@ _PRIORITY = [
     # tier 3 head — new this round, below the window (locally
     # oracle-verified; first into next round's slots)
     "q152_multimodal_resize", "q153_matryoshka_retention",
-    "q154_novelty_curve",
+    "q154_novelty_curve", "q155_column_profile",
+    "q156_event_transitions",
     # tier 3 — driver-green in a prior round (rows stand as evidence)
     "q31_tumbling_window", "q32_sliding_window",
     "q35_pandas_udf_zscore", "q43_multimodal_decode",

@@ -319,11 +319,76 @@ Q139_SQL = "\nUNION ALL\n".join(
 ) + "\nORDER BY fk"
 
 
+# ---------------------------------------------------------------------------
+# q155 — column data-quality profile (the Deequ/Great-Expectations
+# primitive): one pass over the fact table computes per-column null
+# rate, distinct count, min and max for a declared column set. ONE
+# aggregate row is computed first (every stat is a decomposable agg —
+# map-side combined, a single 1-row shuffle), then unpivoted to the
+# per-column report driver-side of the plan but executor-side of the
+# data: the wide->long step handles a 1-row relation, so profiling a
+# 100 TB table costs one scan regardless of how many columns are
+# profiled. The exact multi-column countDistinct compiles to an Expand
+# (xN_cols rows into the partial agg); at 100 TB swap it for
+# approx_count_distinct and the Expand disappears — the oracle keeps
+# the exact twin at test scale.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q155_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stacked = one.selectExpr(
+        "_n",
+        "stack({n}, {args}) as (col_name, n_nulls, n_distinct, min_val, max_val)".format(
+            n=len(_PROFILE_COLS),
+            args=", ".join(
+                f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+                for c in _PROFILE_COLS
+            ),
+        ),
+    )
+    return stacked.select(
+        "col_name",
+        F.col("_n").alias("n_rows"),
+        "n_nulls",
+        "n_distinct",
+        "min_val",
+        "max_val",
+    ).orderBy("col_name")
+
+
+Q155_SQL = (
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           round(min({c}), 4) AS min_val,
+           round(max({c}), 4) AS max_val
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    )
+    + "\n) ORDER BY col_name"
+)
+
+
 QUERIES = {
     "q56_salted_agg": q56_salted_agg,
     "q128_zorder_stats": q128_zorder_stats,
     "q138_skew_profile": q138_skew_profile,
     "q139_integrity_audit": q139_integrity_audit,
+    "q155_column_profile": q155_column_profile,
 }
 
 ORACLE = {
@@ -331,4 +396,5 @@ ORACLE = {
     "q128_zorder_stats": Q128_SQL,
     "q138_skew_profile": Q138_SQL,
     "q139_integrity_audit": Q139_SQL,
+    "q155_column_profile": Q155_SQL,
 }

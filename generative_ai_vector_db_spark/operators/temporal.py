@@ -777,6 +777,66 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q156 — event transition matrix (first-order Markov counts): for each
+# user's event stream in (ts, event_id) order, count consecutive
+# (from_type -> to_type) transitions and each pair's share of all
+# transitions. The path-analysis primitive behind funnel discovery and
+# next-action models. One lag window per user (single shuffle on
+# user_id, bounded partitions), then a 25-row aggregate; the share
+# denominator is a broadcast 1-row total. At 100 TB the lag window
+# decomposes per (user, day) with boundary rows exchanged once —
+# partitions never exceed a user-day.
+# ---------------------------------------------------------------------------
+def q156_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    total = counts.agg(F.sum("n_transitions").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("_total"), 4).alias("share"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+Q156_SQL = """
+WITH pairs AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS from_type,
+         event_type AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n_transitions
+  FROM pairs
+  WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       round(CAST(n_transitions AS DOUBLE)
+             / (SELECT sum(n_transitions) FROM counts), 4) AS share
+FROM counts
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
     "q59_range_join": q59_range_join,
@@ -789,6 +849,7 @@ QUERIES = {
     "q142_event_bitmask": q142_event_bitmask,
     "q147_late_arrival_profile": q147_late_arrival_profile,
     "q149_gap_fill": q149_gap_fill,
+    "q156_event_transitions": q156_event_transitions,
 }
 
 ORACLE = {
@@ -803,4 +864,5 @@ ORACLE = {
     "q142_event_bitmask": Q142_SQL,
     "q147_late_arrival_profile": Q147_SQL,
     "q149_gap_fill": Q149_SQL,
+    "q156_event_transitions": Q156_SQL,
 }

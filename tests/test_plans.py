@@ -454,3 +454,23 @@ def test_q154_novelty_first_seen_is_partial_agg(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4  # partial+final per agg
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q155_profile_single_scan_one_row_shuffle(spark, sf_dir):
+    """All column stats fold into ONE aggregate row (single scan, a
+    1-row exchange) before the stack to the long report — profiling
+    cost is independent of column count."""
+    from generative_ai_vector_db_spark.operators import scale
+
+    plan = plan_of(scale.q155_column_profile(spark, sf_dir))
+    assert plan.count("Scan parquet") == 2  # tree + detail of one scan
+    assert "Python" not in plan and "Join" not in plan
+
+
+def test_q156_transitions_window_partitioned_total_broadcast(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import temporal
+
+    plan = plan_of(temporal.q156_event_transitions(spark, sf_dir))
+    assert "windowspecdefinition(user_id" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
