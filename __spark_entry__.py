@@ -105,7 +105,8 @@ _PRIORITY = [
     # oracle-verified; first into next round's slots)
     "q152_multimodal_resize", "q153_matryoshka_retention",
     "q154_novelty_curve", "q155_column_profile",
-    "q156_event_transitions",
+    "q156_event_transitions", "q157_winsorized_stats",
+    "q158_centroid_similarity",
     # tier 3 — driver-green in a prior round (rows stand as evidence)
     "q31_tumbling_window", "q32_sliding_window",
     "q35_pandas_udf_zscore", "q43_multimodal_decode",
@@ -144,9 +145,10 @@ _PRIORITY = [
     "q19_string_fns", "q20_date_fns", "q21_math_fns", "q22_array_fns",
     "q23_json_fns", "q55_pivot", "q60_systematic_sample",
     "q72_window_rank_family",
-    # tier 4 — rows-only by design (sketches, seeded LSH, Python algos)
+    # tier 4 — rows-only by design (sketches, seeded LSH, Python algos;
+    # q50 sits in tier 1 this round to re-prove its canonicalizer fix)
     "q05_approx_count_distinct", "q61_approx_quantiles",
-    "q46_ann_lsh_topk", "q48_chunk_recursive", "q50_ingest_pipeline",
+    "q46_ann_lsh_topk", "q48_chunk_recursive",
     "q44_minhash_neardup", "q45_simhash_neardup",
     "q47_ann_brp_lsh", "q49_ann_ivf", "q51_minhash_lsh_simjoin",
     "q89_mmr_rerank",

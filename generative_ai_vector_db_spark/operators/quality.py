@@ -878,6 +878,147 @@ ORDER BY h.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q157 — winsorized robust statistics per event type: exact p05/p95
+# thresholds, clip counts, and the winsorized mean next to the raw
+# mean. The outlier-robust aggregation used before any threshold
+# tuning on heavy-tailed value streams. Two-phase: a tiny per-type
+# percentile agg broadcasts back onto the same map-side partial-agg
+# shape (no second full shuffle); both means accumulate as DECIMAL so
+# partition order cannot move the rounded digits (q71 lesson).
+# ---------------------------------------------------------------------------
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def q157_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    thr = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(WINSOR_LO)).alias("p_lo"),
+        F.percentile("value", F.lit(WINSOR_HI)).alias("p_hi"),
+    )
+    j = ev.join(F.broadcast(thr), "event_type")
+    clipped = F.greatest(F.col("p_lo"), F.least(F.col("p_hi"), F.col("value")))
+    dec = "decimal(27,8)"
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") < F.col("p_lo")).cast("bigint")).alias(
+                "n_clip_low"
+            ),
+            F.sum((F.col("value") > F.col("p_hi")).cast("bigint")).alias(
+                "n_clip_high"
+            ),
+            F.round(
+                (F.sum(F.col("value").cast(dec)) / F.count(F.lit(1))).cast(
+                    "double"
+                ),
+                4,
+            ).alias("mean_raw"),
+            F.round(
+                (F.sum(clipped.cast(dec)) / F.count(F.lit(1))).cast("double"),
+                4,
+            ).alias("mean_winsor"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q157_SQL = f"""
+WITH thr AS (
+  SELECT event_type,
+         quantile_cont(value, {WINSOR_LO}) AS p_lo,
+         quantile_cont(value, {WINSOR_HI}) AS p_hi
+  FROM events
+  GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN e.value < t.p_lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clip_low,
+       CAST(sum(CASE WHEN e.value > t.p_hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clip_high,
+       round(CAST(sum(CAST(e.value AS DECIMAL(27,8))) / count(*) AS DOUBLE), 4)
+           AS mean_raw,
+       round(CAST(sum(CAST(greatest(t.p_lo, least(t.p_hi, e.value))
+                           AS DECIMAL(27,8))) / count(*) AS DOUBLE), 4)
+           AS mean_winsor
+FROM events e JOIN thr t USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q158 — label-centroid cosine similarity matrix: the embedding-space
+# "class confusion" proxy — labels whose centroids sit close are the
+# ones ANN partitioning (IVF cells, q49) and classifiers will blur.
+# Centroids reuse the q99 long form (label, pos, c) — K x 64 rows,
+# broadcast-sized at any corpus scale; the pairwise stage joins
+# centroids to centroids on pos (tiny), never touching the vectors
+# again. One full scan total, exactly like q99.
+# ---------------------------------------------------------------------------
+def q158_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos", "x"),
+    )
+    cent = exploded.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("c").alias("cb")
+    )
+    pairs = a.join(b, "pos").where(F.col("label_a") < F.col("label_b"))
+    return (
+        pairs.groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("_dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("_na"),
+            F.sum(F.col("cb") * F.col("cb")).alias("_nb"),
+        )
+        .select(
+            F.col("label_a").cast("bigint").alias("label_a"),
+            F.col("label_b").cast("bigint").alias("label_b"),
+            F.round(
+                F.col("_dot") / (F.sqrt("_na") * F.sqrt("_nb")), 4
+            ).alias("cos_sim"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+Q158_SQL = """
+WITH exploded AS (
+  SELECT label,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         unnest([CAST(x AS DOUBLE) for x in embedding]) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos, avg(x) AS c FROM exploded GROUP BY label, pos
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(a.c * b.c) AS _dot,
+         sum(a.c * a.c) AS _na,
+         sum(b.c * b.c) AS _nb
+  FROM cent a JOIN cent b USING (pos)
+  WHERE a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT CAST(label_a AS BIGINT) AS label_a,
+       CAST(label_b AS BIGINT) AS label_b,
+       round(_dot / (sqrt(_na) * sqrt(_nb)), 4) AS cos_sim
+FROM pairs
+ORDER BY label_a, label_b
+"""
+
+
 QUERIES = {
     "q93_gopher_quality": q93_gopher_quality,
     "q94_source_cap": q94_source_cap,
@@ -893,6 +1034,8 @@ QUERIES = {
     "q136_quality_percentile_gate": q136_quality_percentile_gate,
     "q137_token_curriculum": q137_token_curriculum,
     "q151_traffic_bursts": q151_traffic_bursts,
+    "q157_winsorized_stats": q157_winsorized_stats,
+    "q158_centroid_similarity": q158_centroid_similarity,
 }
 
 ORACLE = {
@@ -910,4 +1053,6 @@ ORACLE = {
     "q136_quality_percentile_gate": Q136_SQL,
     "q137_token_curriculum": Q137_SQL,
     "q151_traffic_bursts": Q151_SQL,
+    "q157_winsorized_stats": Q157_SQL,
+    "q158_centroid_similarity": Q158_SQL,
 }

@@ -80,3 +80,19 @@ def test_driver_window_spends_slots_on_oracles():
     first50 = list(QUERIES)[:50]
     rows_only = [k for k in first50 if k not in ORACLE and k not in error_reproof]
     assert not rows_only, f"rows-only queries inside the 50-slot window: {rows_only}"
+
+
+def test_priority_list_exactly_covers_registry():
+    """_ordered() silently drops _PRIORITY names that don't resolve and
+    front-loads unlisted queries — either one quietly reshuffles the
+    driver's 50-slot evidence window. Pin exact two-way coverage so a
+    typo or a forgotten registration fails loudly here instead."""
+    import __spark_entry__ as entry_mod
+
+    queries = set(entry_mod.queries())
+    prio = entry_mod._PRIORITY
+    assert len(prio) == len(set(prio)), "duplicate names in _PRIORITY"
+    missing = [k for k in prio if k not in queries]
+    unlisted = [k for k in queries if k not in set(prio)]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    assert not unlisted, f"registry names not in _PRIORITY: {unlisted}"
