@@ -106,7 +106,8 @@ _PRIORITY = [
     "q152_multimodal_resize", "q153_matryoshka_retention",
     "q154_novelty_curve", "q155_column_profile",
     "q156_event_transitions", "q157_winsorized_stats",
-    "q158_centroid_similarity",
+    "q158_centroid_similarity", "q159_weighted_jaccard",
+    "q160_decayed_engagement",
     # tier 3 — driver-green in a prior round (rows stand as evidence)
     "q31_tumbling_window", "q32_sliding_window",
     "q35_pandas_udf_zscore", "q43_multimodal_decode",

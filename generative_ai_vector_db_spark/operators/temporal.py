@@ -837,6 +837,71 @@ ORDER BY from_type, to_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q160 — time-decayed engagement score (the feature-store staple): each
+# user's purchase value weighted by exp(-age/tau) relative to the
+# corpus's latest event, top-20 by score. The anchor is a broadcast
+# 1-row max; ages are integer microseconds so both engines feed exp()
+# bit-identical inputs; each decayed term is rounded to DECIMAL(27,8)
+# BEFORE summation (libm vs java.lang.Math exp can differ in the last
+# ulp — rounding at 8dp absorbs it, decimal summation removes order
+# sensitivity). One scan, one agg shuffle, TakeOrdered for the top-k.
+# ---------------------------------------------------------------------------
+DECAY_TAU_S = 7 * 24 * 3600.0
+ENGAGE_K = 20
+
+
+def q160_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    anchor = ev.agg(F.max(F.unix_micros("ts")).alias("_anchor_us"))
+    age_s = (F.col("_anchor_us") - F.unix_micros("ts")) / F.lit(1e6)
+    term = F.round(
+        F.col("value") * F.exp(-age_s / F.lit(DECAY_TAU_S)), 8
+    ).cast("decimal(27,8)")
+    scored = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum(term).cast("double"), 4).alias("decayed_score"),
+        )
+    )
+    # top-k FIRST via orderBy+limit (compiles to TakeOrderedAndProject —
+    # distributed partial top-k, per the unpartitioned-window policy);
+    # the rank window then runs over <= K rows, not all users.
+    top = scored.orderBy(F.desc("decayed_score"), "user_id").limit(ENGAGE_K)
+    w = Window.orderBy(F.desc("decayed_score"), "user_id")
+    return (
+        top.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .select("rk", "user_id", "n_purchases", "decayed_score")
+        .orderBy("rk")
+    )
+
+
+Q160_SQL = f"""
+WITH anchor AS (
+  SELECT max(epoch_us(ts)) AS a_us FROM events WHERE event_type = 'purchase'
+),
+scored AS (
+  SELECT user_id,
+         count(*) AS n_purchases,
+         round(CAST(sum(CAST(round(value * exp(-((SELECT a_us FROM anchor)
+                                                 - epoch_us(ts)) / 1e6
+                                               / {DECAY_TAU_S}), 8)
+                             AS DECIMAL(27,8))) AS DOUBLE), 4) AS decayed_score
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY user_id
+)
+SELECT CAST(row_number() OVER (ORDER BY decayed_score DESC, user_id) AS BIGINT)
+           AS rk,
+       user_id, n_purchases, decayed_score
+FROM scored
+QUALIFY rk <= {ENGAGE_K}
+ORDER BY rk
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
     "q59_range_join": q59_range_join,
@@ -850,6 +915,7 @@ QUERIES = {
     "q147_late_arrival_profile": q147_late_arrival_profile,
     "q149_gap_fill": q149_gap_fill,
     "q156_event_transitions": q156_event_transitions,
+    "q160_decayed_engagement": q160_decayed_engagement,
 }
 
 ORACLE = {
@@ -865,4 +931,5 @@ ORACLE = {
     "q147_late_arrival_profile": Q147_SQL,
     "q149_gap_fill": Q149_SQL,
     "q156_event_transitions": Q156_SQL,
+    "q160_decayed_engagement": Q160_SQL,
 }

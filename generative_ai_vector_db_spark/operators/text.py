@@ -569,6 +569,100 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q159 — IDF-weighted Jaccard near-dup pairs: plain Jaccard (q41)
+# treats boilerplate bigrams ("of the") and distinctive ones equally;
+# the weighted variant scores overlap by information content
+# (w = ln(N/df)), which is how production near-dup verification
+# separates true duplicates from shared-template pages. Shape is the
+# inverted-index candidate join: explode distinct grams, equi-join on
+# the GRAM key (shuffle rows = posting-list entries, never doc x doc),
+# aggregate intersection weight per pair, then combine with the two
+# broadcast doc-weight totals. IDF terms are rounded to DECIMAL(27,8)
+# BEFORE summation, so both engines fold exactly the same numbers in
+# any order. At 100 TB: cap pair generation at df <= DF_CAP (drop
+# stopword-grade grams from candidates, keep them in the exact verify
+# pass) — the fixture-scale operator keeps it exact so the oracle is
+# the full definition.
+# ---------------------------------------------------------------------------
+WJ_TAU = 0.25
+
+
+def q159_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", _words(F.col("text")).alias("words"))
+        .select("doc_id", _bigrams(F.col("words")).alias("grams"))
+    )
+    grams = docs.select("doc_id", F.explode("grams").alias("gram"))
+    n_docs = docs.count()
+    w = F.round(
+        F.log(F.lit(float(n_docs)) / F.count(F.lit(1))), 8
+    ).cast("decimal(27,8)")
+    gram_w = grams.groupBy("gram").agg(w.alias("w"))
+    weighted = grams.join(gram_w, "gram")
+    doc_w = weighted.groupBy("doc_id").agg(F.sum("w").alias("w_doc"))
+    a = weighted.select(F.col("doc_id").alias("id_a"), "gram", "w")
+    b = weighted.select(F.col("doc_id").alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("w").alias("w_ab"))
+    )
+    wa = doc_w.select(F.col("doc_id").alias("id_a"), F.col("w_doc").alias("w_a"))
+    wb = doc_w.select(F.col("doc_id").alias("id_b"), F.col("w_doc").alias("w_b"))
+    wj = F.col("w_ab").cast("double") / (
+        F.col("w_a").cast("double")
+        + F.col("w_b").cast("double")
+        - F.col("w_ab").cast("double")
+    )
+    return (
+        inter.join(F.broadcast(wa), "id_a")
+        .join(F.broadcast(wb), "id_b")
+        .select("id_a", "id_b", F.round(wj, 4).alias("weighted_jaccard"))
+        .where(F.col("weighted_jaccard") >= WJ_TAU)
+        .orderBy("id_a", "id_b")
+    )
+
+
+Q159_SQL = f"""
+WITH g0 AS (
+  SELECT doc_id,
+         unnest(list_distinct([words[i] || ' ' || words[i+1]
+                               for i in generate_series(1, len(words) - 1)])) AS gram
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+gram_w AS (
+  SELECT gram,
+         CAST(round(ln((SELECT n_docs FROM n) / count(*)), 8) AS DECIMAL(27,8)) AS w
+  FROM g0 GROUP BY gram
+),
+weighted AS (SELECT g0.doc_id, g0.gram, gram_w.w FROM g0 JOIN gram_w USING (gram)),
+doc_w AS (SELECT doc_id, sum(w) AS w_doc FROM weighted GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w) AS w_ab
+  FROM weighted a JOIN weighted b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT i.id_a, i.id_b,
+         round(CAST(i.w_ab AS DOUBLE)
+               / (CAST(wa.w_doc AS DOUBLE) + CAST(wb.w_doc AS DOUBLE)
+                  - CAST(i.w_ab AS DOUBLE)), 4) AS weighted_jaccard
+  FROM inter i
+  JOIN doc_w wa ON wa.doc_id = i.id_a
+  JOIN doc_w wb ON wb.doc_id = i.id_b
+)
+SELECT id_a, id_b, weighted_jaccard
+FROM scored
+WHERE weighted_jaccard >= {WJ_TAU}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "q37_lang_id": q37_lang_id,
     "q38_text_quality": q38_text_quality,
@@ -581,6 +675,7 @@ QUERIES = {
     "q65_contamination": q65_contamination,
     "q74_curation_pipeline": q74_curation_pipeline,
     "q145_token_entropy": q145_token_entropy,
+    "q159_weighted_jaccard": q159_weighted_jaccard,
 }
 
 ORACLE = {
@@ -595,4 +690,5 @@ ORACLE = {
     "q65_contamination": Q65_SQL,
     "q74_curation_pipeline": Q74_SQL,
     "q145_token_entropy": Q145_SQL,
+    "q159_weighted_jaccard": Q159_SQL,
 }

@@ -474,3 +474,24 @@ def test_q156_transitions_window_partitioned_total_broadcast(spark, sf_dir):
     assert "windowspecdefinition(user_id" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q160_topk_is_take_ordered(spark, sf_dir):
+    """The unpartitioned-window policy: global top-20 compiles to
+    TakeOrderedAndProject (distributed partial top-k), never a
+    single-partition rank over all users."""
+    from generative_ai_vector_db_spark.operators import temporal
+
+    plan = plan_of(temporal.q160_decayed_engagement(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+
+
+def test_q159_candidates_join_on_gram_key(spark, sf_dir):
+    """Candidate pairs come from the inverted-index gram equi-join —
+    no cartesian, no Python; doc bodies never ride the shuffle."""
+    from generative_ai_vector_db_spark.operators import text as t
+
+    plan = plan_of(t.q159_weighted_jaccard(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
