@@ -580,12 +580,17 @@ ORDER BY doc_id
 # aggregate intersection weight per pair, then combine with the two
 # broadcast doc-weight totals. IDF terms are rounded to DECIMAL(27,8)
 # BEFORE summation, so both engines fold exactly the same numbers in
-# any order. At 100 TB: cap pair generation at df <= DF_CAP (drop
-# stopword-grade grams from candidates, keep them in the exact verify
-# pass) — the fixture-scale operator keeps it exact so the oracle is
-# the full definition.
+# any order. Boilerplate control IS the scale control: grams appearing
+# in more than WJ_DF_FRAC of the corpus are excluded from the
+# definition entirely (their IDF is lowest and their posting lists are
+# the quadratic hazard — a df-D gram alone yields D^2/2 candidate
+# pairs). The cap is relative, so it tightens absolutely as the corpus
+# grows; measured at sf0.1 it cuts the pair join ~25x. The oracle
+# applies the identical cap — exactness is preserved because the cap
+# is part of the operator's semantics, not an approximation of it.
 # ---------------------------------------------------------------------------
 WJ_TAU = 0.25
+WJ_DF_FRAC = 0.05
 
 
 def q159_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -599,7 +604,9 @@ def q159_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.round(
         F.log(F.lit(float(n_docs)) / F.count(F.lit(1))), 8
     ).cast("decimal(27,8)")
-    gram_w = grams.groupBy("gram").agg(w.alias("w"))
+    gram_w = grams.groupBy("gram").agg(
+        w.alias("w"), F.count(F.lit(1)).alias("_df")
+    ).where(F.col("_df") <= n_docs * WJ_DF_FRAC).drop("_df")
     weighted = grams.join(gram_w, "gram")
     doc_w = weighted.groupBy("doc_id").agg(F.sum("w").alias("w_doc"))
     a = weighted.select(F.col("doc_id").alias("id_a"), "gram", "w")
@@ -638,6 +645,7 @@ gram_w AS (
   SELECT gram,
          CAST(round(ln((SELECT n_docs FROM n) / count(*)), 8) AS DECIMAL(27,8)) AS w
   FROM g0 GROUP BY gram
+  HAVING count(*) <= (SELECT n_docs FROM n) * {WJ_DF_FRAC}
 ),
 weighted AS (SELECT g0.doc_id, g0.gram, gram_w.w FROM g0 JOIN gram_w USING (gram)),
 doc_w AS (SELECT doc_id, sum(w) AS w_doc FROM weighted GROUP BY doc_id),
