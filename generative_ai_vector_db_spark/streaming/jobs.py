@@ -552,13 +552,26 @@ def q71_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     mq = F.col("sqq") - F.col("sq") * F.col("sq") / F.col("nf")
     mqx = F.col("sqx") - F.col("sq") * F.col("sx") / F.col("nf")
     mdt = F.col("sdt") - F.col("sd") * F.col("st") / F.col("nf")
+    # + 0.0 after the round: a statistic whose true value is a tiny
+    # negative (e.g. the near-zero disc/tax covariance) rounds to -0.0,
+    # and IEEE sign-of-zero can differ between engines while the rounded
+    # magnitude is identical. -0.0 + 0.0 == +0.0 exactly, and x + 0.0 is
+    # exact for every other double, so this normalizes the hash without
+    # touching any real value. (r2-r4 red rows were exactly this: DuckDB
+    # emitted -0.0 for disc_tax_covar, Spark +0.0.)
     return (
         g.select(
             "l_returnflag",
-            F.round(F.sqrt(mx / (F.col("nf") - 1)), 4).alias("price_stddev"),
-            F.round(mq / (F.col("nf") - 1), 4).alias("qty_var"),
-            F.round(mqx / F.sqrt(mq * mx), 4).alias("qty_price_corr"),
-            F.round(mdt / (F.col("nf") - 1), 4).alias("disc_tax_covar"),
+            (F.round(F.sqrt(mx / (F.col("nf") - 1)), 4) + F.lit(0.0)).alias(
+                "price_stddev"
+            ),
+            (F.round(mq / (F.col("nf") - 1), 4) + F.lit(0.0)).alias("qty_var"),
+            (F.round(mqx / F.sqrt(mq * mx), 4) + F.lit(0.0)).alias(
+                "qty_price_corr"
+            ),
+            (F.round(mdt / (F.col("nf") - 1), 4) + F.lit(0.0)).alias(
+                "disc_tax_covar"
+            ),
             "n",
         )
         .orderBy("l_returnflag")
@@ -590,12 +603,14 @@ WITH m AS (
   GROUP BY l_returnflag
 )
 SELECT l_returnflag,
-       round(sqrt((sxx - sx * sx / nf) / (nf - 1)), 4) AS price_stddev,
-       round((sqq - sq * sq / nf) / (nf - 1), 4) AS qty_var,
+       -- + 0.0 normalizes IEEE -0.0 to +0.0 (exact no-op for all other
+       -- doubles); see the Spark-side comment in q71_stats_agg.
+       round(sqrt((sxx - sx * sx / nf) / (nf - 1)), 4) + 0.0 AS price_stddev,
+       round((sqq - sq * sq / nf) / (nf - 1), 4) + 0.0 AS qty_var,
        round((sqx - sq * sx / nf)
-             / sqrt((sqq - sq * sq / nf) * (sxx - sx * sx / nf)), 4)
+             / sqrt((sqq - sq * sq / nf) * (sxx - sx * sx / nf)), 4) + 0.0
            AS qty_price_corr,
-       round((sdt - sd * st / nf) / (nf - 1), 4) AS disc_tax_covar,
+       round((sdt - sd * st / nf) / (nf - 1), 4) + 0.0 AS disc_tax_covar,
        n
 FROM m
 ORDER BY l_returnflag

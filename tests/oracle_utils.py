@@ -44,10 +44,14 @@ def _canon_cell(v) -> str:
         f = float(v)
         if math.isnan(f):
             return "␀"
-        r = round(f, 4)
-        if r == 0.0:
-            r = 0.0  # normalize -0.0
-        return f"{r:.4f}"
+        # Deliberately NOT normalizing -0.0: the driver's value hash
+        # distinguishes it (q71 was red for three rounds because DuckDB
+        # rounded a tiny negative covariance to -0.0 while Spark gave
+        # +0.0, and the old `r == 0.0` normalization here hid exactly
+        # that). Engines must emit the same zero sign; queries guard
+        # with `round(x, n) + 0.0` on BOTH sides where a statistic can
+        # legitimately round to zero from below.
+        return f"{round(f, 4):.4f}"
     if isinstance(v, (bool, np.bool_)):
         return "T" if v else "F"
     if isinstance(v, (int, np.integer)):
