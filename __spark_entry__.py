@@ -38,6 +38,7 @@ from generative_ai_vector_db_spark.operators import (  # noqa: E402
     vector,
 )
 from generative_ai_vector_db_spark.streaming import jobs as streaming_jobs  # noqa: E402
+from generative_ai_vector_db_spark.streaming import stateful as streaming_stateful  # noqa: E402
 
 _MODULES = [
     relational,
@@ -58,30 +59,56 @@ _MODULES = [
     temporal,
     sql_surface,
     streaming_jobs,
+    streaming_stateful,
 ]
 
 _QUERIES, _ORACLE = merge_registries(*_MODULES)
 
 # Registry ordering: the driver's correctness pass covers the FIRST 50
-# entries, so ordering is evidence placement. Tier 1 = oracle-bearing
-# queries with no green CORRECTNESS row yet (round-1 slots ran out
-# before them) plus this round's new queries; tier 2 = previously-green
-# oracle queries most affected by this round's changes, then the rest;
-# tier 3 = previously-green oracle queries that overflow the window
-# (their round-1 rows stand); tier 4 = rows-only-by-design checks.
+# entries, so ordering is evidence placement. Tier 1 = queries that MUST
+# get a driver row this round: the q71 -0.0 fix proof, the queries whose
+# implementation changed this round (q149 decimal LOCF, q150 whitespace
+# class, q159 lazy n_docs), the round-4 additions q152-q160 that have
+# never had a driver row, and this round's new operators. Tier 2 =
+# previously-green oracle queries backfilling the remaining window slots
+# (a re-run refreshes their evidence; their old rows stand regardless).
+# Tier 3 = previously-green overflow; tier 4 = rows-only-by-design.
 _PRIORITY = [
-    # tier 1 — round-4 fix verification: the 4 TIMESTAMP_NTZ regressions
-    # (green in r2, broken by the r3 testdata regeneration, fixed at
-    # tables.py load()), the q71 decimal-moment rewrite, and q50's
-    # digest-not-array output (fixed r2, never re-checked by the driver).
-    "q33_session_window", "q58_asof_join", "q70_interval_join",
-    "q106_sessionize", "q71_stats_agg", "q50_ingest_pipeline",
-    # tier 2 — oracle-bearing queries with NO driver row ever (the r2/r3
-    # 50-slot windows never reached them); q148–q151 newly registered
-    # this round (TPC-H Q6 shape, gap-fill/LOCF, keep-best dedup,
-    # traffic-burst detection).
-    "q148_tpch_q6_shape", "q149_gap_fill", "q150_dedup_keep_best",
-    "q151_traffic_bursts",
+    # tier 1 — round-5 fix proofs: q71's three-round hash mismatch was
+    # IEEE -0.0 (DuckDB rounds a tiny negative covariance to -0.0,
+    # Spark to +0.0) — both sides now normalize with `+ 0.0`; q149/q150
+    # changed per ADVICE (decimal LOCF accumulation, engine-independent
+    # whitespace class); q159 lost its eager driver-side count.
+    "q71_stats_agg", "q149_gap_fill", "q150_dedup_keep_best",
+    "q159_weighted_jaccard",
+    # tier 1 — round-4 operators, locally oracle-green, first driver row
+    "q152_multimodal_resize", "q153_matryoshka_retention",
+    "q154_novelty_curve", "q155_column_profile",
+    "q156_event_transitions", "q157_winsorized_stats",
+    "q158_centroid_similarity", "q160_decayed_engagement",
+    # tier 1 — new round-5 operators (added as implemented)
+    "q161_ce_rerank", "q162_token_budget_mixture",
+    "q163_state_ttl_profile", "q164_cube_profile",
+    "q165_containment", "q166_tokenizer_fertility", "q167_wow_trend",
+    # tier 2 — previously-green backfill for the remaining window slots,
+    # oldest evidence first (r1 rows predate two testdata regenerations).
+    "q03_tpch_q1", "q12_dedup_exact", "q13_window_topk",
+    "q16_global_topk", "q18_rollup", "q20_date_fns", "q22_array_fns",
+    "q23_json_fns", "q25_knn_l2", "q26_knn_cosine", "q27_similarity_join",
+    "q28_context_assembly", "q34_latest_per_key", "q36_weighted_avg",
+    "q37_lang_id", "q38_text_quality", "q40_fingerprint",
+    "q41_ngram_jaccard", "q54_percentiles", "q55_pivot",
+    "q57_redact_pii", "q60_systematic_sample", "q63_corpus_stats",
+    "q64_repetition_ratio", "q72_window_rank_family",
+    "q31_tumbling_window", "q32_sliding_window", "q35_pandas_udf_zscore",
+    "q43_multimodal_decode", "q52_delete_by_source", "q53_rag_pipeline",
+    "q56_salted_agg", "q58_asof_join", "q59_range_join",
+    "q65_contamination", "q76_dedup_clusters", "q83_bm25_topk",
+    "q95_lang_kl_divergence",
+    # ---- driver's 50-slot window ends around here (floats as tier 1
+    # grows; must-prove entries are all well inside it) ----
+    "q33_session_window", "q70_interval_join", "q106_sessionize",
+    "q148_tpch_q6_shape", "q151_traffic_bursts",
     "q144_zipf_fit", "q145_token_entropy", "q146_pmi_collocations",
     "q147_late_arrival_profile",
     "q108_grouping_sets",
@@ -100,54 +127,40 @@ _PRIORITY = [
     "q138_skew_profile", "q139_integrity_audit",
     "q140_pergroup_trend", "q141_incremental_agg",
     "q142_event_bitmask", "q143_embedding_dim_stats",
-    # ---- driver's 50-slot window ends here (exactly 50 listed) ----
-    # tier 3 head — new this round, below the window (locally
-    # oracle-verified; first into next round's slots)
-    "q152_multimodal_resize", "q153_matryoshka_retention",
-    "q154_novelty_curve", "q155_column_profile",
-    "q156_event_transitions", "q157_winsorized_stats",
-    "q158_centroid_similarity", "q159_weighted_jaccard",
-    "q160_decayed_engagement",
     # tier 3 — driver-green in a prior round (rows stand as evidence)
-    "q31_tumbling_window", "q32_sliding_window",
-    "q35_pandas_udf_zscore", "q43_multimodal_decode",
-    "q52_delete_by_source", "q53_rag_pipeline", "q56_salted_agg",
-    "q59_range_join", "q62_chatlog_format",
-    "q65_contamination", "q66_multimodal_framesample",
+    "q62_chatlog_format",
+    "q66_multimodal_framesample",
     "q67_correlated_min", "q68_exists_distribution",
     "q69_count_distribution",
-    "q74_curation_pipeline", "q76_dedup_clusters",
+    "q74_curation_pipeline",
     "q77_user_filtered_knn", "q78_ingest_pipeline_stride",
     "q79_token_packing", "q80_corpus_mixing",
     "q81_embedding_quantize", "q82_length_histogram",
-    "q83_bm25_topk", "q84_hybrid_rrf", "q85_dedup_corpus",
+    "q84_hybrid_rrf", "q85_dedup_corpus",
     "q86_tfidf_keywords", "q87_vocab_coverage", "q88_median_length_filter",
     "q90_tpch_q4_shape", "q91_tpch_q12_shape", "q92_tpch_q14_shape",
-    "q93_gopher_quality", "q94_source_cap", "q95_lang_kl_divergence",
+    "q93_gopher_quality", "q94_source_cap",
     "q96_event_funnel", "q97_tpch_q3_shape", "q98_tpch_q10_shape",
     "q99_centroid_outliers", "q100_rolling_anomaly",
     "q101_stratified_downsample", "q102_hash_split",
     "q103_length_bucketing", "q104_truncation_stats",
     "q105_source_overlap_matrix", "q107_retention_cohorts",
-    "q41_ngram_jaccard", "q64_repetition_ratio",
-    "q24_chunk_stride", "q63_corpus_stats", "q29_ingest_routing",
+    "q24_chunk_stride", "q29_ingest_routing",
     "q75_chunk_udtf",
-    "q25_knn_l2", "q26_knn_cosine", "q27_similarity_join",
-    "q28_context_assembly", "q42_cosine_neardup",
-    "q37_lang_id", "q38_text_quality", "q39_token_count",
-    "q40_fingerprint", "q57_redact_pii",
-    "q01_scan_project", "q02_filter_pushdown", "q03_tpch_q1",
+    "q42_cosine_neardup",
+    "q39_token_count",
+    "q01_scan_project", "q02_filter_pushdown",
     "q06_join_inner", "q07_join_broadcast", "q08_join_multiway",
-    "q12_dedup_exact", "q13_window_topk", "q30_store_counts",
-    "q34_latest_per_key", "q36_weighted_avg", "q54_percentiles",
+    "q30_store_counts",
     "q04_count_distinct", "q09_join_left", "q10_join_semi",
     "q11_join_anti", "q14_window_running", "q15_window_lag",
-    "q16_global_topk", "q17_set_ops", "q18_rollup",
-    "q19_string_fns", "q20_date_fns", "q21_math_fns", "q22_array_fns",
-    "q23_json_fns", "q55_pivot", "q60_systematic_sample",
-    "q72_window_rank_family",
-    # tier 4 — rows-only by design (sketches, seeded LSH, Python algos;
-    # q50 sits in tier 1 this round to re-prove its canonicalizer fix)
+    "q17_set_ops",
+    "q19_string_fns", "q21_math_fns",
+    # tier 4 — rows-only by design (sketches, seeded LSH, Python algos).
+    # q50_ingest_pipeline lives here: it has NO oracle (its digest output
+    # is not SQL-expressible; q78 is its oracle twin, driver-green r3) —
+    # it must never occupy a graded window slot again.
+    "q50_ingest_pipeline",
     "q05_approx_count_distinct", "q61_approx_quantiles",
     "q46_ann_lsh_topk", "q48_chunk_recursive",
     "q44_minhash_neardup", "q45_simhash_neardup",

@@ -69,16 +69,11 @@ def test_oracle_sql_plans_on_duckdb(name, sf_dir):
 
 def test_driver_window_spends_slots_on_oracles():
     """The driver's correctness pass covers the first 50 registry
-    entries; rows-only queries must never burn one of those slots —
-    except a rows-only query whose last driver row was an ERROR, which
-    needs exactly one window slot to prove the fix (the driver's
-    rows-only canonicalizer is part of the contract too)."""
-    # q50: r1 row was `unhashable type: 'list'` on the raw embedding
-    # array; output digested in r2 but never re-checked by the driver.
-    # Drop from this list once a clean row lands.
-    error_reproof = {"q50_ingest_pipeline"}
+    entries; a rows-only query inside that window is a guaranteed
+    `err: no_oracle` row — a wasted slot (r4 proved it with q50). No
+    carve-outs: every windowed entry must have an oracle."""
     first50 = list(QUERIES)[:50]
-    rows_only = [k for k in first50 if k not in ORACLE and k not in error_reproof]
+    rows_only = [k for k in first50 if k not in ORACLE]
     assert not rows_only, f"rows-only queries inside the 50-slot window: {rows_only}"
 
 
