@@ -532,8 +532,11 @@ ORDER BY 1
 # ---------------------------------------------------------------------------
 def q150_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # explicit char class, not \s: Java regex \s includes \x0B while
+    # DuckDB's RE2 \s is [\t\n\f\r ] — an engine-dependent fingerprint
+    # would silently split dedup groups on edge whitespace.
     fp = F.sha2(
-        F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), 256
+        F.lower(F.trim(F.regexp_replace("text", "[ \\t\\n\\r\\f]+", " "))), 256
     ).alias("fp")
     keyed = docs.select("doc_id", "source", "n_chars", fp)
     w = Window.partitionBy("fp").orderBy(
@@ -558,7 +561,9 @@ def q150_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q150_SQL = r"""
 WITH keyed AS (
   SELECT doc_id, source, n_chars,
-         sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+         -- explicit char class matching the Spark side (Java \s and
+         -- RE2 \s disagree on \x0B); see q150_dedup_keep_best.
+         sha256(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))) AS fp
   FROM documents
 ), ranked AS (
   SELECT doc_id, source, n_chars,
@@ -658,6 +663,107 @@ ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# q162 — per-source token-budget mixture scheduler: allocate a global
+# training-token budget across sources by temperature-flattened
+# availability (p_s ∝ avail_s^alpha, alpha=0.5 — the multilingual-
+# sampling standard: flatter than proportional, so small sources are
+# up-weighted), capped at MIX_MAX_EPOCHS passes over any source
+# (repetition hurts past a few epochs per scaling-law practice). The
+# missing piece between q80 (interleave order) and q79 (packing): HOW
+# MANY tokens to draw from each source. One narrow scan -> one
+# per-source agg -> broadcast 1-row total; output rows = #sources.
+# Drift guard: sqrt terms rounded to 8dp and summed as DECIMAL; the
+# remaining arithmetic is single fixed-order double ops, and the
+# integer budget math uses floor() (identical on both engines —
+# round() ties differ: Spark HALF_UP vs DuckDB away-from-zero vs
+# banker's, floor has no tie).
+# ---------------------------------------------------------------------------
+MIX_ALPHA = 0.5  # temperature; 0.5 == sqrt flattening
+MIX_MAX_EPOCHS = 4
+MIX_BUDGET_NUM, MIX_BUDGET_DEN = 3, 2  # budget = 1.5x total corpus tokens
+
+
+def q162_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.size(F.split("text", " ")).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("avail_tokens"),
+        )
+    )
+    sq = F.round(F.sqrt(F.col("avail_tokens").cast("double")), 8).cast(
+        "decimal(27,8)"
+    )
+    flat = per_src.withColumn("sq", sq)
+    totals = flat.agg(
+        F.sum("sq").alias("sq_total"),
+        F.sum("avail_tokens").cast("bigint").alias("avail_total"),
+    )
+    budget = F.floor(
+        (F.col("avail_total") * MIX_BUDGET_NUM) / F.lit(float(MIX_BUDGET_DEN))
+    )
+    weight = F.col("sq").cast("double") / F.col("sq_total").cast("double")
+    target = F.floor(budget.cast("double") * weight).cast("bigint")
+    drawn = F.least(target, F.lit(MIX_MAX_EPOCHS) * F.col("avail_tokens")).cast(
+        "bigint"
+    )
+    return (
+        flat.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "avail_tokens",
+            F.round(weight, 6).alias("mix_weight"),
+            target.alias("target_tokens"),
+            drawn.alias("drawn_tokens"),
+            F.round(
+                drawn.cast("double") / F.col("avail_tokens").cast("double"), 4
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+Q162_SQL = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY source
+),
+flat AS (
+  SELECT *, CAST(round(sqrt(CAST(avail_tokens AS DOUBLE)), 8)
+                 AS DECIMAL(27,8)) AS sq
+  FROM per_src
+),
+totals AS (
+  SELECT sum(sq) AS sq_total, CAST(sum(avail_tokens) AS BIGINT) AS avail_total
+  FROM flat
+)
+SELECT f.source, f.n_docs, f.avail_tokens,
+       round(CAST(f.sq AS DOUBLE) / CAST(t.sq_total AS DOUBLE), 6) AS mix_weight,
+       CAST(floor(CAST(floor((t.avail_total * {MIX_BUDGET_NUM})
+                             / {float(MIX_BUDGET_DEN)}) AS DOUBLE)
+                  * (CAST(f.sq AS DOUBLE) / CAST(t.sq_total AS DOUBLE)))
+            AS BIGINT) AS target_tokens,
+       CAST(least(floor(CAST(floor((t.avail_total * {MIX_BUDGET_NUM})
+                                   / {float(MIX_BUDGET_DEN)}) AS DOUBLE)
+                        * (CAST(f.sq AS DOUBLE) / CAST(t.sq_total AS DOUBLE))),
+                  {MIX_MAX_EPOCHS} * f.avail_tokens) AS BIGINT) AS drawn_tokens,
+       round(CAST(least(floor(CAST(floor((t.avail_total * {MIX_BUDGET_NUM})
+                                         / {float(MIX_BUDGET_DEN)}) AS DOUBLE)
+                              * (CAST(f.sq AS DOUBLE)
+                                 / CAST(t.sq_total AS DOUBLE))),
+                        {MIX_MAX_EPOCHS} * f.avail_tokens) AS DOUBLE)
+             / CAST(f.avail_tokens AS DOUBLE), 4) AS epochs
+FROM flat f CROSS JOIN totals t
+ORDER BY f.source
+"""
+
+
 QUERIES = {
     "q79_token_packing": q79_token_packing,
     "q80_corpus_mixing": q80_corpus_mixing,
@@ -670,6 +776,7 @@ QUERIES = {
     "q143_embedding_dim_stats": q143_embedding_dim_stats,
     "q150_dedup_keep_best": q150_dedup_keep_best,
     "q154_novelty_curve": q154_novelty_curve,
+    "q162_token_budget_mixture": q162_token_budget_mixture,
 }
 
 ORACLE = {
@@ -684,4 +791,5 @@ ORACLE = {
     "q143_embedding_dim_stats": Q143_SQL,
     "q150_dedup_keep_best": Q150_SQL,
     "q154_novelty_curve": Q154_SQL,
+    "q162_token_budget_mixture": Q162_SQL,
 }

@@ -190,12 +190,6 @@ def with_simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BI
     return hashes.withColumn("simhash", out).drop("word_hashes")
 
 
-def simhash_expr(col):
-    """Compatibility shim for tests: simhash of a text column via a
-    throwaway projection (prefer with_simhash on DataFrames)."""
-    raise NotImplementedError("use with_simhash(df) — see PERF NOTE")
-
-
 def q45_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs within Hamming distance <= 3, found by banding the 64-bit
     signature into 4 16-bit quarters (pigeonhole: any pair at distance

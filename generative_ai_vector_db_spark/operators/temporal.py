@@ -741,7 +741,14 @@ def q149_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_hours"),
             F.sum(F.col("v").isNull().cast("bigint")).alias("n_gap_hours"),
-            F.round(F.sum("locf"), 4).alias("locf_sum"),
+            # q160's drift guard: round each carried term to 8dp and
+            # accumulate as DECIMAL (exact, order-independent on both
+            # engines) — summing raw doubles is partition-order-
+            # dependent and latent under different partitioning/scale.
+            F.round(
+                F.sum(F.round("locf", 8).cast("decimal(27,8)")).cast("double"),
+                4,
+            ).alias("locf_sum"),
         )
         .orderBy("user_id")
     )
@@ -770,7 +777,8 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_hours,
        CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS n_gap_hours,
-       round(sum(locf), 4) AS locf_sum
+       round(CAST(sum(CAST(round(locf, 8) AS DECIMAL(27,8))) AS DOUBLE), 4)
+           AS locf_sum
 FROM filled
 GROUP BY user_id
 ORDER BY user_id
@@ -902,6 +910,68 @@ ORDER BY rk
 """
 
 
+# ---------------------------------------------------------------------------
+# q167 — week-over-week trend: weekly value per event type with the
+# previous observed week's value and the WoW percent change — the
+# dashboard/alerting primitive over any metric stream. date_trunc
+#('week') is ISO-Monday on both engines; weekly sums use the q71
+# DECIMAL guard; the pct change is one fixed-order double expression
+# over the two (already-rounded) weekly values, so it is bit-identical
+# cross-engine. lag() is over OBSERVED weeks per type (a missing week
+# compares against the last one that existed — compose with q149's
+# gap_fill when calendar-strict deltas are needed). One shuffle on
+# event_type x week, then a per-type window over ~52 rows/year.
+# ---------------------------------------------------------------------------
+def q167_wow_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("week")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(
+            F.sum(F.round("value", 8).cast("decimal(27,8)")).cast("double"), 4
+        ).alias("week_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("week_value").over(w)
+    return (
+        weekly.select(
+            "event_type",
+            "week",
+            "n_events",
+            "week_value",
+            prev.alias("prev_value"),
+            F.when(
+                prev.isNotNull() & (prev != 0.0),
+                F.round((F.col("week_value") - prev) / prev, 4),
+            ).alias("wow_change"),
+        )
+        .orderBy("event_type", "week")
+    )
+
+
+Q167_SQL = """
+WITH weekly AS (
+  SELECT event_type, date_trunc('week', ts) AS week,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(CAST(sum(CAST(round(value, 8) AS DECIMAL(27,8))) AS DOUBLE), 4)
+             AS week_value
+  FROM events
+  GROUP BY event_type, date_trunc('week', ts)
+)
+SELECT event_type, week, n_events, week_value,
+       lag(week_value) OVER w AS prev_value,
+       CASE WHEN lag(week_value) OVER w IS NOT NULL
+             AND lag(week_value) OVER w != 0.0
+            THEN round((week_value - lag(week_value) OVER w)
+                       / lag(week_value) OVER w, 4)
+       END AS wow_change
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY week)
+ORDER BY event_type, week
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
     "q59_range_join": q59_range_join,
@@ -916,6 +986,7 @@ QUERIES = {
     "q149_gap_fill": q149_gap_fill,
     "q156_event_transitions": q156_event_transitions,
     "q160_decayed_engagement": q160_decayed_engagement,
+    "q167_wow_trend": q167_wow_trend,
 }
 
 ORACLE = {
@@ -932,4 +1003,5 @@ ORACLE = {
     "q149_gap_fill": Q149_SQL,
     "q156_event_transitions": Q156_SQL,
     "q160_decayed_engagement": Q160_SQL,
+    "q167_wow_trend": Q167_SQL,
 }

@@ -600,13 +600,20 @@ def q159_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", _bigrams(F.col("words")).alias("grams"))
     )
     grams = docs.select("doc_id", F.explode("grams").alias("gram"))
-    n_docs = docs.count()
+    # N as a 1-row aggregate broadcast (same anchor pattern as q83's
+    # `corpus` relation) — NOT a driver-side docs.count(), which would
+    # fire an eager extra full scan before the real job even plans.
+    corpus = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     w = F.round(
-        F.log(F.lit(float(n_docs)) / F.count(F.lit(1))), 8
+        F.log(F.col("n_docs") / F.col("_df").cast("double")), 8
     ).cast("decimal(27,8)")
-    gram_w = grams.groupBy("gram").agg(
-        w.alias("w"), F.count(F.lit(1)).alias("_df")
-    ).where(F.col("_df") <= n_docs * WJ_DF_FRAC).drop("_df")
+    gram_w = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(corpus))
+        .where(F.col("_df") <= F.col("n_docs") * WJ_DF_FRAC)
+        .select("gram", w.alias("w"))
+    )
     weighted = grams.join(gram_w, "gram")
     doc_w = weighted.groupBy("doc_id").agg(F.sum("w").alias("w_doc"))
     a = weighted.select(F.col("doc_id").alias("id_a"), "gram", "w")
@@ -671,6 +678,174 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# q165 — containment near-dup (asymmetric): C(A->B) = |grams(A) ∩
+# grams(B)| / |grams(A)|. Jaccard misses subset duplication — a doc
+# embedded whole inside a larger one scores low symmetric overlap but
+# containment ~1. This is the quote/boilerplate-inclusion detector
+# production dedup runs alongside q159. Same scale shape as q159: the
+# inverted-index join on the GRAM key with the relative document-
+# frequency cap (grams in > CONTAIN_DF_FRAC of docs are excluded from
+# the gram set — the cap is part of the operator semantics and applied
+# identically in the oracle, so exactness is preserved; it is also what
+# kills the quadratic posting-list hazard at 100 TB). Output is
+# DIRECTED pairs (id_a contained-in id_b); n_grams_a is the capped
+# denominator. Integer intersect / integer denominator -> one double
+# division: bit-identical across engines.
+# ---------------------------------------------------------------------------
+CONTAIN_TAU = 0.5
+CONTAIN_DF_FRAC = WJ_DF_FRAC
+
+
+def q165_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", _words(F.col("text")).alias("words"))
+        .select("doc_id", _bigrams(F.col("words")).alias("grams"))
+    )
+    grams = docs.select("doc_id", F.explode("grams").alias("gram"))
+    corpus = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    kept = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(corpus))
+        .where(F.col("_df") <= F.col("n_docs") * CONTAIN_DF_FRAC)
+        .select("gram")
+    )
+    posting = grams.join(kept, "gram")
+    sizes = posting.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    a = posting.select(F.col("doc_id").alias("id_a"), "gram")
+    b = posting.select(F.col("doc_id").alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(
+        F.col("doc_id").alias("id_a"), F.col("n_grams").alias("n_grams_a")
+    )
+    return (
+        inter.join(F.broadcast(na), "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            "n_grams_a",
+            F.round(
+                F.col("inter").cast("double") / F.col("n_grams_a").cast("double"),
+                4,
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= CONTAIN_TAU)
+        .orderBy("id_a", "id_b")
+    )
+
+
+Q165_SQL = f"""
+WITH g0 AS (
+  SELECT doc_id,
+         unnest(list_distinct([words[i] || ' ' || words[i+1]
+                               for i in generate_series(1, len(words) - 1)])) AS gram
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+kept AS (
+  SELECT gram FROM g0 GROUP BY gram
+  HAVING count(*) <= (SELECT n_docs FROM n) * {CONTAIN_DF_FRAC}
+),
+posting AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN kept USING (gram)),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+  FROM posting GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM posting a JOIN posting b USING (gram)
+  WHERE a.doc_id != b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b, s.n_grams AS n_grams_a,
+       round(CAST(i.inter AS DOUBLE) / CAST(s.n_grams AS DOUBLE), 4)
+           AS containment
+FROM inter i JOIN sizes s ON s.doc_id = i.id_a
+WHERE CAST(i.inter AS DOUBLE) / CAST(s.n_grams AS DOUBLE) >= {CONTAIN_TAU}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# q166 — tokenizer fertility by language: chars-per-token and
+# regex-BPE-ish-tokens-per-whitespace-token, aggregated per lang. The
+# tokenizer-budget planning metric — fertility decides how many TEXT
+# bytes a fixed token budget buys per language, and a lang whose
+# fertility drifts signals tokenizer mismatch. Reuses q39's exact token
+# definitions (whitespace + TOKEN_RE). One narrow scan, one partial-
+# aggregated groupBy on lang; integer sums -> single double divisions,
+# bit-identical across engines.
+# ---------------------------------------------------------------------------
+def q166_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    lower = F.lower("text")
+    per = docs.select(
+        "lang",
+        F.length("text").cast("bigint").alias("chars"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("ws"),
+        F.regexp_count(lower, F.lit(TOKEN_RE)).cast("bigint").alias("bpe"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("chars").cast("bigint").alias("total_chars"),
+            F.sum("ws").cast("bigint").alias("total_ws_tokens"),
+            F.sum("bpe").cast("bigint").alias("total_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            "total_ws_tokens",
+            "total_bpe_tokens",
+            F.round(
+                F.col("total_chars").cast("double")
+                / F.col("total_bpe_tokens").cast("double"),
+                4,
+            ).alias("chars_per_bpe"),
+            F.round(
+                F.col("total_bpe_tokens").cast("double")
+                / F.col("total_ws_tokens").cast("double"),
+                4,
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q166_SQL = f"""
+WITH per AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS bpe
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(chars) AS BIGINT) AS total_chars,
+       CAST(sum(ws) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(bpe) AS BIGINT) AS total_bpe_tokens,
+       round(CAST(sum(chars) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE), 4)
+           AS chars_per_bpe,
+       round(CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 4)
+           AS fertility
+FROM per
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "q37_lang_id": q37_lang_id,
     "q38_text_quality": q38_text_quality,
@@ -684,6 +859,8 @@ QUERIES = {
     "q74_curation_pipeline": q74_curation_pipeline,
     "q145_token_entropy": q145_token_entropy,
     "q159_weighted_jaccard": q159_weighted_jaccard,
+    "q165_containment": q165_containment,
+    "q166_tokenizer_fertility": q166_tokenizer_fertility,
 }
 
 ORACLE = {
@@ -699,4 +876,6 @@ ORACLE = {
     "q74_curation_pipeline": Q74_SQL,
     "q145_token_entropy": Q145_SQL,
     "q159_weighted_jaccard": Q159_SQL,
+    "q165_containment": Q165_SQL,
+    "q166_tokenizer_fertility": Q166_SQL,
 }
