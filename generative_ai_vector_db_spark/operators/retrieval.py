@@ -584,6 +584,96 @@ LIMIT {PMI_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# q161 — second-stage rerank (cross-encoder stand-in): re-score q84's
+# fused top-K with a deterministic feature fusion — normalized lexical
+# score, vector similarity, and query-term coverage — the shape of a
+# production two-stage retrieval stack (cheap recall stage -> expensive
+# precision stage over K rows). A real cross-encoder would replace
+# `ce_score` with a model call over (query, doc) pairs; everything
+# around it — candidate plumbing, K-row broadcast, rank diff — is the
+# real operator. Scale: the rerank runs on K rows (the q84 output),
+# so its cost is independent of corpus size; the only corpus-side work
+# is the coverage lookup, a broadcast semi-join of K doc_ids against
+# the documents scan. Weights sum to 1; all inputs are pre-rounded at
+# 4dp so the fixed-order fusion expression is bit-identical on both
+# engines.
+# ---------------------------------------------------------------------------
+CE_W_VEC, CE_W_LEX, CE_W_COV = 0.45, 0.35, 0.20
+
+
+def q161_ce_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = q84_hybrid_rrf(spark, sf_dir)
+    mx = cand.agg(F.max("bm25").alias("bm25_max"))
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), "\\s+")
+    coverage = None
+    for t in QUERY_TERMS:
+        hit = F.array_contains(toks, t).cast("int")
+        coverage = hit if coverage is None else coverage + hit
+    cov = docs.select(
+        "doc_id", (coverage / float(len(QUERY_TERMS))).alias("coverage")
+    )
+    ce = (
+        cov.join(F.broadcast(cand), "doc_id")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(CE_W_VEC) * F.col("cos_sim")
+                + F.lit(CE_W_LEX) * (F.col("bm25") / F.col("bm25_max"))
+                + F.lit(CE_W_COV) * F.col("coverage"),
+                6,
+            ).alias("ce_score"),
+            F.col("rn").alias("rrf_rank"),
+        )
+    )
+    w = Window.orderBy(F.col("ce_score").desc(), "doc_id")
+    return (
+        ce.withColumn("ce_rank", F.row_number().over(w).cast("bigint"))
+        .select(
+            "ce_rank",
+            "doc_id",
+            "ce_score",
+            "rrf_rank",
+            (F.col("rrf_rank") - F.col("ce_rank")).cast("bigint").alias("moved"),
+        )
+        .orderBy("ce_rank")
+    )
+
+
+_DUCK_COV = " + ".join(
+    f"(CASE WHEN list_contains(string_split_regex(lower(d.text), '\\s+'), '{t}')"
+    " THEN 1 ELSE 0 END)"
+    for t in QUERY_TERMS
+)
+
+Q161_SQL = f"""
+WITH cand AS ({Q84_SQL}),
+mx AS (SELECT max(bm25) AS bm25_max FROM cand),
+cov AS (
+  SELECT d.doc_id, ({_DUCK_COV}) / {float(len(QUERY_TERMS))} AS coverage
+  FROM documents d JOIN cand ON cand.doc_id = d.doc_id
+),
+scored AS (
+  SELECT c.doc_id,
+         round({CE_W_VEC} * c.cos_sim
+               + {CE_W_LEX} * (c.bm25 / (SELECT bm25_max FROM mx))
+               + {CE_W_COV} * cov.coverage, 6) AS ce_score,
+         c.rn AS rrf_rank
+  FROM cand c JOIN cov ON cov.doc_id = c.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY ce_score DESC, doc_id) AS BIGINT)
+           AS ce_rank,
+       doc_id, ce_score, rrf_rank,
+       CAST(rrf_rank
+            - row_number() OVER (ORDER BY ce_score DESC, doc_id) AS BIGINT)
+           AS moved
+FROM scored
+ORDER BY ce_rank
+"""
+
+
 QUERIES = {
     "q83_bm25_topk": q83_bm25_topk,
     "q84_hybrid_rrf": q84_hybrid_rrf,
@@ -591,6 +681,7 @@ QUERIES = {
     "q87_vocab_coverage": q87_vocab_coverage,
     "q144_zipf_fit": q144_zipf_fit,
     "q146_pmi_collocations": q146_pmi_collocations,
+    "q161_ce_rerank": q161_ce_rerank,
 }
 
 ORACLE = {
@@ -600,4 +691,5 @@ ORACLE = {
     "q87_vocab_coverage": Q87_SQL,
     "q144_zipf_fit": Q144_SQL,
     "q146_pmi_collocations": Q146_SQL,
+    "q161_ce_rerank": Q161_SQL,
 }

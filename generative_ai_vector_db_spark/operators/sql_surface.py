@@ -265,6 +265,35 @@ def q148_tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, Q148)
 
 
+# CUBE: every aggregate granularity of (event_type, day quarter) in one
+# Expand + single-shuffle aggregation — the OLAP companion to q18's
+# ROLLUP (hierarchical) and q108's explicit GROUPING SETS. GROUPING()
+# flags disambiguate real NULLs from cube rows; the value sum uses the
+# q71 DECIMAL drift guard. hour()/floor() behave identically on both
+# engines over the NTZ-normalized timestamps.
+Q164 = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(CAST(day_quarter AS STRING), '(all)') AS day_quarter,
+       CAST(grouping(event_type) AS BIGINT) AS g_type,
+       CAST(grouping(day_quarter) AS BIGINT) AS g_quarter,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(round(value, 8) AS DECIMAL(27,8))) AS DOUBLE), 4)
+           AS sum_value
+FROM (
+  SELECT event_type,
+         CAST(floor(hour(ts) / 6) AS BIGINT) AS day_quarter,
+         value
+  FROM events
+)
+GROUP BY CUBE (event_type, day_quarter)
+ORDER BY g_type, g_quarter, event_type, day_quarter
+"""
+
+
+def q164_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, Q164)
+
+
 QUERIES = {
     "q67_correlated_min": q67_correlated_min,
     "q68_exists_distribution": q68_exists_distribution,
@@ -276,6 +305,7 @@ QUERIES = {
     "q134_tpch_q17_shape": q134_tpch_q17_shape,
     "q135_tpch_q20_shape": q135_tpch_q20_shape,
     "q148_tpch_q6_shape": q148_tpch_q6_shape,
+    "q164_cube_profile": q164_cube_profile,
 }
 
 # The same ANSI text runs on both engines (views share names/schemas).
@@ -290,4 +320,5 @@ ORACLE = {
     "q134_tpch_q17_shape": Q134,
     "q135_tpch_q20_shape": Q135,
     "q148_tpch_q6_shape": Q148,
+    "q164_cube_profile": Q164,
 }

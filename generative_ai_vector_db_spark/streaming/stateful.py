@@ -186,3 +186,158 @@ def run_profile_stream_tws(
         .start()
         .awaitTermination()
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 — keyed state with TTL: the per-user profile again, but state
+# EXPIRES after STATE_TTL_S of event-time inactivity — the cache/
+# feature-store semantic ("a user idle for 2h starts fresh") that
+# bounds state size on an unbounded key space. The streaming face
+# (`run_profile_stream_ttl`) applies the TTL inside the state update
+# by event time, so the result is deterministic under any micro-batch
+# partitioning whose triggers cover contiguous time ranges (replay-
+# stable — wall-clock timeouts are not). The batch twin below is the
+# oracle-checked semantics: gaps > TTL split a user's history into
+# state generations; the emitted profile is the LIVE (last) generation
+# plus how many expiries preceded it.
+#
+# Scale: one shuffle on user_id, both window passes share the
+# partitioning; the streaming path holds O(active users) state and the
+# TTL is exactly what keeps "active" bounded at 100 TB/day.
+# ---------------------------------------------------------------------------
+STATE_TTL_S = 7200  # 2h event-time TTL (2x SESSION_GAP — coarser than q106)
+
+
+def q163_state_ttl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("long")
+    prev = F.lag(secs).over(w)
+    reset = F.when((secs - prev) > STATE_TTL_S, F.lit(1)).otherwise(F.lit(0))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gens = ev.select(
+        "user_id", "event_id", "ts", "value", reset.alias("reset")
+    ).withColumn("gen", F.sum("reset").over(cum).cast("bigint"))
+    per_gen = gens.groupBy("user_id", "gen").agg(
+        F.count(F.lit(1)).cast("bigint").alias("live_n_events"),
+        # decimal accumulation: order-independent and exact (q71 pattern)
+        F.round(
+            F.sum(F.round("value", 8).cast("decimal(27,8)")).cast("double"), 4
+        ).alias("live_total"),
+        F.max("ts").alias("last_seen"),
+    )
+    live = per_gen.withColumn(
+        "_mg", F.max("gen").over(Window.partitionBy("user_id"))
+    ).where(F.col("gen") == F.col("_mg"))
+    return live.select(
+        "user_id",
+        F.col("gen").alias("n_expiries"),
+        "live_n_events",
+        "live_total",
+        "last_seen",
+    ).orderBy("user_id")
+
+
+Q163_SQL = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN date_diff('second', lag(ts) OVER w, ts) > {STATE_TTL_S}
+              THEN 1 ELSE 0 END AS reset
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+gens AS (
+  SELECT user_id, ts, value,
+         CAST(sum(reset) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gen
+  FROM marked
+),
+per_gen AS (
+  SELECT user_id, gen,
+         CAST(count(*) AS BIGINT) AS live_n_events,
+         round(CAST(sum(CAST(round(value, 8) AS DECIMAL(27,8))) AS DOUBLE), 4)
+             AS live_total,
+         max(ts) AS last_seen
+  FROM gens GROUP BY user_id, gen
+)
+SELECT user_id, gen AS n_expiries, live_n_events, live_total, last_seen
+FROM (SELECT *, max(gen) OVER (PARTITION BY user_id) AS mg FROM per_gen)
+WHERE gen = mg
+ORDER BY user_id
+"""
+
+
+TTL_SCHEMA = (
+    "user_id bigint, n_expiries bigint, live_n_events bigint, "
+    "live_total double, last_seen timestamp"
+)
+TTL_STATE_SCHEMA = "expiries bigint, n bigint, total double, last_us bigint"
+
+
+def _update_profile_ttl(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        expiries, n, total, last_us = state.get
+    else:
+        expiries, n, total, last_us = 0, 0, 0.0, None
+    rows = pd.concat(list(batches)).sort_values(["ts", "event_id"])
+    for ts, value in zip(rows["ts"], rows["value"]):
+        us = int(ts.value // 1_000)  # pandas ns -> us
+        if last_us is not None and (us - last_us) > STATE_TTL_S * 1_000_000:
+            expiries, n, total = expiries + 1, 0, 0.0
+        n += 1
+        total += round(float(value), 8)
+        last_us = us
+    state.update((expiries, n, total, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_expiries": [expiries],
+            "live_n_events": [n],
+            "live_total": [round(total, 4)],
+            "last_seen": [pd.Timestamp(last_us * 1_000)],
+        }
+    )
+
+
+def run_profile_stream_ttl(
+    spark: SparkSession, src_dir: str, sink_table: str = "profile_ttl_out"
+) -> None:
+    """Streaming face of q163: TTL applied by EVENT time inside the
+    state update (replay-deterministic), state keyed per user."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    ev = spark.readStream.schema(schema).parquet(src_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _update_profile_ttl,
+        outputStructType=TTL_SCHEMA,
+        stateStructType=TTL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    (
+        out.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+QUERIES = {"q163_state_ttl_profile": q163_state_ttl_profile}
+ORACLE = {"q163_state_ttl_profile": Q163_SQL}

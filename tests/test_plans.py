@@ -495,3 +495,57 @@ def test_q159_candidates_join_on_gram_key(spark, sf_dir):
     plan = plan_of(t.q159_weighted_jaccard(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_q161_rerank_is_broadcast_k_rows(spark, sf_dir):
+    """Stage-2 rerank cost is corpus-independent: the K candidates are
+    broadcast against the documents scan (coverage lookup) — no shuffle
+    keyed on the corpus, no cartesian, no Python."""
+    from generative_ai_vector_db_spark.operators import retrieval as r
+
+    plan = plan_of(r.q161_ce_rerank(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_q162_mixture_single_agg_no_python(spark, sf_dir):
+    """One partial-aggregated groupBy on source + a broadcast 1-row
+    total; all expression-level (JVM codegen)."""
+    from generative_ai_vector_db_spark.operators import corpus as c
+
+    plan = plan_of(c.q162_token_budget_mixture(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(source") <= 1
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q163_ttl_windows_share_partitioning(spark, sf_dir):
+    """Both window passes and the generation agg key on user_id — one
+    real shuffle of the events table, then partitioning reuse."""
+    from generative_ai_vector_db_spark.streaming import stateful as st
+
+    plan = plan_of(st.q163_state_ttl_profile(spark, sf_dir))
+    # formatted mode lists each Exchange's partitioning in Arguments
+    assert plan.count("hashpartitioning(user_id") == 1, plan[:2000]
+    assert "Python" not in plan
+
+
+def test_q165_containment_inverted_index(spark, sf_dir):
+    """Candidates via the gram equi-join with df cap — no cartesian, no
+    Python, doc bodies never shuffled."""
+    from generative_ai_vector_db_spark.operators import text as t
+
+    plan = plan_of(t.q165_containment(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_q167_wow_single_shuffle_then_window(spark, sf_dir):
+    """Weekly agg shuffles once on (event_type, week); the lag window
+    runs per event_type over the tiny weekly series."""
+    from generative_ai_vector_db_spark.operators import temporal as tp
+
+    plan = plan_of(tp.q167_wow_trend(spark, sf_dir))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan

@@ -217,3 +217,30 @@ def test_q89_mmr_invariants(spark, sf_dir):
         # first pick is pure relevance: the max-relevance candidate
         first = g.loc[g["mmr_rank"] == 1].iloc[0]
         assert first["relevance"] == g["relevance"].max()
+
+
+# ---------------------------------------------------------------------------
+# q161 second-stage rerank: oracle mirror + two-stage invariants.
+# ---------------------------------------------------------------------------
+def test_q161_oracle_mirror(spark, sf_dir):
+    compare_query(
+        spark, sf_dir,
+        retrieval.QUERIES["q161_ce_rerank"],
+        retrieval.ORACLE["q161_ce_rerank"],
+        "q161",
+    )
+
+
+def test_q161_rerank_invariants(spark, sf_dir):
+    cand = retrieval.q84_hybrid_rrf(spark, sf_dir).toPandas()
+    got = retrieval.q161_ce_rerank(spark, sf_dir).toPandas()
+    # stage 2 is a permutation of stage 1's candidate set — never adds
+    # or drops a document
+    assert sorted(got["doc_id"]) == sorted(cand["doc_id"])
+    assert got["ce_rank"].tolist() == list(range(1, len(got) + 1))
+    # rank moves are zero-sum
+    assert got["moved"].sum() == 0
+    # weights are a convex combination
+    assert abs(retrieval.CE_W_VEC + retrieval.CE_W_LEX + retrieval.CE_W_COV - 1.0) < 1e-12
+    # scores are bounded by the max of each (normalized) component
+    assert (got["ce_score"] <= 1.0 + 1e-9).all()

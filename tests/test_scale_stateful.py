@@ -317,3 +317,54 @@ def test_zorder_layout_tightens_file_bounding_boxes(spark, sf_dir, tmp_path):
     # same rows, same file count — but z-ordered boxes must be far
     # tighter (empirically ~8x at this scale; assert a conservative 2x)
     assert z_area * 2 < plain_area, (plain_area, z_area)
+
+
+# ---------------------------------------------------------------------------
+# q163 keyed state with event-time TTL: oracle mirror + the streaming
+# face (applyInPandasWithState) agreeing with the batch twin.
+# ---------------------------------------------------------------------------
+def test_q163_oracle_mirror(spark, sf_dir):
+    from .oracle_utils import compare_query
+
+    compare_query(
+        spark, sf_dir,
+        stateful.QUERIES["q163_state_ttl_profile"],
+        stateful.ORACLE["q163_state_ttl_profile"],
+        "q163",
+    )
+
+
+def test_ttl_profile_stream_matches_batch_twin(spark, sf_dir):
+    src = tempfile.mkdtemp(prefix="ttl_src_")
+    try:
+        # single ts-sorted file => every key's rows arrive in order and
+        # the event-time TTL inside the state update is exact
+        (
+            load(spark, sf_dir, "events")
+            .orderBy("ts", "event_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        stateful.run_profile_stream_ttl(spark, src, sink_table="ttl_out")
+        got = spark.table("ttl_out").toPandas()
+        got = (
+            got.groupby("user_id").tail(1).sort_values("user_id").reset_index(drop=True)
+        )
+        want = (
+            stateful.q163_state_ttl_profile(spark, sf_dir)
+            .toPandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert got["user_id"].tolist() == want["user_id"].tolist()
+        assert got["n_expiries"].tolist() == want["n_expiries"].tolist()
+        assert got["live_n_events"].tolist() == want["live_n_events"].tolist()
+        # stream accumulates python floats, twin uses exact decimal —
+        # identical after the 4dp round up to float representation
+        assert (
+            (got["live_total"].to_numpy() - want["live_total"].to_numpy()) ** 2
+        ).max() < 1e-6
+        assert got["last_seen"].tolist() == want["last_seen"].tolist()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
