@@ -90,6 +90,8 @@ _PRIORITY = [
     "q161_ce_rerank", "q162_token_budget_mixture",
     "q163_state_ttl_profile", "q164_cube_profile",
     "q165_containment", "q166_tokenizer_fertility", "q167_wow_trend",
+    "q168_sketch_quantiles", "q169_threshold_curve", "q170_funnel_timing",
+    "q171_burstiness", "q172_lang_confusion",
     # tier 2 — previously-green backfill for the remaining window slots,
     # oldest evidence first (r1 rows predate two testdata regenerations).
     "q03_tpch_q1", "q12_dedup_exact", "q13_window_topk",

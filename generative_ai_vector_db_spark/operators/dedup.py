@@ -167,10 +167,63 @@ def q44_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
+def simhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(id, simhash) via explode + 64 SUM aggregates — the fast path.
+
+    Semantically identical to ``with_simhash`` (same per-word xxhash64,
+    same +-1 votes, same sign rule; verified bit-equal), but computed as
+    a keyed aggregation instead of 64 higher-order-function folds per
+    row: the HOF form re-walks the word-hash array once per bit inside
+    generated code (measured 9x slower at sf0.01), while the exploded
+    form is one pass through whole-stage-codegen SUM aggregates with
+    map-side partial combine — also the right 100 TB shape (shuffle
+    carries 64 longs per doc, never the text)."""
+    words = docs.select(
+        id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("_w")
+    )
+    h = F.xxhash64("_w")
+    # pack 4 bit-counters into 16-bit lanes of one long => bits/4 SUM
+    # aggregates instead of `bits` (smaller generated code: measured 8x
+    # faster warm, ~40% faster first-call compile vs one SUM per bit).
+    # Lane arithmetic: per word each lane gets bit_j in {0,1}; the lane
+    # sum c_j is the set-bit count, and the sign test votes_j > 0 is
+    # exactly 2*c_j > n_words. 16-bit lanes cap a doc at 65535 words —
+    # far above this corpus; chunk longer docs before hashing.
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for k in range(bits // 4):
+        lane = None
+        for i in range(4):
+            j = 4 * k + i
+            term = F.shiftleft(
+                F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)), 16 * i
+            )
+            lane = term if lane is None else lane + term
+        aggs.append(F.sum(lane).alias(f"_p{k}"))
+    votes = words.groupBy(id_col).agg(*aggs)
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        k, i = divmod(j, 4)
+        c = F.shiftrightunsigned(F.col(f"_p{k}"), 16 * i).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+        weight = (1 << j) if j < 63 else -(1 << 63)
+        out = out + F.when(c * 2 > F.col("_n"), F.lit(weight).cast("long")).otherwise(
+            0
+        )
+    return votes.select(id_col, out.alias("simhash"))
+
+
 def with_simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
     """Add a 64-bit ``simhash`` column: bit j is the sign of the sum of
     (+1/-1) votes from each word's xxhash64 bit j. The per-word hash
-    array is materialized as an attribute first (PERF NOTE)."""
+    array is materialized as an attribute first (PERF NOTE). Keyless
+    column-append form; prefer ``simhash_signatures`` when an id column
+    exists (same bits, much faster)."""
     words = docs.withColumn("words", F.split(F.lower(F.col(text_col)), " "))
     hashes = words.withColumn(
         "word_hashes", F.transform("words", lambda w: F.xxhash64(w))
@@ -194,7 +247,9 @@ def q45_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs within Hamming distance <= 3, found by banding the 64-bit
     signature into 4 16-bit quarters (pigeonhole: any pair at distance
     <= 3 shares at least one exact quarter)."""
-    docs = with_simhash(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = simhash_signatures(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     quarters = docs.select(
         "doc_id",
         "simhash",

@@ -1019,6 +1019,91 @@ ORDER BY label_a, label_b
 """
 
 
+# ---------------------------------------------------------------------------
+# q170 — funnel step timing: q96 counts who converts; this measures HOW
+# LONG each funnel transition takes (signup->view, view->click,
+# click->purchase) for users who complete it — median/p90 step latency
+# is the product-analytics metric behind conversion-drag diagnosis.
+# Same one-shuffle shape as q96 (per-user conditional first-timestamps)
+# followed by a 3-row exact-percentile aggregate over integer second
+# deltas; percentile()/quantile_cont() interpolate identically on the
+# same integer multiset (the proven q54 mapping). At 100 TB the per-
+# user agg partial-combines map-side; the percentile runs over one
+# delta column per step, never the event stream.
+# ---------------------------------------------------------------------------
+def q170_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in _FUNNEL
+        ]
+    )
+    steps = []
+    for i in range(len(_FUNNEL) - 1):
+        a, b = _FUNNEL[i], _FUNNEL[i + 1]
+        delta = F.col(f"t_{b}").cast("long") - F.col(f"t_{a}").cast("long")
+        steps.append(
+            firsts.where(
+                F.col(f"t_{a}").isNotNull()
+                & F.col(f"t_{b}").isNotNull()
+                & (delta > 0)
+            ).select(
+                F.lit(i + 1).cast("bigint").alias("step"),
+                F.lit(f"{a}->{b}").alias("transition"),
+                delta.alias("sec"),
+            )
+        )
+    deltas = steps[0].unionByName(steps[1]).unionByName(steps[2])
+    return (
+        deltas.groupBy("step", "transition")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.percentile("sec", F.lit(0.5)), 4).alias("p50_sec"),
+            F.round(F.percentile("sec", F.lit(0.9)), 4).alias("p90_sec"),
+        )
+        .orderBy("step")
+    )
+
+
+Q170_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'signup')   AS t_signup,
+         min(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+         min(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id
+),
+deltas AS (
+  SELECT CAST(1 AS BIGINT) AS step, 'signup->view' AS transition,
+         date_diff('second', t_signup, t_view) AS sec
+  FROM firsts
+  WHERE t_signup IS NOT NULL AND t_view IS NOT NULL
+    AND date_diff('second', t_signup, t_view) > 0
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'view->click',
+         date_diff('second', t_view, t_click)
+  FROM firsts
+  WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+    AND date_diff('second', t_view, t_click) > 0
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'click->purchase',
+         date_diff('second', t_click, t_purchase)
+  FROM firsts
+  WHERE t_click IS NOT NULL AND t_purchase IS NOT NULL
+    AND date_diff('second', t_click, t_purchase) > 0
+)
+SELECT step, transition,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(quantile_cont(sec, 0.5), 4) AS p50_sec,
+       round(quantile_cont(sec, 0.9), 4) AS p90_sec
+FROM deltas
+GROUP BY step, transition
+ORDER BY step
+"""
+
+
 QUERIES = {
     "q93_gopher_quality": q93_gopher_quality,
     "q94_source_cap": q94_source_cap,
@@ -1036,6 +1121,7 @@ QUERIES = {
     "q151_traffic_bursts": q151_traffic_bursts,
     "q157_winsorized_stats": q157_winsorized_stats,
     "q158_centroid_similarity": q158_centroid_similarity,
+    "q170_funnel_timing": q170_funnel_timing,
 }
 
 ORACLE = {
@@ -1055,4 +1141,5 @@ ORACLE = {
     "q151_traffic_bursts": Q151_SQL,
     "q157_winsorized_stats": Q157_SQL,
     "q158_centroid_similarity": Q158_SQL,
+    "q170_funnel_timing": Q170_SQL,
 }

@@ -21,7 +21,7 @@ narrated:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
@@ -383,12 +383,95 @@ Q155_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# q168 — mergeable log-histogram quantiles (DDSketch-shaped): bucket
+# every value into fixed log-spaced bins (bin = floor(ln(1+v)*SCALE)),
+# count per (type, bin), then read p50/p90/p99 off the cumulative
+# histogram as the lower edge of the first bin whose cumulative count
+# reaches ceil(q*n). Unlike percentile_approx (whose sketch is
+# merge-order-sensitive in its error), the bin histogram is EXACTLY
+# mergeable: counts add associatively across 1000 executors, partial
+# aggregation is map-side combined, and the state per group is O(bins)
+# regardless of data size — the 100 TB quantile shape. Bin edges and
+# thresholds are single fixed double expressions, identical on both
+# engines; everything else is integer-exact.
+# ---------------------------------------------------------------------------
+HIST_SCALE = 10.0  # ~10.5% relative bin width (e^(1/10) - 1)
+_HIST_QS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+
+def q168_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bin_col = F.floor(F.log(F.lit(1.0) + F.col("value")) * HIST_SCALE).cast(
+        "bigint"
+    )
+    binned = ev.groupBy("event_type", bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+    )
+    aggs = [F.max("n").cast("bigint").alias("n_events")]
+    for name, q in _HIST_QS:
+        qbin = F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("bin"))
+        )
+        aggs.append(qbin.alias(f"_b_{name}"))
+    est = cum.groupBy("event_type").agg(*aggs)
+    return est.select(
+        "event_type",
+        "n_events",
+        *[
+            F.round(
+                F.exp(F.col(f"_b_{name}") / HIST_SCALE) - F.lit(1.0), 4
+            ).alias(name)
+            for name, _ in _HIST_QS
+        ],
+    ).orderBy("event_type")
+
+
+_HIST_Q_SQL = ",\n       ".join(
+    f"round(exp(min(CASE WHEN cum >= ceil({q} * n) THEN bin END)"
+    f" / {HIST_SCALE}) - 1.0, 4) AS {name}"
+    for name, q in _HIST_QS
+)
+
+Q168_SQL = f"""
+WITH binned AS (
+  SELECT event_type,
+         CAST(floor(ln(1.0 + value) * {HIST_SCALE}) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM events
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM binned
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_events,
+       {_HIST_Q_SQL}
+FROM cum
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q56_salted_agg": q56_salted_agg,
     "q128_zorder_stats": q128_zorder_stats,
     "q138_skew_profile": q138_skew_profile,
     "q139_integrity_audit": q139_integrity_audit,
     "q155_column_profile": q155_column_profile,
+    "q168_sketch_quantiles": q168_sketch_quantiles,
 }
 
 ORACLE = {
@@ -397,4 +480,5 @@ ORACLE = {
     "q138_skew_profile": Q138_SQL,
     "q139_integrity_audit": Q139_SQL,
     "q155_column_profile": Q155_SQL,
+    "q168_sketch_quantiles": Q168_SQL,
 }

@@ -911,6 +911,88 @@ ORDER BY rk
 
 
 # ---------------------------------------------------------------------------
+# q171 — inter-event burstiness per user: B = (σ - μ) / (σ + μ) over a
+# user's inter-event gaps (Goh & Barabási) — B→-1 periodic, B≈0
+# Poisson, B→1 bursty. Separates organic users from schedulers/bots in
+# event-stream QA. Gaps are INTEGER seconds (cast-long difference, the
+# proven q106 device), so Σg and Σg² accumulate exactly as DECIMAL —
+# order-independent across 1000 executors — and the σ/μ derivation is
+# one fixed double expression per engine. `+ 0.0` guards the rounded
+# outputs against IEEE -0.0 (B straddles zero by construction). One
+# shuffle on user_id; the lag window and the agg share it.
+# ---------------------------------------------------------------------------
+BURST_MIN_EVENTS = 20  # gaps per user required for a stable estimate
+
+
+def q171_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("long")
+    gap = (secs - F.lag(secs).over(w)).alias("gap")
+    gaps = ev.select("user_id", gap).where(F.col("gap").isNotNull())
+    g = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("gap").cast("decimal(27,0)")).cast("double").alias("sg"),
+        F.sum((F.col("gap") * F.col("gap")).cast("decimal(27,0)"))
+        .cast("double")
+        .alias("sgg"),
+    )
+    nf = F.col("n").cast("double")
+    mu = F.col("sg") / nf
+    var = F.col("sgg") / nf - (F.col("sg") / nf) * (F.col("sg") / nf)
+    sd = F.sqrt(var)
+    return (
+        g.where(F.col("n") >= BURST_MIN_EVENTS)
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_gaps"),
+            (F.round(mu, 4) + F.lit(0.0)).alias("mean_gap_sec"),
+            (F.round(sd, 4) + F.lit(0.0)).alias("std_gap_sec"),
+            (F.round((sd - mu) / (sd + mu), 4) + F.lit(0.0)).alias(
+                "burstiness"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q171_SQL = f"""
+WITH gaps AS (
+  -- date_diff('second'), not epoch(): ts carries sub-second precision
+  -- and epoch() keeps it, while the Spark side truncates via cast-long
+  -- (the q106 device — date_diff matches that truncation semantics)
+  SELECT user_id,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap
+  FROM events
+),
+g AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(CAST(gap AS DECIMAL(27,0))) AS DOUBLE) AS sg,
+         CAST(sum(CAST(gap * gap AS DECIMAL(27,0))) AS DOUBLE) AS sgg
+  FROM gaps WHERE gap IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_gaps,
+       round(sg / CAST(n AS DOUBLE), 4) + 0.0 AS mean_gap_sec,
+       round(sqrt(sgg / CAST(n AS DOUBLE)
+                  - (sg / CAST(n AS DOUBLE)) * (sg / CAST(n AS DOUBLE))), 4)
+           + 0.0 AS std_gap_sec,
+       round((sqrt(sgg / CAST(n AS DOUBLE)
+                   - (sg / CAST(n AS DOUBLE)) * (sg / CAST(n AS DOUBLE)))
+              - sg / CAST(n AS DOUBLE))
+             / (sqrt(sgg / CAST(n AS DOUBLE)
+                     - (sg / CAST(n AS DOUBLE)) * (sg / CAST(n AS DOUBLE)))
+                + sg / CAST(n AS DOUBLE)), 4) + 0.0 AS burstiness
+FROM g
+WHERE n >= {BURST_MIN_EVENTS}
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # q167 — week-over-week trend: weekly value per event type with the
 # previous observed week's value and the WoW percent change — the
 # dashboard/alerting primitive over any metric stream. date_trunc
@@ -987,6 +1069,7 @@ QUERIES = {
     "q156_event_transitions": q156_event_transitions,
     "q160_decayed_engagement": q160_decayed_engagement,
     "q167_wow_trend": q167_wow_trend,
+    "q171_burstiness": q171_burstiness,
 }
 
 ORACLE = {
@@ -1004,4 +1087,5 @@ ORACLE = {
     "q156_event_transitions": Q156_SQL,
     "q160_decayed_engagement": Q160_SQL,
     "q167_wow_trend": Q167_SQL,
+    "q171_burstiness": Q171_SQL,
 }

@@ -11,7 +11,7 @@ common to Java regex and RE2; same fold order for the rolling hash).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
@@ -776,6 +776,73 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
+# q172 — language-ID confusion matrix: q37's stopword predictor scored
+# against the corpus's labeled `lang` column — (true lang x predicted)
+# counts and the within-language share. The classifier-QA loop every
+# production lang-ID heuristic needs: the diagonal share IS the
+# per-language recall, and off-diagonal mass shows which languages the
+# stopword lists confuse. One scan re-deriving the q37 prediction
+# expression (no join back to q37's output), one shuffle on the tiny
+# (lang, predicted) key space, share via a per-lang window over ≤
+# |langs|+1 rows. Integer counts; the share is one double division.
+# ---------------------------------------------------------------------------
+def q172_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "words", _words(F.col("text"))
+    )
+    words = F.col("words")
+    n_words = F.size(words)
+    ratios = {}
+    for lang, sw in STOPWORDS.items():
+        hits = F.size(F.filter(words, lambda w: w.isin(sw)))
+        ratios[lang] = F.round(hits / n_words, 4)
+    best_ratio = F.greatest(*ratios.values())
+    predicted = F.lit("unknown")
+    for lang in reversed(list(STOPWORDS)):
+        predicted = F.when(
+            (ratios[lang] == best_ratio) & (best_ratio >= 0.02), F.lit(lang)
+        ).otherwise(predicted)
+    pairs = docs.select("lang", predicted.alias("predicted_lang"))
+    counts = pairs.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return (
+        counts.select(
+            "lang",
+            "predicted_lang",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(w).cast("double"),
+                4,
+            ).alias("share_of_lang"),
+        )
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+def _q172_sql() -> str:
+    return f"""
+WITH pred AS (SELECT doc_id, predicted_lang FROM ({_q37_sql()})),
+joined AS (
+  SELECT d.lang, p.predicted_lang
+  FROM documents d JOIN pred p USING (doc_id)
+),
+counts AS (
+  SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM joined GROUP BY lang, predicted_lang
+)
+SELECT lang, predicted_lang, n_docs,
+       round(CAST(n_docs AS DOUBLE)
+             / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 4)
+           AS share_of_lang
+FROM counts
+ORDER BY lang, predicted_lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # q166 — tokenizer fertility by language: chars-per-token and
 # regex-BPE-ish-tokens-per-whitespace-token, aggregated per lang. The
 # tokenizer-budget planning metric — fertility decides how many TEXT
@@ -861,6 +928,7 @@ QUERIES = {
     "q159_weighted_jaccard": q159_weighted_jaccard,
     "q165_containment": q165_containment,
     "q166_tokenizer_fertility": q166_tokenizer_fertility,
+    "q172_lang_confusion": q172_lang_confusion,
 }
 
 ORACLE = {
@@ -878,4 +946,5 @@ ORACLE = {
     "q159_weighted_jaccard": Q159_SQL,
     "q165_containment": Q165_SQL,
     "q166_tokenizer_fertility": Q166_SQL,
+    "q172_lang_confusion": _q172_sql(),
 }

@@ -591,6 +591,94 @@ ORDER BY trunc_dim
 """
 
 
+# ---------------------------------------------------------------------------
+# q169 — similarity threshold curve: how many same-label pairs survive
+# at each candidate dedup threshold. Choosing tau for q42/q44/q51 is
+# usually guesswork; this operator computes the pair-count-vs-threshold
+# curve in ONE pass over the blocked pair scores (the knee of the curve
+# is where true duplicates separate from background similarity). Shape:
+# the q42 label-blocked Arrow-scored pair join feeds a single
+# conditional aggregate per threshold — no per-threshold rescan, and
+# the label blocking (not all-pairs) is what keeps the join linear in
+# block sizes at 100 TB. Counts are integers; share is one double
+# division.
+# ---------------------------------------------------------------------------
+CURVE_TAUS = (0.10, 0.15, 0.20, 0.25, 0.30, 0.40)
+
+
+def q169_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("label").alias("label_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("label").alias("label_b"),
+    )
+    cos = V.cosine_arrow()
+    scored = a.join(
+        b, (F.col("label_a") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select(F.round(cos(F.col("emb_a"), F.col("emb_b")), 4).alias("cos_sim"))
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        *[
+            F.count(F.when(F.col("cos_sim") >= t, 1))
+            .cast("bigint")
+            .alias(f"n_{i}")
+            for i, t in enumerate(CURVE_TAUS)
+        ],
+    )
+    rows = ", ".join(
+        f"CAST({t} AS DOUBLE), n_{i}" for i, t in enumerate(CURVE_TAUS)
+    )
+    return (
+        agg.selectExpr(
+            "n_pairs",
+            f"stack({len(CURVE_TAUS)}, {rows}) AS (tau, n_at_tau)",
+        )
+        .select(
+            "tau",
+            "n_at_tau",
+            "n_pairs",
+            F.round(
+                F.col("n_at_tau").cast("double") / F.col("n_pairs").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("tau")
+    )
+
+
+_CURVE_COUNTS = ",\n         ".join(
+    f"CAST(count(*) FILTER (WHERE cos_sim >= {t}) AS BIGINT) AS n_{i}"
+    for i, t in enumerate(CURVE_TAUS)
+)
+_CURVE_ROWS = "\nUNION ALL\n".join(
+    f"SELECT CAST({t} AS DOUBLE) AS tau, n_{i} AS n_at_tau, n_pairs FROM agg"
+    for i, t in enumerate(CURVE_TAUS)
+)
+
+Q169_SQL = f"""
+WITH scored AS (
+  SELECT round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 4) AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         {_CURVE_COUNTS}
+  FROM scored
+)
+SELECT tau, n_at_tau, n_pairs,
+       round(CAST(n_at_tau AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS share
+FROM ({_CURVE_ROWS})
+ORDER BY tau
+"""
+
+
 QUERIES = {
     "q25_knn_l2": q25_knn_l2,
     "q26_knn_cosine": q26_knn_cosine,
@@ -602,6 +690,7 @@ QUERIES = {
     "q89_mmr_rerank": q89_mmr_rerank,
     "q130_range_search": q130_range_search,
     "q153_matryoshka_retention": q153_matryoshka_retention,
+    "q169_threshold_curve": q169_threshold_curve,
 }
 
 ORACLE = {
@@ -613,4 +702,5 @@ ORACLE = {
     "q77_user_filtered_knn": Q77_SQL,
     "q130_range_search": Q130_SQL,
     "q153_matryoshka_retention": Q153_SQL,
+    "q169_threshold_curve": Q169_SQL,
 }

@@ -549,3 +549,42 @@ def test_q167_wow_single_shuffle_then_window(spark, sf_dir):
     plan = plan_of(tp.q167_wow_trend(spark, sf_dir))
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q168_histogram_single_fact_shuffle(spark, sf_dir):
+    """Bin counts partial-combine map-side; the only fact-table shuffle
+    keys on (event_type, bin); windows/aggs above run on O(bins) rows."""
+    from generative_ai_vector_db_spark.operators import scale as sc
+
+    plan = plan_of(sc.q168_sketch_quantiles(spark, sf_dir))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final bin counts
+
+
+def test_q169_curve_is_label_blocked(spark, sf_dir):
+    """Pairs come from the label equi-join (quadratic only within
+    blocks), scored once; the threshold sweep is conditional aggregation
+    over that single pass — no per-tau rescan, no cartesian."""
+    from generative_ai_vector_db_spark.operators import vector as v
+
+    plan = plan_of(v.q169_threshold_curve(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_q171_windows_and_agg_share_user_shuffle(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import temporal as tp
+
+    plan = plan_of(tp.q171_burstiness(spark, sf_dir))
+    assert plan.count("hashpartitioning(user_id") == 1, plan[:1500]
+    assert "Python" not in plan
+
+
+def test_q172_confusion_no_join_no_python(spark, sf_dir):
+    """The prediction is re-derived scan-side (no join back to q37's
+    output); all expression-level JVM codegen."""
+    from generative_ai_vector_db_spark.operators import text as t
+
+    plan = plan_of(t.q172_lang_confusion(spark, sf_dir))
+    assert "Python" not in plan
+    assert "Join" not in plan
