@@ -92,6 +92,7 @@ _PRIORITY = [
     "q165_containment", "q166_tokenizer_fertility", "q167_wow_trend",
     "q168_sketch_quantiles", "q169_threshold_curve", "q170_funnel_timing",
     "q171_burstiness", "q172_lang_confusion",
+    "q173_patch_grid", "q174_audio_windows",
     # tier 2 — previously-green backfill for the remaining window slots,
     # oldest evidence first (r1 rows predate two testdata regenerations).
     "q03_tpch_q1", "q12_dedup_exact", "q13_window_topk",
@@ -167,7 +168,7 @@ _PRIORITY = [
     "q46_ann_lsh_topk", "q48_chunk_recursive",
     "q44_minhash_neardup", "q45_simhash_neardup",
     "q47_ann_brp_lsh", "q49_ann_ivf", "q51_minhash_lsh_simjoin",
-    "q89_mmr_rerank",
+    "q89_mmr_rerank", "q175_ann_ivf_pq",
 ]
 
 

@@ -194,6 +194,171 @@ def q51_minhash_lsh_simjoin(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ (Jégou et al.): the memory-bound complement to q49's IVF —
+# vectors are coarse-quantized to an IVF cell AND compressed to M
+# sub-block codes (product quantization), so the index holds M bytes
+# per vector instead of dim floats (here 8 codes vs 64 floats = 32x).
+# Query = probe n_probe cells, score candidates by ADC (asymmetric
+# distance: per-block lookup table of query-to-subcentroid distances,
+# summed by code), then exact re-rank only the ADC shortlist. At
+# 100 TB this is the geometry that fits in executor memory: the
+# codebook is M*K_SUB*sub_dim floats broadcast once, the scan reads
+# codes (bytes), and full vectors are fetched only for the shortlist.
+# Codebooks are seeded KMeans per sub-block => deterministic; rows-only
+# (recall floor vs exact q25 recorded in QUALITY.md).
+# The heavy per-row math (encode, ADC) runs in Arrow-batched
+# mapInPandas — numpy-vectorized, never row-at-a-time Python.
+# ---------------------------------------------------------------------------
+PQ_M = 8  # sub-blocks
+PQ_KSUB = 16  # centroids per sub-block (4-bit codes)
+PQ_SHORTLIST = 4  # re-rank ADC top (PQ_SHORTLIST * K) exactly
+
+
+def build_pq(df: DataFrame, dim: int = 64):
+    """Per-sub-block seeded KMeans codebooks as a numpy array
+    (M, K_SUB, dim/M)."""
+    import numpy as np
+
+    sub = dim // PQ_M
+    df = df.cache()
+    books = []
+    for m in range(PQ_M):
+        block = df.select(
+            array_to_vector(
+                F.slice(F.col("embedding").cast("array<double>"), m * sub + 1, sub)
+            ).alias("features")
+        )
+        km = KMeans(
+            k=PQ_KSUB,
+            seed=SEED + m,
+            maxIter=10,
+            initMode="random",
+            featuresCol="features",
+            predictionCol="c",
+        ).fit(block)
+        books.append(np.array([np.asarray(c) for c in km.clusterCenters()]))
+    df.unpersist()
+    return np.stack(books)  # (M, KSUB, sub)
+
+
+def q175_ann_ivf_pq(spark: SparkSession, sf_dir: str, n_probe: int = 2) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb_vectors(spark, sf_dir)
+    ivf = _cached_model(spark, sf_dir, "ivf", lambda: build_ivf(emb))
+    books = _cached_model(spark, sf_dir, "pq", lambda: build_pq(emb))
+    sub = books.shape[2]
+    bc_books = spark.sparkContext.broadcast(books)
+
+    assigned = ivf.transform(emb).select("vec_id", "embedding", "cell")
+
+    def encode(batches):
+        bk = bc_books.value
+        for pdf in batches:
+            X = np.stack(pdf["embedding"].to_numpy())  # (n, dim)
+            codes = np.empty((len(pdf), PQ_M), dtype=np.int64)
+            for m in range(PQ_M):
+                blk = X[:, m * sub : (m + 1) * sub].astype(np.float64)
+                # (n, KSUB) squared distances to this block's centroids
+                d2 = ((blk[:, None, :] - bk[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)  # ties -> lowest index
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": pdf["cell"],
+                    "codes": list(codes),
+                }
+            )
+
+    coded = assigned.mapInPandas(
+        encode, "vec_id bigint, cell int, codes array<bigint>"
+    )
+
+    # probe cells per query (same shape as q49)
+    centroids = [
+        (ci, [float(x) for x in c]) for ci, c in enumerate(ivf.clusterCenters())
+    ]
+    spark_centroids = spark.createDataFrame(
+        centroids, "cell int, centroid array<double>"
+    )
+    q = assigned.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    qc = q.crossJoin(F.broadcast(spark_centroids)).select(
+        "q_id",
+        "q_emb",
+        "cell",
+        V.l2(F.col("q_emb"), F.col("centroid")).alias("cdist"),
+    )
+    wq = Window.partitionBy("q_id").orderBy("cdist", "cell")
+    probes = (
+        qc.withColumn("crn", F.row_number().over(wq))
+        .where(F.col("crn") <= n_probe)
+        .select("q_id", "q_emb", "cell")
+    )
+
+    cand = coded.join(F.broadcast(probes), "cell").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+
+    def adc(batches):
+        bk = bc_books.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            # group by query within the Arrow batch: one distance table
+            # per query, then O(M) lookups per candidate
+            for q_id, g in pdf.groupby("q_id", sort=False):
+                qv = np.asarray(g["q_emb"].iloc[0], dtype=np.float64)
+                table = np.empty((PQ_M, PQ_KSUB))
+                for m in range(PQ_M):
+                    qb = qv[m * sub : (m + 1) * sub]
+                    table[m] = ((bk[m] - qb[None, :]) ** 2).sum(axis=1)
+                codes = np.stack(g["codes"].to_numpy())  # (n, M)
+                d2 = table[np.arange(PQ_M)[None, :], codes].sum(axis=1)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": q_id,
+                            "vec_id": g["vec_id"].to_numpy(),
+                            "adc_dist": np.sqrt(d2),
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    scored = cand.select("q_id", "q_emb", "vec_id", "codes").mapInPandas(
+        adc, "q_id bigint, vec_id bigint, adc_dist double"
+    )
+    wa = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    shortlist = (
+        scored.withColumn("arn", F.row_number().over(wa))
+        .where(F.col("arn") <= PQ_SHORTLIST * K)
+        .drop("arn")
+    )
+    # exact re-rank of the shortlist only: fetch full vectors for
+    # (shortlist x K queries) rows, never the whole corpus
+    rerank = (
+        shortlist.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round("adc_dist", 4).alias("adc_dist"),
+            F.round(V.l2(F.col("q_emb"), F.col("embedding")), 4).alias("dist"),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy("dist", "vec_id")
+    return (
+        rerank.withColumn("rn", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rn") <= K)
+        .orderBy("q_id", "rn")
+    )
+
+
 def save_index(model, path: str) -> None:
     model.write().overwrite().save(path)
 
@@ -208,6 +373,7 @@ QUERIES = {
     "q47_ann_brp_lsh": q47_ann_brp_lsh,
     "q49_ann_ivf": q49_ann_ivf,
     "q51_minhash_lsh_simjoin": q51_minhash_lsh_simjoin,
+    "q175_ann_ivf_pq": q175_ann_ivf_pq,
 }
 
 ORACLE: dict[str, str] = {}

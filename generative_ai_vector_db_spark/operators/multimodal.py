@@ -213,14 +213,177 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q173 — ViT-style patch grid planning: each image asset explodes into
+# its (patch_row, patch_col) grid for a PATCH x PATCH patchify — the
+# 1:N_2D batch shape of vision-transformer preprocessing (q66 is the
+# 1:N_1D video analog). The stub derives dims from the decode metadata
+# and a per-patch feature from a deterministic byte probe; a real
+# tokenizer (PIL crop + projection) yields actual patch tensors through
+# the identical schema. Integer arithmetic throughout => exact SQL
+# twin. Scale: rows out = assets x patches — the explode happens in
+# the Arrow worker, never on the driver, and downstream shuffles key on
+# doc_id so patch locality is preserved.
+# ---------------------------------------------------------------------------
+PATCH = 32
+PATCHES_SCHEMA = (
+    "doc_id bigint, patch_row bigint, patch_col bigint, patch_feature bigint"
+)
+
+
+def _patch_grid_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        doc_ids, rows, cols, feats = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_bytes = len(payload)
+            w, h = n_bytes % 640, (n_bytes * 7) % 480
+            pw, ph = (w + PATCH - 1) // PATCH, (h + PATCH - 1) // PATCH
+            for r in range(ph):
+                for c in range(pw):
+                    doc_ids.append(doc_id)
+                    rows.append(r)
+                    cols.append(c)
+                    feats.append(payload[((r * pw + c) * 31) % n_bytes])
+        yield pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "patch_row": rows,
+                "patch_col": cols,
+                "patch_feature": feats,
+            }
+        )
+
+
+def q173_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = binary_table(spark, sf_dir).mapInPandas(
+        _patch_grid_batches, PATCHES_SCHEMA
+    )
+    return out.orderBy("doc_id", "patch_row", "patch_col")
+
+
+Q173_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, encode(text) AS payload,
+         octet_length(encode(text)) AS n_bytes,
+         octet_length(encode(text)) % 640 AS w,
+         octet_length(encode(text)) * 7 % 480 AS h
+  FROM documents
+),
+grids AS (
+  SELECT doc_id, payload, n_bytes,
+         (w + {PATCH} - 1) // {PATCH} AS pw,
+         (h + {PATCH} - 1) // {PATCH} AS ph
+  FROM sized
+),
+cells AS (
+  SELECT doc_id, payload, n_bytes, pw,
+         unnest(generate_series(0, ph * pw - 1)) AS cell
+  FROM grids
+  WHERE ph * pw > 0
+)
+SELECT doc_id,
+       CAST(cell // pw AS BIGINT) AS patch_row,
+       CAST(cell % pw AS BIGINT) AS patch_col,
+       CAST(ord(substring(CAST(payload AS VARCHAR),
+            CAST((cell * 31) % n_bytes AS INTEGER) + 1, 1)) AS BIGINT)
+           AS patch_feature
+FROM cells
+ORDER BY doc_id, patch_row, patch_col
+"""
+
+
+# ---------------------------------------------------------------------------
+# q174 — audio window framing: overlapping fixed-length sample windows
+# (size AUDIO_WIN, hop AUDIO_HOP — the STFT/wav2vec front-end shape)
+# over each asset's sample stream (stub: 1 byte = 1 sample). Emits one
+# row per window with start/end sample and two deterministic probe
+# features; a real front end replaces the probes with the frame tensor
+# through the same 1:N schema. Windows that would run past the stream
+# are not emitted (no padding — the downstream collator pads), matching
+# the torchaudio frame convention.
+# ---------------------------------------------------------------------------
+AUDIO_WIN = 256
+AUDIO_HOP = 128
+AUDIO_SCHEMA = (
+    "doc_id bigint, win_idx bigint, start_sample bigint, end_sample bigint, "
+    "first_sample bigint, mid_sample bigint"
+)
+
+
+def _audio_window_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        doc_ids, idxs, starts, ends, firsts, mids = [], [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            n_win = 0 if n < AUDIO_WIN else (n - AUDIO_WIN) // AUDIO_HOP + 1
+            for i in range(n_win):
+                s = i * AUDIO_HOP
+                doc_ids.append(doc_id)
+                idxs.append(i)
+                starts.append(s)
+                ends.append(s + AUDIO_WIN - 1)
+                firsts.append(payload[s])
+                mids.append(payload[s + AUDIO_WIN // 2])
+        yield pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "win_idx": idxs,
+                "start_sample": starts,
+                "end_sample": ends,
+                "first_sample": firsts,
+                "mid_sample": mids,
+            }
+        )
+
+
+def q174_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = binary_table(spark, sf_dir).mapInPandas(
+        _audio_window_batches, AUDIO_SCHEMA
+    )
+    return out.orderBy("doc_id", "win_idx")
+
+
+Q174_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, encode(text) AS payload,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, payload, n,
+         unnest(generate_series(
+           0, CASE WHEN n < {AUDIO_WIN} THEN -1
+                   ELSE (n - {AUDIO_WIN}) // {AUDIO_HOP} END)) AS win_idx
+  FROM sized
+  WHERE n >= {AUDIO_WIN}
+)
+SELECT doc_id,
+       CAST(win_idx AS BIGINT) AS win_idx,
+       CAST(win_idx * {AUDIO_HOP} AS BIGINT) AS start_sample,
+       CAST(win_idx * {AUDIO_HOP} + {AUDIO_WIN} - 1 AS BIGINT) AS end_sample,
+       CAST(ord(substring(CAST(payload AS VARCHAR),
+            CAST(win_idx * {AUDIO_HOP} AS INTEGER) + 1, 1)) AS BIGINT)
+           AS first_sample,
+       CAST(ord(substring(CAST(payload AS VARCHAR),
+            CAST(win_idx * {AUDIO_HOP} + {AUDIO_WIN} // 2 AS INTEGER) + 1, 1))
+           AS BIGINT) AS mid_sample
+FROM wins
+ORDER BY doc_id, win_idx
+"""
+
+
 QUERIES = {
     "q43_multimodal_decode": q43_multimodal_decode,
     "q66_multimodal_framesample": q66_multimodal_framesample,
     "q152_multimodal_resize": q152_multimodal_resize,
+    "q173_patch_grid": q173_patch_grid,
+    "q174_audio_windows": q174_audio_windows,
 }
 
 ORACLE = {
     "q43_multimodal_decode": Q43_SQL,
     "q66_multimodal_framesample": Q66_SQL,
     "q152_multimodal_resize": Q152_SQL,
+    "q173_patch_grid": Q173_SQL,
+    "q174_audio_windows": Q174_SQL,
 }

@@ -13,6 +13,10 @@ from .oracle_utils import compare_query
     "mod,name",
     [
         ("multimodal", "q43_multimodal_decode"),
+        ("multimodal", "q66_multimodal_framesample"),
+        ("multimodal", "q152_multimodal_resize"),
+        ("multimodal", "q173_patch_grid"),
+        ("multimodal", "q174_audio_windows"),
         ("pandas_udfs", "q35_pandas_udf_zscore"),
     ],
 )

@@ -169,3 +169,23 @@ def test_store_roundtrip(spark, sf_dir):
         assert res["deleted"] > 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_q175_ivf_pq_recall_and_invariants(spark, sf_dir):
+    """IVF-PQ: valid top-k shape, self-excluded, exact-dist ordering,
+    and a recall floor vs exact L2 (bounded above by the same-probe IVF
+    reachable set)."""
+    from generative_ai_vector_db_spark.operators import mllib_index, vector
+
+    pq = mllib_index.q175_ann_ivf_pq(spark, sf_dir).toPandas()
+    exact = vector.q25_knn_l2(spark, sf_dir).toPandas()
+    recalls = []
+    for q_id, e in exact.groupby("q_id"):
+        g = pq[pq["q_id"] == q_id]
+        assert q_id not in set(g["vec_id"])
+        assert len(g) <= mllib_index.K
+        assert g["vec_id"].is_unique
+        # output ranks by EXACT distance of the shortlist (re-ranked)
+        assert g.sort_values("rn")["dist"].is_monotonic_increasing
+        recalls.append(len(set(e["vec_id"]) & set(g["vec_id"])) / len(e))
+    assert sum(recalls) / len(recalls) > 0.3, recalls

@@ -115,10 +115,22 @@ def main() -> None:
     mean_r, min_r = _topk_recall(
         exact_l2, mllib_index.q49_ann_ivf(spark, sf_dir).toPandas()
     )
+    ivf_mean = mean_r
     rows.append((
         "q49_ann_ivf", "recall@13 vs exact L2 (q25)",
         f"mean {mean_r:.3f} / min {min_r:.3f}",
         "IVF k=8 cells, n_probe=2 (probes 1/4 of the corpus)",
+    ))
+
+    mean_r, min_r = _topk_recall(
+        exact_l2, mllib_index.q175_ann_ivf_pq(spark, sf_dir).toPandas()
+    )
+    rows.append((
+        "q175_ann_ivf_pq", "recall@13 vs exact L2 (q25)",
+        f"mean {mean_r:.3f} / min {min_r:.3f} "
+        f"({mean_r / ivf_mean:.0%} of the same-probe IVF ceiling "
+        f"{ivf_mean:.3f})",
+        "8x4-bit PQ codes (32x compression), ADC shortlist + exact re-rank",
     ))
 
     # --- near-dup pair recall/precision vs exact Jaccard --------------
