@@ -93,6 +93,7 @@ _PRIORITY = [
     "q168_sketch_quantiles", "q169_threshold_curve", "q170_funnel_timing",
     "q171_burstiness", "q172_lang_confusion",
     "q173_patch_grid", "q174_audio_windows",
+    "q176_snapshot_diff", "q177_covisitation", "q178_hard_negatives",
     # tier 2 — previously-green backfill for the remaining window slots,
     # oldest evidence first (r1 rows predate two testdata regenerations).
     "q03_tpch_q1", "q12_dedup_exact", "q13_window_topk",

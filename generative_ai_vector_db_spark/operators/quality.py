@@ -1020,6 +1020,75 @@ ORDER BY label_a, label_b
 
 
 # ---------------------------------------------------------------------------
+# q177 — user co-visitation pairs: top user pairs by number of shared
+# (event_type, hour) activity buckets — the covisitation-graph
+# primitive behind recommender candidate generation and bot-ring
+# detection. Same scale-safe inverted-index shape as q159/q165: pairs
+# come from an equi-join on the BUCKET key (shuffle rows = posting
+# entries), and buckets shared by more than COVISIT_CAP users are
+# excluded — a bucket with u users alone yields u^2/2 pairs, and such
+# "everyone was there" buckets carry no pair signal (the cap is part
+# of the operator semantics, applied identically in the oracle). Final
+# top-N is orderBy+limit => distributed TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+COVISIT_CAP = 50  # max users per bucket before it is dropped as noise
+COVISIT_TOP = 20
+
+
+def q177_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    visits = ev.select(
+        "user_id",
+        F.concat_ws(
+            "|", "event_type", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH")
+        ).alias("bucket"),
+    ).distinct()
+    sizes = visits.groupBy("bucket").agg(F.count(F.lit(1)).alias("_u"))
+    kept = visits.join(
+        F.broadcast(sizes.where(F.col("_u") <= COVISIT_CAP).select("bucket")),
+        "bucket",
+    )
+    a = kept.select(F.col("user_id").alias("u_a"), "bucket")
+    b = kept.select(F.col("user_id").alias("u_b"), "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("u_a") < F.col("u_b"))
+        .groupBy("u_a", "u_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_buckets"))
+    )
+    return pairs.orderBy(
+        F.desc("shared_buckets"), "u_a", "u_b"
+    ).limit(COVISIT_TOP)
+
+
+Q177_SQL = f"""
+WITH visits AS (
+  SELECT DISTINCT user_id,
+         event_type || '|' || strftime(date_trunc('hour', ts), '%Y-%m-%d %H')
+             AS bucket
+  FROM events
+),
+kept AS (
+  SELECT v.user_id, v.bucket
+  FROM visits v
+  JOIN (SELECT bucket FROM visits GROUP BY bucket
+        HAVING count(*) <= {COVISIT_CAP}) s USING (bucket)
+),
+pairs AS (
+  SELECT a.user_id AS u_a, b.user_id AS u_b,
+         CAST(count(*) AS BIGINT) AS shared_buckets
+  FROM kept a JOIN kept b USING (bucket)
+  WHERE a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id
+)
+SELECT u_a, u_b, shared_buckets
+FROM pairs
+ORDER BY shared_buckets DESC, u_a, u_b
+LIMIT {COVISIT_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # q170 — funnel step timing: q96 counts who converts; this measures HOW
 # LONG each funnel transition takes (signup->view, view->click,
 # click->purchase) for users who complete it — median/p90 step latency
@@ -1122,6 +1191,7 @@ QUERIES = {
     "q157_winsorized_stats": q157_winsorized_stats,
     "q158_centroid_similarity": q158_centroid_similarity,
     "q170_funnel_timing": q170_funnel_timing,
+    "q177_covisitation": q177_covisitation,
 }
 
 ORACLE = {
@@ -1142,4 +1212,5 @@ ORACLE = {
     "q157_winsorized_stats": Q157_SQL,
     "q158_centroid_similarity": Q158_SQL,
     "q170_funnel_timing": Q170_SQL,
+    "q177_covisitation": Q177_SQL,
 }

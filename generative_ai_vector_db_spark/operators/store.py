@@ -176,12 +176,93 @@ ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q176 — store snapshot diff (CDC shape): classify every key across two
+# store versions as added / removed / changed / unchanged via ONE
+# full-outer join on the key with a content-hash compare — the
+# table-diff primitive behind incremental re-embedding ("which docs
+# changed since the last index build?") and audit trails. The "new"
+# snapshot is a deterministic mutation of the documents table (drops,
+# edits, inserts by key residue) so both engines construct bit-equal
+# inputs. Scale: the join ships (key, 32-byte hash) — never document
+# bodies — and the per-class aggregate partial-combines map-side.
+# ---------------------------------------------------------------------------
+DIFF_DROP_MOD = 17
+DIFF_EDIT_MOD = 13
+DIFF_ADD_MOD = 19
+DIFF_ID_OFFSET = 1_000_000
+
+
+def q176_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    old = docs.select("doc_id", F.sha2("text", 256).alias("h_old"))
+    kept = docs.where(F.col("doc_id") % DIFF_DROP_MOD != 0)
+    edited_hash = F.when(
+        F.col("doc_id") % DIFF_EDIT_MOD == 0,
+        F.sha2(F.concat(F.col("text"), F.lit(" [edited]")), 256),
+    ).otherwise(F.sha2("text", 256))
+    new = kept.select("doc_id", edited_hash.alias("h_new")).unionByName(
+        docs.where(F.col("doc_id") % DIFF_ADD_MOD == 0).select(
+            (F.col("doc_id") + DIFF_ID_OFFSET).alias("doc_id"),
+            F.sha2("text", 256).alias("h_new"),
+        )
+    )
+    joined = old.join(new, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(change.alias("change_type"), "doc_id")
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+            F.max("doc_id").cast("bigint").alias("max_id"),
+        )
+        .orderBy("change_type")
+    )
+
+
+Q176_SQL = f"""
+WITH old AS (SELECT doc_id, sha256(text) AS h_old FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {DIFF_EDIT_MOD} = 0
+              THEN sha256(text || ' [edited]')
+              ELSE sha256(text) END AS h_new
+  FROM documents WHERE doc_id % {DIFF_DROP_MOD} != 0
+  UNION ALL
+  SELECT doc_id + {DIFF_ID_OFFSET} AS doc_id, sha256(text) AS h_new
+  FROM documents WHERE doc_id % {DIFF_ADD_MOD} = 0
+),
+joined AS (
+  SELECT coalesce(old.doc_id, new.doc_id) AS doc_id, h_old, h_new
+  FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+)
+SELECT CASE WHEN h_old IS NULL THEN 'added'
+            WHEN h_new IS NULL THEN 'removed'
+            WHEN h_old != h_new THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id
+FROM joined
+GROUP BY 1
+ORDER BY change_type
+"""
+
+
 QUERIES = {
     "q52_delete_by_source": q52_delete_by_source,
     "q123_store_upsert": q123_store_upsert,
+    "q176_snapshot_diff": q176_snapshot_diff,
 }
 
 ORACLE = {
     "q52_delete_by_source": Q52_SQL,
     "q123_store_upsert": Q123_SQL,
+    "q176_snapshot_diff": Q176_SQL,
 }

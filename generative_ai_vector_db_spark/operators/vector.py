@@ -592,6 +592,87 @@ ORDER BY trunc_dim
 
 
 # ---------------------------------------------------------------------------
+# q178 — hard-negative mining triples: for each query vector, pair its
+# top-K true neighbors (positives) with the similar-but-not-top band
+# at rank NEG_BAND_START+r (hard negatives) — the (anchor, positive,
+# negative) construction contrastive embedding training runs over the
+# whole corpus nightly. Band negatives (not random) are what make the
+# loss informative; aligning pos rank r with neg rank band_start+r is
+# the standard curriculum pairing. One scored pass + two slices of the
+# SAME rank window, self-joined on (q_id, rn) — the window computes
+# once, and at 100 TB the band cap keeps the output at K rows per
+# anchor regardless of corpus size.
+# ---------------------------------------------------------------------------
+NEG_BAND_START = 50  # hard negatives come from ranks 51..50+K
+
+
+def q178_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    ranked = (
+        _scored_pairs(spark, sf_dir)
+        .select("q_id", "vec_id", "cos_sim")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= NEG_BAND_START + K)
+    )
+    pos = ranked.where(F.col("rn") <= K).select(
+        "q_id",
+        F.col("rn").cast("bigint").alias("pair_rank"),
+        F.col("vec_id").alias("pos_id"),
+        F.col("cos_sim").alias("pos_sim"),
+    )
+    neg = ranked.where(F.col("rn") > NEG_BAND_START).select(
+        "q_id",
+        (F.col("rn") - NEG_BAND_START).cast("bigint").alias("pair_rank"),
+        F.col("vec_id").alias("neg_id"),
+        F.col("cos_sim").alias("neg_sim"),
+    )
+    return (
+        pos.join(neg, ["q_id", "pair_rank"])
+        .select(
+            "q_id",
+            "pair_rank",
+            "pos_id",
+            "pos_sim",
+            "neg_id",
+            "neg_sim",
+            F.round(F.col("pos_sim") - F.col("neg_sim"), 4).alias("margin"),
+        )
+        .orderBy("q_id", "pair_rank")
+    )
+
+
+Q178_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < {N_QUERY}),
+scored AS (
+  SELECT a.q_id, b.vec_id,
+         round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 4) AS cos_sim
+  FROM q a CROSS JOIN embeddings b
+  WHERE b.vec_id != a.q_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+  QUALIFY rn <= {NEG_BAND_START + K}
+),
+pos AS (
+  SELECT q_id, CAST(rn AS BIGINT) AS pair_rank,
+         vec_id AS pos_id, cos_sim AS pos_sim
+  FROM ranked WHERE rn <= {K}
+),
+neg AS (
+  SELECT q_id, CAST(rn - {NEG_BAND_START} AS BIGINT) AS pair_rank,
+         vec_id AS neg_id, cos_sim AS neg_sim
+  FROM ranked WHERE rn > {NEG_BAND_START}
+)
+SELECT pos.q_id, pos.pair_rank, pos_id, pos_sim, neg_id, neg_sim,
+       round(pos_sim - neg_sim, 4) AS margin
+FROM pos JOIN neg ON pos.q_id = neg.q_id AND pos.pair_rank = neg.pair_rank
+ORDER BY pos.q_id, pos.pair_rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # q169 — similarity threshold curve: how many same-label pairs survive
 # at each candidate dedup threshold. Choosing tau for q42/q44/q51 is
 # usually guesswork; this operator computes the pair-count-vs-threshold
@@ -691,6 +772,7 @@ QUERIES = {
     "q130_range_search": q130_range_search,
     "q153_matryoshka_retention": q153_matryoshka_retention,
     "q169_threshold_curve": q169_threshold_curve,
+    "q178_hard_negatives": q178_hard_negatives,
 }
 
 ORACLE = {
@@ -703,4 +785,5 @@ ORACLE = {
     "q130_range_search": Q130_SQL,
     "q153_matryoshka_retention": Q153_SQL,
     "q169_threshold_curve": Q169_SQL,
+    "q178_hard_negatives": Q178_SQL,
 }

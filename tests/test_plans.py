@@ -588,3 +588,36 @@ def test_q172_confusion_no_join_no_python(spark, sf_dir):
     plan = plan_of(t.q172_lang_confusion(spark, sf_dir))
     assert "Python" not in plan
     assert "Join" not in plan
+
+
+def test_q176_diff_ships_hashes_not_bodies(spark, sf_dir):
+    """The CDC diff joins on (doc_id, sha256) — the text column is
+    consumed scan-side by the hash projection and never shuffled."""
+    from generative_ai_vector_db_spark.operators import store as st
+
+    plan = plan_of(st.q176_snapshot_diff(spark, sf_dir))
+    assert "Python" not in plan
+    # no exchange row wider than (doc_id, hash): text never appears in
+    # any Exchange input schema
+    for seg in plan.split("Exchange")[1:]:
+        first_line = seg.splitlines()[0]
+        assert "text" not in first_line
+
+
+def test_q177_covisitation_no_cartesian(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import quality as ql
+
+    plan = plan_of(ql.q177_covisitation(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-N, no global sort
+
+
+def test_q178_negatives_single_window_pass(spark, sf_dir):
+    """pos and neg are two slices of the SAME ranked relation; the rank
+    window computes once (one Window over q_id) and the pair join keys
+    on (q_id, pair_rank)."""
+    from generative_ai_vector_db_spark.operators import vector as v
+
+    plan = plan_of(v.q178_hard_negatives(spark, sf_dir))
+    assert "CartesianProduct" not in plan
