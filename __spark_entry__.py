@@ -94,6 +94,7 @@ _PRIORITY = [
     "q171_burstiness", "q172_lang_confusion",
     "q173_patch_grid", "q174_audio_windows",
     "q176_snapshot_diff", "q177_covisitation", "q178_hard_negatives",
+    "q179_pii_inventory", "q180_last_touch",
     # tier 2 — previously-green backfill for the remaining window slots,
     # oldest evidence first (r1 rows predate two testdata regenerations).
     "q03_tpch_q1", "q12_dedup_exact", "q13_window_topk",

@@ -911,6 +911,91 @@ ORDER BY rk
 
 
 # ---------------------------------------------------------------------------
+# q180 — last-touch purchase attribution: each purchase is credited to
+# the user's immediately preceding non-purchase event IF it happened
+# within the attribution window, else to '(none)' — the adjacency form
+# of last-touch attribution marketing analytics runs on event streams
+# (q124 is the stream-stream interval-join face; this is the windowed
+# batch rollup). One lag window per user over the whole stream (prev
+# event type + its timestamp), then a filter to purchases and a tiny
+# aggregate: per credited type, conversions, distinct purchasers, and
+# share. Integer-second deltas via the q106 cast-long device.
+# ---------------------------------------------------------------------------
+ATTRIB_WINDOW_S = 3600
+
+
+def q180_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("long")
+    prev_type = F.lag("event_type").over(w)
+    prev_secs = F.lag(secs).over(w)
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        secs.alias("s"),
+        prev_type.alias("prev_type"),
+        prev_secs.alias("prev_s"),
+    ).where(F.col("event_type") == "purchase")
+    credit = F.when(
+        F.col("prev_type").isNotNull()
+        & (F.col("prev_type") != "purchase")
+        & ((F.col("s") - F.col("prev_s")) <= ATTRIB_WINDOW_S),
+        F.col("prev_type"),
+    ).otherwise(F.lit("(none)"))
+    attributed = marked.select("user_id", credit.alias("credited_type"))
+    counts = attributed.groupBy("credited_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.countDistinct("user_id").cast("bigint").alias("n_purchasers"),
+    )
+    total = counts.agg(F.sum("n_purchases").alias("_t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "credited_type",
+            "n_purchases",
+            "n_purchasers",
+            F.round(
+                F.col("n_purchases").cast("double") / F.col("_t").cast("double"),
+                4,
+            ).alias("share"),
+        )
+        .orderBy("credited_type")
+    )
+
+
+Q180_SQL = f"""
+WITH marked AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER w AS prev_type,
+         date_diff('second', lag(ts) OVER w, ts) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+attributed AS (
+  SELECT user_id,
+         CASE WHEN prev_type IS NOT NULL AND prev_type != 'purchase'
+                   AND gap <= {ATTRIB_WINDOW_S}
+              THEN prev_type ELSE '(none)' END AS credited_type
+  FROM marked
+  WHERE event_type = 'purchase'
+),
+counts AS (
+  SELECT credited_type,
+         CAST(count(*) AS BIGINT) AS n_purchases,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_purchasers
+  FROM attributed GROUP BY credited_type
+)
+SELECT credited_type, n_purchases, n_purchasers,
+       round(CAST(n_purchases AS DOUBLE)
+             / CAST((SELECT sum(n_purchases) FROM counts) AS DOUBLE), 4)
+           AS share
+FROM counts
+ORDER BY credited_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # q171 — inter-event burstiness per user: B = (σ - μ) / (σ + μ) over a
 # user's inter-event gaps (Goh & Barabási) — B→-1 periodic, B≈0
 # Poisson, B→1 bursty. Separates organic users from schedulers/bots in
@@ -1070,6 +1155,7 @@ QUERIES = {
     "q160_decayed_engagement": q160_decayed_engagement,
     "q167_wow_trend": q167_wow_trend,
     "q171_burstiness": q171_burstiness,
+    "q180_last_touch": q180_last_touch,
 }
 
 ORACLE = {
@@ -1088,4 +1174,5 @@ ORACLE = {
     "q160_decayed_engagement": Q160_SQL,
     "q167_wow_trend": Q167_SQL,
     "q171_burstiness": Q171_SQL,
+    "q180_last_touch": Q180_SQL,
 }

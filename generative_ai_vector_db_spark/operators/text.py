@@ -776,6 +776,69 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
+# q179 — PII inventory by source: per-source counts of PII-pattern
+# matches (emails, digit runs), documents affected, and the match rate
+# — the compliance dashboard that decides which SOURCES need q57's
+# redaction pass before training (doc-level redaction is q57; this is
+# the corpus-level triage view). One scan with the same proven regex
+# pair, one partial-aggregated groupBy on source; integer counts, one
+# double division per rate.
+# ---------------------------------------------------------------------------
+def q179_pii_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_emails = F.regexp_count("text", F.lit(EMAIL_RE))
+    n_digits = F.regexp_count("text", F.lit(DIGITS_RE))
+    per = docs.select(
+        "source", n_emails.alias("ne"), n_digits.alias("nd")
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ne").cast("bigint").alias("n_emails"),
+            F.sum("nd").cast("bigint").alias("n_digit_runs"),
+            F.sum(((F.col("ne") + F.col("nd")) > 0).cast("bigint"))
+            .cast("bigint")
+            .alias("n_docs_with_pii"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_emails",
+            "n_digit_runs",
+            "n_docs_with_pii",
+            F.round(
+                F.col("n_docs_with_pii").cast("double")
+                / F.col("n_docs").cast("double"),
+                4,
+            ).alias("pii_doc_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+Q179_SQL = f"""
+WITH per AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{EMAIL_RE}')) AS ne,
+         len(regexp_extract_all(text, '{DIGITS_RE}')) AS nd
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ne) AS BIGINT) AS n_emails,
+       CAST(sum(nd) AS BIGINT) AS n_digit_runs,
+       CAST(sum(CASE WHEN ne + nd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_with_pii,
+       round(CAST(sum(CASE WHEN ne + nd > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS pii_doc_rate
+FROM per
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # q172 — language-ID confusion matrix: q37's stopword predictor scored
 # against the corpus's labeled `lang` column — (true lang x predicted)
 # counts and the within-language share. The classifier-QA loop every
@@ -929,6 +992,7 @@ QUERIES = {
     "q165_containment": q165_containment,
     "q166_tokenizer_fertility": q166_tokenizer_fertility,
     "q172_lang_confusion": q172_lang_confusion,
+    "q179_pii_inventory": q179_pii_inventory,
 }
 
 ORACLE = {
@@ -947,4 +1011,5 @@ ORACLE = {
     "q165_containment": Q165_SQL,
     "q166_tokenizer_fertility": Q166_SQL,
     "q172_lang_confusion": _q172_sql(),
+    "q179_pii_inventory": Q179_SQL,
 }
