@@ -91,3 +91,14 @@ def test_priority_list_exactly_covers_registry():
     unlisted = [k for k in queries if k not in set(prio)]
     assert not missing, f"_PRIORITY names not in registry: {missing}"
     assert not unlisted, f"registry names not in _PRIORITY: {unlisted}"
+
+
+def test_canon_is_strict_about_zero_sign():
+    """The driver's value hash distinguishes -0.0 from 0.0 (the q71
+    three-round red row). The local canon must be at least as strict —
+    a normalization here would hide exactly that class of mismatch."""
+    from .oracle_utils import _canon_cell
+
+    assert _canon_cell(-0.0) != _canon_cell(0.0)
+    # and the engine-side guard is the documented fix: x + 0.0
+    assert _canon_cell(-0.0 + 0.0) == _canon_cell(0.0)
