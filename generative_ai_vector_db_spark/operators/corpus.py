@@ -664,6 +664,74 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# q183 — dup-saturation curve: as the corpus arrives (doc_id order),
+# what share of each arrival decile is an EXACT duplicate of an
+# earlier document? The doc-level complement of q154's gram-novelty
+# curve: q154 says when new text stops arriving, this says when the
+# crawler starts re-fetching whole documents — the signal to stop
+# ingesting a source. A doc is a dup iff its normalized fingerprint's
+# first-seen doc_id (one min() agg on the fp key, map-side combined)
+# is smaller than its own. Deciles by integer width from a broadcast
+# 1-row max — no global sort, no window over the corpus.
+# ---------------------------------------------------------------------------
+DUPCURVE_BUCKETS = 10
+
+
+def q183_dup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fp = F.sha2(
+        F.lower(F.trim(F.regexp_replace("text", "[ \\t\\n\\r\\f]+", " "))), 256
+    )
+    keyed = docs.select("doc_id", fp.alias("fp"))
+    first_seen = keyed.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    width = docs.agg(
+        F.floor(F.max("doc_id") / DUPCURVE_BUCKETS + 1).alias("_w")
+    )
+    marked = keyed.join(first_seen, "fp").crossJoin(F.broadcast(width))
+    return (
+        marked.groupBy(
+            F.floor(F.col("doc_id") / F.col("_w")).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("first_doc") < F.col("doc_id")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_dups"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_dups",
+            F.round(
+                F.col("n_dups").cast("double") / F.col("n_docs").cast("double"),
+                4,
+            ).alias("dup_share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q183_SQL = rf"""
+WITH keyed AS (
+  SELECT doc_id,
+         sha256(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))) AS fp
+  FROM documents
+),
+first_seen AS (SELECT fp, min(doc_id) AS first_doc FROM keyed GROUP BY fp),
+width AS (SELECT floor(max(doc_id) / {DUPCURVE_BUCKETS} + 1) AS _w FROM documents)
+SELECT CAST(floor(k.doc_id / w._w) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN f.first_doc < k.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dups,
+       round(CAST(sum(CASE WHEN f.first_doc < k.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 4) AS dup_share
+FROM keyed k JOIN first_seen f USING (fp) CROSS JOIN width w
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # q162 — per-source token-budget mixture scheduler: allocate a global
 # training-token budget across sources by temperature-flattened
 # availability (p_s ∝ avail_s^alpha, alpha=0.5 — the multilingual-
@@ -777,6 +845,7 @@ QUERIES = {
     "q150_dedup_keep_best": q150_dedup_keep_best,
     "q154_novelty_curve": q154_novelty_curve,
     "q162_token_budget_mixture": q162_token_budget_mixture,
+    "q183_dup_rate_curve": q183_dup_rate_curve,
 }
 
 ORACLE = {
@@ -792,4 +861,5 @@ ORACLE = {
     "q150_dedup_keep_best": Q150_SQL,
     "q154_novelty_curve": Q154_SQL,
     "q162_token_budget_mixture": Q162_SQL,
+    "q183_dup_rate_curve": Q183_SQL,
 }

@@ -465,6 +465,115 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q182 — join-size advisor: predict |orders ⋈ lineitem| from per-key
+# count statistics BEFORE running the join — the planning primitive
+# behind shuffle-partition sizing and broadcast decisions (q138 profiles
+# key skew; this turns the same statistics into an output-cardinality
+# estimate). Three estimates at increasing cost: (a) the independence
+# heuristic |A|*|B|/max(ndv) every optimizer starts from, (b) the exact
+# sum over a deterministic 1-in-SAMPLE_MOD systematic key sample scaled
+# up, (c) the exact per-key product sum (ground truth, one aggregation
+# per side + one equi-join on distinct keys — never the row-level
+# join). Relative errors are reported so the advisor's own quality is
+# visible. All counts integer-exact; estimates are single double
+# expressions.
+# ---------------------------------------------------------------------------
+ADVISOR_SAMPLE_MOD = 10
+
+
+def q182_join_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    ca = orders.groupBy("k").agg(F.count(F.lit(1)).alias("na"))
+    cb = li.groupBy("k").agg(F.count(F.lit(1)).alias("nb"))
+    joined = ca.join(cb, "k")
+    stats = joined.agg(
+        F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("actual"),
+        F.sum(
+            F.when(
+                F.col("k") % ADVISOR_SAMPLE_MOD == 0, F.col("na") * F.col("nb")
+            )
+        )
+        .cast("bigint")
+        .alias("_sampled"),
+    )
+    tot = (
+        ca.agg(
+            F.sum("na").cast("bigint").alias("rows_a"),
+            F.count(F.lit(1)).cast("bigint").alias("ndv_a"),
+        )
+        .crossJoin(
+            cb.agg(
+                F.sum("nb").cast("bigint").alias("rows_b"),
+                F.count(F.lit(1)).cast("bigint").alias("ndv_b"),
+            )
+        )
+        .crossJoin(stats)
+    )
+    indep = F.floor(
+        F.col("rows_a").cast("double")
+        * F.col("rows_b").cast("double")
+        / F.greatest("ndv_a", "ndv_b").cast("double")
+    ).cast("bigint")
+    sampled = (F.coalesce(F.col("_sampled"), F.lit(0)) * ADVISOR_SAMPLE_MOD).cast(
+        "bigint"
+    )
+    err = lambda est: F.round(  # noqa: E731
+        F.abs(est.cast("double") - F.col("actual").cast("double"))
+        / F.col("actual").cast("double"),
+        4,
+    )
+    return tot.select(
+        "rows_a",
+        "rows_b",
+        "ndv_a",
+        "ndv_b",
+        "actual",
+        indep.alias("est_independence"),
+        err(indep).alias("err_independence"),
+        sampled.alias("est_sampled"),
+        err(sampled).alias("err_sampled"),
+    )
+
+
+Q182_SQL = f"""
+WITH ca AS (SELECT o_orderkey AS k, count(*) AS na FROM orders GROUP BY 1),
+cb AS (SELECT l_orderkey AS k, count(*) AS nb FROM lineitem GROUP BY 1),
+joined AS (SELECT ca.k, na, nb FROM ca JOIN cb USING (k)),
+stats AS (
+  SELECT CAST(sum(na * nb) AS BIGINT) AS actual,
+         CAST(sum(CASE WHEN k % {ADVISOR_SAMPLE_MOD} = 0
+                       THEN na * nb END) AS BIGINT) AS _sampled
+  FROM joined
+),
+tot AS (
+  SELECT (SELECT CAST(sum(na) AS BIGINT) FROM ca) AS rows_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM ca) AS ndv_a,
+         (SELECT CAST(sum(nb) AS BIGINT) FROM cb) AS rows_b,
+         (SELECT CAST(count(*) AS BIGINT) FROM cb) AS ndv_b,
+         actual, _sampled
+  FROM stats
+)
+SELECT rows_a, rows_b, ndv_a, ndv_b, actual,
+       CAST(floor(CAST(rows_a AS DOUBLE) * CAST(rows_b AS DOUBLE)
+                  / CAST(greatest(ndv_a, ndv_b) AS DOUBLE)) AS BIGINT)
+           AS est_independence,
+       round(abs(CAST(floor(CAST(rows_a AS DOUBLE) * CAST(rows_b AS DOUBLE)
+                            / CAST(greatest(ndv_a, ndv_b) AS DOUBLE)) AS DOUBLE)
+                 - CAST(actual AS DOUBLE)) / CAST(actual AS DOUBLE), 4)
+           AS err_independence,
+       CAST(coalesce(_sampled, 0) * {ADVISOR_SAMPLE_MOD} AS BIGINT)
+           AS est_sampled,
+       round(abs(CAST(coalesce(_sampled, 0) * {ADVISOR_SAMPLE_MOD} AS DOUBLE)
+                 - CAST(actual AS DOUBLE)) / CAST(actual AS DOUBLE), 4)
+           AS err_sampled
+FROM tot
+"""
+
+
 QUERIES = {
     "q56_salted_agg": q56_salted_agg,
     "q128_zorder_stats": q128_zorder_stats,
@@ -472,6 +581,7 @@ QUERIES = {
     "q139_integrity_audit": q139_integrity_audit,
     "q155_column_profile": q155_column_profile,
     "q168_sketch_quantiles": q168_sketch_quantiles,
+    "q182_join_size_advisor": q182_join_size_advisor,
 }
 
 ORACLE = {
@@ -481,4 +591,5 @@ ORACLE = {
     "q139_integrity_audit": Q139_SQL,
     "q155_column_profile": Q155_SQL,
     "q168_sketch_quantiles": Q168_SQL,
+    "q182_join_size_advisor": Q182_SQL,
 }

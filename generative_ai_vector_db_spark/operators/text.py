@@ -776,6 +776,100 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
+# q181 — near-dup explanation: for every q159 surviving pair, the top
+# EXPLAIN_K shared grams by IDF weight — the "why is this a duplicate"
+# evidence a reviewer needs before bulk-deleting at corpus scale
+# (weighted-overlap scores alone are unauditable). Reuses q159's exact
+# machinery (same df cap, same rounded DECIMAL weights) and attaches
+# the shared-gram detail only to SURVIVING pairs via a semi-join-shaped
+# inner join on (id_a, id_b) — the per-pair explode never happens for
+# the pairs the threshold killed. Top-k per pair is a WindowGroupLimit.
+# ---------------------------------------------------------------------------
+EXPLAIN_K = 3
+
+
+def q181_neardup_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q159_weighted_jaccard(spark, sf_dir).select(
+        "id_a", "id_b", "weighted_jaccard"
+    )
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", _words(F.col("text")).alias("words"))
+        .select("doc_id", _bigrams(F.col("words")).alias("grams"))
+    )
+    grams = docs.select("doc_id", F.explode("grams").alias("gram"))
+    corpus = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    w = F.round(
+        F.log(F.col("n_docs") / F.col("_df").cast("double")), 8
+    ).cast("decimal(27,8)")
+    gram_w = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(corpus))
+        .where(F.col("_df") <= F.col("n_docs") * WJ_DF_FRAC)
+        .select("gram", w.alias("w"))
+    )
+    weighted = grams.join(gram_w, "gram")
+    a = weighted.select(F.col("doc_id").alias("id_a"), "gram", "w")
+    b = weighted.select(F.col("doc_id").alias("id_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .join(F.broadcast(pairs), ["id_a", "id_b"])
+    )
+    wk = Window.partitionBy("id_a", "id_b").orderBy(
+        F.col("w").desc(), "gram"
+    )
+    return (
+        shared.withColumn("rk", F.row_number().over(wk).cast("bigint"))
+        .where(F.col("rk") <= EXPLAIN_K)
+        .select(
+            "id_a",
+            "id_b",
+            "weighted_jaccard",
+            "rk",
+            "gram",
+            F.col("w").cast("double").alias("gram_idf"),
+        )
+        .orderBy("id_a", "id_b", "rk")
+    )
+
+
+Q181_SQL = f"""
+WITH pairs AS ({Q159_SQL.replace("ORDER BY id_a, id_b", "")}),
+g0 AS (
+  SELECT doc_id,
+         unnest(list_distinct([words[i] || ' ' || words[i+1]
+                               for i in generate_series(1, len(words) - 1)])) AS gram
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+gram_w AS (
+  SELECT gram,
+         CAST(round(ln((SELECT n_docs FROM n) / count(*)), 8) AS DECIMAL(27,8)) AS w
+  FROM g0 GROUP BY gram
+  HAVING count(*) <= (SELECT n_docs FROM n) * {WJ_DF_FRAC}
+),
+weighted AS (SELECT g0.doc_id, g0.gram, gram_w.w FROM g0 JOIN gram_w USING (gram)),
+shared AS (
+  SELECT p.id_a, p.id_b, p.weighted_jaccard, a.gram, a.w
+  FROM weighted a
+  JOIN weighted b ON a.gram = b.gram
+  JOIN pairs p ON p.id_a = a.doc_id AND p.id_b = b.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+                               ORDER BY w DESC, gram) AS rk
+  FROM shared
+)
+SELECT id_a, id_b, weighted_jaccard, CAST(rk AS BIGINT) AS rk, gram,
+       CAST(w AS DOUBLE) AS gram_idf
+FROM ranked
+WHERE rk <= {EXPLAIN_K}
+ORDER BY id_a, id_b, rk
+"""
+
+
+# ---------------------------------------------------------------------------
 # q179 — PII inventory by source: per-source counts of PII-pattern
 # matches (emails, digit runs), documents affected, and the match rate
 # — the compliance dashboard that decides which SOURCES need q57's
@@ -993,6 +1087,7 @@ QUERIES = {
     "q166_tokenizer_fertility": q166_tokenizer_fertility,
     "q172_lang_confusion": q172_lang_confusion,
     "q179_pii_inventory": q179_pii_inventory,
+    "q181_neardup_explain": q181_neardup_explain,
 }
 
 ORACLE = {
@@ -1012,4 +1107,5 @@ ORACLE = {
     "q166_tokenizer_fertility": Q166_SQL,
     "q172_lang_confusion": _q172_sql(),
     "q179_pii_inventory": Q179_SQL,
+    "q181_neardup_explain": Q181_SQL,
 }

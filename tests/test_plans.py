@@ -621,3 +621,24 @@ def test_q178_negatives_single_window_pass(spark, sf_dir):
 
     plan = plan_of(v.q178_hard_negatives(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_q182_advisor_never_joins_fact_rows(spark, sf_dir):
+    """The estimate comes from per-key count statistics; the join in
+    the plan is on DISTINCT keys (post-aggregation), so no exchange
+    carries more than (key, count)."""
+    from generative_ai_vector_db_spark.operators import scale as sc
+
+    plan = plan_of(sc.q182_join_size_advisor(spark, sf_dir))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    # aggregations happen BELOW the join: partial counts per side
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_q183_dup_curve_single_fp_shuffle(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import corpus as c
+
+    plan = plan_of(c.q183_dup_rate_curve(spark, sf_dir))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
