@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
+from .relational import HASH_MOD, KNUTH
 
 PACK_BUDGET = 512  # tokens per pack
 HIST_WIDTH = 100  # chars per histogram bucket
@@ -732,6 +733,143 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# q184 — deterministic epoch shuffling into training shards: per epoch,
+# every doc gets an engine-portable pseudo-random key (Knuth
+# multiplicative hash of (doc_id, epoch) — the q132 device), a shard
+# assignment, and its position within the shard. This is how shuffled
+# training data is actually laid out at 100 TB: you never globally
+# rank the corpus; you route by key to N_SHARDS bounded shards
+# (repartition) and sort WITHIN each shard (the window below is
+# per-(epoch, shard) — partitions stay shard-sized). Re-running any
+# epoch reproduces the identical order on both engines — resumable
+# training without storing a permutation.
+# ---------------------------------------------------------------------------
+SHUFFLE_EPOCHS = 2
+N_SHARDS = 8
+EPOCH_SALT = 97003
+
+
+def q184_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(SHUFFLE_EPOCHS).select(
+        F.col("id").cast("bigint").alias("epoch")
+    )
+    keyed = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        (
+            (F.col("doc_id") * KNUTH + F.col("epoch") * EPOCH_SALT + 12345)
+            % HASH_MOD
+        ).alias("skey"),
+    )
+    w = Window.partitionBy("epoch", F.col("skey") % N_SHARDS).orderBy(
+        "skey", "doc_id"
+    )
+    return (
+        keyed.select(
+            "epoch",
+            "doc_id",
+            (F.col("skey") % N_SHARDS).cast("bigint").alias("shard"),
+            F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+        )
+        .orderBy("epoch", "shard", "pos_in_shard")
+    )
+
+
+Q184_SQL = f"""
+WITH epochs AS (SELECT unnest(generate_series(0, {SHUFFLE_EPOCHS - 1})) AS epoch),
+keyed AS (
+  SELECT CAST(e.epoch AS BIGINT) AS epoch, d.doc_id,
+         (d.doc_id * {KNUTH} + e.epoch * {EPOCH_SALT} + 12345) % {HASH_MOD}
+             AS skey
+  FROM documents d CROSS JOIN epochs e
+)
+SELECT epoch, doc_id,
+       CAST(skey % {N_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY epoch, skey % {N_SHARDS}
+                               ORDER BY skey, doc_id) AS BIGINT)
+           AS pos_in_shard
+FROM keyed
+ORDER BY epoch, shard, pos_in_shard
+"""
+
+
+# ---------------------------------------------------------------------------
+# q185 — dedup savings report: what exact dedup is WORTH, per source —
+# docs removed, tokens removed, and the share of the source's token
+# mass that is duplicated. The cost-benefit view that decides whether
+# to run the heavier near-dup passes (q44/q159) on a source at all.
+# One fingerprint scan (32-byte shuffle keys), first-seen min-agg,
+# then a per-source aggregate; integer sums, one double division.
+# ---------------------------------------------------------------------------
+def q185_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fp = F.sha2(
+        F.lower(F.trim(F.regexp_replace("text", "[ \\t\\n\\r\\f]+", " "))), 256
+    )
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        fp.alias("fp"),
+    )
+    first_seen = keyed.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    marked = keyed.join(first_seen, "fp").withColumn(
+        "is_dup", (F.col("first_doc") < F.col("doc_id")).cast("bigint")
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("n_dup_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens_total"),
+            F.sum(F.col("is_dup") * F.col("n_tok"))
+            .cast("bigint")
+            .alias("tokens_duplicated"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            "tokens_total",
+            "tokens_duplicated",
+            F.round(
+                F.col("tokens_duplicated").cast("double")
+                / F.col("tokens_total").cast("double"),
+                4,
+            ).alias("dup_token_share"),
+        )
+        .orderBy("source")
+    )
+
+
+Q185_SQL = r"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         sha256(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))) AS fp
+  FROM documents
+),
+first_seen AS (SELECT fp, min(doc_id) AS first_doc FROM keyed GROUP BY fp),
+marked AS (
+  SELECT k.source, k.n_tok,
+         CASE WHEN f.first_doc < k.doc_id THEN 1 ELSE 0 END AS is_dup
+  FROM keyed k JOIN first_seen f USING (fp)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+       CAST(sum(is_dup * n_tok) AS BIGINT) AS tokens_duplicated,
+       round(CAST(sum(is_dup * n_tok) AS DOUBLE)
+             / CAST(sum(n_tok) AS DOUBLE), 4) AS dup_token_share
+FROM marked
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # q162 — per-source token-budget mixture scheduler: allocate a global
 # training-token budget across sources by temperature-flattened
 # availability (p_s ∝ avail_s^alpha, alpha=0.5 — the multilingual-
@@ -846,6 +984,8 @@ QUERIES = {
     "q154_novelty_curve": q154_novelty_curve,
     "q162_token_budget_mixture": q162_token_budget_mixture,
     "q183_dup_rate_curve": q183_dup_rate_curve,
+    "q184_epoch_shuffle": q184_epoch_shuffle,
+    "q185_dedup_savings": q185_dedup_savings,
 }
 
 ORACLE = {
@@ -862,4 +1002,6 @@ ORACLE = {
     "q154_novelty_curve": Q154_SQL,
     "q162_token_budget_mixture": Q162_SQL,
     "q183_dup_rate_curve": Q183_SQL,
+    "q184_epoch_shuffle": Q184_SQL,
+    "q185_dedup_savings": Q185_SQL,
 }
