@@ -96,7 +96,7 @@ _PRIORITY = [
     "q176_snapshot_diff", "q177_covisitation", "q178_hard_negatives",
     "q179_pii_inventory", "q180_last_touch",
     "q181_neardup_explain", "q182_join_size_advisor", "q183_dup_rate_curve",
-    "q184_epoch_shuffle", "q185_dedup_savings",
+    "q184_epoch_shuffle", "q185_dedup_savings", "q186_incremental_dedup",
     # tier 2 — previously-green backfill for the remaining window slots,
     # oldest evidence first (r1 rows predate two testdata regenerations).
     "q03_tpch_q1", "q12_dedup_exact", "q13_window_topk",

@@ -243,6 +243,83 @@ def with_simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BI
     return hashes.withColumn("simhash", out).drop("word_hashes")
 
 
+# ---------------------------------------------------------------------------
+# q186 — incremental dedup against the store: classify an INCOMING
+# batch against the existing corpus — exact-dup-of-store (same
+# normalized fingerprint as any stored doc), dup-within-batch (first
+# occurrence wins), or novel. This is the production shape of R11 at
+# 100 TB: the nightly batch never joins the raw store, only its
+# fingerprint index (32-byte keys), and the within-batch tie-break is
+# a min() agg, not a window over history. Batch = a deterministic
+# doc_id-residue slice so both engines construct identical inputs.
+# ---------------------------------------------------------------------------
+INCR_BATCH_MOD = 10
+INCR_BATCH_RESIDUE = 7
+
+
+def q186_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fp = F.sha2(
+        F.lower(F.trim(F.regexp_replace("text", "[ \\t\\n\\r\\f]+", " "))), 256
+    )
+    keyed = docs.select("doc_id", fp.alias("fp"))
+    is_batch = F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_RESIDUE
+    batch = keyed.where(is_batch)
+    store_fps = keyed.where(~is_batch).groupBy("fp").agg(
+        F.min("doc_id").alias("store_doc")
+    )
+    batch_first = batch.groupBy("fp").agg(F.min("doc_id").alias("batch_first"))
+    joined = batch.join(store_fps, "fp", "left").join(batch_first, "fp")
+    status = (
+        F.when(F.col("store_doc").isNotNull(), F.lit("dup_of_store"))
+        .when(F.col("batch_first") < F.col("doc_id"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("novel"))
+    )
+    return (
+        joined.select(
+            "doc_id",
+            status.alias("status"),
+            F.coalesce(
+                F.col("store_doc"),
+                F.when(F.col("batch_first") < F.col("doc_id"), F.col("batch_first")),
+            )
+            .cast("bigint")
+            .alias("dup_of"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q186_SQL = rf"""
+WITH keyed AS (
+  SELECT doc_id,
+         sha256(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))) AS fp
+  FROM documents
+),
+batch AS (
+  SELECT * FROM keyed
+  WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_RESIDUE}
+),
+store_fps AS (
+  SELECT fp, min(doc_id) AS store_doc FROM keyed
+  WHERE doc_id % {INCR_BATCH_MOD} != {INCR_BATCH_RESIDUE}
+  GROUP BY fp
+),
+batch_first AS (SELECT fp, min(doc_id) AS batch_first FROM batch GROUP BY fp)
+SELECT b.doc_id,
+       CASE WHEN s.store_doc IS NOT NULL THEN 'dup_of_store'
+            WHEN f.batch_first < b.doc_id THEN 'dup_in_batch'
+            ELSE 'novel' END AS status,
+       CAST(coalesce(s.store_doc,
+                     CASE WHEN f.batch_first < b.doc_id
+                          THEN f.batch_first END) AS BIGINT) AS dup_of
+FROM batch b
+LEFT JOIN store_fps s USING (fp)
+JOIN batch_first f USING (fp)
+ORDER BY b.doc_id
+"""
+
+
 def q45_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs within Hamming distance <= 3, found by banding the 64-bit
     signature into 4 16-bit quarters (pigeonhole: any pair at distance
@@ -462,10 +539,12 @@ QUERIES = {
     "q45_simhash_neardup": q45_simhash_neardup,
     "q76_dedup_clusters": q76_dedup_clusters,
     "q85_dedup_corpus": q85_dedup_corpus,
+    "q186_incremental_dedup": q186_incremental_dedup,
 }
 
 ORACLE: dict[str, str] = {
     "q76_dedup_clusters": Q76_SQL,
+    "q186_incremental_dedup": Q186_SQL,
     "q85_dedup_corpus": Q85_SQL.format(
         q41=_Q41_SQL.replace("ORDER BY id_a, id_b", "")
     ),
