@@ -21,6 +21,7 @@ from generative_ai_vector_db_spark.operators import (  # noqa: E402
     chunker,
     corpus,
     dedup,
+    graph,
     ingest,
     merge_registries,
     multimodal,
@@ -45,6 +46,7 @@ _MODULES = [
     vector,
     chunker,
     corpus,
+    graph,
     ingest,
     text,
     dedup,
@@ -97,6 +99,10 @@ _PRIORITY = [
     "q179_pii_inventory", "q180_last_touch",
     "q181_neardup_explain", "q182_join_size_advisor", "q183_dup_rate_curve",
     "q184_epoch_shuffle", "q185_dedup_savings", "q186_incremental_dedup",
+    "q187_bucket_layout", "q188_salt_plan", "q189_embedding_drift",
+    "q190_compression_proxy", "q191_debounce", "q192_citation_coverage",
+    "q193_graph_pagerank", "q194_range_partition_plan",
+    "q195_session_paths",
     # tier 2 — previously-green backfill for the remaining window slots,
     # oldest evidence first (r1 rows predate two testdata regenerations).
     "q03_tpch_q1", "q12_dedup_exact", "q13_window_topk",

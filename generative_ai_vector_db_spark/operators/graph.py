@@ -1,0 +1,185 @@
+"""Iterative graph analytics over behavioral edges.
+
+The reference has no graph surface; this extends the engine with the
+canonical iterative-algorithm shape (fixed-point over an edge list)
+the same way q76's connected components does, but with NUMERIC state:
+PageRank over the user co-visitation graph (q177's edge construction).
+Recommender candidate generation and bot-ring triage both rank users
+by centrality in exactly this graph.
+
+Why integer micro-units: PageRank is a float fixed-point, and float
+summation order differs between engines (and between executors — the
+q71 lesson). Every quantity here is BIGINT micro-units (1e8 = rank
+mass 1.0): the teleport term and each neighbor contribution use
+integer division (``div`` / ``//``, floor semantics identical in Spark
+and DuckDB), so every iteration is bit-exact on both engines AND
+independent of partitioning/summation order — the result is
+hash-matchable and cluster-deterministic at any scale. The deliberate
+floor leakage (< 1e-8 per term) drains a negligible amount of rank
+mass and is part of the declared operator semantics, applied
+identically in the oracle.
+
+Scale shape: each iteration is ONE shuffle (edges joined to ranks on
+src, re-aggregated on dst) — the textbook distributed PageRank plan.
+Ranks are re-materialized per round with ``localCheckpoint`` so round
+N's plan does not embed rounds 1..N-1 (same hygiene as
+dedup.connected_components; swap for reliable ``checkpoint`` on a
+long-lived cluster job). Edge degree is attached ONCE before the loop,
+not re-joined per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .quality import COVISIT_CAP
+
+PR_SCALE = 100_000_000  # rank mass 1.0 in micro-units
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as an integer ratio
+PR_ITERS = 5
+PR_TOP = 20
+
+
+def _covisit_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized q177 co-visitation edges (no top-N truncation):
+    users sharing a (event_type, hour) activity bucket, buckets larger
+    than COVISIT_CAP dropped as no-signal (see q177)."""
+    ev = load(spark, sf_dir, "events")
+    visits = ev.select(
+        "user_id",
+        F.concat_ws(
+            "|",
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH"),
+        ).alias("bucket"),
+    ).distinct()
+    sizes = visits.groupBy("bucket").agg(F.count(F.lit(1)).alias("_u"))
+    kept = visits.join(
+        F.broadcast(sizes.where(F.col("_u") <= COVISIT_CAP).select("bucket")),
+        "bucket",
+    )
+    a = kept.select(F.col("user_id").alias("u_a"), "bucket")
+    b = kept.select(F.col("user_id").alias("u_b"), "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("u_a") < F.col("u_b"))
+        .select("u_a", "u_b")
+        .distinct()
+    )
+    return pairs.select(
+        F.col("u_a").alias("src"), F.col("u_b").alias("dst")
+    ).union(pairs.select(F.col("u_b").alias("src"), F.col("u_a").alias("dst")))
+
+
+def q193_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _covisit_edges(spark, sf_dir).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    # degree attached once; each round then joins ranks only
+    edges_d = edges.join(deg, "src").localCheckpoint()
+    nstats = deg.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    ranks = (
+        deg.select(F.col("src").alias("node"))
+        .crossJoin(F.broadcast(nstats))
+        .select(
+            "node", F.expr(f"{PR_SCALE} div _n").cast("bigint").alias("r")
+        )
+        .localCheckpoint()
+    )
+    teleport = F.expr(
+        f"({(PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE} div ({PR_DAMP_DEN} * _n))"
+    )
+    for _ in range(PR_ITERS):
+        inflow = (
+            edges_d.join(ranks, edges_d.src == ranks.node)
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            inflow.crossJoin(F.broadcast(nstats))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    teleport
+                    + F.expr(f"({PR_DAMP_NUM} * s) div {PR_DAMP_DEN}")
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.join(deg, ranks.node == deg.src)
+        .select(F.col("node").alias("user_id"), F.col("r").alias("r_units"), "deg")
+        .orderBy(F.desc("r_units"), "user_id")
+        .limit(PR_TOP)
+    )
+
+
+def _pagerank_sql() -> str:
+    teleport = (
+        f"({(PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE}"
+        f" // ({PR_DAMP_DEN} * (SELECT _n FROM n)))"
+    )
+    iters = []
+    for i in range(1, PR_ITERS + 1):
+        iters.append(
+            f"""pr{i} AS (
+  SELECT e.dst AS node,
+         CAST({teleport}
+              + ({PR_DAMP_NUM} * sum(p.r // e.deg)) // {PR_DAMP_DEN}
+           AS BIGINT) AS r
+  FROM edges_d e JOIN pr{i - 1} p ON p.node = e.src
+  GROUP BY e.dst
+)"""
+        )
+    chain = ",\n".join(iters)
+    return f"""
+WITH visits AS (
+  SELECT DISTINCT user_id,
+         event_type || '|' || strftime(date_trunc('hour', ts), '%Y-%m-%d %H')
+             AS bucket
+  FROM events
+),
+kept AS (
+  SELECT v.user_id, v.bucket
+  FROM visits v
+  JOIN (SELECT bucket FROM visits GROUP BY bucket
+        HAVING count(*) <= {COVISIT_CAP}) s USING (bucket)
+),
+pairs AS (
+  SELECT DISTINCT a.user_id AS u_a, b.user_id AS u_b
+  FROM kept a JOIN kept b USING (bucket)
+  WHERE a.user_id < b.user_id
+),
+edges AS (
+  SELECT u_a AS src, u_b AS dst FROM pairs
+  UNION ALL
+  SELECT u_b AS src, u_a AS dst FROM pairs
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+edges_d AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+n AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM deg),
+pr0 AS (
+  SELECT src AS node, CAST({PR_SCALE} // (SELECT _n FROM n) AS BIGINT) AS r
+  FROM deg
+),
+{chain}
+SELECT p.node AS user_id, p.r AS r_units, d.deg
+FROM pr{PR_ITERS} p JOIN deg d ON d.src = p.node
+ORDER BY r_units DESC, user_id
+LIMIT {PR_TOP}
+"""
+
+
+Q193_SQL = _pagerank_sql()
+
+QUERIES = {
+    "q193_graph_pagerank": q193_graph_pagerank,
+}
+
+ORACLE = {
+    "q193_graph_pagerank": Q193_SQL,
+}

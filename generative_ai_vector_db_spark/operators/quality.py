@@ -1173,6 +1173,75 @@ ORDER BY step
 """
 
 
+# ---------------------------------------------------------------------------
+# q189 — embedding drift monitor: per-label centroid agreement between
+# two snapshots of the embedding table (halves by vec_id parity — the
+# fixture stand-in for "yesterday's model vs today's"). When an
+# embedding model or preprocessing step changes, per-class centroids
+# shift; cosine < ~0.99 on any label is the canonical re-index alarm
+# for the ANN serving layer (q46/q47/q49 buckets assume a stable
+# space). Same one-scan long form as q99/q158: posexplode to
+# (label, pos, x), conditional avgs split the halves WITHOUT a second
+# scan or a join of two filtered subframes, then a K x D -> K fold.
+# Shuffle rows = K x D (640 here) regardless of corpus size.
+# ---------------------------------------------------------------------------
+def q189_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos", "x"),
+    )
+    cent = exploded.groupBy("label", "pos").agg(
+        F.avg(F.when(F.col("half") == 0, F.col("x"))).alias("c0"),
+        F.avg(F.when(F.col("half") == 1, F.col("x"))).alias("c1"),
+    )
+    return (
+        cent.groupBy("label")
+        .agg(
+            F.sum(F.col("c0") * F.col("c1")).alias("_dot"),
+            F.sum(F.col("c0") * F.col("c0")).alias("_n0"),
+            F.sum(F.col("c1") * F.col("c1")).alias("_n1"),
+            F.sum(
+                (F.col("c0") - F.col("c1")) * (F.col("c0") - F.col("c1"))
+            ).alias("_d2"),
+        )
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.round(
+                F.col("_dot") / (F.sqrt("_n0") * F.sqrt("_n1")), 4
+            ).alias("cos_sim"),
+            F.round(F.sqrt("_d2"), 4).alias("l2_shift"),
+        )
+        .orderBy("label")
+    )
+
+
+Q189_SQL = """
+WITH exploded AS (
+  SELECT label, vec_id % 2 AS half,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         unnest([CAST(x AS DOUBLE) for x in embedding]) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos,
+         avg(CASE WHEN half = 0 THEN x END) AS c0,
+         avg(CASE WHEN half = 1 THEN x END) AS c1
+  FROM exploded GROUP BY label, pos
+)
+SELECT CAST(label AS BIGINT) AS label,
+       round(sum(c0 * c1) / (sqrt(sum(c0 * c0)) * sqrt(sum(c1 * c1))), 4)
+           AS cos_sim,
+       round(sqrt(sum((c0 - c1) * (c0 - c1))), 4) AS l2_shift
+FROM cent
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
     "q93_gopher_quality": q93_gopher_quality,
     "q94_source_cap": q94_source_cap,
@@ -1192,6 +1261,7 @@ QUERIES = {
     "q158_centroid_similarity": q158_centroid_similarity,
     "q170_funnel_timing": q170_funnel_timing,
     "q177_covisitation": q177_covisitation,
+    "q189_embedding_drift": q189_embedding_drift,
 }
 
 ORACLE = {
@@ -1213,4 +1283,5 @@ ORACLE = {
     "q158_centroid_similarity": Q158_SQL,
     "q170_funnel_timing": Q170_SQL,
     "q177_covisitation": Q177_SQL,
+    "q189_embedding_drift": Q189_SQL,
 }

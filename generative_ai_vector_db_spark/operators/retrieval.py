@@ -674,6 +674,89 @@ ORDER BY ce_rank
 """
 
 
+# ---------------------------------------------------------------------------
+# q192 — retrieval coverage curve: as k grows over the BM25 top-K
+# (q83), how many of the query's terms are covered by at least one
+# retrieved document? The "is k big enough" diagnostic for the RAG
+# context budget (reference fan-out K=13, app.py:409): the rank where
+# coverage saturates is the smallest context that still grounds every
+# query concept, and n_new shows which ranks actually add information
+# (rank positions that contribute nothing are pure prompt-token cost,
+# q28/q53's budget). Everything after the q83 ranking is tiny-data:
+# first-covering rank per term is a |terms|-row aggregate, the curve a
+# K x |terms| broadcast crossJoin — no extra corpus scan beyond q83's.
+# ---------------------------------------------------------------------------
+def q192_citation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    top = q83_bm25_topk(spark, sf_dir).select("doc_id", "rn")
+    qterms = (
+        _tokens(spark, sf_dir)
+        .where(F.col("term").isin(QUERY_TERMS))
+        .select("doc_id", "term")
+        .distinct()
+    )
+    fr = (
+        qterms.join(top, "doc_id")
+        .groupBy("term")
+        .agg(F.min("rn").alias("first_rank"))
+    )
+    n_terms = len(QUERY_TERMS)
+    return (
+        top.select(F.col("rn").alias("rank"))
+        .crossJoin(F.broadcast(fr))
+        .groupBy("rank")
+        .agg(
+            F.sum(
+                F.when(F.col("first_rank") <= F.col("rank"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+            F.sum(
+                F.when(F.col("first_rank") == F.col("rank"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_new"),
+        )
+        .select(
+            "rank",
+            "n_covered",
+            "n_new",
+            F.round(F.col("n_covered") / F.lit(float(n_terms)), 4).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+Q192_SQL = f"""
+WITH {_BM25_CTE},
+ranked AS (
+  SELECT doc_id, round(score, 4) AS bm25,
+         row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM bm25s
+),
+top AS (SELECT doc_id, rn FROM ranked WHERE rn <= {K}),
+qterms AS (
+  SELECT DISTINCT doc_id, term FROM tokens_f WHERE term IN ({_TERMS_SQL})
+),
+fr AS (
+  SELECT term, min(rn) AS first_rank
+  FROM qterms JOIN top USING (doc_id)
+  GROUP BY term
+)
+SELECT rn AS rank,
+       CAST(sum(CASE WHEN first_rank <= rn THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered,
+       CAST(sum(CASE WHEN first_rank = rn THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+       round(sum(CASE WHEN first_rank <= rn THEN 1 ELSE 0 END)
+             / CAST({len(QUERY_TERMS)} AS DOUBLE), 4) AS coverage
+FROM top CROSS JOIN fr
+GROUP BY rn
+ORDER BY rank
+"""
+
+
 QUERIES = {
     "q83_bm25_topk": q83_bm25_topk,
     "q84_hybrid_rrf": q84_hybrid_rrf,
@@ -682,6 +765,7 @@ QUERIES = {
     "q144_zipf_fit": q144_zipf_fit,
     "q146_pmi_collocations": q146_pmi_collocations,
     "q161_ce_rerank": q161_ce_rerank,
+    "q192_citation_coverage": q192_citation_coverage,
 }
 
 ORACLE = {
@@ -692,4 +776,5 @@ ORACLE = {
     "q144_zipf_fit": Q144_SQL,
     "q146_pmi_collocations": Q146_SQL,
     "q161_ce_rerank": Q161_SQL,
+    "q192_citation_coverage": Q192_SQL,
 }

@@ -574,6 +574,253 @@ FROM tot
 """
 
 
+# ---------------------------------------------------------------------------
+# q187 — bucketed-layout planner: the sizing pass run BEFORE committing
+# a 100 TB table to a bucketed layout (write_bucketed above / Spark
+# `bucketBy`). Documents are routed to buckets with an engine-portable
+# multiplicative hash (same Knuth constant as q184's epoch shuffle —
+# NOT Spark's Murmur3, which DuckDB cannot reproduce), and the report
+# shows per-bucket row/byte load plus the skew ratio vs the ideal
+# uniform share — exactly what decides whether doc_id is a safe bucket
+# key or needs a composite. `rec_n_buckets` is the integer-exact
+# ceiling of total_bytes / TARGET_BUCKET_BYTES: the bucket count that
+# holds the target file size, computed once and broadcast (1-row
+# crossJoin), never a driver-side collect. One scan, one narrow agg on
+# PLANNER_BUCKETS keys.
+# ---------------------------------------------------------------------------
+PLANNER_BUCKETS = 16
+TARGET_BUCKET_BYTES = 8192  # ~file-size target at fixture scale
+_PKNUTH = 2654435761
+
+
+def q187_bucket_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucketed = docs.select(
+        ((F.col("doc_id") * _PKNUTH) % PLANNER_BUCKETS)
+        .cast("bigint")
+        .alias("bucket"),
+        "n_chars",
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_bytes"),
+    )
+    tot = per_bucket.agg(
+        F.sum("n_bytes").cast("bigint").alias("_tot_bytes"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_buckets"),
+    )
+    return (
+        per_bucket.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_docs",
+            "n_bytes",
+            F.round(
+                F.col("n_bytes")
+                * F.col("_n_buckets")
+                / F.col("_tot_bytes").cast("double"),
+                4,
+            ).alias("skew_ratio"),
+            F.expr(
+                f"(_tot_bytes + {TARGET_BUCKET_BYTES - 1}) "
+                f"div {TARGET_BUCKET_BYTES}"
+            )
+            .cast("bigint")
+            .alias("rec_n_buckets"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q187_SQL = f"""
+WITH per_bucket AS (
+  SELECT CAST((doc_id * {_PKNUTH}) % {PLANNER_BUCKETS} AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_bytes
+  FROM documents
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_bytes) AS BIGINT) AS _tot_bytes,
+         CAST(count(*) AS BIGINT) AS _n_buckets
+  FROM per_bucket
+)
+SELECT bucket, n_docs, n_bytes,
+       round(n_bytes * _n_buckets / CAST(_tot_bytes AS DOUBLE), 4)
+           AS skew_ratio,
+       CAST((_tot_bytes + {TARGET_BUCKET_BYTES} - 1)
+            // {TARGET_BUCKET_BYTES} AS BIGINT) AS rec_n_buckets
+FROM per_bucket CROSS JOIN tot
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# q188 — salt-factor planner: turns q138's skew diagnosis into the
+# actionable rewrite parameter for q56/salted_join. For the top keys of
+# the lineitem->part join key, salt_factor = ceil(n / target) where
+# target = 4x the mean per-key count — the number of salt replicas
+# that caps any one reducer at ~4x the average row share. All integer
+# arithmetic ((n + t - 1) / t with an integer-division mean), so both
+# engines agree bit-for-bit — no double ceil() knife edges. The mean
+# is a 1-row broadcast; per-key counts map-side combine; top-N plans
+# as TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+SALT_PLAN_TOPK = 50
+SALT_TARGET_MULT = 4
+
+
+def q188_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    mean = per_key.agg(
+        (F.sum("n") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("_mean_n")  # integer-division mean: exact on both engines
+    )
+    target = f"greatest(1, _mean_n * {SALT_TARGET_MULT})"
+    return (
+        per_key.crossJoin(F.broadcast(mean))
+        .select(
+            "l_partkey",
+            "n",
+            F.expr(f"(n + {target} - 1) div {target}")
+            .cast("bigint")
+            .alias("salt_factor"),
+        )
+        .orderBy(F.desc("n"), "l_partkey")
+        .limit(SALT_PLAN_TOPK)
+    )
+
+
+Q188_SQL = f"""
+WITH per_key AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1
+),
+m AS (
+  SELECT CAST(sum(n) // count(*) AS BIGINT) AS _mean_n FROM per_key
+)
+SELECT l_partkey, n,
+       CAST((n + greatest(1, _mean_n * {SALT_TARGET_MULT}) - 1)
+            // greatest(1, _mean_n * {SALT_TARGET_MULT}) AS BIGINT)
+           AS salt_factor
+FROM per_key CROSS JOIN m
+ORDER BY n DESC, l_partkey
+LIMIT {SALT_PLAN_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q194 — range-partition planner: sampled split points + an EXACT skew
+# audit of the layout they produce — what Spark's RangePartitioner does
+# internally (sample, pick boundaries, hope), made inspectable before
+# committing a 100 TB sort/range-partitioned write. The sample is
+# deterministic (key-residue systematic sampling, q60's pattern — not
+# `sample()`, whose RNG differs per run/engine), boundaries are the
+# classic equi-depth read-off over the sample's cumulative counts, and
+# the audit assigns EVERY row via the broadcast boundary list and
+# reports per-partition size and skew. The only serial step (cumsum
+# window) runs over the sample's distinct values, never the table; the
+# full-table pass is one scan + one P-key aggregation.
+# ---------------------------------------------------------------------------
+RANGE_PARTS = 8
+RANGE_SAMPLE_MOD = 20  # 5% systematic sample
+
+
+def q194_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    sample = orders.where(F.col("o_orderkey") % RANGE_SAMPLE_MOD == 0)
+    per_val = sample.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.orderBy("o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_val.select(
+        "o_custkey", F.sum("cnt").over(w).cast("bigint").alias("cum")
+    )
+    ns = sample.agg(F.count(F.lit(1)).cast("bigint").alias("_ns"))
+    splits = spark.range(1, RANGE_PARTS).select(
+        F.col("id").cast("bigint").alias("i")
+    )
+    # b_i = smallest sampled value whose cumulative count reaches the
+    # i-th equi-depth threshold ceil(i * n_sample / P)
+    bounds = (
+        splits.crossJoin(F.broadcast(ns))
+        .join(
+            cum,
+            cum.cum
+            >= F.expr(f"(i * _ns + {RANGE_PARTS - 1}) div {RANGE_PARTS}"),
+        )
+        .groupBy("i")
+        .agg(F.min("o_custkey").cast("bigint").alias("split_val"))
+    )
+    # boundary list folded to ONE broadcast array row: partition id is
+    # computed map-side (size of the <= filter), so the only shuffle in
+    # the audit pass is the final P-key aggregation — never a per-row
+    # boundary blowup
+    bounds_arr = bounds.agg(
+        F.sort_array(F.collect_list("split_val")).alias("bs")
+    )
+    assigned = orders.crossJoin(F.broadcast(bounds_arr)).select(
+        F.size(F.filter("bs", lambda b: b <= F.col("o_custkey")))
+        .cast("bigint")
+        .alias("part")
+    )
+    tot = orders.agg(F.count(F.lit(1)).cast("bigint").alias("_nt"))
+    return (
+        assigned.groupBy("part")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_nt").cast("double"), 4).alias(
+                "share"
+            ),
+            F.round(
+                F.col("n_rows") * RANGE_PARTS / F.col("_nt").cast("double"), 4
+            ).alias("skew_ratio"),
+        )
+        .orderBy("part")
+    )
+
+
+Q194_SQL = f"""
+WITH sample AS (
+  SELECT o_custkey FROM orders WHERE o_orderkey % {RANGE_SAMPLE_MOD} = 0
+),
+cum AS (
+  SELECT o_custkey,
+         CAST(sum(count(*)) OVER (ORDER BY o_custkey) AS BIGINT) AS cum
+  FROM sample GROUP BY o_custkey
+),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS _ns FROM sample),
+bounds AS (
+  SELECT i, CAST(min(o_custkey) AS BIGINT) AS split_val
+  FROM (SELECT unnest(generate_series(1, {RANGE_PARTS - 1})) AS i),
+       cum, ns
+  WHERE cum >= (i * _ns + {RANGE_PARTS - 1}) // {RANGE_PARTS}
+  GROUP BY i
+),
+assigned AS (
+  SELECT CAST((SELECT count(*) FROM bounds b
+               WHERE b.split_val <= o.o_custkey) AS BIGINT) AS part
+  FROM orders o
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS _nt FROM orders)
+SELECT part,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(count(*) / CAST(_nt AS DOUBLE), 4) AS share,
+       round(count(*) * {RANGE_PARTS} / CAST(_nt AS DOUBLE), 4) AS skew_ratio
+FROM assigned CROSS JOIN tot
+GROUP BY part, _nt
+ORDER BY part
+"""
+
+
 QUERIES = {
     "q56_salted_agg": q56_salted_agg,
     "q128_zorder_stats": q128_zorder_stats,
@@ -582,6 +829,9 @@ QUERIES = {
     "q155_column_profile": q155_column_profile,
     "q168_sketch_quantiles": q168_sketch_quantiles,
     "q182_join_size_advisor": q182_join_size_advisor,
+    "q187_bucket_layout": q187_bucket_layout,
+    "q188_salt_plan": q188_salt_plan,
+    "q194_range_partition_plan": q194_range_partition_plan,
 }
 
 ORACLE = {
@@ -592,4 +842,7 @@ ORACLE = {
     "q155_column_profile": Q155_SQL,
     "q168_sketch_quantiles": Q168_SQL,
     "q182_join_size_advisor": Q182_SQL,
+    "q187_bucket_layout": Q187_SQL,
+    "q188_salt_plan": Q188_SQL,
+    "q194_range_partition_plan": Q194_SQL,
 }

@@ -1139,6 +1139,97 @@ ORDER BY event_type, week
 """
 
 
+# ---------------------------------------------------------------------------
+# q195 — top session journeys: the most common event-type paths taken
+# within a session (q106's gaps-and-islands boundaries), truncated to
+# the first JOURNEY_STEPS steps — the sequence-mining primitive behind
+# "how do users actually reach purchase" product analytics and behavior
+# -cloning trajectory curation. Path assembly is deterministic on both
+# engines: steps are numbered by (ts, event_id) and the path string is
+# built from the SORTED (step, type) structs, never from unordered
+# collect_list. The step cap bounds path-string size (state per
+# session is O(JOURNEY_STEPS), not O(session length)); the path
+# aggregation shuffles one short string per session; top-N plans as
+# TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+JOURNEY_STEPS = 5
+JOURNEY_TOP = 15
+
+
+def q195_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("long")
+    prev = F.lag(secs).over(w)
+    is_new = F.when(
+        prev.isNull() | ((secs - prev) > SESSION_GAP), F.lit(1)
+    ).otherwise(F.lit(0))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(is_new).over(cum).cast("bigint").alias("session_seq"),
+    )
+    sw = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    steps = sess.withColumn("step", F.row_number().over(sw)).where(
+        F.col("step") <= JOURNEY_STEPS
+    )
+    paths = steps.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("step", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(JOURNEY_TOP)
+    )
+
+
+Q195_SQL = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM marked
+),
+steps AS (
+  SELECT user_id, session_seq, event_type,
+         row_number() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY ts, event_id) AS step
+  FROM sess
+),
+paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY step) AS path
+  FROM steps
+  WHERE step <= {JOURNEY_STEPS}
+  GROUP BY user_id, session_seq
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {JOURNEY_TOP}
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
     "q59_range_join": q59_range_join,
@@ -1156,6 +1247,7 @@ QUERIES = {
     "q167_wow_trend": q167_wow_trend,
     "q171_burstiness": q171_burstiness,
     "q180_last_touch": q180_last_touch,
+    "q195_session_paths": q195_session_paths,
 }
 
 ORACLE = {
@@ -1175,4 +1267,5 @@ ORACLE = {
     "q167_wow_trend": Q167_SQL,
     "q171_burstiness": Q171_SQL,
     "q180_last_touch": Q180_SQL,
+    "q195_session_paths": Q195_SQL,
 }

@@ -1070,6 +1070,121 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# q190 — compression-ratio proxy per source: distinct/total 4-gram and
+# type/token ratios — the cheap stand-in for the "gzip compressibility"
+# quality signal used by web-corpus curation (highly repetitive =
+# highly compressible = low-value training text; cf. Gopher's
+# repetition filters, which q64 applies per document — this is the
+# SOURCE-level roll-up that decides whether a whole crawl slice is
+# boilerplate). Totals come from array arithmetic WITHOUT exploding
+# (one narrow agg); only the distinct counts explode, and those grams
+# shuffle once each with map-side partial distinct. At 100 TB the
+# shuffle carries (source, gram) pairs only — never document bodies.
+# ---------------------------------------------------------------------------
+COMPRESS_N = 4
+
+
+def q190_compression_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "source", _words(F.col("text")).alias("words")
+    )
+    n = F.size("words")
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(n).cast("bigint").alias("n_words"),
+        F.sum(F.greatest(n - (COMPRESS_N - 1), F.lit(0)))
+        .cast("bigint")
+        .alias("n_grams"),
+    )
+    grams = (
+        docs.where(n >= COMPRESS_N)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - COMPRESS_N),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("words", i + 1, COMPRESS_N)
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("gram").cast("bigint").alias("n_grams_distinct"))
+    )
+    words = (
+        docs.select("source", F.explode("words").alias("word"))
+        .groupBy("source")
+        .agg(F.countDistinct("word").cast("bigint").alias("n_words_distinct"))
+    )
+    return (
+        totals.join(grams, "source", "left")
+        .join(words, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_grams",
+            F.coalesce("n_grams_distinct", F.lit(0)).alias("n_grams_distinct"),
+            F.coalesce("n_words_distinct", F.lit(0)).alias("n_words_distinct"),
+            F.round(
+                1 - F.coalesce("n_grams_distinct", F.lit(0)) / F.col("n_grams"),
+                4,
+            ).alias("gram_redundancy"),
+            F.round(
+                F.coalesce("n_words_distinct", F.lit(0)) / F.col("n_words"), 4
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+Q190_SQL = f"""
+WITH base AS (
+  SELECT source, string_split(lower(text), ' ') AS words FROM documents
+),
+totals AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(words)) AS BIGINT) AS n_words,
+         CAST(sum(greatest(len(words) - {COMPRESS_N - 1}, 0)) AS BIGINT)
+             AS n_grams
+  FROM base GROUP BY source
+),
+grams AS (
+  SELECT source,
+         CAST(count(DISTINCT gram) AS BIGINT) AS n_grams_distinct
+  FROM (
+    SELECT source,
+           unnest(list_transform(
+             generate_series(0, len(words) - {COMPRESS_N}),
+             i -> array_to_string(words[i + 1 : i + {COMPRESS_N}], ' ')
+           )) AS gram
+    FROM base
+    WHERE len(words) >= {COMPRESS_N}
+  )
+  GROUP BY source
+),
+w AS (
+  SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS n_words_distinct
+  FROM (SELECT source, unnest(words) AS word FROM base)
+  GROUP BY source
+)
+SELECT t.source, n_docs, n_words, n_grams,
+       coalesce(n_grams_distinct, 0) AS n_grams_distinct,
+       coalesce(n_words_distinct, 0) AS n_words_distinct,
+       round(1 - coalesce(n_grams_distinct, 0) / CAST(n_grams AS DOUBLE), 4)
+           AS gram_redundancy,
+       round(coalesce(n_words_distinct, 0) / CAST(n_words AS DOUBLE), 4)
+           AS type_token_ratio
+FROM totals t
+LEFT JOIN grams g ON t.source = g.source
+LEFT JOIN w ON t.source = w.source
+ORDER BY t.source
+"""
+
+
 QUERIES = {
     "q37_lang_id": q37_lang_id,
     "q38_text_quality": q38_text_quality,
@@ -1088,6 +1203,7 @@ QUERIES = {
     "q172_lang_confusion": q172_lang_confusion,
     "q179_pii_inventory": q179_pii_inventory,
     "q181_neardup_explain": q181_neardup_explain,
+    "q190_compression_proxy": q190_compression_proxy,
 }
 
 ORACLE = {
@@ -1108,4 +1224,5 @@ ORACLE = {
     "q172_lang_confusion": _q172_sql(),
     "q179_pii_inventory": Q179_SQL,
     "q181_neardup_explain": Q181_SQL,
+    "q190_compression_proxy": Q190_SQL,
 }

@@ -682,6 +682,91 @@ def run_enrich_stream(
     )
 
 
+# ---------------------------------------------------------------------------
+# q191 — event debounce profile: collapse retriggered events to one per
+# (user, type, 10-minute tumbling window) and report how much each
+# event type shrinks — the sessionless cousin of dedup for telemetry
+# firehoses (double-clicks, retry storms, at-least-once replays that
+# share no event_id). The batch twin is pure counting: kept =
+# distinct (user, window) per type, so the result is independent of
+# WHICH row survives — exactly why the streaming execution
+# (run_debounce_stream, dropDuplicatesWithinWatermark on the same key)
+# is equivalence-testable without fixing intra-batch arrival order.
+# One shuffle on (type, user, window); distinct partials map-side.
+# ---------------------------------------------------------------------------
+DEBOUNCE_WINDOW = "10 minutes"
+
+
+def q191_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type",
+        "user_id",
+        F.window("ts", DEBOUNCE_WINDOW)["start"].alias("w"),
+    )
+    return (
+        keyed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.countDistinct("user_id", "w").cast("bigint").alias("n_kept"),
+        )
+        .select(
+            "event_type",
+            "n_total",
+            "n_kept",
+            F.round(1 - F.col("n_kept") / F.col("n_total"), 4).alias(
+                "debounce_share"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q191_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(DISTINCT (user_id, time_bucket(INTERVAL '10 minutes', ts)))
+            AS BIGINT) AS n_kept,
+       round(1 - count(DISTINCT (user_id,
+                                 time_bucket(INTERVAL '10 minutes', ts)))
+                 / CAST(count(*) AS DOUBLE), 4) AS debounce_share
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def run_debounce_stream(
+    spark: SparkSession,
+    src_dir: str,
+    sink_table: str = "debounce_out",
+    watermark: str = "30 minutes",
+) -> None:
+    """Streaming execution of q191's kept-side: one survivor per
+    (user_id, event_type, 10-minute window) via
+    ``dropDuplicatesWithinWatermark`` — state for a window's keys is
+    released once the watermark passes, so state size is bounded by the
+    active horizon, not the stream's lifetime. Complete-mode per-type
+    counts land in a memory sink; the equivalence test checks them
+    against q191's ``n_kept`` (survivor identity is intentionally not
+    part of the contract — see the batch-twin comment)."""
+    ev = _events_stream(spark, src_dir).withWatermark("ts", watermark)
+    kept = ev.withColumn(
+        "w", F.window("ts", DEBOUNCE_WINDOW)["start"]
+    ).dropDuplicatesWithinWatermark(["user_id", "event_type", "w"])
+    counts = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    (
+        counts.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 QUERIES = {
     "q31_tumbling_window": q31_tumbling_window,
     "q32_sliding_window": q32_sliding_window,
@@ -690,6 +775,7 @@ QUERIES = {
     "q71_stats_agg": q71_stats_agg,
     "q111_stream_static_enrich": q111_stream_static_enrich,
     "q124_outer_attribution": q124_outer_attribution,
+    "q191_debounce": q191_debounce,
 }
 
 ORACLE = {
@@ -700,4 +786,5 @@ ORACLE = {
     "q71_stats_agg": Q71_SQL,
     "q111_stream_static_enrich": Q111_SQL,
     "q124_outer_attribution": Q124_SQL,
+    "q191_debounce": Q191_SQL,
 }

@@ -642,3 +642,74 @@ def test_q183_dup_curve_single_fp_shuffle(spark, sf_dir):
     plan = plan_of(c.q183_dup_rate_curve(spark, sf_dir))
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q187_bucket_layout_single_scan_broadcast_total(spark, sf_dir):
+    """Totals fold to a 1-row broadcast; the parquet scan reads only
+    (doc_id, n_chars) — the text column never leaves the scan."""
+    from generative_ai_vector_db_spark.operators import scale as sc
+
+    plan = plan_of(sc.q187_bucket_layout(spark, sf_dir))
+    assert "Python" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema
+
+
+def test_q188_salt_plan_topn_and_broadcast_mean(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import scale as sc
+
+    plan = plan_of(sc.q188_salt_plan(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # top-N, no global sort
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q194_range_plan_boundaries_broadcast_to_audit(spark, sf_dir):
+    """The audit pass computes partition ids map-side from ONE broadcast
+    boundary array — no per-row boundary blowup join, no Python."""
+    from generative_ai_vector_db_spark.operators import scale as sc
+
+    plan = plan_of(sc.q194_range_partition_plan(spark, sf_dir))
+    assert "Python" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the full-orders audit side aggregates on the tiny part key only
+    assert "CartesianProduct" not in plan
+
+
+def test_q190_compression_proxy_no_python_no_cartesian(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import text as tx
+
+    plan = plan_of(tx.q190_compression_proxy(spark, sf_dir))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q193_pagerank_plan_depth_bounded(spark, sf_dir):
+    """Iteration hygiene: ranks are localCheckpointed per round, so the
+    FINAL plan embeds only the last round's join + the top-N — not the
+    whole 5-round lineage (scans appear as checkpointed RDDs)."""
+    from generative_ai_vector_db_spark.operators import graph as g
+
+    plan = plan_of(g.q193_graph_pagerank(spark, sf_dir))
+    assert plan.count("HashAggregate") <= 8  # one round, not five
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+
+
+def test_q192_coverage_reuses_ranked_candidates(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import retrieval as rt
+
+    plan = plan_of(rt.q192_citation_coverage(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_q195_session_paths_bounded_state(spark, sf_dir):
+    """Path strings are built from the step-capped slice; the final
+    top-N is a TakeOrderedAndProject, not a global sort."""
+    from generative_ai_vector_db_spark.operators import temporal as tp
+
+    plan = plan_of(tp.q195_session_paths(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan

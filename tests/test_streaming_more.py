@@ -231,3 +231,25 @@ def test_dedup_stream_bounded_state(spark, sf_dir):
         assert got["event_id"].is_unique
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_debounce_stream_equals_batch_twin(spark, sf_dir, events_src):
+    """run_debounce_stream (dropDuplicatesWithinWatermark on
+    (user, type, 10-min window)): the streamed per-type survivor counts
+    equal q191's batch ``n_kept`` — the contract is count-equivalence,
+    not survivor identity (see the q191 batch-twin comment)."""
+    jobs.run_debounce_stream(spark, events_src, sink_table="t_debounce")
+    got = (
+        spark.table("t_debounce")
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = (
+        jobs.q191_debounce(spark, sf_dir)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["n_kept"].tolist() == want["n_kept"].tolist()
