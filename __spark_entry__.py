@@ -102,7 +102,8 @@ _PRIORITY = [
     "q187_bucket_layout", "q188_salt_plan", "q189_embedding_drift",
     "q190_compression_proxy", "q191_debounce", "q192_citation_coverage",
     "q193_graph_pagerank", "q194_range_partition_plan",
-    "q195_session_paths",
+    "q195_session_paths", "q196_weighted_length_quartiles",
+    "q197_vector_integrity", "q198_purge_audit", "q199_rate_limit",
     # tier 2 — previously-green backfill for the remaining window slots,
     # oldest evidence first (r1 rows predate two testdata regenerations).
     "q03_tpch_q1", "q12_dedup_exact", "q13_window_topk",

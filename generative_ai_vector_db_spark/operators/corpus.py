@@ -970,6 +970,85 @@ ORDER BY f.source
 """
 
 
+# ---------------------------------------------------------------------------
+# q196 — token-mass-weighted length quartiles per source: "what
+# document length does the median TRAINING TOKEN come from" — the
+# distribution that actually matters for batch shaping and truncation
+# budgets (q103/q104), where the unweighted median (q88) is misleading
+# because one 10k-char doc carries the token mass of a hundred
+# 100-char docs. Pure integer arithmetic: per-source cumulative char
+# mass over (n_chars, doc_id) order, quartile = smallest length whose
+# cumulative mass reaches k/4 of the source total — no interpolation,
+# no float percentile, bit-identical on both engines. One window + one
+# aggregation, both partitioned by source (parallel across sources; no
+# global sort).
+# ---------------------------------------------------------------------------
+def q196_weighted_length_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tw = Window.partitionBy("source")
+    cum = docs.select(
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(w).cast("bigint").alias("cum"),
+        F.sum("n_chars").over(tw).cast("bigint").alias("total"),
+    )
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("total").cast("bigint").alias("total_chars"),
+            F.min(
+                F.when(F.col("cum") * 4 >= F.col("total"), F.col("n_chars"))
+            )
+            .cast("bigint")
+            .alias("wp25"),
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("total"), F.col("n_chars"))
+            )
+            .cast("bigint")
+            .alias("wmedian"),
+            F.min(
+                F.when(F.col("cum") * 4 >= F.col("total") * 3, F.col("n_chars"))
+            )
+            .cast("bigint")
+            .alias("wp75"),
+        )
+        .orderBy("source")
+    )
+
+
+Q196_SQL = """
+WITH cum AS (
+  SELECT source, n_chars,
+         CAST(sum(n_chars) OVER (PARTITION BY source
+                                 ORDER BY n_chars, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS total
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(total) AS BIGINT) AS total_chars,
+       CAST(min(CASE WHEN cum * 4 >= total THEN n_chars END) AS BIGINT)
+           AS wp25,
+       CAST(min(CASE WHEN cum * 2 >= total THEN n_chars END) AS BIGINT)
+           AS wmedian,
+       CAST(min(CASE WHEN cum * 4 >= total * 3 THEN n_chars END) AS BIGINT)
+           AS wp75
+FROM cum
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q79_token_packing": q79_token_packing,
     "q80_corpus_mixing": q80_corpus_mixing,
@@ -986,6 +1065,7 @@ QUERIES = {
     "q183_dup_rate_curve": q183_dup_rate_curve,
     "q184_epoch_shuffle": q184_epoch_shuffle,
     "q185_dedup_savings": q185_dedup_savings,
+    "q196_weighted_length_quartiles": q196_weighted_length_quartiles,
 }
 
 ORACLE = {
@@ -1004,4 +1084,5 @@ ORACLE = {
     "q183_dup_rate_curve": Q183_SQL,
     "q184_epoch_shuffle": Q184_SQL,
     "q185_dedup_savings": Q185_SQL,
+    "q196_weighted_length_quartiles": Q196_SQL,
 }

@@ -821,6 +821,106 @@ ORDER BY part
 """
 
 
+# ---------------------------------------------------------------------------
+# q198 — right-to-be-forgotten purge audit: given a deletion-request
+# cohort, how many rows must be purged from every table that carries
+# the user's data — the compliance dry-run that runs BEFORE q52-style
+# deletes execute, including the cascade the naive per-table scan
+# misses (lineitem rows carry no user key; they purge via their
+# order). The request cohort is a key-residue stand-in for the real
+# request table (which would be a broadcast side exactly like this
+# predicate). Direct tables are ONE conditional-count scan each; the
+# cascade is a key-only join against the purged orders' keys — at
+# 100 TB the purged-key side is ~request-rate-sized and broadcasts.
+# ---------------------------------------------------------------------------
+PURGE_MOD, PURGE_RESIDUE = 97, 3
+
+
+def q198_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    is_purged = lambda c: (F.col(c) % PURGE_MOD) == PURGE_RESIDUE  # noqa: E731
+
+    def direct(table: str, key: str) -> DataFrame:
+        t = load(spark, sf_dir, table)
+        return t.agg(
+            F.lit(table).alias("table"),
+            F.sum(is_purged(key).cast("bigint")).cast("bigint").alias(
+                "n_purge"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        )
+
+    purged_orders = (
+        load(spark, sf_dir, "orders")
+        .where(is_purged("o_custkey"))
+        .select("o_orderkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    cascade = (
+        li.join(
+            F.broadcast(purged_orders),
+            li.l_orderkey == purged_orders.o_orderkey,
+            "left",
+        )
+        .agg(
+            F.lit("lineitem").alias("table"),
+            F.sum(F.col("o_orderkey").isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_purge"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        )
+    )
+    out = (
+        direct("customer", "c_custkey")
+        .unionByName(direct("orders", "o_custkey"))
+        .unionByName(direct("events", "user_id"))
+        .unionByName(cascade)
+    )
+    return out.select(
+        "table",
+        "n_purge",
+        "n_total",
+        F.round(F.col("n_purge") / F.col("n_total").cast("double"), 4).alias(
+            "purge_share"
+        ),
+    ).orderBy("table")
+
+
+Q198_SQL = f"""
+WITH rows_out AS (
+  SELECT 'customer' AS "table",
+         CAST(sum(CASE WHEN c_custkey % {PURGE_MOD} = {PURGE_RESIDUE}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_purge,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM customer
+  UNION ALL
+  SELECT 'orders',
+         CAST(sum(CASE WHEN o_custkey % {PURGE_MOD} = {PURGE_RESIDUE}
+                  THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'events',
+         CAST(sum(CASE WHEN user_id % {PURGE_MOD} = {PURGE_RESIDUE}
+                  THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'lineitem',
+         CAST(sum(CASE WHEN o.o_orderkey IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM lineitem l
+  LEFT JOIN (SELECT o_orderkey FROM orders
+             WHERE o_custkey % {PURGE_MOD} = {PURGE_RESIDUE}) o
+    ON l.l_orderkey = o.o_orderkey
+)
+SELECT "table", n_purge, n_total,
+       round(n_purge / CAST(n_total AS DOUBLE), 4) AS purge_share
+FROM rows_out
+ORDER BY "table"
+"""
+
+
 QUERIES = {
     "q56_salted_agg": q56_salted_agg,
     "q128_zorder_stats": q128_zorder_stats,
@@ -832,6 +932,7 @@ QUERIES = {
     "q187_bucket_layout": q187_bucket_layout,
     "q188_salt_plan": q188_salt_plan,
     "q194_range_partition_plan": q194_range_partition_plan,
+    "q198_purge_audit": q198_purge_audit,
 }
 
 ORACLE = {
@@ -845,4 +946,5 @@ ORACLE = {
     "q187_bucket_layout": Q187_SQL,
     "q188_salt_plan": Q188_SQL,
     "q194_range_partition_plan": Q194_SQL,
+    "q198_purge_audit": Q198_SQL,
 }

@@ -1230,6 +1230,71 @@ LIMIT {JOURNEY_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# q199 — rate-limit audit: per-user rolling 1-hour event rate via a
+# RANGE window over event-time seconds, with quota breaches counted —
+# the batch twin of a streaming rate limiter (and the abuse-triage
+# view an ingest firehose needs before q56-style salting decisions:
+# the top offenders here ARE the hot keys). RANGE frames include
+# same-timestamp peers identically in Spark and DuckDB, and the frame
+# is integer seconds — no float, no interpolation. Work is partitioned
+# by user (parallel across users, state bounded by one user's 1-hour
+# horizon); top-N plans as TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+RATE_WINDOW_SEC = 3600
+RATE_QUOTA = 3  # max events per rolling hour before a breach
+RATE_TOP = 50
+
+
+def q199_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    secs = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-(RATE_WINDOW_SEC - 1), 0)
+    )
+    rolled = ev.select(
+        "user_id", F.count(F.lit(1)).over(w).cast("bigint").alias("rate_1h")
+    )
+    return (
+        rolled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("rate_1h").cast("bigint").alias("max_rate_1h"),
+            F.sum((F.col("rate_1h") > RATE_QUOTA).cast("bigint"))
+            .cast("bigint")
+            .alias("n_breaches"),
+        )
+        .orderBy(F.desc("max_rate_1h"), F.desc("n_breaches"), "user_id")
+        .limit(RATE_TOP)
+    )
+
+
+Q199_SQL = f"""
+WITH rolled AS (
+  -- floor(epoch) = whole seconds, matching Spark's CAST(ts AS LONG)
+  -- truncation (events carry sub-second precision; a fractional RANGE
+  -- key would shift frame membership between engines)
+  SELECT user_id,
+         CAST(count(*) OVER (PARTITION BY user_id
+                             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                             RANGE BETWEEN {RATE_WINDOW_SEC - 1} PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS rate_1h
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(rate_1h) AS BIGINT) AS max_rate_1h,
+       CAST(sum(CASE WHEN rate_1h > {RATE_QUOTA} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_breaches
+FROM rolled
+GROUP BY user_id
+ORDER BY max_rate_1h DESC, n_breaches DESC, user_id
+LIMIT {RATE_TOP}
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
     "q59_range_join": q59_range_join,
@@ -1248,6 +1313,7 @@ QUERIES = {
     "q171_burstiness": q171_burstiness,
     "q180_last_touch": q180_last_touch,
     "q195_session_paths": q195_session_paths,
+    "q199_rate_limit": q199_rate_limit,
 }
 
 ORACLE = {
@@ -1268,4 +1334,5 @@ ORACLE = {
     "q171_burstiness": Q171_SQL,
     "q180_last_touch": Q180_SQL,
     "q195_session_paths": Q195_SQL,
+    "q199_rate_limit": Q199_SQL,
 }

@@ -760,6 +760,129 @@ ORDER BY tau
 """
 
 
+# ---------------------------------------------------------------------------
+# q197 — vector-store integrity audit: the q139 referential audit
+# extended to the vector side of the house — the checks run before an
+# embedding snapshot is promoted to serving. Five checks, each ONE
+# pass shaped like q139's (left join with hit marker / conditional
+# aggregate, never count()+anti-join):
+#   vec_without_doc / doc_without_vec — the doc<->embedding contract
+#     (reference stores them 1:1, app.py:372-385);
+#   zero_vector — all-zero embeddings (cosine undefined, q26 would
+#     divide by zero);
+#   nonfinite_dim — any NaN/Inf component (poisons every distance);
+#   dim_mismatch — wrong dimensionality (breaks ANN index layout).
+# Array checks are scan-side higher-order functions (no explode — the
+# 64-wide arrays never leave the scan stage); id joins carry ids only.
+# ---------------------------------------------------------------------------
+EXPECT_DIM = 64  # contract dimensionality of the embeddings table
+
+
+def q197_vector_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("_d")
+    )
+    doc_ids = docs.distinct()
+    vec_ids = emb.select(F.col("vec_id").alias("_v")).distinct()
+
+    vec_side = (
+        emb.join(doc_ids, emb.vec_id == doc_ids._d, "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.col("_d").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("vec_without_doc"),
+            F.sum(
+                (
+                    ~F.exists(
+                        "embedding", lambda x: x != F.lit(0.0)
+                    )
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("zero_vector"),
+            F.sum(
+                F.exists(
+                    "embedding",
+                    lambda x: F.isnan(x) | (F.abs(x) == float("inf")),
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("nonfinite_dim"),
+            F.sum((F.size("embedding") != EXPECT_DIM).cast("bigint"))
+            .cast("bigint")
+            .alias("dim_mismatch"),
+        )
+    )
+    doc_side = docs.join(vec_ids, docs._d == vec_ids._v, "left").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.col("_v").isNull().cast("bigint"))
+        .cast("bigint")
+        .alias("doc_without_vec"),
+    )
+    rows = [
+        ("vec_without_doc", F.col("vec_without_doc")),
+        ("zero_vector", F.col("zero_vector")),
+        ("nonfinite_dim", F.col("nonfinite_dim")),
+        ("dim_mismatch", F.col("dim_mismatch")),
+    ]
+    per_check = vec_side.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(name).alias("check"), c.alias("n_bad"))
+                    for name, c in rows
+                ]
+            )
+        ).alias("r"),
+        "n_total",
+    ).select("r.check", "r.n_bad", "n_total")
+    doc_row = doc_side.select(
+        F.lit("doc_without_vec").alias("check"),
+        F.col("doc_without_vec").alias("n_bad"),
+        "n_total",
+    )
+    return per_check.unionByName(doc_row).orderBy("check")
+
+
+Q197_SQL = f"""
+WITH vec_side AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS vec_without_doc,
+         CAST(sum(CASE WHEN len(list_filter(e.embedding, x -> x != 0.0)) = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS zero_vector,
+         CAST(sum(CASE WHEN len(list_filter(e.embedding,
+                                x -> isnan(x) OR isinf(x))) > 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS nonfinite_dim,
+         CAST(sum(CASE WHEN len(e.embedding) != {EXPECT_DIM} THEN 1 ELSE 0 END)
+              AS BIGINT) AS dim_mismatch
+  FROM embeddings e
+  LEFT JOIN (SELECT DISTINCT doc_id FROM documents) d
+    ON e.vec_id = d.doc_id
+),
+doc_side AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN v.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS doc_without_vec
+  FROM documents d
+  LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings) v
+    ON d.doc_id = v.vec_id
+)
+SELECT 'dim_mismatch' AS "check", dim_mismatch AS n_bad, n_total FROM vec_side
+UNION ALL
+SELECT 'doc_without_vec', doc_without_vec, n_total FROM doc_side
+UNION ALL
+SELECT 'nonfinite_dim', nonfinite_dim, n_total FROM vec_side
+UNION ALL
+SELECT 'vec_without_doc', vec_without_doc, n_total FROM vec_side
+UNION ALL
+SELECT 'zero_vector', zero_vector, n_total FROM vec_side
+ORDER BY "check"
+"""
+
+
 QUERIES = {
     "q25_knn_l2": q25_knn_l2,
     "q26_knn_cosine": q26_knn_cosine,
@@ -773,6 +896,7 @@ QUERIES = {
     "q153_matryoshka_retention": q153_matryoshka_retention,
     "q169_threshold_curve": q169_threshold_curve,
     "q178_hard_negatives": q178_hard_negatives,
+    "q197_vector_integrity": q197_vector_integrity,
 }
 
 ORACLE = {
@@ -786,4 +910,5 @@ ORACLE = {
     "q153_matryoshka_retention": Q153_SQL,
     "q169_threshold_curve": Q169_SQL,
     "q178_hard_negatives": Q178_SQL,
+    "q197_vector_integrity": Q197_SQL,
 }

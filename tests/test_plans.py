@@ -713,3 +713,41 @@ def test_q195_session_paths_bounded_state(spark, sf_dir):
     plan = plan_of(tp.q195_session_paths(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "Python" not in plan
+
+
+def test_q196_weighted_quartiles_partitioned_windows(spark, sf_dir):
+    """Both windows partition by source — no single-partition global
+    window; the text column never leaves the scan."""
+    from generative_ai_vector_db_spark.operators import corpus as cp
+
+    plan = plan_of(cp.q196_weighted_length_quartiles(spark, sf_dir))
+    assert "Python" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema
+
+
+def test_q197_vector_integrity_no_explode(spark, sf_dir):
+    """Array health checks are scan-side higher-order functions; the
+    64-wide embedding array is never exploded or shuffled."""
+    from generative_ai_vector_db_spark.operators import vector as v
+
+    plan = plan_of(v.q197_vector_integrity(spark, sf_dir))
+    assert "Generate explode" not in plan
+    assert "Python" not in plan
+
+
+def test_q198_purge_audit_broadcasts_purged_keys(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import scale as sc
+
+    plan = plan_of(sc.q198_purge_audit(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q199_rate_limit_user_partitioned_window(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import temporal as tp
+
+    plan = plan_of(tp.q199_rate_limit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
