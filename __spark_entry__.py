@@ -104,6 +104,8 @@ _PRIORITY = [
     "q193_graph_pagerank", "q194_range_partition_plan",
     "q195_session_paths", "q196_weighted_length_quartiles",
     "q197_vector_integrity", "q198_purge_audit", "q199_rate_limit",
+    "q200_recursive_hierarchy", "q201_context_budget",
+    "q202_compaction_plan", "q203_decile_lift",
     # tier 2 — previously-green backfill for the remaining window slots,
     # oldest evidence first (r1 rows predate two testdata regenerations).
     "q03_tpch_q1", "q12_dedup_exact", "q13_window_topk",

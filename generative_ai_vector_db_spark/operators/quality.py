@@ -1242,6 +1242,117 @@ ORDER BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# q203 — engagement decile lift curve: rank users by event volume,
+# split into deciles, report each decile's purchase rate vs the
+# population ("does targeting the top 10% actually buy more") — the
+# gains-chart primitive behind every targeting/propensity evaluation.
+# The global user ranking does NOT use a single-partition ntile: rank =
+# base + intra, where base = users with strictly higher engagement
+# (a cumulative over the per-VALUE histogram — cardinality = distinct
+# engagement counts, tiny) and intra = row_number partitioned BY VALUE
+# (parallel). Ties therefore split across decile boundaries exactly
+# like ntile but with a deterministic (engagement desc, user_id) total
+# order — and the plan stays distributed at any user count. All decile
+# math is integer; rates/lift are single divisions of integers.
+# ---------------------------------------------------------------------------
+LIFT_BUCKETS = 10
+
+
+def q203_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max((F.col("event_type") == "purchase").cast("bigint")).alias(
+            "is_buyer"
+        ),
+    )
+    hist = per_user.groupBy("n_events").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nu")
+    )
+    hw = Window.orderBy(F.desc("n_events")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    base = hist.select(
+        "n_events",
+        F.coalesce(F.sum("nu").over(hw), F.lit(0)).cast("bigint").alias(
+            "base"
+        ),
+    )
+    iw = Window.partitionBy("n_events").orderBy("user_id")
+    tot = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_u"),
+        F.sum("is_buyer").cast("bigint").alias("_buyers"),
+    )
+    ranked = (
+        per_user.join(F.broadcast(base), "n_events")
+        .withColumn("rk", F.col("base") + F.row_number().over(iw))
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        ranked.groupBy(
+            F.expr(f"((rk - 1) * {LIFT_BUCKETS}) div _u").cast("bigint").alias(
+                "decile"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("is_buyer").cast("bigint").alias("n_buyers"),
+            F.round(
+                F.sum("is_buyer") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("buy_rate"),
+            F.round(
+                (F.sum("is_buyer") * F.max("_u"))
+                / (F.count(F.lit(1)) * F.max("_buyers")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+Q203_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS is_buyer
+  FROM events GROUP BY user_id
+),
+hist AS (
+  SELECT n_events, CAST(count(*) AS BIGINT) AS nu
+  FROM per_user GROUP BY n_events
+),
+base AS (
+  SELECT n_events,
+         CAST(coalesce(sum(nu) OVER (ORDER BY n_events DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS base
+  FROM hist
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS _u,
+         CAST(sum(is_buyer) AS BIGINT) AS _buyers
+  FROM per_user
+),
+ranked AS (
+  SELECT p.user_id, p.is_buyer,
+         b.base + row_number() OVER (PARTITION BY p.n_events
+                                     ORDER BY p.user_id) AS rk
+  FROM per_user p JOIN base b USING (n_events)
+)
+SELECT CAST(((rk - 1) * {LIFT_BUCKETS}) // _u AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(is_buyer) AS BIGINT) AS n_buyers,
+       round(sum(is_buyer) / CAST(count(*) AS DOUBLE), 4) AS buy_rate,
+       round((sum(is_buyer) * max(_u))
+             / CAST(count(*) * max(_buyers) AS DOUBLE), 4) AS lift
+FROM ranked CROSS JOIN tot
+GROUP BY ((rk - 1) * {LIFT_BUCKETS}) // _u
+ORDER BY decile
+"""
+
+
 QUERIES = {
     "q93_gopher_quality": q93_gopher_quality,
     "q94_source_cap": q94_source_cap,
@@ -1262,6 +1373,7 @@ QUERIES = {
     "q170_funnel_timing": q170_funnel_timing,
     "q177_covisitation": q177_covisitation,
     "q189_embedding_drift": q189_embedding_drift,
+    "q203_decile_lift": q203_decile_lift,
 }
 
 ORACLE = {
@@ -1284,4 +1396,5 @@ ORACLE = {
     "q170_funnel_timing": Q170_SQL,
     "q177_covisitation": Q177_SQL,
     "q189_embedding_drift": Q189_SQL,
+    "q203_decile_lift": Q203_SQL,
 }

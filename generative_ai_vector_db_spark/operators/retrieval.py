@@ -757,6 +757,74 @@ ORDER BY rank
 """
 
 
+# ---------------------------------------------------------------------------
+# q201 — context-budget packing: how much of the q83 top-K ranking
+# actually fits the prompt's context budget, in rank order, with the
+# first partially-fitting document truncated (q104's truncation
+# semantics applied to the RAG assembly step, reference "\n\n".join at
+# app.py:418 — which has NO budget and silently overflows the model
+# window; this is the budget-aware version a production pipeline
+# ships). Pure integer arithmetic over the K-row ranked candidate set:
+# a running-sum window by rank, fit_chars = clamp(budget - prev_cum),
+# all post-ranking work on K rows — the corpus is touched only by q83.
+# ---------------------------------------------------------------------------
+CONTEXT_BUDGET_CHARS = 1200
+
+
+def q201_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    top = q83_bm25_topk(spark, sf_dir).select("doc_id", "rn")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = top.join(docs, "doc_id").select(
+        "rn",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("prev_cum"),
+    )
+    fit = F.greatest(
+        F.lit(0),
+        F.least(
+            F.col("n_chars"),
+            F.lit(CONTEXT_BUDGET_CHARS) - F.col("prev_cum"),
+        ),
+    )
+    return ranked.select(
+        "rn",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        fit.cast("bigint").alias("fit_chars"),
+        (fit == F.col("n_chars")).alias("fully_included"),
+    ).orderBy("rn")
+
+
+Q201_SQL = f"""
+WITH {_BM25_CTE},
+ranked AS (
+  SELECT doc_id, round(score, 4) AS bm25,
+         row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rn
+  FROM bm25s
+),
+top AS (SELECT doc_id, rn FROM ranked WHERE rn <= {K}),
+cums AS (
+  SELECT t.rn, t.doc_id, d.n_chars,
+         CAST(coalesce(sum(d.n_chars) OVER (ORDER BY t.rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS prev_cum
+  FROM top t JOIN documents d USING (doc_id)
+)
+SELECT rn, doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(greatest(0, least(n_chars, {CONTEXT_BUDGET_CHARS} - prev_cum))
+            AS BIGINT) AS fit_chars,
+       greatest(0, least(n_chars, {CONTEXT_BUDGET_CHARS} - prev_cum))
+           = n_chars AS fully_included
+FROM cums
+ORDER BY rn
+"""
+
+
 QUERIES = {
     "q83_bm25_topk": q83_bm25_topk,
     "q84_hybrid_rrf": q84_hybrid_rrf,
@@ -766,6 +834,7 @@ QUERIES = {
     "q146_pmi_collocations": q146_pmi_collocations,
     "q161_ce_rerank": q161_ce_rerank,
     "q192_citation_coverage": q192_citation_coverage,
+    "q201_context_budget": q201_context_budget,
 }
 
 ORACLE = {
@@ -777,4 +846,5 @@ ORACLE = {
     "q146_pmi_collocations": Q146_SQL,
     "q161_ce_rerank": Q161_SQL,
     "q192_citation_coverage": Q192_SQL,
+    "q201_context_budget": Q201_SQL,
 }

@@ -294,6 +294,37 @@ def q164_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, Q164)
 
 
+# Recursive CTE (Spark 4 WITH RECURSIVE): hierarchy walk over the
+# implicit binary tree parent(doc) = floor(doc_id / 2) — the
+# thread-reconstruction / org-rollup shape users write directly in SQL
+# now that Spark supports it. The SAME text runs on both engines;
+# depth is O(log n) (16 levels at sf0.1), far under Spark's recursion
+# limit, and each recursion step is one equi-join on the parent key —
+# the iterative q76/q193 loop expressed declaratively.
+Q200 = """
+WITH RECURSIVE tree AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS depth
+  FROM documents WHERE doc_id = 1
+  UNION ALL
+  SELECT c.doc_id, t.depth + 1
+  FROM documents c
+  JOIN tree t ON CAST(floor(c.doc_id / 2) AS BIGINT) = t.doc_id
+  WHERE c.doc_id > 1
+)
+SELECT depth,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM tree
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+def q200_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, Q200)
+
+
 QUERIES = {
     "q67_correlated_min": q67_correlated_min,
     "q68_exists_distribution": q68_exists_distribution,
@@ -306,6 +337,7 @@ QUERIES = {
     "q135_tpch_q20_shape": q135_tpch_q20_shape,
     "q148_tpch_q6_shape": q148_tpch_q6_shape,
     "q164_cube_profile": q164_cube_profile,
+    "q200_recursive_hierarchy": q200_recursive_hierarchy,
 }
 
 # The same ANSI text runs on both engines (views share names/schemas).
@@ -321,4 +353,5 @@ ORACLE = {
     "q135_tpch_q20_shape": Q135,
     "q148_tpch_q6_shape": Q148,
     "q164_cube_profile": Q164,
+    "q200_recursive_hierarchy": Q200,
 }

@@ -255,14 +255,107 @@ ORDER BY change_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q202 — small-file compaction planner: the OPTIMIZE dry-run for a
+# store partitioned by source whose continuous ingest (q50/ingest
+# stream) left one file per micro-batch. Ingest batches (doc_id
+# blocks) stand in for the file listing the real planner reads from
+# the store manifest; the plan packs consecutive batches into
+# FILE_TARGET-byte output files with a running-sum bin assignment —
+# deterministic integer arithmetic, one window per source partition
+# (parallel across sources, exactly how the rewrite would execute:
+# compaction never shuffles across partition boundaries). Report =
+# before/after file counts and sizes per source — the numbers that
+# justify (or skip) the rewrite I/O.
+# ---------------------------------------------------------------------------
+COMPACT_BATCH = 50  # docs per ingest micro-batch (file stand-in)
+FILE_TARGET = 4096  # target output file bytes at fixture scale
+
+
+def q202_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    batches = (
+        docs.select(
+            "source",
+            F.expr(f"doc_id div {COMPACT_BATCH}").alias("batch"),
+            "n_chars",
+        )
+        .groupBy("source", "batch")
+        .agg(F.sum("n_chars").cast("bigint").alias("bytes"))
+    )
+    packed = batches.select(
+        "source",
+        "batch",
+        "bytes",
+        F.expr(
+            f"coalesce(sum(bytes) over (partition by source order by batch "
+            f"rows between unbounded preceding and 1 preceding), 0) "
+            f"div {FILE_TARGET}"
+        ).alias("shard"),
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.countDistinct("batch").cast("bigint").alias("n_files_before"),
+            F.countDistinct("shard").cast("bigint").alias("n_files_after"),
+            F.sum("bytes").cast("bigint").alias("total_bytes"),
+        )
+        .select(
+            "source",
+            "n_files_before",
+            "n_files_after",
+            "total_bytes",
+            F.round(
+                F.col("total_bytes") / F.col("n_files_before").cast("double"),
+                4,
+            ).alias("avg_bytes_before"),
+            F.round(
+                F.col("total_bytes") / F.col("n_files_after").cast("double"),
+                4,
+            ).alias("avg_bytes_after"),
+        )
+        .orderBy("source")
+    )
+
+
+Q202_SQL = f"""
+WITH batches AS (
+  SELECT source, doc_id // {COMPACT_BATCH} AS batch,
+         CAST(sum(n_chars) AS BIGINT) AS bytes
+  FROM documents
+  GROUP BY source, doc_id // {COMPACT_BATCH}
+),
+packed AS (
+  SELECT source, batch, bytes,
+         coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY batch
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // {FILE_TARGET} AS shard
+  FROM batches
+)
+SELECT source,
+       CAST(count(DISTINCT batch) AS BIGINT) AS n_files_before,
+       CAST(count(DISTINCT shard) AS BIGINT) AS n_files_after,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       round(sum(bytes) / CAST(count(DISTINCT batch) AS DOUBLE), 4)
+           AS avg_bytes_before,
+       round(sum(bytes) / CAST(count(DISTINCT shard) AS DOUBLE), 4)
+           AS avg_bytes_after
+FROM packed
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q52_delete_by_source": q52_delete_by_source,
     "q123_store_upsert": q123_store_upsert,
     "q176_snapshot_diff": q176_snapshot_diff,
+    "q202_compaction_plan": q202_compaction_plan,
 }
 
 ORACLE = {
     "q52_delete_by_source": Q52_SQL,
     "q123_store_upsert": Q123_SQL,
     "q176_snapshot_diff": Q176_SQL,
+    "q202_compaction_plan": Q202_SQL,
 }

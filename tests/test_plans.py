@@ -751,3 +751,45 @@ def test_q199_rate_limit_user_partitioned_window(spark, sf_dir):
     plan = plan_of(tp.q199_rate_limit(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "Python" not in plan
+
+
+def test_q200_recursive_cte_runs_and_unions(spark, sf_dir):
+    """Spark 4 WITH RECURSIVE plans as a UnionLoop/recursion operator —
+    assert it parses, plans, and stays Python-free."""
+    from generative_ai_vector_db_spark.operators import sql_surface as sq
+
+    plan = plan_of(sq.q200_recursive_hierarchy(spark, sf_dir))
+    assert "Python" not in plan
+
+
+def test_q201_context_budget_k_row_window(spark, sf_dir):
+    """All budget math happens after the q83 ranking: the documents
+    re-join carries only (doc_id, n_chars)."""
+    from generative_ai_vector_db_spark.operators import retrieval as rt
+
+    plan = plan_of(rt.q201_context_budget(spark, sf_dir))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q202_compaction_partitioned_window(spark, sf_dir):
+    """Bin packing windows are partitioned by source — no global sort;
+    the text column never leaves the scan."""
+    from generative_ai_vector_db_spark.operators import store as st
+
+    plan = plan_of(st.q202_compaction_plan(spark, sf_dir))
+    assert "Python" not in plan
+    for seg in plan.split("ReadSchema:")[1:]:
+        assert "text" not in seg.splitlines()[0]
+
+
+def test_q203_decile_lift_distributed_rank(spark, sf_dir):
+    """The only unpartitioned window runs over the engagement-value
+    HISTOGRAM (cardinality = distinct counts), never over users; the
+    per-user row_number is partitioned by value."""
+    from generative_ai_vector_db_spark.operators import quality as ql
+
+    plan = plan_of(ql.q203_decile_lift(spark, sf_dir))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert 'row_number() OVER (PARTITION BY' in plan or "row_number" in plan

@@ -244,3 +244,11 @@ def test_q161_rerank_invariants(spark, sf_dir):
     assert abs(retrieval.CE_W_VEC + retrieval.CE_W_LEX + retrieval.CE_W_COV - 1.0) < 1e-12
     # scores are bounded by the max of each (normalized) component
     assert (got["ce_score"] <= 1.0 + 1e-9).all()
+
+
+@pytest.mark.parametrize("name", sorted(retrieval.ORACLE))
+def test_retrieval_matches_oracle(spark, sf_dir, name):
+    """Blanket mirror over every retrieval-module oracle twin."""
+    compare_query(
+        spark, sf_dir, retrieval.QUERIES[name], retrieval.ORACLE[name], name
+    )

@@ -368,3 +368,10 @@ def test_ttl_profile_stream_matches_batch_twin(spark, sf_dir):
         assert got["last_seen"].tolist() == want["last_seen"].tolist()
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", sorted(scale.ORACLE))
+def test_scale_matches_oracle(spark, sf_dir, name):
+    """Blanket mirror: every scale-module oracle twin, not just the
+    hand-picked early ones."""
+    compare_query(spark, sf_dir, scale.QUERIES[name], scale.ORACLE[name], name)

@@ -189,3 +189,11 @@ def test_q175_ivf_pq_recall_and_invariants(spark, sf_dir):
         assert g.sort_values("rn")["dist"].is_monotonic_increasing
         recalls.append(len(set(e["vec_id"]) & set(g["vec_id"])) / len(e))
     assert sum(recalls) / len(recalls) > 0.3, recalls
+
+
+@pytest.mark.parametrize("name", sorted(store.ORACLE))
+def test_store_matches_oracle(spark, sf_dir, name):
+    """Blanket mirror over every store-module oracle twin."""
+    from .oracle_utils import compare_query
+
+    compare_query(spark, sf_dir, store.QUERIES[name], store.ORACLE[name], name)
