@@ -105,7 +105,7 @@ _PRIORITY = [
     "q195_session_paths", "q196_weighted_length_quartiles",
     "q197_vector_integrity", "q198_purge_audit", "q199_rate_limit",
     "q200_recursive_hierarchy", "q201_context_budget",
-    "q202_compaction_plan", "q203_decile_lift",
+    "q202_compaction_plan", "q203_decile_lift", "q204_lateral_topk",
     # tier 2 — previously-green backfill for the remaining window slots,
     # oldest evidence first (r1 rows predate two testdata regenerations).
     "q03_tpch_q1", "q12_dedup_exact", "q13_window_topk",

@@ -682,9 +682,11 @@ ORDER BY ce_rank
 # coverage saturates is the smallest context that still grounds every
 # query concept, and n_new shows which ranks actually add information
 # (rank positions that contribute nothing are pure prompt-token cost,
-# q28/q53's budget). Everything after the q83 ranking is tiny-data:
-# first-covering rank per term is a |terms|-row aggregate, the curve a
-# K x |terms| broadcast crossJoin — no extra corpus scan beyond q83's.
+# q28/q53's budget). Post-ranking work is tiny-data: first-covering
+# rank per term is a |terms|-row aggregate, the curve a K x |terms|
+# broadcast crossJoin. The term-presence side is one additional scan,
+# but filtered to the query's terms AT the scan (same pushdown shape
+# as q83's qtok), so its shuffle is O(postings(q)), not O(corpus).
 # ---------------------------------------------------------------------------
 def q192_citation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = q83_bm25_topk(spark, sf_dir).select("doc_id", "rn")

@@ -325,6 +325,29 @@ def q200_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, Q200)
 
 
+# LATERAL correlated subquery with per-row ORDER BY/LIMIT — the
+# "top-N per group without a window function" idiom (and the form
+# users port from Postgres/DuckDB verbatim). Catalyst rewrites the
+# correlated limit into a ranked join — the same physical shape as
+# q13's window top-k — so the declarative form costs nothing extra.
+# Same text on both engines; doc-count ties broken by c_custkey.
+Q204 = """
+SELECT n.n_name, top.c_custkey, top.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c.c_acctbal DESC, c.c_custkey
+  LIMIT 2
+) AS top
+ORDER BY n.n_name, top.c_acctbal DESC, top.c_custkey
+"""
+
+
+def q204_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, Q204)
+
+
 QUERIES = {
     "q67_correlated_min": q67_correlated_min,
     "q68_exists_distribution": q68_exists_distribution,
@@ -338,6 +361,7 @@ QUERIES = {
     "q148_tpch_q6_shape": q148_tpch_q6_shape,
     "q164_cube_profile": q164_cube_profile,
     "q200_recursive_hierarchy": q200_recursive_hierarchy,
+    "q204_lateral_topk": q204_lateral_topk,
 }
 
 # The same ANSI text runs on both engines (views share names/schemas).
@@ -354,4 +378,5 @@ ORACLE = {
     "q148_tpch_q6_shape": Q148,
     "q164_cube_profile": Q164,
     "q200_recursive_hierarchy": Q200,
+    "q204_lateral_topk": Q204,
 }

@@ -793,3 +793,13 @@ def test_q203_decile_lift_distributed_rank(spark, sf_dir):
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
     assert 'row_number() OVER (PARTITION BY' in plan or "row_number" in plan
+
+
+def test_q204_lateral_rewrites_to_ranked_join(spark, sf_dir):
+    """The correlated LIMIT does not execute per-row: Catalyst plans a
+    window/rank + join (or broadcast variant), Python-free."""
+    from generative_ai_vector_db_spark.operators import sql_surface as sq
+
+    plan = plan_of(sq.q204_lateral_topk(spark, sf_dir))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
