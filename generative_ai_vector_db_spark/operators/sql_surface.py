@@ -348,6 +348,35 @@ def q204_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, Q204)
 
 
+# NULL-semantics parity — grouping BY a null key, count(*) vs
+# count(col), a null-safe join (IS NOT DISTINCT FROM) against an
+# inline VALUES dimension that carries a NULL key, and NULLS FIRST
+# ordering, all in one statement of identical text. The fixtures have
+# no physical NULLs, so NULLIF manufactures them deterministically —
+# the engine-parity point is the SEMANTICS (null group retained,
+# null-safe equality matches the NULL row, count(col) skips nulls),
+# which both engines must agree on bit-for-bit for the hash to match.
+Q206 = """
+WITH o AS (
+  SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS status
+  FROM orders
+),
+labels(status, label) AS (
+  VALUES ('F', 'finished'), ('P', 'pending'), (NULL, 'open')
+)
+SELECT o.status, l.label,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(o.status) AS BIGINT) AS n_nonnull
+FROM o JOIN labels l ON o.status IS NOT DISTINCT FROM l.status
+GROUP BY o.status, l.label
+ORDER BY o.status NULLS FIRST
+"""
+
+
+def q206_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, Q206)
+
+
 QUERIES = {
     "q67_correlated_min": q67_correlated_min,
     "q68_exists_distribution": q68_exists_distribution,
@@ -362,6 +391,7 @@ QUERIES = {
     "q164_cube_profile": q164_cube_profile,
     "q200_recursive_hierarchy": q200_recursive_hierarchy,
     "q204_lateral_topk": q204_lateral_topk,
+    "q206_null_semantics": q206_null_semantics,
 }
 
 # The same ANSI text runs on both engines (views share names/schemas).
@@ -379,4 +409,5 @@ ORACLE = {
     "q164_cube_profile": Q164,
     "q200_recursive_hierarchy": Q200,
     "q204_lateral_topk": Q204,
+    "q206_null_semantics": Q206,
 }

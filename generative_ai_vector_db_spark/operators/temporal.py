@@ -1295,6 +1295,147 @@ LIMIT {RATE_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# q205 — clock-position seasonality profile: events per (type, hour of
+# day) with each cell's share of its type and deviation vs a uniform
+# clock — the periodic-load view behind capacity planning and anomaly
+# baselines (q100/q151 look at absolute windows; this folds time onto
+# its 24-hour cycle). One scan, one (type, hour) aggregation, per-type
+# totals via a window over 24-row groups; shares are single divisions
+# of exact integers.
+# ---------------------------------------------------------------------------
+def q205_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hour_of_day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    tw = Window.partitionBy("event_type")
+    return (
+        cells.withColumn(
+            "_tot", F.sum("n_events").over(tw).cast("bigint")
+        )
+        .select(
+            "event_type",
+            "hour_of_day",
+            "n_events",
+            F.round(F.col("n_events") / F.col("_tot").cast("double"), 4).alias(
+                "share"
+            ),
+            F.round(
+                F.col("n_events") * 24 / F.col("_tot").cast("double"), 4
+            ).alias("load_ratio"),
+        )
+        .orderBy("event_type", "hour_of_day")
+    )
+
+
+Q205_SQL = """
+WITH cells AS (
+  SELECT event_type,
+         CAST(date_part('hour', ts) AS BIGINT) AS hour_of_day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type, hour_of_day, n_events,
+       round(n_events / CAST(sum(n_events) OVER (PARTITION BY event_type)
+                             AS DOUBLE), 4) AS share,
+       round(n_events * 24 / CAST(sum(n_events) OVER (PARTITION BY event_type)
+                                  AS DOUBLE), 4) AS load_ratio
+FROM cells
+ORDER BY event_type, hour_of_day
+"""
+
+
+# ---------------------------------------------------------------------------
+# q207 — as-of join with tolerance (pandas merge_asof / kdb wj
+# semantics): a backward as-of match COUNTS only if the matched signup
+# is within TOL of the event — beyond it the row reports stale. The
+# per-type report shows how much of the event stream runs on fresh
+# profile state — the freshness SLO for the q111-style enrichment
+# path. Same single-shuffle union+window shape as q58 (the match) plus
+# one conditional aggregation; staleness sums are exact integer micros.
+# ---------------------------------------------------------------------------
+ASOF_TOL_USECS = 48 * 3600 * 1_000_000  # 48 h freshness horizon
+
+
+def q207_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("ts").alias("signup_ts")
+    )
+    others = ev.where(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    joined = asof_join(others, signups, key="user_id", value_cols=["signup_ts"])
+    stale_us = F.unix_micros("ts") - F.unix_micros("right_signup_ts")
+    in_tol = F.col("right_signup_ts").isNotNull() & (
+        stale_us <= ASOF_TOL_USECS
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(in_tol.cast("bigint")).cast("bigint").alias("n_fresh"),
+            F.sum(
+                (
+                    F.col("right_signup_ts").isNotNull()
+                    & (stale_us > ASOF_TOL_USECS)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_stale"),
+            F.sum(F.col("right_signup_ts").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_unmatched"),
+            F.round(
+                F.sum(F.when(in_tol, stale_us))
+                / F.sum(in_tol.cast("bigint")).cast("double"),
+                4,
+            ).alias("avg_fresh_usecs"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q207_SQL = f"""
+WITH signups AS (
+  SELECT user_id, ts AS signup_ts FROM events WHERE event_type = 'signup'
+),
+others AS (
+  SELECT event_id, user_id, event_type, ts
+  FROM events WHERE event_type != 'signup'
+),
+m AS (
+  SELECT o.event_type,
+         s.signup_ts,
+         epoch_us(o.ts) - epoch_us(s.signup_ts) AS stale_us
+  FROM others o ASOF LEFT JOIN signups s
+    ON o.user_id = s.user_id AND o.ts >= s.signup_ts
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN signup_ts IS NOT NULL
+                      AND stale_us <= {ASOF_TOL_USECS}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh,
+       CAST(sum(CASE WHEN signup_ts IS NOT NULL
+                      AND stale_us > {ASOF_TOL_USECS}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+       CAST(sum(CASE WHEN signup_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unmatched,
+       round(sum(CASE WHEN signup_ts IS NOT NULL
+                       AND stale_us <= {ASOF_TOL_USECS}
+                 THEN stale_us END)
+             / CAST(sum(CASE WHEN signup_ts IS NOT NULL
+                              AND stale_us <= {ASOF_TOL_USECS}
+                        THEN 1 ELSE 0 END) AS DOUBLE), 4)
+           AS avg_fresh_usecs
+FROM m
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
     "q59_range_join": q59_range_join,
@@ -1314,6 +1455,8 @@ QUERIES = {
     "q180_last_touch": q180_last_touch,
     "q195_session_paths": q195_session_paths,
     "q199_rate_limit": q199_rate_limit,
+    "q205_seasonality": q205_seasonality,
+    "q207_asof_tolerance": q207_asof_tolerance,
 }
 
 ORACLE = {
@@ -1335,4 +1478,6 @@ ORACLE = {
     "q180_last_touch": Q180_SQL,
     "q195_session_paths": Q195_SQL,
     "q199_rate_limit": Q199_SQL,
+    "q205_seasonality": Q205_SQL,
+    "q207_asof_tolerance": Q207_SQL,
 }

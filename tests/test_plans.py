@@ -803,3 +803,32 @@ def test_q204_lateral_rewrites_to_ranked_join(spark, sf_dir):
     plan = plan_of(sq.q204_lateral_topk(spark, sf_dir))
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q205_seasonality_partitioned_share_window(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import temporal as tp
+
+    plan = plan_of(tp.q205_seasonality(spark, sf_dir))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q206_null_semantics_null_safe_join(spark, sf_dir):
+    """IS NOT DISTINCT FROM keeps the join a hash join (null-safe
+    equality is still an equi-key), not a nested loop."""
+    from generative_ai_vector_db_spark.operators import sql_surface as sq
+
+    plan = plan_of(sq.q206_null_semantics(spark, sf_dir))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q207_asof_tolerance_single_union_window(spark, sf_dir):
+    """Same plan family as q58: one union + one per-key window, then a
+    tiny conditional aggregation — no range join explosion."""
+    from generative_ai_vector_db_spark.operators import temporal as tp
+
+    plan = plan_of(tp.q207_asof_tolerance(spark, sf_dir))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
