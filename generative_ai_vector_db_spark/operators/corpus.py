@@ -1049,6 +1049,144 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# q208 — perplexity filtering with a held-out LM (CCNet shape): train
+# an add-one-smoothed unigram model on HALF the corpus (alternating
+# doc_id blocks of 20 — block, not residue: the fixtures assign
+# source = doc_id % 20, so a residue split would train on half the
+# SOURCES instead of half of each source), score the
+# OTHER half, and report per-source mean NLL and the share of
+# documents a PPL_GATE filter would drop. The honest version of q121:
+# scoring uses a model the scored text never trained, so boilerplate
+# that saturates its own corpus can't score itself fluent. Engine-
+# exact: each token type's log-prob is rounded ONCE to 8dp and summed
+# as DECIMAL (order-independent, the q71 discipline) — never a raw
+# float sum over shuffle order. OOV tokens take the smoothed
+# 1/(N+V) mass via the left join's coalesce. Joins shuffle on the
+# token key (vocabulary-bounded); per-doc and per-source rollups are
+# ordinary partial aggregations.
+# ---------------------------------------------------------------------------
+PPL_GATE_NLL = 6.3  # drop docs with mean NLL above this (≈ ppl 545)
+
+
+def q208_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower("text"), " ")).alias("w"),
+    )
+    split = F.expr("(doc_id div 20) % 2")
+    train = toks(docs.where(split == 0))
+    held = toks(docs.where(split == 1))
+    stats = train.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.countDistinct("w").cast("bigint").alias("_v"),
+    )
+    dec = "decimal(27,8)"
+    vocab = (
+        train.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w",
+            F.round(
+                -F.log((F.col("cnt") + 1) / (F.col("_n") + F.col("_v")).cast("double")),
+                8,
+            )
+            .cast(dec)
+            .alias("nll"),
+        )
+    )
+    oov = stats.select(
+        F.round(
+            -F.log(1.0 / (F.col("_n") + F.col("_v")).cast("double")), 8
+        )
+        .cast(dec)
+        .alias("nll_oov")
+    )
+    per_doc = (
+        held.join(vocab, "w", "left")
+        .crossJoin(F.broadcast(oov))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                (
+                    F.sum(F.coalesce(F.col("nll"), F.col("nll_oov"))).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                ),
+                4,
+            )
+            .cast("decimal(18,4)")
+            .alias("mean_nll"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("mean_nll").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_nll"),
+            F.sum(
+                (F.col("mean_nll") > PPL_GATE_NLL).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_filtered"),
+        )
+        .orderBy("source")
+    )
+
+
+Q208_SQL = f"""
+WITH train AS (
+  SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents WHERE (doc_id // 20) % 2 = 0
+),
+held AS (
+  SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents WHERE (doc_id // 20) % 2 = 1
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS _n,
+         CAST(count(DISTINCT w) AS BIGINT) AS _v
+  FROM train
+),
+vocab AS (
+  SELECT w,
+         CAST(round(-ln((count(*) + 1)
+                        / CAST((SELECT _n + _v FROM stats) AS DOUBLE)), 8)
+              AS DECIMAL(27,8)) AS nll
+  FROM train GROUP BY w
+),
+oov AS (
+  SELECT CAST(round(-ln(1.0 / CAST(_n + _v AS DOUBLE)), 8) AS DECIMAL(27,8))
+             AS nll_oov
+  FROM stats
+),
+per_doc AS (
+  SELECT h.doc_id, h.source,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(round(CAST(sum(coalesce(v.nll, (SELECT nll_oov FROM oov)))
+                         AS DOUBLE) / count(*), 4) AS DECIMAL(18,4))
+             AS mean_nll
+  FROM held h LEFT JOIN vocab v USING (w)
+  GROUP BY h.doc_id, h.source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(mean_nll) AS DOUBLE) / count(*), 4) AS avg_nll,
+       CAST(sum(CASE WHEN mean_nll > {PPL_GATE_NLL} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_filtered
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q79_token_packing": q79_token_packing,
     "q80_corpus_mixing": q80_corpus_mixing,
@@ -1066,6 +1204,7 @@ QUERIES = {
     "q184_epoch_shuffle": q184_epoch_shuffle,
     "q185_dedup_savings": q185_dedup_savings,
     "q196_weighted_length_quartiles": q196_weighted_length_quartiles,
+    "q208_ppl_filter": q208_ppl_filter,
 }
 
 ORACLE = {
@@ -1085,4 +1224,5 @@ ORACLE = {
     "q184_epoch_shuffle": Q184_SQL,
     "q185_dedup_savings": Q185_SQL,
     "q196_weighted_length_quartiles": Q196_SQL,
+    "q208_ppl_filter": Q208_SQL,
 }

@@ -832,3 +832,13 @@ def test_q207_asof_tolerance_single_union_window(spark, sf_dir):
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_q208_ppl_filter_no_python_decimal_sums(spark, sf_dir):
+    """The NLL accumulation is a DECIMAL sum of once-rounded per-type
+    log-probs — no float sum over shuffle order, no Python."""
+    from generative_ai_vector_db_spark.operators import corpus as cp
+
+    plan = plan_of(cp.q208_ppl_filter(spark, sf_dir))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan

@@ -129,3 +129,18 @@ def test_q203_lift_aggregates_to_population(spark, sf_dir):
     # user-weighted average lift is 1
     wavg_lift = (got["lift"] * got["n_users"]).sum() / got["n_users"].sum()
     assert abs(wavg_lift - 1.0) < 0.01
+
+
+def test_q208_held_out_covers_all_sources(spark, sf_dir):
+    """The block split must score every source (the fixtures assign
+    source by doc_id residue, so a residue split would silently halve
+    the source coverage — this pins the block choice)."""
+    from generative_ai_vector_db_spark.operators import corpus as cp
+
+    got = cp.q208_ppl_filter(spark, sf_dir).toPandas()
+    n_sources = (
+        load(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    assert len(got) == n_sources
+    assert (got["avg_nll"] > 0).all()
+    assert (got["n_filtered"] <= got["n_docs"]).all()
