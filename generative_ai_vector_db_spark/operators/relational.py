@@ -663,14 +663,23 @@ ORDER BY p_partkey
 def q22_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # + 0.0 after every round: an element in (-5e-5, 0) rounds to IEEE
+    # -0.0 in DuckDB but +0.0 through Spark's BigDecimal HALF_UP (which
+    # has no signed zero) — the q71 lesson, hit here at sf0.1 by
+    # vec 1753's first component. Exact no-op for all other doubles;
+    # applied identically in the oracle.
+    z = F.lit(0.0)
     return emb.select(
         "vec_id",
         F.size("embedding").cast("bigint").alias("dim"),
-        _r4(F.element_at("embedding", 1).cast("double")).alias("e_first"),
-        _r4(F.array_max("embedding").cast("double")).alias("e_max"),
-        _r4(F.array_min("embedding").cast("double")).alias("e_min"),
-        _r4(
-            F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x)
+        (_r4(F.element_at("embedding", 1).cast("double")) + z).alias(
+            "e_first"
+        ),
+        (_r4(F.array_max("embedding").cast("double")) + z).alias("e_max"),
+        (_r4(F.array_min("embedding").cast("double")) + z).alias("e_min"),
+        (
+            _r4(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x))
+            + z
         ).alias("e_sum"),
         F.size(F.slice("embedding", 1, 8)).cast("bigint").alias("head_len"),
     ).orderBy("vec_id")
@@ -679,10 +688,11 @@ def q22_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q22_SQL = """
 SELECT vec_id,
        CAST(len(embedding) AS BIGINT) AS dim,
-       round(CAST(embedding[1] AS DOUBLE), 4) AS e_first,
-       round(CAST(list_max(embedding) AS DOUBLE), 4) AS e_max,
-       round(CAST(list_min(embedding) AS DOUBLE), 4) AS e_min,
-       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS e_sum,
+       round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS e_first,
+       round(CAST(list_max(embedding) AS DOUBLE), 4) + 0.0 AS e_max,
+       round(CAST(list_min(embedding) AS DOUBLE), 4) + 0.0 AS e_min,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4)
+           + 0.0 AS e_sum,
        CAST(len(embedding[1:8]) AS BIGINT) AS head_len
 FROM embeddings
 ORDER BY vec_id
