@@ -921,6 +921,131 @@ ORDER BY "table"
 """
 
 
+# ---------------------------------------------------------------------------
+# q209 — per-table tuning advisor: the two questions the north star
+# asks of every join/agg — "how many shuffle partitions should this
+# table's exchanges use" and "does this side fit under the broadcast
+# threshold" — answered from measured bytes, not guesses. Row bytes
+# use a documented unpadded columnar model (INT 4; BIGINT/DOUBLE/
+# TIMESTAMP 8; strings their byte length; float arrays 4/element), so
+# the estimate is a deterministic aggregate: ONE narrow scan per
+# table, integer-exact totals, integer-div partition count against the
+# 128 MB-scaled target (shrunk proportionally for fixture scale). The
+# driver-facing numbers q56/q187/q188/q194 act on.
+# ---------------------------------------------------------------------------
+ADVISOR_TARGET_PART_BYTES = 64 * 1024  # fixture-scaled stand-in for 128 MB
+ADVISOR_BROADCAST_BYTES = 256 * 1024  # fixture-scaled stand-in for 10 MB
+
+_TBL_BYTES: dict[str, tuple[list[str], list[str], int]] = {
+    # table -> (string cols, 8-byte cols, n 4-byte cols); embeddings
+    # handled specially (4 bytes x array length)
+    "region": (["r_name"], [], 1),
+    "nation": (["n_name"], [], 2),
+    "customer": (["c_name", "c_mktsegment"], ["c_custkey", "c_acctbal"], 1),
+    "supplier": (["s_name"], ["s_suppkey", "s_acctbal"], 1),
+    "part": (
+        ["p_name", "p_brand", "p_type"],
+        ["p_partkey", "p_retailprice"],
+        1,
+    ),
+    "orders": (
+        ["o_orderstatus", "o_orderpriority"],
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+        0,
+    ),
+    "lineitem": (
+        ["l_returnflag", "l_linestatus"],
+        [
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+        1,
+    ),
+    "events": (
+        ["event_type", "props"],
+        ["event_id", "ts", "user_id", "value"],
+        0,
+    ),
+    "documents": (["text", "lang", "source"], ["doc_id", "n_chars"], 0),
+}
+
+
+def q209_tuning_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for table, (strs, eights, fours) in sorted(_TBL_BYTES.items()):
+        t = load(spark, sf_dir, table)
+        row_bytes = F.lit(8 * len(eights) + 4 * fours)
+        for s in strs:
+            row_bytes = row_bytes + F.octet_length(s)
+        agg = t.agg(
+            F.lit(table).alias("table"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(row_bytes).cast("bigint").alias("est_bytes"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    emb = load(spark, sf_dir, "embeddings").agg(
+        F.lit("embeddings").alias("table"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(4 * F.size("embedding") + 8 + 4).cast("bigint").alias(
+            "est_bytes"
+        ),
+    )
+    out = out.unionByName(emb)
+    return out.select(
+        "table",
+        "n_rows",
+        "est_bytes",
+        F.expr(
+            f"greatest(1, (est_bytes + {ADVISOR_TARGET_PART_BYTES - 1}) "
+            f"div {ADVISOR_TARGET_PART_BYTES})"
+        )
+        .cast("bigint")
+        .alias("rec_shuffle_partitions"),
+        (F.col("est_bytes") <= ADVISOR_BROADCAST_BYTES).alias(
+            "fits_broadcast"
+        ),
+    ).orderBy("table")
+
+
+def _q209_sql() -> str:
+    parts = []
+    for table, (strs, eights, fours) in sorted(_TBL_BYTES.items()):
+        b = " + ".join(
+            [str(8 * len(eights) + 4 * fours)]
+            + [f"strlen({s})" for s in strs]
+        )
+        parts.append(
+            f"SELECT '{table}' AS \"table\", CAST(count(*) AS BIGINT) AS n_rows,"
+            f" CAST(sum({b}) AS BIGINT) AS est_bytes FROM {table}"
+        )
+    parts.append(
+        "SELECT 'embeddings', CAST(count(*) AS BIGINT),"
+        " CAST(sum(4 * len(embedding) + 8 + 4) AS BIGINT) FROM embeddings"
+    )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH sized AS (
+{union}
+)
+SELECT "table", n_rows, est_bytes,
+       CAST(greatest(1, (est_bytes + {ADVISOR_TARGET_PART_BYTES - 1})
+                        // {ADVISOR_TARGET_PART_BYTES}) AS BIGINT)
+           AS rec_shuffle_partitions,
+       est_bytes <= {ADVISOR_BROADCAST_BYTES} AS fits_broadcast
+FROM sized
+ORDER BY "table"
+"""
+
+
+Q209_SQL = _q209_sql()
+
+
 QUERIES = {
     "q56_salted_agg": q56_salted_agg,
     "q128_zorder_stats": q128_zorder_stats,
@@ -933,6 +1058,7 @@ QUERIES = {
     "q188_salt_plan": q188_salt_plan,
     "q194_range_partition_plan": q194_range_partition_plan,
     "q198_purge_audit": q198_purge_audit,
+    "q209_tuning_advisor": q209_tuning_advisor,
 }
 
 ORACLE = {
@@ -947,4 +1073,5 @@ ORACLE = {
     "q188_salt_plan": Q188_SQL,
     "q194_range_partition_plan": Q194_SQL,
     "q198_purge_audit": Q198_SQL,
+    "q209_tuning_advisor": Q209_SQL,
 }

@@ -842,3 +842,14 @@ def test_q208_ppl_filter_no_python_decimal_sums(spark, sf_dir):
     plan = plan_of(cp.q208_ppl_filter(spark, sf_dir))
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q209_advisor_narrow_scans(spark, sf_dir):
+    """Each table contributes one aggregate over a narrow scan; the
+    documents text column is read only for its byte length (no joins,
+    no Python)."""
+    from generative_ai_vector_db_spark.operators import scale as sc
+
+    plan = plan_of(sc.q209_tuning_advisor(spark, sf_dir))
+    assert "Python" not in plan
+    assert "Join" not in plan  # pure union of per-table aggregates
