@@ -176,10 +176,91 @@ LIMIT {PR_TOP}
 
 Q193_SQL = _pagerank_sql()
 
+# ---------------------------------------------------------------------------
+# q210 — triangle count + global clustering coefficient over the same
+# co-visitation graph: the cohesion metric that separates organic
+# communities (high closure) from scripted/bot traffic (star-shaped,
+# near-zero closure) — and the classic distributed-graph benchmark
+# shape. Standard two-join plan on CANONICAL (a < b) edges: wedges
+# a-b-c with b<c close into triangles iff (b, c) is also an edge —
+# each join shuffles on an edge endpoint, never materializing more
+# than the wedge set, and the a<b<c ordering counts each triangle
+# exactly once. Wedge count comes from degrees (deg*(deg-1)/2 —
+# integer); the coefficient 3T/W is one division of exact integers.
+# ---------------------------------------------------------------------------
+def q210_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sym = _covisit_edges(spark, sf_dir)
+    canon = sym.where(F.col("src") < F.col("dst")).localCheckpoint()
+    e1 = canon.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = canon.select(F.col("src").alias("a2"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, (e1.a == e2.a2) & (e1.b < e2.c)).select("a", "b", "c")
+    closing = canon.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    wedge_total = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("bigint").alias("n_wedges")
+    )
+    return (
+        tri.crossJoin(F.broadcast(wedge_total))
+        .select(
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                3 * F.col("n_triangles") / F.col("n_wedges").cast("double"), 4
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+Q210_SQL = f"""
+WITH visits AS (
+  SELECT DISTINCT user_id,
+         event_type || '|' || strftime(date_trunc('hour', ts), '%Y-%m-%d %H')
+             AS bucket
+  FROM events
+),
+kept AS (
+  SELECT v.user_id, v.bucket
+  FROM visits v
+  JOIN (SELECT bucket FROM visits GROUP BY bucket
+        HAVING count(*) <= {COVISIT_CAP}) s USING (bucket)
+),
+canon AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM kept a JOIN kept b USING (bucket)
+  WHERE a.user_id < b.user_id
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM canon e1
+  JOIN canon e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN canon e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT src AS node FROM canon UNION ALL SELECT dst FROM canon
+  ) GROUP BY node
+),
+w AS (
+  SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+)
+SELECT n_triangles, n_wedges,
+       round(3 * n_triangles / CAST(n_wedges AS DOUBLE), 4)
+           AS clustering_coeff
+FROM tri CROSS JOIN w
+"""
+
+
 QUERIES = {
     "q193_graph_pagerank": q193_graph_pagerank,
+    "q210_triangle_count": q210_triangle_count,
 }
 
 ORACLE = {
     "q193_graph_pagerank": Q193_SQL,
+    "q210_triangle_count": Q210_SQL,
 }

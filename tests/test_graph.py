@@ -67,3 +67,17 @@ def test_pagerank_matches_float_reference(spark, sf_dir):
         assert abs(row["r_units"] / graph.PR_SCALE - ref[row["user_id"]]) < 1e-5
     top_ref = sorted(nodes, key=lambda u: (-ref[u], u))[:5]
     assert list(got["user_id"][:5]) == top_ref
+
+
+def test_triangle_invariants(spark, sf_dir):
+    """Every triangle closes exactly 3 wedges, so 3T <= W and the
+    clustering coefficient lies in [0, 1]."""
+    got = graph.q210_triangle_count(spark, sf_dir).toPandas()
+    assert len(got) == 1
+    t, w, c = (
+        int(got["n_triangles"][0]),
+        int(got["n_wedges"][0]),
+        float(got["clustering_coeff"][0]),
+    )
+    assert 3 * t <= w
+    assert 0.0 <= c <= 1.0

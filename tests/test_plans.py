@@ -853,3 +853,11 @@ def test_q209_advisor_narrow_scans(spark, sf_dir):
     plan = plan_of(sc.q209_tuning_advisor(spark, sf_dir))
     assert "Python" not in plan
     assert "Join" not in plan  # pure union of per-table aggregates
+
+
+def test_q210_triangles_no_cartesian(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import graph as g
+
+    plan = plan_of(g.q210_triangle_count(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
