@@ -255,12 +255,153 @@ FROM tri CROSS JOIN w
 """
 
 
+# ---------------------------------------------------------------------------
+# q211 — personalized PageRank: q193's fixed point with the teleport
+# mass concentrated on a SEED set (here: purchasers — a deterministic
+# behavioral cohort) instead of spread uniformly. The result ranks
+# every user by proximity to the seed cohort through the
+# co-visitation graph — the candidate-generation primitive behind
+# "users like your buyers" audience expansion and graph-based
+# recommendation. Same integer micro-unit discipline and per-round
+# localCheckpoint as q193; the only new piece is the seed indicator,
+# one broadcast-joined flag. Non-seed nodes with no inflow drop out of
+# the aggregation — semantically rank ~0, so the top-N is unaffected.
+# ---------------------------------------------------------------------------
+def q211_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    seeds = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+    )
+    edges = _covisit_edges(spark, sf_dir).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    edges_d = edges.join(deg, "src").localCheckpoint()
+    nodes = deg.select(F.col("src").alias("node"))
+    seed_nodes = nodes.join(seeds, "node")  # seeds present in the graph
+    ns = seed_nodes.agg(F.count(F.lit(1)).cast("bigint").alias("_s"))
+    # teleport lands only on seeds: (1-d)/|S| each, in micro-units
+    teleport = F.expr(
+        f"({(PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE} div ({PR_DAMP_DEN} * _s))"
+    )
+    ranks = (
+        seed_nodes.crossJoin(F.broadcast(ns))
+        .select("node", F.expr(f"{PR_SCALE} div _s").cast("bigint").alias("r"))
+        .localCheckpoint()
+    )
+    is_seed = F.col("_seed").isNotNull()
+    seed_flag = seeds.select(
+        F.col("node").alias("_sn"), F.lit(1).alias("_seed")
+    )
+    for _ in range(PR_ITERS):
+        inflow = (
+            edges_d.join(ranks, edges_d.src == ranks.node)
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            inflow.join(
+                seed_flag, inflow.dst == seed_flag._sn, "left"
+            )
+            .crossJoin(F.broadcast(ns))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.when(is_seed, teleport).otherwise(F.lit(0))
+                    + F.expr(f"({PR_DAMP_NUM} * s) div {PR_DAMP_DEN}")
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.join(seed_flag, ranks.node == seed_flag._sn, "left")
+        .select(
+            F.col("node").alias("user_id"),
+            F.col("r").alias("r_units"),
+            is_seed.alias("is_seed"),
+        )
+        .orderBy(F.desc("r_units"), "user_id")
+        .limit(PR_TOP)
+    )
+
+
+def _ppr_sql() -> str:
+    teleport = (
+        f"({(PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE}"
+        f" // ({PR_DAMP_DEN} * (SELECT _s FROM ns)))"
+    )
+    iters = []
+    for i in range(1, PR_ITERS + 1):
+        iters.append(
+            f"""pr{i} AS (
+  SELECT e.dst AS node,
+         CAST(CASE WHEN e.dst IN (SELECT node FROM seed_nodes)
+                   THEN {teleport} ELSE 0 END
+              + ({PR_DAMP_NUM} * sum(p.r // e.deg)) // {PR_DAMP_DEN}
+           AS BIGINT) AS r
+  FROM edges_d e JOIN pr{i - 1} p ON p.node = e.src
+  GROUP BY e.dst
+)"""
+        )
+    chain = ",\n".join(iters)
+    return f"""
+WITH visits AS (
+  SELECT DISTINCT user_id,
+         event_type || '|' || strftime(date_trunc('hour', ts), '%Y-%m-%d %H')
+             AS bucket
+  FROM events
+),
+kept AS (
+  SELECT v.user_id, v.bucket
+  FROM visits v
+  JOIN (SELECT bucket FROM visits GROUP BY bucket
+        HAVING count(*) <= {COVISIT_CAP}) s USING (bucket)
+),
+pairs AS (
+  SELECT DISTINCT a.user_id AS u_a, b.user_id AS u_b
+  FROM kept a JOIN kept b USING (bucket)
+  WHERE a.user_id < b.user_id
+),
+edges AS (
+  SELECT u_a AS src, u_b AS dst FROM pairs
+  UNION ALL
+  SELECT u_b AS src, u_a AS dst FROM pairs
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+edges_d AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+seeds AS (
+  SELECT DISTINCT user_id AS node FROM events WHERE event_type = 'purchase'
+),
+seed_nodes AS (
+  SELECT d.src AS node FROM deg d JOIN seeds s ON s.node = d.src
+),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS _s FROM seed_nodes),
+pr0 AS (
+  SELECT node, CAST({PR_SCALE} // (SELECT _s FROM ns) AS BIGINT) AS r
+  FROM seed_nodes
+),
+{chain}
+SELECT p.node AS user_id, p.r AS r_units,
+       p.node IN (SELECT node FROM seed_nodes) AS is_seed
+FROM pr{PR_ITERS} p
+ORDER BY r_units DESC, user_id
+LIMIT {PR_TOP}
+"""
+
+
+Q211_SQL = _ppr_sql()
+
 QUERIES = {
     "q193_graph_pagerank": q193_graph_pagerank,
     "q210_triangle_count": q210_triangle_count,
+    "q211_personalized_pagerank": q211_personalized_pagerank,
 }
 
 ORACLE = {
     "q193_graph_pagerank": Q193_SQL,
     "q210_triangle_count": Q210_SQL,
+    "q211_personalized_pagerank": Q211_SQL,
 }

@@ -81,3 +81,15 @@ def test_triangle_invariants(spark, sf_dir):
     )
     assert 3 * t <= w
     assert 0.0 <= c <= 1.0
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark, sf_dir):
+    """With teleport restricted to the seed cohort, seed users must
+    dominate the top of the ranking (they receive both teleport and
+    inflow), and every rank is positive and below total mass."""
+    got = graph.q211_personalized_pagerank(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    assert (got["r_units"] > 0).all()
+    assert (got["r_units"] < graph.PR_SCALE).all()
+    # the plurality of the top-N should be seeds on the fixture graph
+    assert got["is_seed"].mean() > 0.5
