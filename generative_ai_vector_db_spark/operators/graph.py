@@ -42,10 +42,12 @@ PR_ITERS = 5
 PR_TOP = 20
 
 
-def _covisit_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _covisit_edges(
+    spark: SparkSession, sf_dir: str, cap: int = COVISIT_CAP
+) -> DataFrame:
     """Symmetrized q177 co-visitation edges (no top-N truncation):
     users sharing a (event_type, hour) activity bucket, buckets larger
-    than COVISIT_CAP dropped as no-signal (see q177)."""
+    than ``cap`` dropped as no-signal (see q177)."""
     ev = load(spark, sf_dir, "events")
     visits = ev.select(
         "user_id",
@@ -57,7 +59,7 @@ def _covisit_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     sizes = visits.groupBy("bucket").agg(F.count(F.lit(1)).alias("_u"))
     kept = visits.join(
-        F.broadcast(sizes.where(F.col("_u") <= COVISIT_CAP).select("bucket")),
+        F.broadcast(sizes.where(F.col("_u") <= cap).select("bucket")),
         "bucket",
     )
     a = kept.select(F.col("user_id").alias("u_a"), "bucket")
@@ -181,26 +183,59 @@ Q193_SQL = _pagerank_sql()
 # co-visitation graph: the cohesion metric that separates organic
 # communities (high closure) from scripted/bot traffic (star-shaped,
 # near-zero closure) — and the classic distributed-graph benchmark
-# shape. Standard two-join plan on CANONICAL (a < b) edges: wedges
-# a-b-c with b<c close into triangles iff (b, c) is also an edge —
-# each join shuffles on an edge endpoint, never materializing more
-# than the wedge set, and the a<b<c ordering counts each triangle
-# exactly once. Wedge count comes from degrees (deg*(deg-1)/2 —
-# integer); the coefficient 3T/W is one division of exact integers.
+# shape. The orientation is DEGREE-ORDERED (edge points from the
+# (deg, id)-smaller endpoint to the larger — "compact-forward"), not
+# id-ordered: every node's out-degree is then O(sqrt(m)), so the wedge
+# join materializes O(m^1.5) rows worst-case instead of sum(deg^2) —
+# on the sf0.1 fixture graph this is the difference between ~100 s and
+# ~3 s, and at real scale between feasible and not. Each triangle has
+# exactly one source with two out-edges, so counting directed wedges
+# whose (b, c) closes in DAG direction counts each triangle once. The
+# count is orientation-independent — the DuckDB twin keeps the simple
+# id-ordered form and must agree exactly. Wedge total for the
+# coefficient comes from degrees (integer); 3T/W is one division.
+# The bucket cap is TIGHTER than q177's (15 vs 50): buckets near the
+# 50-user ceiling induce ~50-cliques whose C(50,3) triangles are pure
+# bucket artifacts — they saturate the coefficient toward 1 and
+# dominate the runtime while carrying zero cohesion signal. The cap is
+# part of the operator semantics, applied identically in the oracle.
 # ---------------------------------------------------------------------------
+TRIANGLE_BUCKET_CAP = 15
+
+
 def q210_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sym = _covisit_edges(spark, sf_dir)
-    canon = sym.where(F.col("src") < F.col("dst")).localCheckpoint()
-    e1 = canon.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = canon.select(F.col("src").alias("a2"), F.col("dst").alias("c"))
-    wedges = e1.join(e2, (e1.a == e2.a2) & (e1.b < e2.c)).select("a", "b", "c")
-    closing = canon.select(
-        F.col("src").alias("b"), F.col("dst").alias("c")
+    sym = _covisit_edges(spark, sf_dir, cap=TRIANGLE_BUCKET_CAP)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    dsrc = deg.select(F.col("src").alias("_s"), F.col("deg").alias("ds"))
+    ddst = deg.select(F.col("src").alias("_d"), F.col("deg").alias("dd"))
+    dag = (
+        sym.join(dsrc, sym.src == dsrc._s)
+        .join(ddst, sym.dst == ddst._d)
+        .where(
+            (F.col("ds") < F.col("dd"))
+            | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst", F.col("dd").alias("dord"))
+        .localCheckpoint()
     )
+    e1 = dag.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dord").alias("db")
+    )
+    e2 = dag.select(
+        F.col("src").alias("a2"), F.col("dst").alias("c"), F.col("dord").alias("dc")
+    )
+    wedges = e1.join(
+        e2,
+        (e1.a == e2.a2)
+        & (
+            (F.col("db") < F.col("dc"))
+            | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+        ),
+    ).select("b", "c")
+    closing = dag.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     tri = wedges.join(closing, ["b", "c"]).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     wedge_total = deg.agg(
         F.sum(F.expr("deg * (deg - 1) div 2")).cast("bigint").alias("n_wedges")
     )
@@ -227,7 +262,7 @@ kept AS (
   SELECT v.user_id, v.bucket
   FROM visits v
   JOIN (SELECT bucket FROM visits GROUP BY bucket
-        HAVING count(*) <= {COVISIT_CAP}) s USING (bucket)
+        HAVING count(*) <= {TRIANGLE_BUCKET_CAP}) s USING (bucket)
 ),
 canon AS (
   SELECT DISTINCT a.user_id AS src, b.user_id AS dst
