@@ -339,5 +339,94 @@ def run_profile_stream_ttl(
     )
 
 
+# ---------------------------------------------------------------------------
+# Streaming face of q199's rate limiter: per-user rolling 1-hour event
+# counts maintained in keyed state via applyInPandasWithState. The
+# state is the timestamp buffer TRIMMED to the trailing horizon (the
+# only part future events can still range over), so state size per key
+# is bounded by one user's 1-hour burst, not the stream's lifetime —
+# the same bounded-state discipline as the q163 TTL profile and
+# run_debounce_stream. Events are processed in event-time order within
+# the handler (sorted on (sec, event_id)), so with in-order delivery
+# per batch the emitted breach/max-rate totals equal q199's batch
+# RANGE-window semantics exactly — asserted by the equivalence test.
+# ---------------------------------------------------------------------------
+RATE_SCHEMA = (
+    "user_id bigint, n_events bigint, max_rate_1h bigint, n_breaches bigint"
+)
+RATE_STATE_SCHEMA = "secs array<bigint>, n bigint, mx bigint, br bigint"
+_RATE_WINDOW = 3600
+_RATE_QUOTA = 3
+
+
+def _update_rate(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import bisect
+
+    (user_id,) = key
+    if state.exists:
+        secs, n, mx, br = state.get
+        secs = list(secs)
+    else:
+        secs, n, mx, br = [], 0, 0, 0
+    rows = []
+    for pdf in batches:
+        sec = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+        rows.extend(zip(sec, pdf["event_id"].tolist()))
+    rows.sort()
+    for sec, _eid in rows:
+        secs.append(sec)
+        lo = bisect.bisect_left(secs, sec - (_RATE_WINDOW - 1))
+        if lo:
+            secs = secs[lo:]  # trim beyond the horizon — bounded state
+        rate = len(secs)
+        n += 1
+        mx = max(mx, rate)
+        br += 1 if rate > _RATE_QUOTA else 0
+    state.update((secs, n, mx, br))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "max_rate_1h": [mx],
+            "n_breaches": [br],
+        }
+    )
+
+
+def run_rate_limit_stream(
+    spark: SparkSession, src_dir: str, sink_table: str = "rate_out"
+) -> None:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    ev = spark.readStream.schema(schema).parquet(src_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _update_rate,
+        outputStructType=RATE_SCHEMA,
+        stateStructType=RATE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    (
+        out.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 QUERIES = {"q163_state_ttl_profile": q163_state_ttl_profile}
 ORACLE = {"q163_state_ttl_profile": Q163_SQL}

@@ -144,3 +144,50 @@ def test_q208_held_out_covers_all_sources(spark, sf_dir):
     assert len(got) == n_sources
     assert (got["avg_nll"] > 0).all()
     assert (got["n_filtered"] <= got["n_docs"]).all()
+
+
+def test_q196_matches_bruteforce_definition(spark, sf_dir):
+    """Weighted quartiles recomputed from the raw definition in pandas:
+    smallest length whose cumulative char mass reaches k/4 of the
+    source total, over (n_chars, doc_id) order."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("source", "doc_id", "n_chars")
+        .toPandas()
+    )
+    got = (
+        corpus.q196_weighted_length_quartiles(spark, sf_dir)
+        .toPandas()
+        .set_index("source")
+    )
+    for source, grp in docs.groupby("source"):
+        g = grp.sort_values(["n_chars", "doc_id"])
+        cum = g["n_chars"].cumsum()
+        total = int(g["n_chars"].sum())
+        def pick(k_num, k_den):
+            return int(g["n_chars"][cum * k_den >= total * k_num].iloc[0])
+        assert got.loc[source, "wp25"] == pick(1, 4)
+        assert got.loc[source, "wmedian"] == pick(1, 2)
+        assert got.loc[source, "wp75"] == pick(3, 4)
+        assert got.loc[source, "total_chars"] == total
+
+
+def test_q191_matches_bruteforce_definition(spark, sf_dir):
+    """Debounce counts recomputed in pandas: kept = distinct
+    (user, 10-minute floor bucket) per type."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts"
+    ).toPandas()
+    ev["bucket"] = ev["ts"].astype("int64") // (600 * 1_000_000_000)
+    want = (
+        ev.groupby("event_type")
+        .apply(
+            lambda g: (len(g), g[["user_id", "bucket"]].drop_duplicates().shape[0]),
+            include_groups=False,
+        )
+        .to_dict()
+    )
+    got = jobs.q191_debounce(spark, sf_dir).toPandas().set_index("event_type")
+    for et, (n_total, n_kept) in want.items():
+        assert got.loc[et, "n_total"] == n_total
+        assert got.loc[et, "n_kept"] == n_kept

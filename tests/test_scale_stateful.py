@@ -375,3 +375,37 @@ def test_scale_matches_oracle(spark, sf_dir, name):
     """Blanket mirror: every scale-module oracle twin, not just the
     hand-picked early ones."""
     compare_query(spark, sf_dir, scale.QUERIES[name], scale.ORACLE[name], name)
+
+
+def test_rate_limit_stream_matches_batch_twin(spark, sf_dir):
+    """run_rate_limit_stream (applyInPandasWithState, horizon-trimmed
+    timestamp buffer) reproduces q199's batch RANGE-window semantics:
+    per-user max rolling rate and breach counts match exactly for
+    every user, not just the batch twin's top-N slice."""
+    from generative_ai_vector_db_spark.operators import temporal
+
+    src = tempfile.mkdtemp(prefix="rate_src_")
+    try:
+        load(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(src)
+        stateful.run_rate_limit_stream(spark, src, sink_table="rate_out")
+        got = (
+            spark.table("rate_out")
+            .toPandas()
+            .groupby("user_id")
+            .tail(1)
+            .set_index("user_id")
+            .sort_index()
+        )
+        want = (
+            temporal.q199_rate_limit(spark, sf_dir)
+            .toPandas()
+            .set_index("user_id")
+            .sort_index()
+        )
+        # q199 returns the top-N; every returned user must agree exactly
+        sub = got.loc[want.index]
+        assert sub["n_events"].tolist() == want["n_events"].tolist()
+        assert sub["max_rate_1h"].tolist() == want["max_rate_1h"].tolist()
+        assert sub["n_breaches"].tolist() == want["n_breaches"].tolist()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
