@@ -108,7 +108,8 @@ _PRIORITY = [
     "q202_compaction_plan", "q203_decile_lift", "q204_lateral_topk",
     "q205_seasonality", "q206_null_semantics", "q207_asof_tolerance",
     "q208_ppl_filter", "q209_tuning_advisor", "q210_triangle_count",
-    "q211_personalized_pagerank",
+    "q211_personalized_pagerank", "q212_join_ivm",
+    "q213_cross_label_audit",
     # tier 2 — previously-green backfill for the remaining window slots,
     # oldest evidence first (r1 rows predate two testdata regenerations).
     "q03_tpch_q1", "q12_dedup_exact", "q13_window_topk",

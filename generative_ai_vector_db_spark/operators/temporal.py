@@ -1436,6 +1436,117 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q212 — incremental JOIN-view maintenance: q141 maintains an
+# aggregate; this maintains a JOIN view (orders x customer rolled up
+# per market segment) under an insert batch using the delta-join
+# identity — new_view = old_view + (delta_orders x customer) — the
+# materialized-view refresh every warehouse runs instead of a full
+# recompute. The delta (a deterministic o_orderkey residue standing in
+# for "today's inserts") joins the dimension ALONE: at 100 TB the
+# incremental cost is O(|delta|), not O(|fact|), and the dimension
+# side broadcasts exactly as in the full join. The report shows
+# base/delta/final per segment plus `matches_recompute` — the
+# correctness proof (final == full recompute) computed IN the
+# operator, cheap at audit time and priceless in production.
+# ---------------------------------------------------------------------------
+IVM_DELTA_MOD = 10  # o_orderkey % 10 == 0 is "today's insert batch"
+
+
+def q212_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    dec = "decimal(18,2)"
+
+    def rollup(df: DataFrame, n_alias: str, rev_alias: str) -> DataFrame:
+        return (
+            df.join(F.broadcast(cust), df.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias(n_alias),
+                F.sum(F.col("o_totalprice").cast(dec)).alias(rev_alias),
+            )
+        )
+
+    is_delta = (F.col("o_orderkey") % IVM_DELTA_MOD) == 0
+    base = rollup(orders.where(~is_delta), "n_base", "_rev_base")
+    delta = rollup(orders.where(is_delta), "n_delta", "_rev_delta")
+    full = rollup(orders, "n_full", "_rev_full")
+    merged = (
+        base.join(delta, "c_mktsegment", "full")
+        .join(full, "c_mktsegment", "full")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
+            (F.coalesce("n_base", F.lit(0)) + F.coalesce("n_delta", F.lit(0)))
+            .cast("bigint")
+            .alias("n_final"),
+            F.round(
+                (
+                    F.coalesce("_rev_base", F.lit(0).cast(dec))
+                    + F.coalesce("_rev_delta", F.lit(0).cast(dec))
+                ).cast("double"),
+                2,
+            ).alias("rev_final"),
+            (
+                (
+                    F.coalesce("n_base", F.lit(0))
+                    + F.coalesce("n_delta", F.lit(0))
+                    == F.coalesce("n_full", F.lit(0))
+                )
+                & (
+                    F.coalesce("_rev_base", F.lit(0).cast(dec))
+                    + F.coalesce("_rev_delta", F.lit(0).cast(dec))
+                    == F.coalesce("_rev_full", F.lit(0).cast(dec))
+                )
+            ).alias("matches_recompute"),
+        )
+    )
+    return merged.orderBy("c_mktsegment")
+
+
+Q212_SQL = f"""
+WITH joined AS (
+  SELECT o.o_orderkey, c.c_mktsegment,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+base AS (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_base,
+         sum(price) AS _rev_base
+  FROM joined WHERE o_orderkey % {IVM_DELTA_MOD} != 0 GROUP BY 1
+),
+delta AS (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_delta,
+         sum(price) AS _rev_delta
+  FROM joined WHERE o_orderkey % {IVM_DELTA_MOD} = 0 GROUP BY 1
+),
+wholeview AS (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_full,
+         sum(price) AS _rev_full
+  FROM joined GROUP BY 1
+)
+SELECT w.c_mktsegment,
+       coalesce(n_base, 0) AS n_base,
+       coalesce(n_delta, 0) AS n_delta,
+       CAST(coalesce(n_base, 0) + coalesce(n_delta, 0) AS BIGINT) AS n_final,
+       round(CAST(coalesce(_rev_base, 0) + coalesce(_rev_delta, 0) AS DOUBLE),
+             2) AS rev_final,
+       (coalesce(n_base, 0) + coalesce(n_delta, 0) = coalesce(n_full, 0))
+       AND (coalesce(_rev_base, 0) + coalesce(_rev_delta, 0)
+            = coalesce(_rev_full, 0)) AS matches_recompute
+FROM wholeview w
+LEFT JOIN base b ON w.c_mktsegment = b.c_mktsegment
+LEFT JOIN delta d ON w.c_mktsegment = d.c_mktsegment
+ORDER BY w.c_mktsegment
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
     "q59_range_join": q59_range_join,
@@ -1457,6 +1568,7 @@ QUERIES = {
     "q199_rate_limit": q199_rate_limit,
     "q205_seasonality": q205_seasonality,
     "q207_asof_tolerance": q207_asof_tolerance,
+    "q212_join_ivm": q212_join_ivm,
 }
 
 ORACLE = {
@@ -1480,4 +1592,5 @@ ORACLE = {
     "q199_rate_limit": Q199_SQL,
     "q205_seasonality": Q205_SQL,
     "q207_asof_tolerance": Q207_SQL,
+    "q212_join_ivm": Q212_SQL,
 }

@@ -775,6 +775,88 @@ ORDER BY tau
 # Array checks are scan-side higher-order functions (no explode — the
 # 64-wide arrays never leave the scan stage); id joins carry ids only.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# q213 — cross-label near-neighbor audit (mislabel detection): the
+# closest pairs whose labels DISAGREE. Vectors that are nearly
+# identical but carry different labels are the classic signature of
+# annotation errors (confident-learning / deep-KNN label cleaning) and
+# of class overlap that will cap any classifier trained on the table.
+# Candidate pairs are blocked on the sign signature of the first
+# SIGN_BITS dimensions — near-identical vectors agree on coarse signs
+# with high probability, and the 2^SIGN_BITS buckets cut the pair
+# space by the bucket count. The signature block is part of the
+# declared operator semantics (applied identically in the oracle, the
+# q159/q165 cap pattern); the production-scale path swaps the block
+# for the q44/q46 LSH bucketer with identical downstream shape.
+# Arrow-scored like q27; top-N plans as TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+SIGN_BITS = 8
+CROSS_LABEL_TOP = 20
+
+
+def _sign_sig(col):
+    parts = [
+        F.when(F.element_at(col, i + 1) >= 0, "1").otherwise("0")
+        for i in range(SIGN_BITS)
+    ]
+    return F.concat(*parts)
+
+
+def q213_cross_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("label").alias("label_a"),
+        _sign_sig(F.col("embedding")).alias("sig"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("label").alias("label_b"),
+        _sign_sig(F.col("embedding")).alias("sig"),
+    )
+    l2 = V.l2_arrow()
+    return (
+        a.join(
+            b,
+            (a.sig == b.sig)
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("label_a") != F.col("label_b")),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("label_a").cast("bigint").alias("label_a"),
+            F.col("label_b").cast("bigint").alias("label_b"),
+            F.round(l2(F.col("emb_a"), F.col("emb_b")), 4).alias("dist"),
+        )
+        .orderBy("dist", "id_a", "id_b")
+        .limit(CROSS_LABEL_TOP)
+    )
+
+
+_DUCK_SIG = (
+    "list_aggregate([CASE WHEN CAST(%s.embedding[k] AS DOUBLE) >= 0 "
+    "THEN '1' ELSE '0' END for k in generate_series(1, "
+    + str(SIGN_BITS)
+    + ")], 'string_agg', '')"
+)
+
+Q213_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(a.label AS BIGINT) AS label_a,
+       CAST(b.label AS BIGINT) AS label_b,
+       round({_DUCK_L2}, 4) AS dist
+FROM embeddings a JOIN embeddings b
+  ON {_DUCK_SIG % 'a'} = {_DUCK_SIG % 'b'}
+ AND a.vec_id < b.vec_id
+ AND a.label != b.label
+ORDER BY dist, id_a, id_b
+LIMIT {CROSS_LABEL_TOP}
+"""
+
+
 EXPECT_DIM = 64  # contract dimensionality of the embeddings table
 
 
@@ -897,6 +979,7 @@ QUERIES = {
     "q169_threshold_curve": q169_threshold_curve,
     "q178_hard_negatives": q178_hard_negatives,
     "q197_vector_integrity": q197_vector_integrity,
+    "q213_cross_label_audit": q213_cross_label_audit,
 }
 
 ORACLE = {
@@ -911,4 +994,5 @@ ORACLE = {
     "q169_threshold_curve": Q169_SQL,
     "q178_hard_negatives": Q178_SQL,
     "q197_vector_integrity": Q197_SQL,
+    "q213_cross_label_audit": Q213_SQL,
 }

@@ -861,3 +861,23 @@ def test_q210_triangles_no_cartesian(spark, sf_dir):
     plan = plan_of(g.q210_triangle_count(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_q212_delta_joins_dimension_broadcast(spark, sf_dir):
+    """All three rollups broadcast the customer dimension; no
+    fact-fact shuffle join appears."""
+    from generative_ai_vector_db_spark.operators import temporal as tp
+
+    plan = plan_of(tp.q212_join_ivm(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Python" not in plan
+
+
+def test_q213_sign_block_no_cartesian(spark, sf_dir):
+    """Cross-label pairs come from an equi-join on the sign signature —
+    never a cartesian; top-N plans as TakeOrderedAndProject."""
+    from generative_ai_vector_db_spark.operators import vector as v
+
+    plan = plan_of(v.q213_cross_label_audit(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan

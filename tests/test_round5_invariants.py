@@ -191,3 +191,19 @@ def test_q191_matches_bruteforce_definition(spark, sf_dir):
     for et, (n_total, n_kept) in want.items():
         assert got.loc[et, "n_total"] == n_total
         assert got.loc[et, "n_kept"] == n_kept
+
+
+def test_q212_ivm_identity_holds(spark, sf_dir):
+    got = temporal.q212_join_ivm(spark, sf_dir).toPandas()
+    assert got["matches_recompute"].all()
+    assert (got["n_base"] + got["n_delta"] == got["n_final"]).all()
+
+
+def test_q213_pairs_cross_label_and_sorted(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import vector as v
+
+    got = v.q213_cross_label_audit(spark, sf_dir).toPandas()
+    assert (got["label_a"] != got["label_b"]).all()
+    assert (got["id_a"] < got["id_b"]).all()
+    d = got["dist"].tolist()
+    assert d == sorted(d)
