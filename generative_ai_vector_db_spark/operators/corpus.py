@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
-from .relational import HASH_MOD, KNUTH
+from .relational import HASH_MOD, KNUTH, KNUTH_MOD
 
 PACK_BUDGET = 512  # tokens per pack
 HIST_WIDTH = 100  # chars per histogram bucket
@@ -757,8 +757,14 @@ def q184_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.crossJoin(F.broadcast(epochs)).select(
         "epoch",
         "doc_id",
+        # residue-first (q132's overflow guard): raw id * KNUTH wraps
+        # int64 at id ~3.5e9 on Spark and errors on DuckDB
         (
-            (F.col("doc_id") * KNUTH + F.col("epoch") * EPOCH_SALT + 12345)
+            (
+                (F.col("doc_id") % KNUTH_MOD) * KNUTH
+                + F.col("epoch") * EPOCH_SALT
+                + 12345
+            )
             % HASH_MOD
         ).alias("skey"),
     )
@@ -780,8 +786,8 @@ Q184_SQL = f"""
 WITH epochs AS (SELECT unnest(generate_series(0, {SHUFFLE_EPOCHS - 1})) AS epoch),
 keyed AS (
   SELECT CAST(e.epoch AS BIGINT) AS epoch, d.doc_id,
-         (d.doc_id * {KNUTH} + e.epoch * {EPOCH_SALT} + 12345) % {HASH_MOD}
-             AS skey
+         ((d.doc_id % {KNUTH_MOD}) * {KNUTH} + e.epoch * {EPOCH_SALT}
+          + 12345) % {HASH_MOD} AS skey
   FROM documents d CROSS JOIN epochs e
 )
 SELECT epoch, doc_id,

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load
-from .quality import COVISIT_CAP
+from .quality import COVISIT_CAP, covisit_kept_cte
 
 PR_SCALE = 100_000_000  # rank mass 1.0 in micro-units
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as an integer ratio
@@ -139,18 +139,7 @@ def _pagerank_sql() -> str:
         )
     chain = ",\n".join(iters)
     return f"""
-WITH visits AS (
-  SELECT DISTINCT user_id,
-         event_type || '|' || strftime(date_trunc('hour', ts), '%Y-%m-%d %H')
-             AS bucket
-  FROM events
-),
-kept AS (
-  SELECT v.user_id, v.bucket
-  FROM visits v
-  JOIN (SELECT bucket FROM visits GROUP BY bucket
-        HAVING count(*) <= {COVISIT_CAP}) s USING (bucket)
-),
+WITH {covisit_kept_cte()},
 pairs AS (
   SELECT DISTINCT a.user_id AS u_a, b.user_id AS u_b
   FROM kept a JOIN kept b USING (bucket)
@@ -252,18 +241,7 @@ def q210_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q210_SQL = f"""
-WITH visits AS (
-  SELECT DISTINCT user_id,
-         event_type || '|' || strftime(date_trunc('hour', ts), '%Y-%m-%d %H')
-             AS bucket
-  FROM events
-),
-kept AS (
-  SELECT v.user_id, v.bucket
-  FROM visits v
-  JOIN (SELECT bucket FROM visits GROUP BY bucket
-        HAVING count(*) <= {TRIANGLE_BUCKET_CAP}) s USING (bucket)
-),
+WITH {covisit_kept_cte(TRIANGLE_BUCKET_CAP)},
 canon AS (
   SELECT DISTINCT a.user_id AS src, b.user_id AS dst
   FROM kept a JOIN kept b USING (bucket)
@@ -299,8 +277,12 @@ FROM tri CROSS JOIN w
 # "users like your buyers" audience expansion and graph-based
 # recommendation. Same integer micro-unit discipline and per-round
 # localCheckpoint as q193; the only new piece is the seed indicator,
-# one broadcast-joined flag. Non-seed nodes with no inflow drop out of
-# the aggregation — semantically rank ~0, so the top-N is unaffected.
+# one broadcast-joined flag. Seed nodes are kept in EVERY round via an
+# outer join against the inflow (a seed's teleport mass arrives each
+# iteration whether or not any ranked neighbor feeds it — dropping it
+# on a no-inflow round would lose rank >= (1-d)/|S|, e.g. on a path
+# graph where reachability alternates); non-seed nodes with no inflow
+# drop out — semantically rank ~0, so the top-N is unaffected.
 # ---------------------------------------------------------------------------
 def q211_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -325,9 +307,11 @@ def q211_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     is_seed = F.col("_seed").isNotNull()
-    seed_flag = seeds.select(
+    # loop-invariant: materialized ONCE, not re-derived (which would
+    # re-scan events every iteration inside the eager checkpoint)
+    seed_flag = seed_nodes.select(
         F.col("node").alias("_sn"), F.lit(1).alias("_seed")
-    )
+    ).localCheckpoint()
     for _ in range(PR_ITERS):
         inflow = (
             edges_d.join(ranks, edges_d.src == ranks.node)
@@ -337,14 +321,17 @@ def q211_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = (
             inflow.join(
-                seed_flag, inflow.dst == seed_flag._sn, "left"
+                seed_flag, inflow.dst == seed_flag._sn, "full"
             )
             .crossJoin(F.broadcast(ns))
             .select(
-                F.col("dst").alias("node"),
+                F.coalesce(F.col("dst"), F.col("_sn")).alias("node"),
                 (
                     F.when(is_seed, teleport).otherwise(F.lit(0))
-                    + F.expr(f"({PR_DAMP_NUM} * s) div {PR_DAMP_DEN}")
+                    + F.coalesce(
+                        F.expr(f"({PR_DAMP_NUM} * s) div {PR_DAMP_DEN}"),
+                        F.lit(0),
+                    )
                 )
                 .cast("bigint")
                 .alias("r"),
@@ -372,29 +359,21 @@ def _ppr_sql() -> str:
     for i in range(1, PR_ITERS + 1):
         iters.append(
             f"""pr{i} AS (
-  SELECT e.dst AS node,
-         CAST(CASE WHEN e.dst IN (SELECT node FROM seed_nodes)
-                   THEN {teleport} ELSE 0 END
-              + ({PR_DAMP_NUM} * sum(p.r // e.deg)) // {PR_DAMP_DEN}
+  SELECT coalesce(agg.node, s.node) AS node,
+         CAST(CASE WHEN s.node IS NOT NULL THEN {teleport} ELSE 0 END
+              + coalesce(({PR_DAMP_NUM} * agg._in) // {PR_DAMP_DEN}, 0)
            AS BIGINT) AS r
-  FROM edges_d e JOIN pr{i - 1} p ON p.node = e.src
-  GROUP BY e.dst
+  FROM (
+    SELECT e.dst AS node, sum(p.r // e.deg) AS _in
+    FROM edges_d e JOIN pr{i - 1} p ON p.node = e.src
+    GROUP BY e.dst
+  ) agg
+  FULL OUTER JOIN seed_nodes s ON s.node = agg.node
 )"""
         )
     chain = ",\n".join(iters)
     return f"""
-WITH visits AS (
-  SELECT DISTINCT user_id,
-         event_type || '|' || strftime(date_trunc('hour', ts), '%Y-%m-%d %H')
-             AS bucket
-  FROM events
-),
-kept AS (
-  SELECT v.user_id, v.bucket
-  FROM visits v
-  JOIN (SELECT bucket FROM visits GROUP BY bucket
-        HAVING count(*) <= {COVISIT_CAP}) s USING (bucket)
-),
+WITH {covisit_kept_cte()},
 pairs AS (
   SELECT DISTINCT a.user_id AS u_a, b.user_id AS u_b
   FROM kept a JOIN kept b USING (bucket)

@@ -1035,6 +1035,25 @@ COVISIT_CAP = 50  # max users per bucket before it is dropped as noise
 COVISIT_TOP = 20
 
 
+def covisit_kept_cte(cap: int = COVISIT_CAP) -> str:
+    """The ONE SQL definition of the co-visitation bucket key and its
+    size cap — embedded by Q177 here and by the graph module's Q193/
+    Q210/Q211 twins, so a change to the bucket rule cannot silently
+    desynchronize an operator from its oracle."""
+    return f"""visits AS (
+  SELECT DISTINCT user_id,
+         event_type || '|' || strftime(date_trunc('hour', ts), '%Y-%m-%d %H')
+             AS bucket
+  FROM events
+),
+kept AS (
+  SELECT v.user_id, v.bucket
+  FROM visits v
+  JOIN (SELECT bucket FROM visits GROUP BY bucket
+        HAVING count(*) <= {cap}) s USING (bucket)
+)"""
+
+
 def q177_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     visits = ev.select(
@@ -1062,18 +1081,7 @@ def q177_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q177_SQL = f"""
-WITH visits AS (
-  SELECT DISTINCT user_id,
-         event_type || '|' || strftime(date_trunc('hour', ts), '%Y-%m-%d %H')
-             AS bucket
-  FROM events
-),
-kept AS (
-  SELECT v.user_id, v.bucket
-  FROM visits v
-  JOIN (SELECT bucket FROM visits GROUP BY bucket
-        HAVING count(*) <= {COVISIT_CAP}) s USING (bucket)
-),
+WITH {covisit_kept_cte()},
 pairs AS (
   SELECT a.user_id AS u_a, b.user_id AS u_b,
          CAST(count(*) AS BIGINT) AS shared_buckets

@@ -1752,13 +1752,18 @@ LIMIT 50
 WSAMPLE_K = 25
 KNUTH = 2654435761
 HASH_MOD = 2147483647
+# id residue taken BEFORE the Knuth multiply: raw id * KNUTH overflows
+# int64 at id ~3.5e9 (Spark wraps negative, DuckDB raises) — the
+# residue keeps the product < 2.7e15 for ANY id while preserving the
+# multiplicative scrambling
+KNUTH_MOD = 1_000_003
 
 
 def q132_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    u = ((F.col("doc_id") * KNUTH + 12345) % HASH_MOD + 1).cast("double") / (
-        HASH_MOD + 1
-    )
+    u = (
+        ((F.col("doc_id") % KNUTH_MOD) * KNUTH + 12345) % HASH_MOD + 1
+    ).cast("double") / (HASH_MOD + 1)
     key = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 10)
     return (
         docs.select(
@@ -1779,7 +1784,8 @@ Q132_SQL = f"""
 SELECT doc_id, n_chars, round(k10, 4) AS sample_key
 FROM (
   SELECT doc_id, n_chars,
-         round(pow(CAST((doc_id * {KNUTH} + 12345) % {HASH_MOD} + 1 AS DOUBLE)
+         round(pow(CAST(((doc_id % {KNUTH_MOD}) * {KNUTH} + 12345)
+                        % {HASH_MOD} + 1 AS DOUBLE)
                    / {HASH_MOD + 1}, 1.0 / n_chars), 10) AS k10
   FROM documents
   ORDER BY k10 DESC, doc_id

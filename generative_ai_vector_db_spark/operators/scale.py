@@ -591,12 +591,16 @@ FROM tot
 PLANNER_BUCKETS = 16
 TARGET_BUCKET_BYTES = 8192  # ~file-size target at fixture scale
 _PKNUTH = 2654435761
+_PKNUTH_MOD = 1_000_003  # id residue taken BEFORE the multiply: keeps
+# the product under 2.7e15 << 2^63 for ANY doc_id — a raw id * Knuth
+# overflows int64 at id ~3.5e9 (Spark would wrap negative, DuckDB
+# would raise), i.e. exactly at the scale this planner targets
 
 
 def q187_bucket_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     bucketed = docs.select(
-        ((F.col("doc_id") * _PKNUTH) % PLANNER_BUCKETS)
+        (((F.col("doc_id") % _PKNUTH_MOD) * _PKNUTH) % PLANNER_BUCKETS)
         .cast("bigint")
         .alias("bucket"),
         "n_chars",
@@ -634,7 +638,8 @@ def q187_bucket_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q187_SQL = f"""
 WITH per_bucket AS (
-  SELECT CAST((doc_id * {_PKNUTH}) % {PLANNER_BUCKETS} AS BIGINT) AS bucket,
+  SELECT CAST(((doc_id % {_PKNUTH_MOD}) * {_PKNUTH})
+              % {PLANNER_BUCKETS} AS BIGINT) AS bucket,
          CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS n_bytes
   FROM documents
@@ -676,9 +681,10 @@ def q188_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
     mean = per_key.agg(
-        (F.sum("n") / F.count(F.lit(1)))
-        .cast("bigint")
-        .alias("_mean_n")  # integer-division mean: exact on both engines
+        # true integer division (`div`), NOT double `/` cast to bigint:
+        # past 2^53 total rows a rounded double quotient can truncate
+        # differently than DuckDB's exact `//`
+        F.expr("sum(n) div count(1)").cast("bigint").alias("_mean_n")
     )
     target = f"greatest(1, _mean_n * {SALT_TARGET_MULT})"
     return (

@@ -171,21 +171,29 @@ ORDER BY order_year
 SESSION_GAP = 1800  # seconds
 
 
-def sessionize_events(ev: DataFrame, gap_sec: int = SESSION_GAP) -> DataFrame:
-    """Generic gaps-and-islands sessionizer over (user_id, event_id, ts)
-    columns; see q106 docstring for semantics."""
+def with_session_seq(ev: DataFrame, gap_sec: int = SESSION_GAP) -> DataFrame:
+    """Row-level gaps-and-islands session assignment: every input row
+    plus a ``session_seq`` column. The single home of the session
+    boundary rule ((ts, event_id) order, gap > gap_sec starts a new
+    session) — q106's rollup and q195's path mining both consume THIS,
+    so the boundary semantics cannot silently diverge between them."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     secs = F.col("ts").cast("long")
     prev = F.lag(secs).over(w)
     is_new = F.when(
         prev.isNull() | ((secs - prev) > gap_sec), F.lit(1)
     ).otherwise(F.lit(0))
-    marked = ev.select("user_id", "event_id", "ts", is_new.alias("is_new"))
-    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.withColumn(
+        "session_seq", F.sum(is_new).over(cum).cast("bigint")
     )
-    sess = marked.withColumn(
-        "session_seq", F.sum("is_new").over(cum).cast("bigint")
+
+
+def sessionize_events(ev: DataFrame, gap_sec: int = SESSION_GAP) -> DataFrame:
+    """Generic gaps-and-islands sessionizer over (user_id, event_id, ts)
+    columns; see q106 docstring for semantics."""
+    sess = with_session_seq(
+        ev.select("user_id", "event_id", "ts"), gap_sec
     )
     return (
         sess.groupBy("user_id", "session_seq")
@@ -1158,19 +1166,8 @@ JOURNEY_TOP = 15
 
 def q195_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    secs = F.col("ts").cast("long")
-    prev = F.lag(secs).over(w)
-    is_new = F.when(
-        prev.isNull() | ((secs - prev) > SESSION_GAP), F.lit(1)
-    ).otherwise(F.lit(0))
-    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sess = ev.select(
-        "user_id",
-        "event_id",
-        "ts",
-        "event_type",
-        F.sum(is_new).over(cum).cast("bigint").alias("session_seq"),
+    sess = with_session_seq(
+        ev.select("user_id", "event_id", "ts", "event_type")
     )
     sw = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
     steps = sess.withColumn("step", F.row_number().over(sw)).where(

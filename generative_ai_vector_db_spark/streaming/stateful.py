@@ -347,7 +347,8 @@ def run_profile_stream_ttl(
 # is bounded by one user's 1-hour burst, not the stream's lifetime —
 # the same bounded-state discipline as the q163 TTL profile and
 # run_debounce_stream. Events are processed in event-time order within
-# the handler (sorted on (sec, event_id)), so with in-order delivery
+# the handler (sorted seconds, tie groups applied atomically — a
+# RANGE frame includes same-second peers), so with in-order delivery
 # per batch the emitted breach/max-rate totals equal q199's batch
 # RANGE-window semantics exactly — asserted by the equivalence test.
 # ---------------------------------------------------------------------------
@@ -373,17 +374,28 @@ def _update_rate(
     rows = []
     for pdf in batches:
         sec = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
-        rows.extend(zip(sec, pdf["event_id"].tolist()))
+        rows.extend(sec)
     rows.sort()
-    for sec, _eid in rows:
-        secs.append(sec)
+    # process per distinct second: a RANGE frame includes same-second
+    # PEERS (rows after this one at the same truncated second), so
+    # every tied event must see the rate AFTER all ties are appended —
+    # a per-event prefix count would undercount breaches whenever a
+    # tie group straddles the quota
+    i = 0
+    while i < len(rows):
+        j = i
+        while j < len(rows) and rows[j] == rows[i]:
+            j += 1
+        sec, ties = rows[i], j - i
+        secs.extend([sec] * ties)
         lo = bisect.bisect_left(secs, sec - (_RATE_WINDOW - 1))
         if lo:
             secs = secs[lo:]  # trim beyond the horizon — bounded state
         rate = len(secs)
-        n += 1
+        n += ties
         mx = max(mx, rate)
-        br += 1 if rate > _RATE_QUOTA else 0
+        br += ties if rate > _RATE_QUOTA else 0
+        i = j
     state.update((secs, n, mx, br))
     yield pd.DataFrame(
         {
