@@ -67,125 +67,111 @@ _MODULES = [
 _QUERIES, _ORACLE = merge_registries(*_MODULES)
 
 # Registry ordering: the driver's correctness pass covers the FIRST 50
-# entries, so ordering is evidence placement. Tier 1 = queries that MUST
-# get a driver row this round: the q71 -0.0 fix proof, the queries whose
-# implementation changed this round (q149 decimal LOCF, q150 whitespace
-# class, q159 lazy n_docs), the round-4 additions q152-q160 that have
-# never had a driver row, and this round's new operators. Tier 2 =
-# previously-green oracle queries backfilling the remaining window slots
-# (a re-run refreshes their evidence; their old rows stand regardless).
-# Tier 3 = previously-green overflow; tier 4 = rows-only-by-design.
+# entries, so ordering is evidence placement. Round-6 window: (a) the
+# 14 round-5 operators q200-q213 that have never had a driver row,
+# (b) the four queries whose outputs changed under this round's ADVICE
+# fixes (two-lane portable hash; decimal centroid fold) and so MUST be
+# re-graded, (c) stale-evidence rotation — r1-graded rows that predate
+# two testdata regenerations, refreshed oldest-first to fill the
+# window to exactly 50. Tier 3 = other green queries (rows stand);
+# tier 4 = rows-only-by-design.
 _PRIORITY = [
-    # tier 1 — round-5 fix proofs: q71's three-round hash mismatch was
-    # IEEE -0.0 (DuckDB rounds a tiny negative covariance to -0.0,
-    # Spark to +0.0) — both sides now normalize with `+ 0.0`; q149/q150
-    # changed per ADVICE (decimal LOCF accumulation, engine-independent
-    # whitespace class); q159 lost its eager driver-side count.
-    "q71_stats_agg", "q149_gap_fill", "q150_dedup_keep_best",
-    "q159_weighted_jaccard",
-    # tier 1 — round-4 operators, locally oracle-green, first driver row
-    "q152_multimodal_resize", "q153_matryoshka_retention",
-    "q154_novelty_curve", "q155_column_profile",
-    "q156_event_transitions", "q157_winsorized_stats",
-    "q158_centroid_similarity", "q160_decayed_engagement",
-    # tier 1 — new round-5 operators (added as implemented)
-    "q161_ce_rerank", "q162_token_budget_mixture",
-    "q163_state_ttl_profile", "q164_cube_profile",
-    "q165_containment", "q166_tokenizer_fertility", "q167_wow_trend",
-    "q168_sketch_quantiles", "q169_threshold_curve", "q170_funnel_timing",
-    "q171_burstiness", "q172_lang_confusion",
-    "q173_patch_grid", "q174_audio_windows",
-    "q176_snapshot_diff", "q177_covisitation", "q178_hard_negatives",
-    "q179_pii_inventory", "q180_last_touch",
-    "q181_neardup_explain", "q182_join_size_advisor", "q183_dup_rate_curve",
-    "q184_epoch_shuffle", "q185_dedup_savings", "q186_incremental_dedup",
-    "q187_bucket_layout", "q188_salt_plan", "q189_embedding_drift",
-    "q190_compression_proxy", "q191_debounce", "q192_citation_coverage",
-    "q193_graph_pagerank", "q194_range_partition_plan",
-    "q195_session_paths", "q196_weighted_length_quartiles",
-    "q197_vector_integrity", "q198_purge_audit", "q199_rate_limit",
+    # tier 1 — round-5 additions q200-q213: implemented + locally
+    # oracle-green since r5 but NEVER inside the driver's 50-slot
+    # window — first driver rows are this round's top priority
+    # (VERDICT r5 next-steps #1).
     "q200_recursive_hierarchy", "q201_context_budget",
     "q202_compaction_plan", "q203_decile_lift", "q204_lateral_topk",
     "q205_seasonality", "q206_null_semantics", "q207_asof_tolerance",
     "q208_ppl_filter", "q209_tuning_advisor", "q210_triangle_count",
-    "q211_personalized_pagerank", "q212_join_ivm",
-    "q213_cross_label_audit",
-    # tier 2 — previously-green backfill for the remaining window slots,
-    # oldest evidence first (r1 rows predate two testdata regenerations).
-    "q03_tpch_q1", "q12_dedup_exact", "q13_window_topk",
-    "q16_global_topk", "q18_rollup", "q20_date_fns", "q22_array_fns",
-    "q23_json_fns", "q25_knn_l2", "q26_knn_cosine", "q27_similarity_join",
-    "q28_context_assembly", "q34_latest_per_key", "q36_weighted_avg",
-    "q37_lang_id", "q38_text_quality", "q40_fingerprint",
-    "q41_ngram_jaccard", "q54_percentiles", "q55_pivot",
-    "q57_redact_pii", "q60_systematic_sample", "q63_corpus_stats",
-    "q64_repetition_ratio", "q72_window_rank_family",
-    "q31_tumbling_window", "q32_sliding_window", "q35_pandas_udf_zscore",
-    "q43_multimodal_decode", "q52_delete_by_source", "q53_rag_pipeline",
-    "q56_salted_agg", "q58_asof_join", "q59_range_join",
-    "q65_contamination", "q76_dedup_clusters", "q83_bm25_topk",
-    "q95_lang_kl_divergence",
-    # ---- driver's 50-slot window ends around here (floats as tier 1
-    # grows; must-prove entries are all well inside it) ----
-    "q33_session_window", "q70_interval_join", "q106_sessionize",
-    "q148_tpch_q6_shape", "q151_traffic_bursts",
-    "q144_zipf_fit", "q145_token_entropy", "q146_pmi_collocations",
-    "q147_late_arrival_profile",
-    "q108_grouping_sets",
-    "q109_tpch_q5_shape", "q110_tpch_q18_shape",
-    "q111_stream_static_enrich",
-    "q112_tpch_q7_shape", "q113_tpch_q11_shape", "q114_tpch_q15_shape",
-    "q115_tpch_q2_shape", "q116_tpch_q19_shape",
-    "q117_tpch_q21_shape", "q118_tpch_q22_shape",
+    "q211_personalized_pagerank", "q212_join_ivm", "q213_cross_label_audit",
+    # tier 1 — outputs CHANGED this round (round-5 ADVICE): q132/q184/
+    # q187 moved to the two-lane portable mix (functions/hashing.py —
+    # kills the id/id+1e6 aliasing and the %16 no-op bucket route),
+    # q189 carries 8dp-decimal centroids through the fold (the q208
+    # pattern). Both engines changed together; must be re-graded.
+    "q132_weighted_sample", "q184_epoch_shuffle", "q187_bucket_layout",
+    "q189_embedding_drift",
+    # --- new round-6 operators slot in HERE (window rule: an operator
+    # added this round must be graded this round or wait) ---
+    # tier 2 — stale-evidence rotation: these r1-graded rows predate
+    # two testdata regenerations (VERDICT r5 next-steps #7); refresh
+    # oldest-first. Fills the window to exactly 50.
+    "q01_scan_project", "q02_filter_pushdown", "q03_tpch_q1",
+    "q04_count_distinct", "q06_join_inner", "q07_join_broadcast",
+    "q08_join_multiway", "q09_join_left", "q10_join_semi", "q11_join_anti",
+    "q12_dedup_exact", "q13_window_topk", "q14_window_running",
+    "q15_window_lag", "q16_global_topk", "q17_set_ops", "q18_rollup",
+    "q19_string_fns", "q20_date_fns", "q21_math_fns", "q22_array_fns",
+    "q23_json_fns", "q24_chunk_stride", "q25_knn_l2", "q26_knn_cosine",
+    "q27_similarity_join", "q28_context_assembly", "q29_ingest_routing",
+    "q30_store_counts", "q34_latest_per_key", "q36_weighted_avg",
+    "q37_lang_id",
+    # ---- driver's 50-slot window ends here ----
+    # tier 3 — remaining r1-stale (rotate in r7), then all other
+    # driver-green oracle queries by number (their rows stand).
+    "q38_text_quality", "q39_token_count", "q40_fingerprint",
+    "q41_ngram_jaccard", "q42_cosine_neardup", "q54_percentiles",
+    "q55_pivot", "q57_redact_pii", "q60_systematic_sample",
+    "q63_corpus_stats", "q64_repetition_ratio", "q72_window_rank_family",
+    "q75_chunk_udtf",
+    "q31_tumbling_window", "q32_sliding_window", "q33_session_window",
+    "q35_pandas_udf_zscore", "q43_multimodal_decode", "q52_delete_by_source",
+    "q53_rag_pipeline", "q56_salted_agg", "q58_asof_join", "q59_range_join",
+    "q62_chatlog_format", "q65_contamination", "q66_multimodal_framesample",
+    "q67_correlated_min", "q68_exists_distribution",
+    "q69_count_distribution", "q70_interval_join", "q71_stats_agg",
+    "q74_curation_pipeline", "q76_dedup_clusters", "q77_user_filtered_knn",
+    "q78_ingest_pipeline_stride", "q79_token_packing", "q80_corpus_mixing",
+    "q81_embedding_quantize", "q82_length_histogram", "q83_bm25_topk",
+    "q84_hybrid_rrf", "q85_dedup_corpus", "q86_tfidf_keywords",
+    "q87_vocab_coverage", "q88_median_length_filter", "q90_tpch_q4_shape",
+    "q91_tpch_q12_shape", "q92_tpch_q14_shape", "q93_gopher_quality",
+    "q94_source_cap", "q95_lang_kl_divergence", "q96_event_funnel",
+    "q97_tpch_q3_shape", "q98_tpch_q10_shape", "q99_centroid_outliers",
+    "q100_rolling_anomaly", "q101_stratified_downsample", "q102_hash_split",
+    "q103_length_bucketing", "q104_truncation_stats",
+    "q105_source_overlap_matrix", "q106_sessionize",
+    "q107_retention_cohorts", "q108_grouping_sets", "q109_tpch_q5_shape",
+    "q110_tpch_q18_shape", "q111_stream_static_enrich", "q112_tpch_q7_shape",
+    "q113_tpch_q11_shape", "q114_tpch_q15_shape", "q115_tpch_q2_shape",
+    "q116_tpch_q19_shape", "q117_tpch_q21_shape", "q118_tpch_q22_shape",
     "q119_ngram_decontam", "q120_span_dedup", "q121_unigram_logprob",
     "q122_scd2_dimension", "q123_store_upsert", "q124_outer_attribution",
     "q125_time_rollup", "q126_tpch_q8_shape", "q127_tpch_q9_shape",
-    "q128_zorder_stats", "q129_unpivot_metrics",
-    "q130_range_search", "q131_copurchase_lift", "q132_weighted_sample",
-    "q133_tpch_q16_shape", "q134_tpch_q17_shape", "q135_tpch_q20_shape",
-    "q136_quality_percentile_gate", "q137_token_curriculum",
-    "q138_skew_profile", "q139_integrity_audit",
-    "q140_pergroup_trend", "q141_incremental_agg",
-    "q142_event_bitmask", "q143_embedding_dim_stats",
-    # tier 3 — driver-green in a prior round (rows stand as evidence)
-    "q62_chatlog_format",
-    "q66_multimodal_framesample",
-    "q67_correlated_min", "q68_exists_distribution",
-    "q69_count_distribution",
-    "q74_curation_pipeline",
-    "q77_user_filtered_knn", "q78_ingest_pipeline_stride",
-    "q79_token_packing", "q80_corpus_mixing",
-    "q81_embedding_quantize", "q82_length_histogram",
-    "q84_hybrid_rrf", "q85_dedup_corpus",
-    "q86_tfidf_keywords", "q87_vocab_coverage", "q88_median_length_filter",
-    "q90_tpch_q4_shape", "q91_tpch_q12_shape", "q92_tpch_q14_shape",
-    "q93_gopher_quality", "q94_source_cap",
-    "q96_event_funnel", "q97_tpch_q3_shape", "q98_tpch_q10_shape",
-    "q99_centroid_outliers", "q100_rolling_anomaly",
-    "q101_stratified_downsample", "q102_hash_split",
-    "q103_length_bucketing", "q104_truncation_stats",
-    "q105_source_overlap_matrix", "q107_retention_cohorts",
-    "q24_chunk_stride", "q29_ingest_routing",
-    "q75_chunk_udtf",
-    "q42_cosine_neardup",
-    "q39_token_count",
-    "q01_scan_project", "q02_filter_pushdown",
-    "q06_join_inner", "q07_join_broadcast", "q08_join_multiway",
-    "q30_store_counts",
-    "q04_count_distinct", "q09_join_left", "q10_join_semi",
-    "q11_join_anti", "q14_window_running", "q15_window_lag",
-    "q17_set_ops",
-    "q19_string_fns", "q21_math_fns",
-    # tier 4 — rows-only by design (sketches, seeded LSH, Python algos).
-    # q50_ingest_pipeline lives here: it has NO oracle (its digest output
-    # is not SQL-expressible; q78 is its oracle twin, driver-green r3) —
-    # it must never occupy a graded window slot again.
-    "q50_ingest_pipeline",
-    "q05_approx_count_distinct", "q61_approx_quantiles",
-    "q46_ann_lsh_topk", "q48_chunk_recursive",
-    "q44_minhash_neardup", "q45_simhash_neardup",
-    "q47_ann_brp_lsh", "q49_ann_ivf", "q51_minhash_lsh_simjoin",
-    "q89_mmr_rerank", "q175_ann_ivf_pq",
+    "q128_zorder_stats", "q129_unpivot_metrics", "q130_range_search",
+    "q131_copurchase_lift", "q133_tpch_q16_shape", "q134_tpch_q17_shape",
+    "q135_tpch_q20_shape", "q136_quality_percentile_gate",
+    "q137_token_curriculum", "q138_skew_profile", "q139_integrity_audit",
+    "q140_pergroup_trend", "q141_incremental_agg", "q142_event_bitmask",
+    "q143_embedding_dim_stats", "q144_zipf_fit", "q145_token_entropy",
+    "q146_pmi_collocations", "q147_late_arrival_profile",
+    "q148_tpch_q6_shape", "q149_gap_fill", "q150_dedup_keep_best",
+    "q151_traffic_bursts", "q152_multimodal_resize",
+    "q153_matryoshka_retention", "q154_novelty_curve", "q155_column_profile",
+    "q156_event_transitions", "q157_winsorized_stats",
+    "q158_centroid_similarity", "q159_weighted_jaccard",
+    "q160_decayed_engagement", "q161_ce_rerank", "q162_token_budget_mixture",
+    "q163_state_ttl_profile", "q164_cube_profile", "q165_containment",
+    "q166_tokenizer_fertility", "q167_wow_trend", "q168_sketch_quantiles",
+    "q169_threshold_curve", "q170_funnel_timing", "q171_burstiness",
+    "q172_lang_confusion", "q173_patch_grid", "q174_audio_windows",
+    "q176_snapshot_diff", "q177_covisitation", "q178_hard_negatives",
+    "q179_pii_inventory", "q180_last_touch", "q181_neardup_explain",
+    "q182_join_size_advisor", "q183_dup_rate_curve", "q185_dedup_savings",
+    "q186_incremental_dedup", "q188_salt_plan", "q190_compression_proxy",
+    "q191_debounce", "q192_citation_coverage", "q193_graph_pagerank",
+    "q194_range_partition_plan", "q195_session_paths",
+    "q196_weighted_length_quartiles", "q197_vector_integrity",
+    "q198_purge_audit", "q199_rate_limit",
+    # tier 4 — rows-only by design (sketches, seeded LSH, Python
+    # algos; q50's digest is not SQL-expressible — q78 is its graded
+    # twin). Must never occupy a graded window slot.
+    "q50_ingest_pipeline", "q05_approx_count_distinct",
+    "q61_approx_quantiles", "q46_ann_lsh_topk", "q48_chunk_recursive",
+    "q44_minhash_neardup", "q45_simhash_neardup", "q47_ann_brp_lsh",
+    "q49_ann_ivf", "q51_minhash_lsh_simjoin", "q89_mmr_rerank",
+    "q175_ann_ivf_pq",
 ]
 
 

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
-from .relational import HASH_MOD, KNUTH, KNUTH_MOD
+from ..functions.hashing import HASH_MOD, mix_core_duck, mix_core_spark
 
 PACK_BUDGET = 512  # tokens per pack
 HIST_WIDTH = 100  # chars per histogram bucket
@@ -757,11 +757,15 @@ def q184_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.crossJoin(F.broadcast(epochs)).select(
         "epoch",
         "doc_id",
-        # residue-first (q132's overflow guard): raw id * KNUTH wraps
-        # int64 at id ~3.5e9 on Spark and errors on DuckDB
+        # two-lane portable mix (functions/hashing.py): the previous
+        # single-lane residue form gave doc_id and doc_id + 1e6 the
+        # SAME shuffle position in EVERY epoch — systematic pair
+        # correlation where this operator promises per-doc randomness.
+        # The high lane breaks the aliasing (period 1e12) and the sum
+        # stays < 5.5e15, no int64 wrap / DuckDB raise for any id.
         (
             (
-                (F.col("doc_id") % KNUTH_MOD) * KNUTH
+                F.expr(mix_core_spark("doc_id"))
                 + F.col("epoch") * EPOCH_SALT
                 + 12345
             )
@@ -786,7 +790,7 @@ Q184_SQL = f"""
 WITH epochs AS (SELECT unnest(generate_series(0, {SHUFFLE_EPOCHS - 1})) AS epoch),
 keyed AS (
   SELECT CAST(e.epoch AS BIGINT) AS epoch, d.doc_id,
-         ((d.doc_id % {KNUTH_MOD}) * {KNUTH} + e.epoch * {EPOCH_SALT}
+         ({mix_core_duck("d.doc_id")} + e.epoch * {EPOCH_SALT}
           + 12345) % {HASH_MOD} AS skey
   FROM documents d CROSS JOIN epochs e
 )

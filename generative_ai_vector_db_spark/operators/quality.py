@@ -1202,26 +1202,47 @@ def q189_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("embedding", lambda x: x.cast("double"))
         ).alias("pos", "x"),
     )
+    # Centroid components are rounded ONCE to 8dp and carried as
+    # DECIMAL(18,8) into the K x D -> K fold (the q208 NLL pattern):
+    # raw double avgs accumulate in different orders on Spark
+    # partitions vs DuckDB, and a last-ulp difference entering the
+    # fold can land the final round(x, 4) on a knife edge. With 8dp
+    # decimals the fold's sums are EXACT and order-independent in
+    # both engines, so the doubles fed to sqrt/divide are
+    # bit-identical.
+    dec = "decimal(18,8)"
     cent = exploded.groupBy("label", "pos").agg(
-        F.avg(F.when(F.col("half") == 0, F.col("x"))).alias("c0"),
-        F.avg(F.when(F.col("half") == 1, F.col("x"))).alias("c1"),
+        F.round(F.avg(F.when(F.col("half") == 0, F.col("x"))), 8)
+        .cast(dec)
+        .alias("c0"),
+        F.round(F.avg(F.when(F.col("half") == 1, F.col("x"))), 8)
+        .cast(dec)
+        .alias("c1"),
     )
+    # difference of two 8dp decimals is exact at scale 8 — the cast
+    # keeps the product inside decimal(37,16) on both engines
+    d = (F.col("c0") - F.col("c1")).cast(dec)
     return (
         cent.groupBy("label")
         .agg(
             F.sum(F.col("c0") * F.col("c1")).alias("_dot"),
             F.sum(F.col("c0") * F.col("c0")).alias("_n0"),
             F.sum(F.col("c1") * F.col("c1")).alias("_n1"),
-            F.sum(
-                (F.col("c0") - F.col("c1")) * (F.col("c0") - F.col("c1"))
-            ).alias("_d2"),
+            F.sum(d * d).alias("_d2"),
         )
         .select(
             F.col("label").cast("bigint").alias("label"),
             F.round(
-                F.col("_dot") / (F.sqrt("_n0") * F.sqrt("_n1")), 4
+                F.col("_dot").cast("double")
+                / (
+                    F.sqrt(F.col("_n0").cast("double"))
+                    * F.sqrt(F.col("_n1").cast("double"))
+                ),
+                4,
             ).alias("cos_sim"),
-            F.round(F.sqrt("_d2"), 4).alias("l2_shift"),
+            F.round(F.sqrt(F.col("_d2").cast("double")), 4).alias(
+                "l2_shift"
+            ),
         )
         .orderBy("label")
     )
@@ -1236,14 +1257,19 @@ WITH exploded AS (
 ),
 cent AS (
   SELECT label, pos,
-         avg(CASE WHEN half = 0 THEN x END) AS c0,
-         avg(CASE WHEN half = 1 THEN x END) AS c1
+         CAST(round(avg(CASE WHEN half = 0 THEN x END), 8)
+              AS DECIMAL(18,8)) AS c0,
+         CAST(round(avg(CASE WHEN half = 1 THEN x END), 8)
+              AS DECIMAL(18,8)) AS c1
   FROM exploded GROUP BY label, pos
 )
 SELECT CAST(label AS BIGINT) AS label,
-       round(sum(c0 * c1) / (sqrt(sum(c0 * c0)) * sqrt(sum(c1 * c1))), 4)
-           AS cos_sim,
-       round(sqrt(sum((c0 - c1) * (c0 - c1))), 4) AS l2_shift
+       round(CAST(sum(c0 * c1) AS DOUBLE)
+             / (sqrt(CAST(sum(c0 * c0) AS DOUBLE))
+                * sqrt(CAST(sum(c1 * c1) AS DOUBLE))), 4) AS cos_sim,
+       round(sqrt(CAST(sum(CAST(c0 - c1 AS DECIMAL(18,8))
+                           * CAST(c0 - c1 AS DECIMAL(18,8)))
+                       AS DOUBLE)), 4) AS l2_shift
 FROM cent
 GROUP BY label
 ORDER BY label

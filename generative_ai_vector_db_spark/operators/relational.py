@@ -1750,19 +1750,27 @@ LIMIT 50
 # scalable form of "sample 1k docs by length from 100 TB".
 # ---------------------------------------------------------------------------
 WSAMPLE_K = 25
-KNUTH = 2654435761
-HASH_MOD = 2147483647
-# id residue taken BEFORE the Knuth multiply: raw id * KNUTH overflows
-# int64 at id ~3.5e9 (Spark wraps negative, DuckDB raises) — the
-# residue keeps the product < 2.7e15 for ANY id while preserving the
-# multiplicative scrambling
-KNUTH_MOD = 1_000_003
+# Two-lane engine-portable mix (functions/hashing.py): the previous
+# single-lane `(id % M) * K` form made id and id+M collide — every
+# ~1M-apart document pair drew the SAME uniform u_i, i.e. correlated
+# sampling at exactly the >1M-id scale the overflow guard targets.
+# The two-lane core folds `id div M` back in with a second odd
+# constant, raising the collision period to M^2 = 1e12 while keeping
+# every intermediate < 5.5e15 (no int64 wrap in Spark, no raise in
+# DuckDB, for any int64 id).
+from ..functions.hashing import (  # noqa: E402
+    HASH_MOD,
+    KNUTH1 as KNUTH,
+    PORTABLE_ID_MOD as KNUTH_MOD,
+    mix_core_duck,
+    mix_core_spark,
+)
 
 
 def q132_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     u = (
-        ((F.col("doc_id") % KNUTH_MOD) * KNUTH + 12345) % HASH_MOD + 1
+        (F.expr(mix_core_spark("doc_id")) + 12345) % HASH_MOD + 1
     ).cast("double") / (HASH_MOD + 1)
     key = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 10)
     return (
@@ -1784,7 +1792,7 @@ Q132_SQL = f"""
 SELECT doc_id, n_chars, round(k10, 4) AS sample_key
 FROM (
   SELECT doc_id, n_chars,
-         round(pow(CAST(((doc_id % {KNUTH_MOD}) * {KNUTH} + 12345)
+         round(pow(CAST(({mix_core_duck("doc_id")} + 12345)
                         % {HASH_MOD} + 1 AS DOUBLE)
                    / {HASH_MOD + 1}, 1.0 / n_chars), 10) AS k10
   FROM documents

@@ -578,7 +578,7 @@ FROM tot
 # q187 — bucketed-layout planner: the sizing pass run BEFORE committing
 # a 100 TB table to a bucketed layout (write_bucketed above / Spark
 # `bucketBy`). Documents are routed to buckets with an engine-portable
-# multiplicative hash (same Knuth constant as q184's epoch shuffle —
+# multiplicative hash (the shared two-lane mix of q184's epoch shuffle —
 # NOT Spark's Murmur3, which DuckDB cannot reproduce), and the report
 # shows per-bucket row/byte load plus the skew ratio vs the ideal
 # uniform share — exactly what decides whether doc_id is a safe bucket
@@ -590,17 +590,23 @@ FROM tot
 # ---------------------------------------------------------------------------
 PLANNER_BUCKETS = 16
 TARGET_BUCKET_BYTES = 8192  # ~file-size target at fixture scale
-_PKNUTH = 2654435761
-_PKNUTH_MOD = 1_000_003  # id residue taken BEFORE the multiply: keeps
-# the product under 2.7e15 << 2^63 for ANY doc_id — a raw id * Knuth
-# overflows int64 at id ~3.5e9 (Spark would wrap negative, DuckDB
-# would raise), i.e. exactly at the scale this planner targets
+# Routing uses the shared two-lane portable mix (functions/hashing.py)
+# REDUCED MOD THE MERSENNE PRIME FIRST: the previous direct
+# `(residue * knuth) % 16` was a no-op hash (the Knuth constant is
+# ≡ 1 mod 16, so bucket == doc_id % 16 — the planner was measuring
+# residue round-robin, not a multiplicative layout). Reducing modulo
+# the odd prime 2^31-1 before the power-of-two bucket mod pushes the
+# multipliers' high bits into the low bits, so the layout under test
+# is a real hash layout and key-space clustering skew is detectable.
+from ..functions.hashing import HASH_MOD as _PHASH_MOD  # noqa: E402
+from ..functions.hashing import mix_duck as _mix_duck  # noqa: E402
+from ..functions.hashing import mix_spark as _mix_spark  # noqa: E402
 
 
 def q187_bucket_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     bucketed = docs.select(
-        (((F.col("doc_id") % _PKNUTH_MOD) * _PKNUTH) % PLANNER_BUCKETS)
+        (F.expr(_mix_spark("doc_id")) % PLANNER_BUCKETS)
         .cast("bigint")
         .alias("bucket"),
         "n_chars",
@@ -638,7 +644,7 @@ def q187_bucket_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q187_SQL = f"""
 WITH per_bucket AS (
-  SELECT CAST(((doc_id % {_PKNUTH_MOD}) * {_PKNUTH})
+  SELECT CAST({_mix_duck("doc_id")}
               % {PLANNER_BUCKETS} AS BIGINT) AS bucket,
          CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS n_bytes

@@ -351,6 +351,9 @@ def run_profile_stream_ttl(
 # RANGE frame includes same-second peers), so with in-order delivery
 # per batch the emitted breach/max-rate totals equal q199's batch
 # RANGE-window semantics exactly — asserted by the equivalence test.
+# Across micro-batches order is NOT assumed: late seconds are merged
+# by sorted insert, and ones older than the trimmed horizon are
+# counted but excluded from rate scoring (see _update_rate).
 # ---------------------------------------------------------------------------
 RATE_SCHEMA = (
     "user_id bigint, n_events bigint, max_rate_1h bigint, n_breaches bigint"
@@ -381,21 +384,40 @@ def _update_rate(
     # every tied event must see the rate AFTER all ties are appended —
     # a per-event prefix count would undercount breaches whenever a
     # tie group straddles the quota
+    #
+    # Cross-batch ordering is NOT assumed (round-5 advice): a later
+    # micro-batch may deliver an earlier timestamp. Seconds are merged
+    # into the state buffer with a sorted INSERT (never a blind
+    # append, which silently unsorted the buffer and made every later
+    # bisect trim the wrong prefix), and a late second older than the
+    # retained horizon — whose window context was already trimmed — is
+    # counted in n_events but EXPLICITLY excluded from rate/breach
+    # math rather than scored against a half-empty buffer.
     i = 0
     while i < len(rows):
         j = i
         while j < len(rows) and rows[j] == rows[i]:
             j += 1
         sec, ties = rows[i], j - i
-        secs.extend([sec] * ties)
-        lo = bisect.bisect_left(secs, sec - (_RATE_WINDOW - 1))
-        if lo:
-            secs = secs[lo:]  # trim beyond the horizon — bounded state
-        rate = len(secs)
         n += ties
+        if secs and sec < secs[-1] - (_RATE_WINDOW - 1):
+            i = j
+            continue  # late beyond the trimmed horizon — drop from rate
+        idx = bisect.bisect_right(secs, sec)
+        secs[idx:idx] = [sec] * ties
+        if sec >= secs[-1]:  # new (or tied) max — advance the horizon
+            lo = bisect.bisect_left(secs, sec - (_RATE_WINDOW - 1))
+            if lo:
+                secs = secs[lo:]  # trim — bounded state per key
+        rate = bisect.bisect_right(secs, sec) - bisect.bisect_left(
+            secs, sec - (_RATE_WINDOW - 1)
+        )
         mx = max(mx, rate)
         br += ties if rate > _RATE_QUOTA else 0
         i = j
+    assert all(
+        secs[k] <= secs[k + 1] for k in range(len(secs) - 1)
+    ), "rate-limiter state buffer must stay sorted"
     state.update((secs, n, mx, br))
     yield pd.DataFrame(
         {

@@ -44,3 +44,22 @@ def test_word_coverage(words):
     joined = " ".join(chunks)
     for i, w in enumerate(words):
         assert f"{w}{i}" in joined
+
+
+def test_pandas_udf_path_equals_scalar(spark, sf_dir):
+    """The Arrow-batched chunk_udf must produce exactly the scalar
+    recursive_chunks output for every fixture document (the round-5
+    advice swap is a serialization change, not a semantic one)."""
+    from generative_ai_vector_db_spark.operators import chunker
+    from generative_ai_vector_db_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    got = {
+        r["doc_id"]: r["chunks"]
+        for r in docs.select(
+            "doc_id", chunker.chunk_udf(chunker.SIZE, 30)("text").alias("chunks")
+        ).collect()
+    }
+    for r in docs.collect():
+        want = chunker.recursive_chunks(r["text"] or "", chunker.SIZE, 30)
+        assert got[r["doc_id"]] == want, r["doc_id"]

@@ -409,3 +409,76 @@ def test_rate_limit_stream_matches_batch_twin(spark, sf_dir):
         assert sub["n_breaches"].tolist() == want["n_breaches"].tolist()
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+class _FakeState:
+    """Minimal stand-in for pyspark GroupState — enough for the
+    handler's exists/get/update surface."""
+
+    def __init__(self):
+        self._val = None
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = v
+
+
+def _feed(state, seconds):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"ts": pd.to_datetime(seconds, unit="s")})
+    return next(stateful._update_rate((7,), iter([pdf]), state))
+
+
+def test_update_rate_out_of_order_batches():
+    """Round-5 advice: a later micro-batch delivering an EARLIER
+    timestamp must not unsort the state buffer (which made bisect
+    trim the wrong prefix and corrupted rate/breach counts forever
+    after). In-horizon late seconds are merged by sorted insert and
+    scored over their own RANGE window; late seconds older than the
+    trimmed horizon are counted in n_events but excluded from
+    rate/breach scoring."""
+    state = _FakeState()
+    # batch 1 (in order): three seconds, last one far ahead so the
+    # trim discards the first two (horizon = 5000 - 3599 = 1401)
+    out = _feed(state, [100, 200, 5000])
+    assert out["n_events"].iloc[0] == 3
+    assert out["max_rate_1h"].iloc[0] == 2  # [100, 200] coexist
+    secs, n, mx, br = state.get
+    assert list(secs) == [5000]
+    # batch 2 (late): 150 is older than the trimmed horizon -> counted
+    # but not scored; 2000 is in-horizon -> sorted insert BEFORE 5000
+    out = _feed(state, [2000, 150])
+    secs, n, mx, br = state.get
+    assert list(secs) == [2000, 5000], "buffer must stay sorted"
+    assert n == 5
+    assert mx == 2  # the late 2000 sees only itself in its window
+    # batch 3: in-horizon seconds around the late insert still score
+    # against a correctly-ordered buffer (4 events in [1430, 5029])
+    out = _feed(state, [5001, 5002, 5003])
+    secs, n, mx, br = state.get
+    assert list(secs) == sorted(secs)
+    assert n == 8
+    assert mx == 5  # 2000, 5000, 5001, 5002, 5003 within 3600 s
+    # rates at 5001/5002/5003 are 3/4/5 -> two breaches (quota 3)
+    assert br == 2
+    assert out["n_breaches"].iloc[0] == br
+
+
+def test_update_rate_in_order_unchanged():
+    """The sorted-insert rewrite is a no-op for in-order delivery:
+    same totals as the previous append+trim form."""
+    state = _FakeState()
+    _feed(state, [0, 1, 2, 3])  # rates 1..4 -> one breach at 4
+    secs, n, mx, br = state.get
+    assert (n, mx, br) == (4, 4, 1)
+    _feed(state, [3600])  # window [1, 3600] -> rate 4 again
+    secs, n, mx, br = state.get
+    assert (n, mx, br) == (5, 4, 2)
