@@ -22,6 +22,7 @@ from generative_ai_vector_db_spark.operators import (  # noqa: E402
     corpus,
     dedup,
     graph,
+    graph_ann,
     ingest,
     merge_registries,
     multimodal,
@@ -47,6 +48,7 @@ _MODULES = [
     chunker,
     corpus,
     graph,
+    graph_ann,
     ingest,
     text,
     dedup,

@@ -94,7 +94,20 @@ def q47_ann_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def build_ivf(df: DataFrame, k: int = 8):
+# IVF geometry (round-5 advice retune). NOTE the measured ceiling: the
+# fixture embeddings are ISOTROPIC unit vectors (per-label centroid
+# norm == the 1/sqrt(n_label) random expectation; true top-13
+# neighbors sit at cos 0.23-0.40 vs a N(0, 0.125) background), so ANY
+# space-partitioning index on this data is information-bounded at
+# recall ~= scan fraction — the full sweep is recorded in QUALITY.md,
+# and the planted-cluster validation there shows the SAME code at
+# >=0.97 recall / ~11% scan once the corpus actually clusters. The
+# defaults below are the measured Pareto knee on the fixture.
+IVF_CELLS = 16  # ~sqrt(n) at fixture scale; at 100 TB scale as sqrt(N)
+IVF_NPROBE = 4
+
+
+def build_ivf(df: DataFrame, k: int = IVF_CELLS):
     # cache the featurized input: KMeans is iterative and would otherwise
     # re-scan parquet + array_to_vector every iteration (measured ~4x)
     df = df.cache()
@@ -113,7 +126,7 @@ def build_ivf(df: DataFrame, k: int = 8):
     return model
 
 
-def q49_ann_ivf(spark: SparkSession, sf_dir: str, n_probe: int = 2) -> DataFrame:
+def q49_ann_ivf(spark: SparkSession, sf_dir: str, n_probe: int = IVF_NPROBE) -> DataFrame:
     """IVF: assign every vector to its KMeans cell; each query probes its
     ``n_probe`` nearest centroids and exact-ranks within those cells."""
     emb = _emb_vectors(spark, sf_dir)
@@ -242,7 +255,7 @@ def build_pq(df: DataFrame, dim: int = 64):
     return np.stack(books)  # (M, KSUB, sub)
 
 
-def q175_ann_ivf_pq(spark: SparkSession, sf_dir: str, n_probe: int = 2) -> DataFrame:
+def q175_ann_ivf_pq(spark: SparkSession, sf_dir: str, n_probe: int = IVF_NPROBE) -> DataFrame:
     import numpy as np
     import pandas as pd
 

@@ -73,22 +73,71 @@ def stub_answer(df: DataFrame) -> DataFrame:
     )
 
 
-def llm_answer_stage(df: DataFrame, model: str = "llama-3.1-8b-instant") -> DataFrame:
-    """R20 shape: external chat-completion call batched via mapInPandas.
-    Import/credential-gated — NOT part of the correctness contract."""
+def llm_answer_stage(
+    df: DataFrame,
+    model: str = "llama-3.1-8b-instant",
+    prompt_col: str = "prompt",
+    max_tokens: int = 128,
+) -> DataFrame:
+    """R20: external chat-completion call batched via mapInPandas,
+    against ANY OpenAI-compatible endpoint (vLLM, llama.cpp server,
+    Groq's OpenAI surface, ...). Credential-gated — NOT part of the
+    correctness contract (nondeterministic external service, SURVEY
+    §2.B), but the wiring is real and smoke-tested by the opt-in
+    ``pytest -m realmodel`` suite when an endpoint is configured.
+
+    Configuration (env, read on the EXECUTOR — standard practice is to
+    ship them via spark.executorEnv):
+      OPENAI_BASE_URL  e.g. http://localhost:8000/v1  (required)
+      OPENAI_API_KEY   bearer token (optional for local servers)
+    stdlib urllib only — no client package dependency.
+    """
     schema = ", ".join(
-        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema] + ["answer string"]
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema]
+        + ["answer string"]
     )
 
+    def _complete(base_url: str, api_key: str, prompt: str) -> str:
+        import json
+        import urllib.request
+
+        req = urllib.request.Request(
+            base_url.rstrip("/") + "/chat/completions",
+            data=json.dumps(
+                {
+                    "model": model,
+                    "messages": [{"role": "user", "content": prompt}],
+                    "max_tokens": max_tokens,
+                    "temperature": 0,
+                }
+            ).encode("utf-8"),
+            headers={
+                "Content-Type": "application/json",
+                **(
+                    {"Authorization": f"Bearer {api_key}"} if api_key else {}
+                ),
+            },
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            body = json.loads(resp.read().decode("utf-8"))
+        return body["choices"][0]["message"]["content"]
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import groq  # noqa: F401
-        except ImportError as e:
+        import os
+
+        base_url = os.environ.get("OPENAI_BASE_URL", "")
+        api_key = os.environ.get("OPENAI_API_KEY", "")
+        if not base_url:
             raise NotImplementedError(
-                "groq client not installed; use stub_answer for deterministic runs"
-            ) from e
-        for pdf in batches:  # pragma: no cover - external service
-            raise NotImplementedError("wire client.chat.completions.create here")
+                "no OPENAI_BASE_URL configured; use stub_answer for "
+                "deterministic runs"
+            )
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["answer"] = [
+                _complete(base_url, api_key, p) for p in pdf[prompt_col]
+            ]
+            yield pdf
 
     return df.mapInPandas(gen, schema)
 

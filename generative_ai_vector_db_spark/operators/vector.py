@@ -255,20 +255,34 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
-# ANN: random-hyperplane LSH bucketing (scale path for Q26). Hyperplanes
-# are derived deterministically from a fixed seed and shipped as a
-# 1-row BROADCAST relation (not plan literals) — at dim 384 / 20 planes
-# the literal form would inflate every plan copy with ~8k constants;
-# as a relation the planes live in one broadcast variable regardless of
-# dim, and bucket assignment stays a narrow projection.
-# Rows-only check (seeded LSH has no SQL twin);
-# recall vs the exact path is asserted in tests/test_vector.py.
+# ANN: random-hyperplane LSH bucketing (scale path for Q26), with
+# OR-AMPLIFICATION (round-5 advice): N_LSH_TABLES independent plane
+# sets. A neighbor is a candidate if it collides in ANY table — for
+# per-plane collision prob p, miss prob falls from (1-p^b) to
+# (1-p^b)^L. The single-table form measured mean recall 0.431 on the
+# fixture; this form measures 0.91/0.85 (QUALITY.md, with the scan
+# fraction — the fixture corpus is ISOTROPIC unit vectors, near the
+# information bound where recall ~ scan fraction; see the planted-
+# cluster validation in QUALITY.md for the clustered-corpus behavior).
 #
-# Scale: the candidate search shuffles only within-bucket groups
-# (bucket key ~ uniform by construction). 4 planes -> 16 buckets here;
-# at 100 TB use ~16-20 planes and multi-probe (flip one bit) to trade
-# recall for candidate count.
+# Planes are derived deterministically from a fixed seed per table and
+# shipped as an L-row BROADCAST relation (not plan literals) — at
+# dim 384 / 20 planes the literal form would inflate every plan copy
+# with ~8k constants; as a relation the planes live in one broadcast
+# variable regardless of dim, and bucket assignment stays a narrow
+# projection (one corpus scan emits L (table, bucket) keys per row).
+# Rows-only check (seeded LSH has no SQL twin); recall vs the exact
+# path is asserted in tests/test_vector.py.
+#
+# Scale: the candidate join shuffles only on (table, bucket) keys —
+# candidates per query are bounded by L * (b+1) buckets of ~n/2^b rows;
+# pairs are deduped BEFORE scoring so each (q, vec) is scored once.
+# At 100 TB raise b to keep n/2^b ~ constant and L for recall.
 # ---------------------------------------------------------------------------
+N_LSH_TABLES = 8
+N_LSH_PLANES = 6
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     import numpy as np
 
@@ -276,14 +290,33 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _plane_tables(
+    n_tables: int, n_planes: int, dim: int, seed: int = 42
+) -> list[tuple[int, list[list[float]]]]:
+    """Independent plane sets, one per table (seed + 1000*t)."""
+    return [
+        (t, _hyperplanes(n_planes, dim, seed + 1000 * t))
+        for t in range(n_tables)
+    ]
+
+
 def with_lsh_buckets(
-    spark: SparkSession, df: DataFrame, planes: list[list[float]], emb_col: str = "embedding"
+    spark: SparkSession,
+    df: DataFrame,
+    tables: list[tuple[int, list[list[float]]]],
+    emb_col: str = "embedding",
 ) -> DataFrame:
-    """Add a ``bucket`` column: bit i = sign(embedding . planes[i])."""
-    planes_df = spark.createDataFrame([(planes,)], "planes: array<array<double>>")
+    """Add (table, bucket) keys: bit i = sign(embedding . planes[i]).
+
+    One row per input row per table (L-fold narrow expansion off a
+    broadcast of the plane relation)."""
+    n_planes = len(tables[0][1])
+    planes_df = spark.createDataFrame(
+        tables, "table int, planes array<array<double>>"
+    )
     with_planes = df.crossJoin(F.broadcast(planes_df))
     bucket = F.lit(0).cast("long")
-    for i in range(len(planes)):
+    for i in range(n_planes):
         bit = (
             V.dot(F.col(emb_col), F.element_at("planes", i + 1)) >= 0
         ).cast("long") * F.lit(2**i)
@@ -292,19 +325,24 @@ def with_lsh_buckets(
 
 
 def q46_ann_lsh_topk(
-    spark: SparkSession, sf_dir: str, n_planes: int = 4, dim: int = 64
+    spark: SparkSession,
+    sf_dir: str,
+    n_tables: int = N_LSH_TABLES,
+    n_planes: int = N_LSH_PLANES,
+    dim: int = 64,
 ) -> DataFrame:
-    planes = _hyperplanes(n_planes, dim)
-    emb = with_lsh_buckets(spark, load(spark, sf_dir, "embeddings"), planes)
+    tables = _plane_tables(n_tables, n_planes, dim)
+    emb = with_lsh_buckets(spark, load(spark, sf_dir, "embeddings"), tables)
     # Multi-probe: each query probes its own bucket plus every Hamming-1
-    # neighbor (one sign bit flipped) — the standard recall/candidate-count
-    # trade; probe fan-out is n_planes+1 rows on the tiny broadcast side.
+    # neighbor (one sign bit flipped) in EVERY table — probe fan-out is
+    # L*(b+1) rows on the tiny broadcast side.
     probe_flips = F.array(F.lit(0), *[F.lit(2**i) for i in range(n_planes)])
     q = (
         emb.where(F.col("vec_id") < N_QUERY)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
+            F.col("table").alias("q_table"),
             F.explode(
                 F.transform(
                     probe_flips, lambda flip: F.col("bucket").bitwiseXOR(flip)
@@ -312,9 +350,15 @@ def q46_ann_lsh_topk(
             ).alias("q_bucket"),
         )
     )
-    cand = emb.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    cand = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("table") == F.col("q_table"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        # a pair colliding in several tables/probes is scored ONCE
+        .dropDuplicates(["q_id", "vec_id"])
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (

@@ -49,12 +49,15 @@ def test_arrow_scorers_bit_identical(spark, sf_dir):
 def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     exact = vector.q26_knn_cosine(spark, sf_dir).toPandas()
     approx = vector.q46_ann_lsh_topk(spark, sf_dir).toPandas()
-    # Every ANN hit must be a real vector and self-excluded; recall against
-    # the exact top-13 should be non-trivial even with a single probe.
+    # OR-amplified (8 tables x 6 planes, Hamming-1 multi-probe):
+    # measured floor on the isotropic fixture is 0.908 mean / 0.846
+    # min (QUALITY.md) — pin just below so a regression to the old
+    # single-table behavior (0.431) fails loudly.
     overlaps = []
     for q_id in exact["q_id"].unique():
         e = set(exact[exact["q_id"] == q_id]["vec_id"])
         a = set(approx[approx["q_id"] == q_id]["vec_id"])
         assert q_id not in a
         overlaps.append(len(e & a) / len(e))
-    assert sum(overlaps) / len(overlaps) > 0.2, f"mean recall too low: {overlaps}"
+    assert sum(overlaps) / len(overlaps) >= 0.85, f"mean recall: {overlaps}"
+    assert min(overlaps) >= 0.6, f"min recall: {overlaps}"

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from generative_ai_vector_db_spark.session import get_session  # noqa: E402
 from generative_ai_vector_db_spark.operators import (  # noqa: E402
     dedup,
+    graph_ann,
     mllib_index,
     relational,
     vector,
@@ -94,13 +95,103 @@ def main() -> None:
     exact_l2 = vector.q25_knn_l2(spark, sf_dir).toPandas()
     exact_cos = vector.q26_knn_cosine(spark, sf_dir).toPandas()
 
+    def _lsh_scan_fraction(parquet_dir: str) -> float:
+        """Distinct candidate fraction of q46's OR-amplified probe set
+        (numpy mirror of the exact seeded planes/buckets)."""
+        pdf = pd.read_parquet(os.path.join(parquet_dir, "embeddings.parquet"))
+        X = np.stack(pdf["embedding"].to_numpy()).astype(float)
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        b = vector.N_LSH_PLANES
+        total = 0
+        tabs = []
+        for t, planes in vector._plane_tables(
+            vector.N_LSH_TABLES, b, X.shape[1]
+        ):
+            P = np.array(planes)
+            tabs.append((X @ P.T >= 0).astype(int) @ (1 << np.arange(b)))
+        for qi in range(vector.N_QUERY):
+            q = int(np.where(ids == qi)[0][0])
+            cands = set()
+            for bk in tabs:
+                probes = {bk[q]} | {bk[q] ^ (1 << i) for i in range(b)}
+                cands |= set(np.where(np.isin(bk, list(probes)))[0].tolist())
+            cands.discard(q)
+            total += len(cands)
+        return total / (vector.N_QUERY * (n - 1))
+
+    def _ivf_scan_fraction(parquet_dir: str) -> float:
+        """Fraction of corpus rows inside the probed IVF cells."""
+        emb_v = mllib_index._emb_vectors(spark, parquet_dir)
+        model = mllib_index._cached_model(
+            spark, parquet_dir, "ivf", lambda: mllib_index.build_ivf(emb_v)
+        )
+        assigned = model.transform(emb_v).select("vec_id", "cell").toPandas()
+        centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+        pdf = pd.read_parquet(os.path.join(parquet_dir, "embeddings.parquet"))
+        X = np.stack(pdf["embedding"].to_numpy()).astype(float)
+        ids = pdf["vec_id"].to_numpy()
+        sizes = assigned.groupby("cell").size()
+        total = 0
+        for qi in range(vector.N_QUERY):
+            q = int(np.where(ids == qi)[0][0])
+            d = ((centers - X[q]) ** 2).sum(1)
+            probes = np.argsort(d)[: mllib_index.IVF_NPROBE]
+            total += int(sizes.reindex(probes).fillna(0).sum())
+        return total / (vector.N_QUERY * len(ids))
+
+    def _graph_scan_fraction(parquet_dir: str) -> float:
+        """Explored-node fraction of q214's beam search (python mirror
+        of the batch beam over the SPARK-built graph edges)."""
+        from generative_ai_vector_db_spark.functions.hashing import (
+            HASH_MOD,
+            KNUTH1,
+            KNUTH2,
+            PORTABLE_ID_MOD as M,
+        )
+
+        def pmix(i):
+            return ((i % M) * KNUTH1 + ((i // M) % M) * KNUTH2) % HASH_MOD
+
+        edges_pdf = graph_ann._cached_graph(spark, parquet_dir).toPandas()
+        adj: dict[int, list[int]] = {}
+        for r in edges_pdf.itertuples():
+            adj.setdefault(int(r.src), []).append(int(r.dst))
+        pdf = pd.read_parquet(os.path.join(parquet_dir, "embeddings.parquet"))
+        X = np.stack(pdf["embedding"].to_numpy()).astype(float)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        ids = pdf["vec_id"].to_numpy()
+        pos = {int(v): i for i, v in enumerate(ids)}
+        entries = sorted(ids.tolist(), key=lambda v: (pmix(int(v)), v))[
+            : graph_ann.N_ENTRY
+        ]
+        total = 0
+        for qi in range(vector.N_QUERY):
+            s = Xn @ Xn[pos[qi]]
+            explored = {pos[int(e)] for e in entries} | {pos[qi]}
+            for _ in range(graph_ann.QUERY_ROUNDS):
+                frontier = sorted(
+                    explored, key=lambda j: (-round(s[j], 10), ids[j])
+                )[: graph_ann.BEAM_WIDTH]
+                new = set()
+                for c in frontier:
+                    for d in adj.get(int(ids[c]), ()):
+                        if pos[d] not in explored:
+                            new.add(pos[d])
+                explored |= new
+            total += len(explored) - 1  # self excluded from results
+        return total / (vector.N_QUERY * (len(ids) - 1))
+
     mean_r, min_r = _topk_recall(
         exact_cos, vector.q46_ann_lsh_topk(spark, sf_dir).toPandas()
     )
     rows.append((
         "q46_ann_lsh_topk", "recall@13 vs exact cosine (q26)",
-        f"mean {mean_r:.3f} / min {min_r:.3f}",
-        "single-probe hyperplane LSH; bucket-pruned scan",
+        f"mean {mean_r:.3f} / min {min_r:.3f} "
+        f"(scans {_lsh_scan_fraction(sf_dir):.0%} of corpus)",
+        f"OR-amplified: {vector.N_LSH_TABLES} tables x "
+        f"{vector.N_LSH_PLANES} planes, Hamming-1 multi-probe; "
+        "scan ~= recall is the isotropic-data bound (see below)",
     ))
 
     mean_r, min_r = _topk_recall(
@@ -118,8 +209,12 @@ def main() -> None:
     ivf_mean = mean_r
     rows.append((
         "q49_ann_ivf", "recall@13 vs exact L2 (q25)",
-        f"mean {mean_r:.3f} / min {min_r:.3f}",
-        "IVF k=8 cells, n_probe=2 (probes 1/4 of the corpus)",
+        f"mean {mean_r:.3f} / min {min_r:.3f} "
+        f"(scans {_ivf_scan_fraction(sf_dir):.0%} of corpus)",
+        f"IVF k={mllib_index.IVF_CELLS} cells, "
+        f"n_probe={mllib_index.IVF_NPROBE}; recall ~= scan is the "
+        "isotropic bound — same code measures 1.000 on the planted "
+        "corpus below",
     ))
 
     mean_r, min_r = _topk_recall(
@@ -132,6 +227,60 @@ def main() -> None:
         f"{ivf_mean:.3f})",
         "8x4-bit PQ codes (32x compression), ADC shortlist + exact re-rank",
     ))
+
+    mean_r, min_r = _topk_recall(
+        exact_cos, graph_ann.q214_ann_graph(spark, sf_dir).toPandas()
+    )
+    rows.append((
+        "q214_ann_graph", "recall@13 vs exact cosine (q26)",
+        f"mean {mean_r:.3f} / min {min_r:.3f} "
+        f"(explores {_graph_scan_fraction(sf_dir):.0%} of corpus)",
+        f"NN-descent graph (G={graph_ann.GRAPH_DEGREE}) + beam search "
+        f"(W={graph_ann.BEAM_WIDTH}) — the HNSW-class batch family; "
+        ">= 0.95 floor on BOTH corpora",
+    ))
+
+    # --- planted-cluster validation (the non-degenerate ANN regime) ---
+    import tempfile as _tf
+    import shutil as _sh
+
+    from generative_ai_vector_db_spark.sources.synthetic import (
+        write_planted_embeddings,
+    )
+
+    planted_rows: list[tuple[str, str, str]] = []
+    pdir = _tf.mkdtemp(prefix="planted_quality_")
+    try:
+        write_planted_embeddings(pdir)
+        p_exact = vector.q26_knn_cosine(spark, pdir).toPandas()
+        for name, fn, scan_fn in (
+            ("q46_ann_lsh_topk", vector.q46_ann_lsh_topk, _lsh_scan_fraction),
+            ("q49_ann_ivf", mllib_index.q49_ann_ivf, _ivf_scan_fraction),
+            ("q214_ann_graph", graph_ann.q214_ann_graph, _graph_scan_fraction),
+        ):
+            m, mn = _topk_recall(p_exact, fn(spark, pdir).toPandas())
+            planted_rows.append(
+                (name, f"mean {m:.3f} / min {mn:.3f}", f"{scan_fn(pdir):.0%}")
+            )
+    finally:
+        _sh.rmtree(pdir, ignore_errors=True)
+
+    # --- isotropy evidence (why the fixture floors are data-bounded) --
+    _pdf = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    _X = np.stack(_pdf["embedding"].to_numpy()).astype(float)
+    _Xn = _X / np.linalg.norm(_X, axis=1, keepdims=True)
+    _S = _Xn @ _Xn.T
+    np.fill_diagonal(_S, np.nan)
+    _top_lo, _top_hi = [], []
+    for qi in range(vector.N_QUERY):
+        _q = int(np.where(_pdf["vec_id"].to_numpy() == qi)[0][0])
+        _s = np.sort(_S[_q][~np.isnan(_S[_q])])[-vector.K:]
+        _top_lo.append(_s.min()); _top_hi.append(_s.max())
+    iso_line = (
+        f"true top-13 cosine range [{min(_top_lo):.2f}, {max(_top_hi):.2f}] "
+        f"vs background mean {np.nanmean(_S):.3f} / "
+        f"std {np.nanstd(_S):.3f}"
+    )
 
     # --- near-dup pair recall/precision vs exact Jaccard --------------
     truth = exact_jaccard_pairs(spark, sf_dir, dedup.MINHASH_VERIFY_TAU)
@@ -299,6 +448,25 @@ def main() -> None:
     for op, against, result, note in rows:
         lines.append(f"| {op} | {against} | {result} | {note} |")
     lines += [
+        "",
+        "## Why the fixture ANN floors are data-bounded",
+        "",
+        f"The fixture embeddings are ISOTROPIC unit vectors: {iso_line}.",
+        "Neighbors sit 2-3 sigma above background, so EVERY",
+        "space-partitioning index is information-bounded at",
+        "recall ~= scan fraction on this corpus (the measured sweeps in",
+        "DESIGN.md §ANN confirm it for LSH, IVF, and beam search alike).",
+        "The planted-cluster corpus below (sources/synthetic.py — the",
+        "regime real embedding models produce) shows the SAME operators",
+        "delivering high recall at a fraction of the scan: the fixture",
+        "floors are a property of the data, not the implementations.",
+        "",
+        "| operator | planted-cluster recall@13 | scan fraction |",
+        "|---|---|---|",
+        *[
+            f"| {name} | {res} | {scan} |"
+            for name, res, scan in planted_rows
+        ],
         "",
         "Deterministic-by-seed: every LSH/KMeans stage is seeded",
         f"(SEED={mllib_index.SEED}), so these numbers are reproducible",
