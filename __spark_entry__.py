@@ -69,36 +69,47 @@ _MODULES = [
 _QUERIES, _ORACLE = merge_registries(*_MODULES)
 
 # Registry ordering: the driver's correctness pass covers the FIRST 50
-# entries, so ordering is evidence placement. Round-6 window: (a) the
-# 14 round-5 operators q200-q213 that have never had a driver row,
-# (b) the four queries whose outputs changed under this round's ADVICE
-# fixes (two-lane portable hash; decimal centroid fold) and so MUST be
-# re-graded, (c) stale-evidence rotation — r1-graded rows that predate
-# two testdata regenerations, refreshed oldest-first to fill the
-# window to exactly 50. Tier 3 = other green queries (rows stand);
-# tier 4 = rows-only-by-design.
+# entries, so ordering is evidence placement. Round-7 window: (a) new
+# round-7 operators auto-prepend via _ordered (never graded = first),
+# (b) the last 13 r1-stale rows — after these, no green row predates
+# r3 (VERDICT r6 next-steps #2), (c) r3-graded rotation oldest-first
+# to fill the window to exactly 50 (tail rows pushed out by new
+# operators just wait for r8 — opportunistic refresh only). Tier 3 =
+# other green queries (rows stand); tier 4 = rows-only-by-design.
 _PRIORITY = [
-    # tier 1 — round-5 additions q200-q213: implemented + locally
-    # oracle-green since r5 but NEVER inside the driver's 50-slot
-    # window — first driver rows are this round's top priority
-    # (VERDICT r5 next-steps #1).
-    "q200_recursive_hierarchy", "q201_context_budget",
-    "q202_compaction_plan", "q203_decile_lift", "q204_lateral_topk",
-    "q205_seasonality", "q206_null_semantics", "q207_asof_tolerance",
-    "q208_ppl_filter", "q209_tuning_advisor", "q210_triangle_count",
-    "q211_personalized_pagerank", "q212_join_ivm", "q213_cross_label_audit",
-    # tier 1 — outputs CHANGED this round (round-5 ADVICE): q132/q184/
-    # q187 moved to the two-lane portable mix (functions/hashing.py —
-    # kills the id/id+1e6 aliasing and the %16 no-op bucket route),
-    # q189 carries 8dp-decimal centroids through the fold (the q208
-    # pattern). Both engines changed together; must be re-graded.
-    "q132_weighted_sample", "q184_epoch_shuffle", "q187_bucket_layout",
-    "q189_embedding_drift",
-    # --- new round-6 operators slot in HERE (window rule: an operator
+    # tier 1 — final r1-stale rotation: these 13 green rows predate
+    # two testdata regenerations. First driver slots this round.
+    "q38_text_quality", "q39_token_count", "q40_fingerprint",
+    "q41_ngram_jaccard", "q42_cosine_neardup", "q54_percentiles",
+    "q55_pivot", "q57_redact_pii", "q60_systematic_sample",
+    "q63_corpus_stats", "q64_repetition_ratio", "q72_window_rank_family",
+    "q75_chunk_udtf",
+    # --- new round-7 operators slot in HERE (window rule: an operator
     # added this round must be graded this round or wait) ---
-    # tier 2 — stale-evidence rotation: these r1-graded rows predate
-    # two testdata regenerations (VERDICT r5 next-steps #7); refresh
-    # oldest-first. Fills the window to exactly 50.
+    # tier 2 — r3-graded rotation, oldest evidence first. Fills the
+    # window to 50; rows pushed past slot 50 by new operators keep
+    # their standing r3 rows and rotate in r8.
+    "q31_tumbling_window", "q32_sliding_window", "q35_pandas_udf_zscore",
+    "q43_multimodal_decode", "q52_delete_by_source", "q53_rag_pipeline",
+    "q56_salted_agg", "q59_range_join", "q62_chatlog_format",
+    "q65_contamination", "q66_multimodal_framesample",
+    "q67_correlated_min", "q68_exists_distribution",
+    "q69_count_distribution", "q74_curation_pipeline",
+    "q76_dedup_clusters", "q77_user_filtered_knn",
+    "q78_ingest_pipeline_stride", "q79_token_packing", "q80_corpus_mixing",
+    "q81_embedding_quantize", "q82_length_histogram", "q83_bm25_topk",
+    "q84_hybrid_rrf", "q85_dedup_corpus", "q86_tfidf_keywords",
+    "q87_vocab_coverage", "q88_median_length_filter", "q90_tpch_q4_shape",
+    "q91_tpch_q12_shape", "q92_tpch_q14_shape", "q93_gopher_quality",
+    "q94_source_cap", "q95_lang_kl_divergence", "q96_event_funnel",
+    "q97_tpch_q3_shape", "q98_tpch_q10_shape",
+    # ---- driver's 50-slot window ends here (before new-op prepends) ----
+    # tier 3 — all other driver-green oracle queries (rows stand):
+    # remaining r3 rows first (next rotation candidates), then r4+.
+    "q99_centroid_outliers",
+    "q100_rolling_anomaly", "q101_stratified_downsample", "q102_hash_split",
+    "q103_length_bucketing", "q104_truncation_stats",
+    "q105_source_overlap_matrix",
     "q01_scan_project", "q02_filter_pushdown", "q03_tpch_q1",
     "q04_count_distinct", "q06_join_inner", "q07_join_broadcast",
     "q08_join_multiway", "q09_join_left", "q10_join_semi", "q11_join_anti",
@@ -109,31 +120,16 @@ _PRIORITY = [
     "q27_similarity_join", "q28_context_assembly", "q29_ingest_routing",
     "q30_store_counts", "q34_latest_per_key", "q36_weighted_avg",
     "q37_lang_id",
-    # ---- driver's 50-slot window ends here ----
-    # tier 3 — remaining r1-stale (rotate in r7), then all other
-    # driver-green oracle queries by number (their rows stand).
-    "q38_text_quality", "q39_token_count", "q40_fingerprint",
-    "q41_ngram_jaccard", "q42_cosine_neardup", "q54_percentiles",
-    "q55_pivot", "q57_redact_pii", "q60_systematic_sample",
-    "q63_corpus_stats", "q64_repetition_ratio", "q72_window_rank_family",
-    "q75_chunk_udtf",
-    "q31_tumbling_window", "q32_sliding_window", "q33_session_window",
-    "q35_pandas_udf_zscore", "q43_multimodal_decode", "q52_delete_by_source",
-    "q53_rag_pipeline", "q56_salted_agg", "q58_asof_join", "q59_range_join",
-    "q62_chatlog_format", "q65_contamination", "q66_multimodal_framesample",
-    "q67_correlated_min", "q68_exists_distribution",
-    "q69_count_distribution", "q70_interval_join", "q71_stats_agg",
-    "q74_curation_pipeline", "q76_dedup_clusters", "q77_user_filtered_knn",
-    "q78_ingest_pipeline_stride", "q79_token_packing", "q80_corpus_mixing",
-    "q81_embedding_quantize", "q82_length_histogram", "q83_bm25_topk",
-    "q84_hybrid_rrf", "q85_dedup_corpus", "q86_tfidf_keywords",
-    "q87_vocab_coverage", "q88_median_length_filter", "q90_tpch_q4_shape",
-    "q91_tpch_q12_shape", "q92_tpch_q14_shape", "q93_gopher_quality",
-    "q94_source_cap", "q95_lang_kl_divergence", "q96_event_funnel",
-    "q97_tpch_q3_shape", "q98_tpch_q10_shape", "q99_centroid_outliers",
-    "q100_rolling_anomaly", "q101_stratified_downsample", "q102_hash_split",
-    "q103_length_bucketing", "q104_truncation_stats",
-    "q105_source_overlap_matrix", "q106_sessionize",
+    "q33_session_window", "q58_asof_join", "q70_interval_join",
+    "q71_stats_agg",
+    "q200_recursive_hierarchy", "q201_context_budget",
+    "q202_compaction_plan", "q203_decile_lift", "q204_lateral_topk",
+    "q205_seasonality", "q206_null_semantics", "q207_asof_tolerance",
+    "q208_ppl_filter", "q209_tuning_advisor", "q210_triangle_count",
+    "q211_personalized_pagerank", "q212_join_ivm", "q213_cross_label_audit",
+    "q132_weighted_sample", "q184_epoch_shuffle", "q187_bucket_layout",
+    "q189_embedding_drift",
+    "q106_sessionize",
     "q107_retention_cohorts", "q108_grouping_sets", "q109_tpch_q5_shape",
     "q110_tpch_q18_shape", "q111_stream_static_enrich", "q112_tpch_q7_shape",
     "q113_tpch_q11_shape", "q114_tpch_q15_shape", "q115_tpch_q2_shape",
@@ -173,7 +169,7 @@ _PRIORITY = [
     "q61_approx_quantiles", "q46_ann_lsh_topk", "q48_chunk_recursive",
     "q44_minhash_neardup", "q45_simhash_neardup", "q47_ann_brp_lsh",
     "q49_ann_ivf", "q51_minhash_lsh_simjoin", "q89_mmr_rerank",
-    "q175_ann_ivf_pq",
+    "q175_ann_ivf_pq", "q214_ann_graph",
 ]
 
 

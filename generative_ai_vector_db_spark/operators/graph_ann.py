@@ -174,7 +174,8 @@ def build_knn_graph(
         edges = _scored_topg(cand, emb, g).localCheckpoint()
 
     # Keep a THIN slice of the hash-random init in the final graph
-    # (best 2 per node from salt 0): on a strongly clustered corpus
+    # (best 2 per node from the multi-salt init pairs — all 5 salted
+    # bucketings rank together): on a strongly clustered corpus
     # the pure k-NN graph fragments into per-cluster cliques and beam
     # search can never leave its entry clusters — these deterministic
     # long-range links are the flat-graph analogue of HNSW's upper

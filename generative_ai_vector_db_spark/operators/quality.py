@@ -1208,8 +1208,10 @@ def q189_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitions vs DuckDB, and a last-ulp difference entering the
     # fold can land the final round(x, 4) on a knife edge. With 8dp
     # decimals the fold's sums are EXACT and order-independent in
-    # both engines, so the doubles fed to sqrt/divide are
-    # bit-identical.
+    # both engines GIVEN equal rounded centroids — a last-ulp
+    # difference in the upstream double avg can still flip the 8th
+    # decimal of round(avg, 8) itself, but that knife edge is vastly
+    # rarer than the old 4dp-final one.
     dec = "decimal(18,8)"
     cent = exploded.groupBy("label", "pos").agg(
         F.round(F.avg(F.when(F.col("half") == 0, F.col("x"))), 8)

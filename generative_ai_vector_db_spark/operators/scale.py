@@ -598,7 +598,6 @@ TARGET_BUCKET_BYTES = 8192  # ~file-size target at fixture scale
 # the odd prime 2^31-1 before the power-of-two bucket mod pushes the
 # multipliers' high bits into the low bits, so the layout under test
 # is a real hash layout and key-space clustering skew is detectable.
-from ..functions.hashing import HASH_MOD as _PHASH_MOD  # noqa: E402
 from ..functions.hashing import mix_duck as _mix_duck  # noqa: E402
 from ..functions.hashing import mix_spark as _mix_spark  # noqa: E402
 

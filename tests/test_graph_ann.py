@@ -64,8 +64,11 @@ def test_planted_clusters_all_families(spark, planted_dir):
     m_lsh, _ = _recall(exact, lsh)
     m_ivf, _ = _recall(exact, ivf)
     m_gr, mn_gr = _recall(exact, gr)
-    assert m_lsh >= 0.9, f"planted LSH recall {m_lsh}"
-    assert m_ivf >= 0.9, f"planted IVF recall {m_ivf}"
+    # planted floors are the PRIMARY ANN regression line (QUALITY.md):
+    # all three measure 1.000 here; 0.95 leaves headroom for seed-free
+    # numeric drift only, not for an implementation regression
+    assert m_lsh >= 0.95, f"planted LSH recall {m_lsh}"
+    assert m_ivf >= 0.95, f"planted IVF recall {m_ivf}"
     assert m_gr >= 0.95 and mn_gr >= 0.9, f"planted graph {m_gr}/{mn_gr}"
 
 
