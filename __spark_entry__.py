@@ -77,6 +77,11 @@ _QUERIES, _ORACLE = merge_registries(*_MODULES)
 # operators just wait for r8 — opportunistic refresh only). Tier 3 =
 # other green queries (rows stand); tier 4 = rows-only-by-design.
 _PRIORITY = [
+    # tier 0 — NEW round-7 operators (never graded — window rule: an
+    # operator added this round must be graded this round or wait).
+    "q215_fuzzy_blocked_dedup", "q216_rolling_distinct",
+    "q217_bucketed_join", "q218_pareto_front", "q219_chi2_assoc",
+    "q220_ks_drift",
     # tier 1 — final r1-stale rotation: these 13 green rows predate
     # two testdata regenerations. First driver slots this round.
     "q38_text_quality", "q39_token_count", "q40_fingerprint",

@@ -534,17 +534,94 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q215 fuzzy blocked dedup — edit-distance near-duplicate detection
+# with blocking, the record-linkage member of the dedup family (exact
+# q12 / MinHash q44 / SimHash q45 / n-gram q41 / cosine q42 /
+# containment q165). Shingle methods are unstable on SHORT strings
+# (names, titles — a 1-char typo moves a large share of the shingle
+# set); classic edit distance with blocking is the production answer.
+#
+# Scalable shape, in order:
+#   1. collapse to DISTINCT (block, name) keys with multiplicity n —
+#      dedup work is O(distinct keys), never O(rows); the weight n_a *
+#      n_b recovers how many raw row pairs each name pair represents;
+#   2. block on a cheap canonical key (p_type here) — candidate pairs
+#      only within a block, the self-join shuffles on the block key;
+#   3. LOSSLESS length-band prefilter |len_a - len_b| <= d before the
+#      levenshtein (edit distance >= length gap), evaluated from the
+#      join row without touching the expensive function;
+#   4. levenshtein itself is a JVM codegen built-in — no Python.
+# At 100 TB: add a block-size cap (oversized blocks get a second
+# blocking key, e.g. first token), the standard record-linkage move.
+# Reference parity: the reference dedups exact SHA-256 only
+# (helper/multiple_document_upload.py:121-134); fuzzy matching is part
+# of the brief-mandated dedup suite.
+# ---------------------------------------------------------------------------
+FUZZY_MAX_DIST = 2
+
+
+def q215_fuzzy_blocked_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        load(spark, sf_dir, "part")
+        .groupBy(F.col("p_type").alias("blk"), "p_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    a = names.select(
+        "blk", F.col("p_name").alias("name_a"), F.col("n").alias("n_a")
+    )
+    b = names.select(
+        "blk", F.col("p_name").alias("name_b"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .where(
+            F.abs(F.length("name_a") - F.length("name_b")) <= FUZZY_MAX_DIST
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= FUZZY_MAX_DIST)
+        .select(
+            F.col("blk").alias("p_type"),
+            "name_a",
+            "name_b",
+            F.col("dist").cast("bigint").alias("dist"),
+            (F.col("n_a") * F.col("n_b")).cast("bigint").alias("row_pairs"),
+        )
+        .orderBy("p_type", "name_a", "name_b")
+    )
+
+
+Q215_SQL = f"""
+WITH names AS (
+  SELECT p_type AS blk, p_name, CAST(count(*) AS BIGINT) AS n
+  FROM part GROUP BY 1, 2
+)
+SELECT a.blk AS p_type,
+       a.p_name AS name_a,
+       b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       CAST(a.n * b.n AS BIGINT) AS row_pairs
+FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE abs(length(a.p_name) - length(b.p_name)) <= {FUZZY_MAX_DIST}
+  AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+ORDER BY p_type, name_a, name_b
+"""
+
+
 QUERIES = {
     "q44_minhash_neardup": q44_minhash_neardup,
     "q45_simhash_neardup": q45_simhash_neardup,
     "q76_dedup_clusters": q76_dedup_clusters,
     "q85_dedup_corpus": q85_dedup_corpus,
     "q186_incremental_dedup": q186_incremental_dedup,
+    "q215_fuzzy_blocked_dedup": q215_fuzzy_blocked_dedup,
 }
 
 ORACLE: dict[str, str] = {
     "q76_dedup_clusters": Q76_SQL,
     "q186_incremental_dedup": Q186_SQL,
+    "q215_fuzzy_blocked_dedup": Q215_SQL,
     "q85_dedup_corpus": Q85_SQL.format(
         q41=_Q41_SQL.replace("ORDER BY id_a, id_b", "")
     ),

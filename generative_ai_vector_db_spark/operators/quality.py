@@ -1389,6 +1389,163 @@ ORDER BY decile
 """
 
 
+# ---------------------------------------------------------------------------
+# q219 chi-square association audit (lang x source): is the language
+# mix independent of the source? — the bias screen a pretraining
+# pipeline runs before trusting a source mix (a source whose language
+# distribution diverges from the corpus inflates its cells'
+# chi-square contributions). Per OBSERVED cell: observed count,
+# expected count under independence (row_total * col_total / N), and
+# the cell's chi-square contribution (obs-exp)^2/exp; zero cells are
+# omitted by construction (this is a per-cell audit, not the full
+# test statistic — the screen looks at WHICH cells deviate).
+# Plan shape: one groupBy on (lang, source) touches the data; row
+# totals, column totals and N are tiny re-aggregations of those cells
+# joined back BROADCAST — the corpus is scanned once. All inputs to
+# the doubles are exact bigint counts, so both engines compute
+# bit-identical expectations.
+# ---------------------------------------------------------------------------
+def q219_chi2_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    rows_t = cells.groupBy("lang").agg(F.sum("n_obs").alias("_n_r"))
+    cols_t = cells.groupBy("source").agg(F.sum("n_obs").alias("_n_c"))
+    total = cells.agg(F.sum("n_obs").alias("_n"))
+    exp = (F.col("_n_r") * F.col("_n_c")).cast("double") / F.col("_n")
+    return (
+        cells.join(F.broadcast(rows_t), "lang")
+        .join(F.broadcast(cols_t), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            "n_obs",
+            F.round(exp, 4).alias("n_exp"),
+            F.round((F.col("n_obs") - exp) ** 2 / exp, 4).alias("chi2_part"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+Q219_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_obs
+  FROM documents GROUP BY 1, 2
+),
+ext AS (
+  SELECT lang, source, n_obs,
+         CAST(sum(n_obs) OVER (PARTITION BY lang)
+              * sum(n_obs) OVER (PARTITION BY source) AS DOUBLE)
+         / sum(n_obs) OVER () AS exp
+  FROM cells
+)
+SELECT lang, source, n_obs,
+       round(exp, 4) AS n_exp,
+       round((n_obs - exp) * (n_obs - exp) / exp, 4) AS chi2_part
+FROM ext
+ORDER BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q220 KS drift — two-sample Kolmogorov-Smirnov distance between the
+# value distributions of two event types: the standard drift detector
+# between a reference window and a live window of a metric (training-
+# data pipelines run exactly this between yesterday's and today's
+# feature distributions before shipping a batch). KS = max |ECDF_a -
+# ECDF_b| over the union of observed values.
+# Plan shape mirrors q218's reduce-then-scan: one shuffle-parallel
+# groupBy collapses events to DISTINCT values with per-sample counts,
+# then ONE ordered prefix-sum window over |distinct values| rows (at
+# 100 TB: pre-bin values to a fixed grid first — binned-ECDF KS — so
+# the scan is over the bin domain, not the value domain).
+# Exactness: the max runs on |cumA*nB - cumB*nA| in BIGINT (no double
+# CDF subtraction), so both engines agree to the last bit; only the
+# final single division is floating point.
+# ---------------------------------------------------------------------------
+KS_TYPE_A = "click"
+KS_TYPE_B = "error"
+
+
+def q220_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
+        .groupBy("value")
+        .agg(
+            F.sum((F.col("event_type") == KS_TYPE_A).cast("bigint")).alias(
+                "a"
+            ),
+            F.sum((F.col("event_type") == KS_TYPE_B).cast("bigint")).alias(
+                "b"
+            ),
+        )
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vals.select(
+        F.sum("a").over(w).alias("cum_a"), F.sum("b").over(w).alias("cum_b")
+    )
+    totals = vals.agg(
+        F.sum("a").cast("bigint").alias("n_a"),
+        F.sum("b").cast("bigint").alias("n_b"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+            ).alias("_d_int")
+        )
+        .select(
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("_d_int").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                4,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+Q220_SQL = f"""
+WITH vals AS (
+  SELECT value,
+         CAST(sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b
+  FROM events
+  WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+  GROUP BY value
+),
+cum AS (
+  SELECT sum(a) OVER (ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_a,
+         sum(b) OVER (ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_b
+  FROM vals
+),
+tot AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b
+  FROM vals
+)
+SELECT n_a, n_b,
+       round(CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+             / CAST(n_a * n_b AS DOUBLE), 4) AS ks_stat
+FROM cum, tot
+GROUP BY n_a, n_b
+"""
+
+
 QUERIES = {
     "q93_gopher_quality": q93_gopher_quality,
     "q94_source_cap": q94_source_cap,
@@ -1410,6 +1567,8 @@ QUERIES = {
     "q177_covisitation": q177_covisitation,
     "q189_embedding_drift": q189_embedding_drift,
     "q203_decile_lift": q203_decile_lift,
+    "q219_chi2_assoc": q219_chi2_assoc,
+    "q220_ks_drift": q220_ks_drift,
 }
 
 ORACLE = {
@@ -1433,4 +1592,6 @@ ORACLE = {
     "q177_covisitation": Q177_SQL,
     "q189_embedding_drift": Q189_SQL,
     "q203_decile_lift": Q203_SQL,
+    "q219_chi2_assoc": Q219_SQL,
+    "q220_ks_drift": Q220_SQL,
 }

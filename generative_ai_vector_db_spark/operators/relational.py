@@ -1803,6 +1803,80 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q218 pareto front (skyline): the parts no other part dominates on
+# (price low, size high) — the classic multi-criteria shortlist query
+# (SKYLINE operator; Borzsonyi et al., ICDE'01). A part is dominated
+# iff some part is <= on price, >= on size, and strictly better on at
+# least one. The naive form is the O(n^2) NOT-EXISTS self-join (the
+# oracle); the Spark plan is O(n log n) window algebra:
+#   1. reduce to one row per DISTINCT price with the max size at that
+#      price (groupBy — shuffle-parallel, partial-agg map-side; the
+#      only stage that touches all rows);
+#   2. over that reduced frontier-candidate set, running
+#      max(size) over strictly-cheaper prices (integer-cents RANGE
+#      frame ending at -1 makes "strictly cheaper" exact — no double
+#      epsilon games) marks dominated price points;
+#   3. join survivors back to parts (equal price+size ties are all
+#      non-dominated, and kept).
+# The global window in step 2 runs on |distinct prices| rows, not
+# |parts| — bounded by the price domain; at 100 TB replace with a
+# two-pass range-partitioned prefix max if the domain itself is huge.
+# ---------------------------------------------------------------------------
+def q218_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        "p_size",
+        "p_retailprice",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("bigint")
+        .alias("_price_c"),
+    )
+    per_price = p.groupBy("_price_c").agg(F.max("p_size").alias("_best_size"))
+    w_cheaper = Window.orderBy("_price_c").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = (
+        per_price.withColumn(
+            "_max_cheaper", F.max("_best_size").over(w_cheaper)
+        )
+        .where(
+            F.col("_max_cheaper").isNull()
+            | (F.col("_max_cheaper") < F.col("_best_size"))
+        )
+        .select("_price_c", "_best_size")
+    )
+    return (
+        p.join(
+            F.broadcast(frontier),
+            (p["_price_c"] == frontier["_price_c"])
+            & (p["p_size"] == frontier["_best_size"]),
+        )
+        .select("p_partkey", "p_size", _r4(F.col("p_retailprice")).alias("price"))
+        .orderBy("p_partkey")
+    )
+
+
+Q218_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_size, p_retailprice,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+  FROM part
+)
+SELECT a.p_partkey,
+       a.p_size,
+       round(CAST(a.p_retailprice AS DOUBLE), 4) AS price
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+    AND (b.price_c < a.price_c OR b.p_size > a.p_size)
+)
+ORDER BY p_partkey
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_pushdown": q02_filter_pushdown,
@@ -1852,9 +1926,11 @@ QUERIES = {
     "q129_unpivot_metrics": q129_unpivot_metrics,
     "q131_copurchase_lift": q131_copurchase_lift,
     "q132_weighted_sample": q132_weighted_sample,
+    "q218_pareto_front": q218_pareto_front,
 }
 
 ORACLE = {
+    "q218_pareto_front": Q218_SQL,
     "q01_scan_project": Q01_SQL,
     "q02_filter_pushdown": Q02_SQL,
     "q03_tpch_q1": Q03_SQL,

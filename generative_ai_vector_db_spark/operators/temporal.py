@@ -1544,6 +1544,71 @@ ORDER BY w.c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# q216 rolling 7-day distinct users per day ("rolling MAU" shape) —
+# the sliding-window DISTINCT aggregate, which neither Spark nor most
+# engines support as a native window function (COUNT(DISTINCT) OVER
+# RANGE is unsupported); the declarative re-expression is:
+#   1. collapse events to DISTINCT (day, user) — the only shuffle that
+#      sees raw data, and a map-side-partial distinct;
+#   2. EXPLODE each (day, user) into the <=7 window-end days it
+#      contributes to (sequence(day, day+6)) — a narrow 7x expansion
+#      of the already-tiny distinct set, NOT a range self-join: at
+#      100 TB a day-range join of events x days shuffles the raw fact
+#      table, while this shape shuffles |distinct (day,user)| * 7;
+#   3. semi-join to days actually observed (no phantom trailing days),
+#      then countDistinct(user) per window-end day.
+# The reference has no temporal surface at all (events are this
+# engine's pipeline-telemetry extension); the op completes the window
+# family q13/q14/q31/q32 with the distinct-under-slide case.
+# ---------------------------------------------------------------------------
+ROLLING_DISTINCT_DAYS = 7
+
+
+def q216_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    du = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add("day", ROLLING_DISTINCT_DAYS - 1),
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        contrib.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("users_7d"))
+        # day as a string: pandas widens DATE to datetime on the
+        # oracle side, so the comparable form is the formatted string
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "users_7d"
+        )
+        .orderBy("day")
+    )
+
+
+Q216_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT strftime(days.day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT du.user_id) AS BIGINT) AS users_7d
+FROM days
+JOIN du ON du.day BETWEEN days.day - {ROLLING_DISTINCT_DAYS - 1}
+                      AND days.day
+GROUP BY days.day
+ORDER BY day
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
     "q59_range_join": q59_range_join,
@@ -1566,9 +1631,11 @@ QUERIES = {
     "q205_seasonality": q205_seasonality,
     "q207_asof_tolerance": q207_asof_tolerance,
     "q212_join_ivm": q212_join_ivm,
+    "q216_rolling_distinct": q216_rolling_distinct,
 }
 
 ORACLE = {
+    "q216_rolling_distinct": Q216_SQL,
     "q58_asof_join": Q58_SQL,
     "q59_range_join": Q59_SQL,
     "q106_sessionize": Q106_SQL,

@@ -110,3 +110,39 @@ def test_connected_components_bounded_plan(spark):
     # checkpointed labels resolve to an ExistingRDD scan — the 12 rounds
     # of joins must NOT be stacked in the final plan
     assert plan.count("Join") == 0, plan
+
+
+def test_q215_fuzzy_dedup_oracle(spark, sf_dir):
+    compare_query(
+        spark,
+        sf_dir,
+        dedup.QUERIES["q215_fuzzy_blocked_dedup"],
+        dedup.ORACLE["q215_fuzzy_blocked_dedup"],
+        "q215_fuzzy_blocked_dedup",
+    )
+
+
+def _lev(a: str, b: str) -> int:
+    """Reference Levenshtein (pure python DP) for spot-checking the
+    engines' built-ins."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_q215_fuzzy_dedup_invariants(spark, sf_dir):
+    pdf = dedup.q215_fuzzy_blocked_dedup(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    # pair canonicalization, threshold, and positive multiplicities
+    assert (pdf["name_a"] < pdf["name_b"]).all()
+    assert pdf["dist"].between(1, dedup.FUZZY_MAX_DIST).all()
+    assert (pdf["row_pairs"] >= 1).all()
+    # Spark's levenshtein agrees with the reference DP on every pair
+    for r in pdf.itertuples():
+        assert _lev(r.name_a, r.name_b) == r.dist, (r.name_a, r.name_b)

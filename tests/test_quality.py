@@ -132,3 +132,37 @@ def test_centroid_outliers_shape(spark, sf_dir):
     for _, g in pdf.groupby("label"):
         assert g.sort_values("rk")["dist"].is_monotonic_decreasing
     assert (pdf["dist"] >= 0).all()
+
+
+def test_q220_ks_matches_numpy(spark, sf_dir):
+    """The integer-exact windowed KS equals the direct numpy two-sample
+    KS on the same values."""
+    import numpy as np
+
+    from generative_ai_vector_db_spark.tables import load
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    a = np.sort(ev[ev.event_type == quality.KS_TYPE_A]["value"].to_numpy())
+    b = np.sort(ev[ev.event_type == quality.KS_TYPE_B]["value"].to_numpy())
+    grid = np.union1d(a, b)
+    cdf_a = np.searchsorted(a, grid, side="right") / len(a)
+    cdf_b = np.searchsorted(b, grid, side="right") / len(b)
+    want = float(np.max(np.abs(cdf_a - cdf_b)))
+    got = quality.q220_ks_drift(spark, sf_dir).toPandas()
+    assert len(got) == 1
+    assert got["n_a"][0] == len(a) and got["n_b"][0] == len(b)
+    assert abs(got["ks_stat"][0] - round(want, 4)) <= 1e-9
+
+
+def test_q219_chi2_parts_reconcile(spark, sf_dir):
+    """Expected counts sum back to N (within rounding), every
+    contribution is non-negative, and cells reconstruct the corpus."""
+    pdf = quality.q219_chi2_assoc(spark, sf_dir).toPandas()
+    n = pdf["n_obs"].sum()
+    assert abs(pdf["n_exp"].sum() - n) < 0.05 * len(pdf)
+    assert (pdf["chi2_part"] >= 0).all()
+    assert (pdf.groupby("lang")["n_obs"].sum() > 0).all()

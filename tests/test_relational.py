@@ -41,3 +41,26 @@ def test_q109_q110_match_oracle(spark, sf_dir):
         compare_query(
             spark, sf_dir, relational.QUERIES[name], relational.ORACLE[name], name
         )
+
+
+def test_q218_pareto_front_is_exact_skyline(spark, sf_dir):
+    """Window-algebra skyline == brute-force dominance over all parts."""
+    from generative_ai_vector_db_spark.tables import load
+
+    parts = (
+        load(spark, sf_dir, "part")
+        .select("p_partkey", "p_size", "p_retailprice")
+        .toPandas()
+    )
+    price_c = (parts["p_retailprice"] * 100).round().astype("int64")
+    keep = []
+    for i in range(len(parts)):
+        dominated = (
+            (price_c <= price_c[i])
+            & (parts["p_size"] >= parts["p_size"][i])
+            & ((price_c < price_c[i]) | (parts["p_size"] > parts["p_size"][i]))
+        ).any()
+        if not dominated:
+            keep.append(int(parts["p_partkey"][i]))
+    got = relational.q218_pareto_front(spark, sf_dir).toPandas()
+    assert sorted(got["p_partkey"]) == sorted(keep)

@@ -482,3 +482,28 @@ def test_update_rate_in_order_unchanged():
     _feed(state, [3600])  # window [1, 3600] -> rate 4 again
     secs, n, mx, br = state.get
     assert (n, mx, br) == (5, 4, 2)
+
+
+def test_q217_bucketed_join_plan_is_shuffle_free(spark, sf_dir):
+    """The graded q217 result must come from a genuinely co-located
+    plan. Natural plan: the small orders side may broadcast (a
+    BroadcastExchange ships the dim, not the fact), but the bucketed
+    fact table must never hash-shuffle — for the join NOR the
+    aggregation (group-by keys contain the bucket key). With broadcast
+    disabled, the whole plan must be Exchange-free SortMergeJoin on
+    the two bucketed scans."""
+    frame = scale.bucketed_join_frame(spark, sf_dir)
+    plan = plan_of(frame)
+    assert "hashpartitioning" not in plan, plan  # no shuffle anywhere
+    assert "Bucketed: true" in plan, plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan2 = plan_of(scale.bucketed_join_frame(spark, sf_dir))
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+    assert "SortMergeJoin" in plan2, plan2
+    assert "Exchange" not in plan2, plan2
+    # and it is not shuffle-free because it is trivially empty
+    assert frame.count() > 0

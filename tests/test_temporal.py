@@ -140,3 +140,32 @@ def test_q147_block_decomposition_exact(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(temporal, "LATE_BLOCK", 37)
     blocked = temporal.q147_late_arrival_profile(spark, sf_dir).toPandas()
     assert baseline.equals(blocked)
+
+
+def test_q216_rolling_distinct_invariants(spark, sf_dir):
+    import pandas as pd
+
+    from generative_ai_vector_db_spark.tables import load
+    from pyspark.sql import functions as F
+
+    pdf = temporal.q216_rolling_distinct(spark, sf_dir).toPandas()
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .count()
+        .toPandas()
+        .set_index("day")["count"]
+    )
+    # every observed day appears exactly once, and the 7-day distinct
+    # count is sandwiched: >= that day's own distinct users, <= the sum
+    # of the trailing week's daily distincts
+    assert sorted(pdf["day"]) == sorted(daily.index)
+    m = pdf.set_index("day")["users_7d"]
+    days = sorted(daily.index)
+    for i, d in enumerate(days):
+        lo = daily[d]
+        window = [x for x in days[max(0, i - 6): i + 1]]
+        hi = sum(daily[x] for x in window)
+        assert lo <= m[d] <= hi, (d, lo, int(m[d]), hi)
