@@ -81,7 +81,8 @@ _PRIORITY = [
     # operator added this round must be graded this round or wait).
     "q215_fuzzy_blocked_dedup", "q216_rolling_distinct",
     "q217_bucketed_join", "q218_pareto_front", "q219_chi2_assoc",
-    "q220_ks_drift",
+    "q220_ks_drift", "q221_heavy_hitters", "q222_interval_union",
+    "q223_fuzzy_survivorship", "q225_dataset_card",
     # tier 1 — final r1-stale rotation: these 13 green rows predate
     # two testdata regenerations. First driver slots this round.
     "q38_text_quality", "q39_token_count", "q40_fingerprint",
@@ -174,7 +175,7 @@ _PRIORITY = [
     "q61_approx_quantiles", "q46_ann_lsh_topk", "q48_chunk_recursive",
     "q44_minhash_neardup", "q45_simhash_neardup", "q47_ann_brp_lsh",
     "q49_ann_ivf", "q51_minhash_lsh_simjoin", "q89_mmr_rerank",
-    "q175_ann_ivf_pq", "q214_ann_graph",
+    "q175_ann_ivf_pq", "q214_ann_graph", "q224_semdedup",
 ]
 
 

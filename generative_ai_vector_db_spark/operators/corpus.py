@@ -1197,6 +1197,157 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# q221 heavy-hitter top-k tokens — the two-pass sketch+verify pattern
+# for frequent items at corpus scale. A naive global top-k over tokens
+# shuffles the ENTIRE token stream on the token key (|vocab| can be
+# billions of n-grams at 100 TB); the production shape is:
+#   pass 1 — per-partition Misra-Gries sketch (capacity C) over the
+#     token stream via mapInPandas: per Arrow batch, tokens are
+#     pre-counted VECTORIZED (value_counts) and merged into the
+#     bounded dict; overflow subtracts the minimum count from all
+#     entries and evicts zeros (the weighted-MG step). Each partition
+#     emits <= C candidate tokens — the only thing shuffled is
+#     |partitions| * C candidates.
+#   pass 2 — exact counts for the candidate set only: the candidate
+#     list is BROADCAST back and the token stream re-scanned with a
+#     semi-join + groupBy bounded by the candidate set, never |vocab|.
+# MG guarantee: any token with global freq > N/C survives in at least
+# one partition's sketch (averaging argument), so when the true k-th
+# count exceeds N/C the two-pass result is EXACTLY the global top-k —
+# which is what the DuckDB oracle checks (the fixture vocabulary is
+# smaller than C, the strongest form of that guarantee; the
+# capacity-starved regime is pinned in tests with a skewed synthetic
+# corpus). Tokenization matches q83/q86/q87 (lowercase, \\s+ split).
+# ---------------------------------------------------------------------------
+MG_CAPACITY = 64
+MG_TOPK = 20
+
+
+def _mg_sketch_partition(batches):
+    """Weighted Misra-Gries over an iterator of Arrow batches; emits
+    the surviving candidate tokens of this partition."""
+    import pandas as pd
+
+    counts: dict[str, int] = {}
+    for pdf in batches:
+        for tok, w in pdf["term"].value_counts().items():
+            counts[tok] = counts.get(tok, 0) + int(w)
+        while len(counts) > MG_CAPACITY:
+            m = min(counts.values())
+            counts = {k: v - m for k, v in counts.items() if v > m}
+    yield pd.DataFrame({"term": list(counts)})
+
+
+def q221_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tokens = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), "\\s+")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    candidates = (
+        tokens.mapInPandas(_mg_sketch_partition, "term string").distinct()
+    )
+    return (
+        tokens.join(F.broadcast(candidates), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(MG_TOPK)
+    )
+
+
+Q221_SQL = f"""
+WITH t AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS n
+FROM t
+WHERE term <> ''
+GROUP BY term
+ORDER BY n DESC, term
+LIMIT {MG_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q225 dataset card — the one-pass summary card a training-data release
+# ships with (datasheet/data-card shape): volume, source/language
+# spread, length distribution, token mass and exact-duplicate rate, as
+# a long-format (metric, value) table. ONE scan computes every number:
+# a single groupBy-less aggregate (all partial-combinable map-side),
+# then an 11-row stack — no per-metric re-scan, which at 100 TB is the
+# difference between one job and eleven. Count-distincts are exact
+# (the card is an audit artifact; q05's HLL is the approximate face).
+# All doubles derive from exact integer sums with one final division,
+# so both engines agree bit-for-bit before the round.
+# ---------------------------------------------------------------------------
+def q225_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.lower("text"), "\\s+"), lambda x: x != F.lit("")
+        )
+    )
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct("source").alias("_srcs"),
+        F.countDistinct("lang").alias("_langs"),
+        F.sum("n_chars").alias("_chars"),
+        F.percentile("n_chars", F.lit(0.5)).alias("_p50"),
+        F.percentile("n_chars", F.lit(0.9)).alias("_p90"),
+        F.sum(toks).alias("_toks"),
+        F.countDistinct("text").alias("_texts"),
+    )
+    return agg.selectExpr(
+        """stack(11,
+           'n_docs',          CAST(_n AS DOUBLE),
+           'n_sources',       CAST(_srcs AS DOUBLE),
+           'n_langs',         CAST(_langs AS DOUBLE),
+           'total_chars',     CAST(_chars AS DOUBLE),
+           'mean_chars',      round(CAST(_chars AS DOUBLE) / _n, 4),
+           'p50_chars',       round(_p50, 4),
+           'p90_chars',       round(_p90, 4),
+           'total_tokens',    CAST(_toks AS DOUBLE),
+           'mean_tokens',     round(CAST(_toks AS DOUBLE) / _n, 4),
+           'distinct_texts',  CAST(_texts AS DOUBLE),
+           'exact_dup_rate',  round(1.0 - CAST(_texts AS DOUBLE) / _n, 4)
+        ) AS (metric, value)"""
+    ).orderBy("metric")
+
+
+Q225_SQL = """
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT source) AS BIGINT) AS srcs,
+         CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+         CAST(sum(n_chars) AS BIGINT) AS chars,
+         quantile_cont(n_chars, 0.5) AS p50,
+         quantile_cont(n_chars, 0.9) AS p90,
+         CAST(sum(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS toks,
+         CAST(count(DISTINCT text) AS BIGINT) AS texts
+  FROM documents
+)
+SELECT metric, value FROM (
+  SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM s
+  UNION ALL SELECT 'n_sources', CAST(srcs AS DOUBLE) FROM s
+  UNION ALL SELECT 'n_langs', CAST(langs AS DOUBLE) FROM s
+  UNION ALL SELECT 'total_chars', CAST(chars AS DOUBLE) FROM s
+  UNION ALL SELECT 'mean_chars', round(CAST(chars AS DOUBLE) / n, 4) FROM s
+  UNION ALL SELECT 'p50_chars', round(p50, 4) FROM s
+  UNION ALL SELECT 'p90_chars', round(p90, 4) FROM s
+  UNION ALL SELECT 'total_tokens', CAST(toks AS DOUBLE) FROM s
+  UNION ALL SELECT 'mean_tokens', round(CAST(toks AS DOUBLE) / n, 4) FROM s
+  UNION ALL SELECT 'distinct_texts', CAST(texts AS DOUBLE) FROM s
+  UNION ALL SELECT 'exact_dup_rate',
+                   round(1.0 - CAST(texts AS DOUBLE) / n, 4) FROM s
+)
+ORDER BY metric
+"""
+
+
 QUERIES = {
     "q79_token_packing": q79_token_packing,
     "q80_corpus_mixing": q80_corpus_mixing,
@@ -1215,9 +1366,13 @@ QUERIES = {
     "q185_dedup_savings": q185_dedup_savings,
     "q196_weighted_length_quartiles": q196_weighted_length_quartiles,
     "q208_ppl_filter": q208_ppl_filter,
+    "q221_heavy_hitters": q221_heavy_hitters,
+    "q225_dataset_card": q225_dataset_card,
 }
 
 ORACLE = {
+    "q221_heavy_hitters": Q221_SQL,
+    "q225_dataset_card": Q225_SQL,
     "q79_token_packing": Q79_SQL,
     "q80_corpus_mixing": Q80_SQL,
     "q81_embedding_quantize": Q81_SQL,

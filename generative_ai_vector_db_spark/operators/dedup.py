@@ -33,7 +33,7 @@ Scale design (the whole point of these):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
@@ -609,6 +609,133 @@ ORDER BY p_type, name_a, name_b
 """
 
 
+# ---------------------------------------------------------------------------
+# q223 fuzzy survivorship (golden-record merge): q215's pairwise
+# matches completed into the record-linkage END PRODUCT — connected
+# clusters of near-duplicate names with one canonical survivor each.
+# Survivorship rule: the cluster member with the highest row
+# multiplicity wins (tie: lexicographically smallest name) — the
+# "most-attested spelling" policy. Every (block, name) key maps to a
+# stable integer node id (its minimum p_partkey), the q215 pair set
+# becomes the edge list, components come from the same checkpointed
+# min-label propagation as q76/q85, and singletons keep themselves as
+# canonical via the left-join coalesce. Scale: everything runs on the
+# DISTINCT-key reduction (q215's point); the component step is
+# O(edges) per round with the label frontier, never O(rows).
+# ---------------------------------------------------------------------------
+def q223_fuzzy_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        load(spark, sf_dir, "part")
+        .groupBy(F.col("p_type").alias("blk"), "p_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("p_partkey").alias("node"),
+        )
+    )
+    a = names.select(
+        "blk",
+        F.col("p_name").alias("name_a"),
+        F.col("node").alias("id_a"),
+    )
+    b = names.select(
+        "blk",
+        F.col("p_name").alias("name_b"),
+        F.col("node").alias("id_b"),
+    )
+    edges = (
+        a.join(b, "blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .where(
+            F.abs(F.length("name_a") - F.length("name_b")) <= FUZZY_MAX_DIST
+        )
+        .where(F.levenshtein("name_a", "name_b") <= FUZZY_MAX_DIST)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(edges)
+    lab = names.join(
+        comp, names["node"] == comp["node"], "left"
+    ).select(
+        "blk",
+        "p_name",
+        "n",
+        F.coalesce("cluster_id", names["node"]).alias("cluster"),
+    )
+    wc = Window.partitionBy("blk", "cluster").orderBy(
+        F.col("n").desc(), "p_name"
+    )
+    canon = (
+        lab.withColumn("_rn", F.row_number().over(wc))
+        .where(F.col("_rn") == 1)
+        .select(
+            "blk", "cluster", F.col("p_name").alias("canonical_name")
+        )
+    )
+    size = lab.groupBy("blk", "cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        lab.join(canon, ["blk", "cluster"])
+        .join(size, ["blk", "cluster"])
+        .select(
+            F.col("blk").alias("p_type"),
+            "p_name",
+            F.col("n").alias("n_rows"),
+            "canonical_name",
+            "cluster_size",
+        )
+        .orderBy("p_type", "p_name")
+    )
+
+
+Q223_SQL = f"""
+WITH RECURSIVE names AS (
+  SELECT p_type AS blk, p_name, CAST(count(*) AS BIGINT) AS n,
+         min(p_partkey) AS node
+  FROM part GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.node AS id_a, b.node AS id_b
+  FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+  WHERE abs(length(a.p_name) - length(b.p_name)) <= {FUZZY_MAX_DIST}
+    AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.b AS node, reach.r
+  FROM reach JOIN edges e ON e.a = reach.node
+),
+comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+lab AS (
+  SELECT n.blk, n.p_name, n.n,
+         coalesce(c.cluster_id, n.node) AS cluster
+  FROM names n LEFT JOIN comp c ON n.node = c.node
+),
+canon AS (
+  SELECT blk, cluster, p_name AS canonical_name,
+         row_number() OVER (PARTITION BY blk, cluster
+                            ORDER BY n DESC, p_name) AS rn
+  FROM lab
+),
+sz AS (
+  SELECT blk, cluster, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM lab GROUP BY 1, 2
+)
+SELECT l.blk AS p_type, l.p_name, l.n AS n_rows,
+       c.canonical_name, s.cluster_size
+FROM lab l
+JOIN canon c ON l.blk = c.blk AND l.cluster = c.cluster AND c.rn = 1
+JOIN sz s ON l.blk = s.blk AND l.cluster = s.cluster
+ORDER BY p_type, p_name
+"""
+
+
 QUERIES = {
     "q44_minhash_neardup": q44_minhash_neardup,
     "q45_simhash_neardup": q45_simhash_neardup,
@@ -616,9 +743,11 @@ QUERIES = {
     "q85_dedup_corpus": q85_dedup_corpus,
     "q186_incremental_dedup": q186_incremental_dedup,
     "q215_fuzzy_blocked_dedup": q215_fuzzy_blocked_dedup,
+    "q223_fuzzy_survivorship": q223_fuzzy_survivorship,
 }
 
 ORACLE: dict[str, str] = {
+    "q223_fuzzy_survivorship": Q223_SQL,
     "q76_dedup_clusters": Q76_SQL,
     "q186_incremental_dedup": Q186_SQL,
     "q215_fuzzy_blocked_dedup": Q215_SQL,

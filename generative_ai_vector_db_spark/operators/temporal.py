@@ -1609,6 +1609,92 @@ ORDER BY day
 """
 
 
+# ---------------------------------------------------------------------------
+# q222 interval union (gaps-and-islands merge): total covered time per
+# user when every event opens a fixed 5-minute activity interval —
+# overlapping intervals merge, and the answer is the union length plus
+# the island count. The classic formulation (session billing, uptime
+# from heartbeats, GPU-occupancy from job spans) and the third member
+# of the islands family next to q106 (gap sessionize) and q149 (gap
+# fill). Plan: ONE shuffle on user_id, then pure window algebra —
+# island boundary = start > max(end) over all PRECEDING intervals
+# (the running-max prefix frame handles containment: an interval
+# swallowed by an earlier longer one does not reopen an island),
+# cumsum of boundaries numbers the islands, and two bounded
+# aggregations finish. All math in integer microseconds — bit-equal
+# across engines, no date rounding.
+# ---------------------------------------------------------------------------
+IVL_DUR_US = 300_000_000  # each event covers [ts, ts + 5 min)
+
+
+def q222_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + IVL_DUR_US).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "_ni",
+        (prev_max.isNull() | (F.col("s") > prev_max)).cast("bigint"),
+    ).withColumn(
+        "_isl",
+        F.sum("_ni").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    islands = flagged.groupBy("user_id", "_isl").agg(
+        (F.max("e") - F.min("s")).alias("_cov")
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.sum("_cov").cast("bigint").alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q222_SQL = f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {IVL_DUR_US} AS e
+  FROM events
+),
+m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pm
+  FROM iv
+),
+fl AS (
+  SELECT user_id, s, e,
+         CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni
+  FROM m
+),
+isl AS (
+  SELECT user_id, s, e,
+         sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS g
+  FROM fl
+),
+agg AS (
+  SELECT user_id, g, max(e) - min(s) AS cov FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(cov) AS BIGINT) AS covered_us
+FROM agg
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
     "q59_range_join": q59_range_join,
@@ -1632,10 +1718,12 @@ QUERIES = {
     "q207_asof_tolerance": q207_asof_tolerance,
     "q212_join_ivm": q212_join_ivm,
     "q216_rolling_distinct": q216_rolling_distinct,
+    "q222_interval_union": q222_interval_union,
 }
 
 ORACLE = {
     "q216_rolling_distinct": Q216_SQL,
+    "q222_interval_union": Q222_SQL,
     "q58_asof_join": Q58_SQL,
     "q59_range_join": Q59_SQL,
     "q106_sessionize": Q106_SQL,

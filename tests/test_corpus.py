@@ -71,3 +71,52 @@ def test_unigram_logprob_is_proper(spark, sf_dir):
     assert pdf["avg_logprob"].notna().all()
     # every document scored
     assert len(pdf) == 500
+
+
+def test_q221_mg_sketch_superset_guarantee(spark):
+    """Capacity-starved regime (vocab >> C): the per-partition
+    Misra-Gries union must (a) actually prune, and (b) retain every
+    token with global frequency > N/C — the averaging guarantee the
+    two-pass exactness rests on."""
+    from pyspark.sql import functions as F
+
+    hot = [f"hot{i}" for i in range(5)]
+    rows = [(t,) for t in hot for _ in range(1000)]
+    rows += [(f"rare{i:05d}",) for i in range(5000)]
+    tokens = spark.createDataFrame(rows, "term string").repartition(8)
+    n_total = len(rows)
+    cand = set(
+        r["term"]
+        for r in tokens.mapInPandas(
+            corpus._mg_sketch_partition, "term string"
+        )
+        .distinct()
+        .collect()
+    )
+    vocab = 5 + 5000
+    assert len(cand) < vocab  # the sketch pruned
+    threshold = n_total / corpus.MG_CAPACITY
+    for t in hot:
+        assert 1000 > threshold and t in cand, t
+
+
+def test_q221_fixture_is_exact_topk(spark, sf_dir):
+    """On the fixture (vocab < capacity) the two-pass result equals the
+    exact global top-k with exact counts."""
+    from pyspark.sql import functions as F
+
+    from generative_ai_vector_db_spark.tables import load
+
+    got = corpus.q221_heavy_hitters(spark, sf_dir).toPandas()
+    exact = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), "\\s+")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .count()
+        .orderBy(F.col("count").desc(), "term")
+        .limit(corpus.MG_TOPK)
+        .toPandas()
+    )
+    assert got["term"].tolist() == exact["term"].tolist()
+    assert got["n"].tolist() == exact["count"].tolist()

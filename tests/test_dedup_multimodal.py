@@ -146,3 +146,32 @@ def test_q215_fuzzy_dedup_invariants(spark, sf_dir):
     # Spark's levenshtein agrees with the reference DP on every pair
     for r in pdf.itertuples():
         assert _lev(r.name_a, r.name_b) == r.dist, (r.name_a, r.name_b)
+
+
+def test_q223_fuzzy_survivorship_oracle(spark, sf_dir):
+    compare_query(
+        spark,
+        sf_dir,
+        dedup.QUERIES["q223_fuzzy_survivorship"],
+        dedup.ORACLE["q223_fuzzy_survivorship"],
+        "q223_fuzzy_survivorship",
+    )
+
+
+def test_q223_survivorship_invariants(spark, sf_dir):
+    pdf = dedup.q223_fuzzy_survivorship(spark, sf_dir).toPandas()
+    # every (type, name) appears exactly once
+    assert not pdf.duplicated(["p_type", "p_name"]).any()
+    # the canonical name is itself a member of its own cluster (same
+    # type), and its multiplicity is the cluster max
+    by_name = pdf.set_index(["p_type", "p_name"])
+    for (pt, _), r in by_name.iterrows():
+        assert (pt, r["canonical_name"]) in by_name.index
+    for (pt, canon), grp in pdf.groupby(["p_type", "canonical_name"]):
+        canon_n = int(by_name.loc[(pt, canon)]["n_rows"])
+        assert canon_n == grp["n_rows"].max()
+    # every q215 matched pair landed in one cluster
+    pairs = dedup.q215_fuzzy_blocked_dedup(spark, sf_dir).toPandas()
+    canon_of = by_name["canonical_name"].to_dict()
+    for r in pairs.itertuples():
+        assert canon_of[(r.p_type, r.name_a)] == canon_of[(r.p_type, r.name_b)]

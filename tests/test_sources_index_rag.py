@@ -197,3 +197,51 @@ def test_store_matches_oracle(spark, sf_dir, name):
     from .oracle_utils import compare_query
 
     compare_query(spark, sf_dir, store.QUERIES[name], store.ORACLE[name], name)
+
+
+def test_q224_semdedup_planted_recall_and_fixture_noop(spark, sf_dir):
+    """SemDeDup invariants: (a) the isotropic fixture drops nothing
+    (max cosine ~0.4 < tau — nothing semantic to dedup); (b) on the
+    planted corpus the cluster-bounded pass finds a large share of the
+    exact all-pairs near-dups and every cell keeps >= 1 survivor."""
+    import numpy as np
+
+    from generative_ai_vector_db_spark.sources.synthetic import (
+        write_planted_embeddings,
+    )
+
+    fixture = mllib_index.q224_semdedup(spark, sf_dir).toPandas()
+    assert int(fixture["n_dropped"].sum()) == 0
+
+    d = tempfile.mkdtemp(prefix="semdedup_")
+    try:
+        write_planted_embeddings(d)
+        got = mllib_index.q224_semdedup(spark, d).toPandas()
+        assert (got["n_dropped"] < got["n_vecs"]).all()  # survivors exist
+        assert int(got["n_dropped"].sum()) > 0  # it actually dedups
+        # within-cell recall vs exact all-pairs truth
+        import pandas as pd
+
+        pdf = pd.read_parquet(os.path.join(d, "embeddings.parquet"))
+        X = np.stack(pdf["embedding"].to_numpy()).astype(float)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = Xn @ Xn.T
+        iu = np.triu_indices(len(X), 1)
+        true_mask = S[iu] >= mllib_index.SEMDEDUP_TAU
+        emb_v = mllib_index._emb_vectors(spark, d)
+        model = mllib_index._cached_model(
+            spark, d, "ivf", lambda: mllib_index.build_ivf(emb_v)
+        )
+        cells = (
+            model.transform(emb_v).select("vec_id", "cell").toPandas()
+            .set_index("vec_id")["cell"]
+        )
+        ids = pdf["vec_id"].to_numpy()
+        same = (
+            cells.reindex(ids[iu[0]]).to_numpy()
+            == cells.reindex(ids[iu[1]]).to_numpy()
+        )
+        recall = (true_mask & same).sum() / true_mask.sum()
+        assert recall >= 0.6, recall
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

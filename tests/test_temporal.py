@@ -169,3 +169,25 @@ def test_q216_rolling_distinct_invariants(spark, sf_dir):
         window = [x for x in days[max(0, i - 6): i + 1]]
         hi = sum(daily[x] for x in window)
         assert lo <= m[d] <= hi, (d, lo, int(m[d]), hi)
+
+
+def test_q222_interval_union_bounds(spark, sf_dir):
+    """Union length per user is sandwiched between one interval and
+    n_events * interval (and islands <= n_events)."""
+    from pyspark.sql import functions as F
+
+    from generative_ai_vector_db_spark.tables import load
+
+    got = temporal.q222_interval_union(spark, sf_dir).toPandas()
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .set_index("user_id")["count"]
+    )
+    assert sorted(got["user_id"]) == sorted(per_user.index)
+    for r in got.itertuples():
+        n = per_user[r.user_id]
+        assert 1 <= r.n_islands <= n
+        assert temporal.IVL_DUR_US <= r.covered_us <= n * temporal.IVL_DUR_US
