@@ -1070,9 +1070,13 @@ Q209_SQL = _q209_sql()
 # bucketed+sorted tables on the JOIN KEY (once per session+sf, like
 # mllib_index's fitted models), then joined and aggregated per order —
 # and because both scans are hash-clustered on o_orderkey/l_orderkey
-# and the group-by keys contain the bucket key, the WHOLE plan runs
-# with ZERO Exchange (asserted in tests/test_scale_stateful.py on this
-# exact frame). At 100 TB this is the canonical layout for a fact
+# and the group-by keys contain the bucket key, the plan needs ZERO
+# shuffle exchange — the fact table is never hash-repartitioned for
+# the join or the aggregation (the small orders side may still ship
+# as a BroadcastExchange in the natural plan; with broadcast disabled
+# the whole plan is Exchange-free SMJ — both asserted in
+# tests/test_scale_stateful.py on this exact frame).
+# At 100 TB this is the canonical layout for a fact
 # table joined on the same key by every query: shuffle once at write
 # time, never again at read time. The driver grades the RESULT against
 # the plain-join oracle — proof the layout rewrite is
@@ -1142,6 +1146,154 @@ ORDER BY l_orderkey, o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# q227 schema-drift audit — column-level diff between two snapshot
+# versions of a table: the contract check a pipeline runs before
+# pointing jobs at a new delivery (q176 is the ROW-level diff; this is
+# the SCHEMA/profile level). Per column of each snapshot: declared
+# dtype, null count, exact NDV — computed GENERICALLY from df.dtypes
+# (schema introspection is driver-side metadata, not data), in ONE
+# aggregate per snapshot (all counters partial-combine map-side), then
+# a full-outer join on column name classifies:
+#   added / removed / type_changed / null_drift / ndv_drift / stable.
+# Drift thresholds run on exact INTEGER cross-products (null drift iff
+# |nn_a*n_b - nn_b*n_a| * 1000 > n_a*n_b, i.e. >0.1pp; ndv drift iff
+# |ndv_a - ndv_b| * 10 > ndv_a, i.e. >10%) — no float compares, so
+# both engines classify identically. Snapshot B is a deterministic
+# mutation (lang dropped, quality added, n_chars re-typed to double,
+# text nulled on a doc_id residue) so the audit exercises every class.
+# ---------------------------------------------------------------------------
+def _profile_columns(df: DataFrame) -> DataFrame:
+    """(column, dtype, n, n_null, ndv) — one row per column, one scan."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for c, _t in df.dtypes:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint"))
+            .cast("bigint")
+            .alias(f"__nn_{c}")
+        )
+        aggs.append(F.countDistinct(c).cast("bigint").alias(f"__nd_{c}"))
+    one = df.agg(*aggs)
+    stack_args = []
+    for c, t in df.dtypes:
+        stack_args.append(f"'{c}', '{t}', __n, __nn_{c}, __nd_{c}")
+    return one.selectExpr(
+        f"stack({len(df.dtypes)}, {', '.join(stack_args)})"
+        " AS (col_name, dtype, n, n_null, ndv)"
+    )
+
+
+def q227_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    snap_b = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("text")
+        ).alias("text"),
+        "source",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        (F.col("n_chars").cast("double") / 100).alias("quality"),
+    )
+    a = _profile_columns(docs)
+    b = _profile_columns(snap_b)
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.col_name") == F.col("b.col_name"), "full_outer"
+    )
+    col = F.coalesce(F.col("a.col_name"), F.col("b.col_name"))
+    null_drift = (
+        F.abs(
+            F.col("a.n_null") * F.col("b.n") - F.col("b.n_null") * F.col("a.n")
+        )
+        * 1000
+        > F.col("a.n") * F.col("b.n")
+    )
+    ndv_drift = F.abs(F.col("a.ndv") - F.col("b.ndv")) * 10 > F.col("a.ndv")
+    status = (
+        F.when(F.col("a.col_name").isNull(), "added")
+        .when(F.col("b.col_name").isNull(), "removed")
+        .when(F.col("a.dtype") != F.col("b.dtype"), "type_changed")
+        .when(null_drift, "null_drift")
+        .when(ndv_drift, "ndv_drift")
+        .otherwise("stable")
+    )
+    return j.select(
+        col.alias("col_name"),
+        status.alias("status"),
+        F.coalesce(F.col("a.dtype"), F.lit("-")).alias("dtype_a"),
+        F.coalesce(F.col("b.dtype"), F.lit("-")).alias("dtype_b"),
+        F.col("a.n_null").alias("n_null_a"),
+        F.col("b.n_null").alias("n_null_b"),
+        F.col("a.ndv").alias("ndv_a"),
+        F.col("b.ndv").alias("ndv_b"),
+    ).orderBy("col_name")
+
+
+Q227_SQL = """
+WITH a AS (
+  SELECT * FROM (VALUES
+    ('doc_id',  'bigint', (SELECT CAST(count(*) AS BIGINT) FROM documents),
+     (SELECT CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents),
+     (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents)),
+    ('text',    'string', (SELECT CAST(count(*) AS BIGINT) FROM documents),
+     (SELECT CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents),
+     (SELECT CAST(count(DISTINCT text) AS BIGINT) FROM documents)),
+    ('lang',    'string', (SELECT CAST(count(*) AS BIGINT) FROM documents),
+     (SELECT CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents),
+     (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents)),
+    ('source',  'string', (SELECT CAST(count(*) AS BIGINT) FROM documents),
+     (SELECT CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents),
+     (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents)),
+    ('n_chars', 'bigint', (SELECT CAST(count(*) AS BIGINT) FROM documents),
+     (SELECT CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents),
+     (SELECT CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents))
+  ) t(col_name, dtype, n, n_null, ndv)
+),
+snap_b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END AS text,
+         source,
+         CAST(n_chars AS DOUBLE) AS n_chars,
+         CAST(n_chars AS DOUBLE) / 100 AS quality
+  FROM documents
+),
+b AS (
+  SELECT * FROM (VALUES
+    ('doc_id',  'bigint', (SELECT CAST(count(*) AS BIGINT) FROM snap_b),
+     (SELECT CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM snap_b),
+     (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM snap_b)),
+    ('text',    'string', (SELECT CAST(count(*) AS BIGINT) FROM snap_b),
+     (SELECT CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM snap_b),
+     (SELECT CAST(count(DISTINCT text) AS BIGINT) FROM snap_b)),
+    ('source',  'string', (SELECT CAST(count(*) AS BIGINT) FROM snap_b),
+     (SELECT CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM snap_b),
+     (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM snap_b)),
+    ('n_chars', 'double', (SELECT CAST(count(*) AS BIGINT) FROM snap_b),
+     (SELECT CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM snap_b),
+     (SELECT CAST(count(DISTINCT n_chars) AS BIGINT) FROM snap_b)),
+    ('quality', 'double', (SELECT CAST(count(*) AS BIGINT) FROM snap_b),
+     (SELECT CAST(sum(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM snap_b),
+     (SELECT CAST(count(DISTINCT quality) AS BIGINT) FROM snap_b))
+  ) t(col_name, dtype, n, n_null, ndv)
+)
+SELECT coalesce(a.col_name, b.col_name) AS col_name,
+       CASE WHEN a.col_name IS NULL THEN 'added'
+            WHEN b.col_name IS NULL THEN 'removed'
+            WHEN a.dtype <> b.dtype THEN 'type_changed'
+            WHEN abs(a.n_null * b.n - b.n_null * a.n) * 1000
+                 > a.n * b.n THEN 'null_drift'
+            WHEN abs(a.ndv - b.ndv) * 10 > a.ndv THEN 'ndv_drift'
+            ELSE 'stable' END AS status,
+       coalesce(a.dtype, '-') AS dtype_a,
+       coalesce(b.dtype, '-') AS dtype_b,
+       a.n_null AS n_null_a,
+       b.n_null AS n_null_b,
+       a.ndv AS ndv_a,
+       b.ndv AS ndv_b
+FROM a FULL OUTER JOIN b ON a.col_name = b.col_name
+ORDER BY col_name
+"""
+
+
 QUERIES = {
     "q56_salted_agg": q56_salted_agg,
     "q128_zorder_stats": q128_zorder_stats,
@@ -1156,10 +1308,12 @@ QUERIES = {
     "q198_purge_audit": q198_purge_audit,
     "q209_tuning_advisor": q209_tuning_advisor,
     "q217_bucketed_join": q217_bucketed_join,
+    "q227_schema_drift": q227_schema_drift,
 }
 
 ORACLE = {
     "q217_bucketed_join": Q217_SQL,
+    "q227_schema_drift": Q227_SQL,
     "q56_salted_agg": Q56_SQL,
     "q128_zorder_stats": Q128_SQL,
     "q138_skew_profile": Q138_SQL,

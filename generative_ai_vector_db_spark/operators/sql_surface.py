@@ -377,6 +377,68 @@ def q206_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, Q206)
 
 
+# ---------------------------------------------------------------------------
+# q226 VARIANT shredding (Spark 4 semi-structured type): the modern
+# log-pipeline round trip — construct a nested JSON document per
+# event, parse it into the binary VARIANT type, then shred it back to
+# columns with TYPED `variant_get` paths and aggregate only from the
+# extracted values. The oracle computes the same aggregates straight
+# from the base columns, so the hash-match proves the
+# construct -> VARIANT -> typed-extract path is LOSSLESS (doubles
+# survive via shortest-round-trip JSON printing; ints and strings
+# exactly). VARIANT is the Spark-4 face of q23's string-JSON path:
+# parse once into a binary tree, then O(1) typed path reads — at
+# 100 TB this is the difference between re-parsing JSON text per
+# field and one parse + cheap shreds (plus Parquet variant shredding
+# on write). No UDFs; everything is codegen expressions.
+# ---------------------------------------------------------------------------
+# Spark-side text (VARIANT is Spark-4-only, so — uniquely in this
+# module — the oracle below is DIFFERENT text over the base columns).
+Q226_SPARK = """
+WITH docs AS (
+  SELECT parse_json(to_json(named_struct(
+           'id',  event_id,
+           'uid', user_id,
+           'm',   named_struct('event_type', event_type, 'value', value),
+           'k',   CAST(get_json_object(props, '$.k') AS BIGINT)
+         ))) AS v
+  FROM events
+),
+shredded AS (
+  SELECT variant_get(v, '$.m.event_type', 'string') AS event_type,
+         variant_get(v, '$.m.value', 'double')      AS val,
+         variant_get(v, '$.k', 'bigint')            AS k,
+         variant_get(v, '$.uid', 'bigint')          AS uid
+  FROM docs
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(val), 4) AS sum_value,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(count(DISTINCT uid) AS BIGINT) AS n_users
+FROM shredded
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q226_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, Q226_SPARK)
+
+
+Q226 = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS sum_value,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q67_correlated_min": q67_correlated_min,
     "q68_exists_distribution": q68_exists_distribution,
@@ -392,10 +454,12 @@ QUERIES = {
     "q200_recursive_hierarchy": q200_recursive_hierarchy,
     "q204_lateral_topk": q204_lateral_topk,
     "q206_null_semantics": q206_null_semantics,
+    "q226_variant_shred": q226_variant_shred,
 }
 
 # The same ANSI text runs on both engines (views share names/schemas).
 ORACLE = {
+    "q226_variant_shred": Q226,
     "q67_correlated_min": Q67,
     "q68_exists_distribution": Q68,
     "q69_count_distribution": Q69,

@@ -507,3 +507,16 @@ def test_q217_bucketed_join_plan_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan2, plan2
     # and it is not shuffle-free because it is trivially empty
     assert frame.count() > 0
+
+
+def test_q227_schema_drift_classifies_every_state(spark, sf_dir):
+    pdf = scale.q227_schema_drift(spark, sf_dir).toPandas()
+    got = pdf.set_index("col_name")["status"].to_dict()
+    assert got == {
+        "doc_id": "stable",
+        "lang": "removed",
+        "n_chars": "type_changed",
+        "quality": "added",
+        "source": "stable",
+        "text": "null_drift",
+    }, got
