@@ -83,7 +83,7 @@ _PRIORITY = [
     "q217_bucketed_join", "q218_pareto_front", "q219_chi2_assoc",
     "q220_ks_drift", "q221_heavy_hitters", "q222_interval_union",
     "q223_fuzzy_survivorship", "q225_dataset_card",
-    "q226_variant_shred", "q227_schema_drift",
+    "q226_variant_shred", "q227_schema_drift", "q228_quantile_normalize",
     # tier 1 — final r1-stale rotation: these 13 green rows predate
     # two testdata regenerations. First driver slots this round.
     "q38_text_quality", "q39_token_count", "q40_fingerprint",

@@ -1348,6 +1348,79 @@ ORDER BY metric
 """
 
 
+# ---------------------------------------------------------------------------
+# q228 quantile normalization — per-document quantile features (global
+# and within-source percent_rank of length), the standard monotone
+# feature transform before mixing heterogeneous sources into one
+# curriculum. The POINT is the scalable rewrite: percent_rank is
+# definitionally (rank-1)/(n-1) with rank-1 = #rows strictly smaller,
+# so instead of a single-partition global row window (the naive
+# `percent_rank() OVER (ORDER BY x)` — one reducer at 100 TB), we
+#   1. reduce to per-DISTINCT-value counts (shuffle-parallel,
+#      map-side partial);
+#   2. prefix-sum those counts over the ordered distinct values — a
+#      window over |distinct values| rows, bounded by the value
+#      domain, not the row count (same reduce-then-scan shape as
+#      q218/q220);
+#   3. broadcast-join the cumulative counts back to the rows.
+# The DuckDB oracle IS the naive window function — the hash-match
+# proves the distributed rewrite computes percent_rank exactly,
+# ties and all. Single-row groups emit 0.0 (the window definition).
+# ---------------------------------------------------------------------------
+def q228_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    n_tot = docs.agg(F.count(F.lit(1)).alias("_n"))
+    gcounts = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("_c"))
+    wg = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    gless = gcounts.select(
+        "n_chars",
+        F.coalesce(F.sum("_c").over(wg), F.lit(0)).alias("_less_g"),
+    )
+    scounts = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    ws = Window.partitionBy("source").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sless = scounts.select(
+        "source",
+        "n_chars",
+        F.coalesce(F.sum("_c").over(ws), F.lit(0)).alias("_less_s"),
+    )
+    sn = docs.groupBy("source").agg(F.count(F.lit(1)).alias("_n_s"))
+    pr = lambda less, n: F.when(  # noqa: E731
+        n > 1, F.round(less.cast("double") / (n - 1), 4)
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.join(F.broadcast(gless), "n_chars")
+        .join(F.broadcast(sless), ["source", "n_chars"])
+        .join(F.broadcast(sn), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            pr(F.col("_less_g"), F.col("_n")).alias("pr_global"),
+            pr(F.col("_less_s"), F.col("_n_s")).alias("pr_source"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q228_SQL = """
+SELECT doc_id, source, n_chars,
+       round(percent_rank() OVER (ORDER BY n_chars), 4) AS pr_global,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars),
+             4) AS pr_source
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q79_token_packing": q79_token_packing,
     "q80_corpus_mixing": q80_corpus_mixing,
@@ -1368,11 +1441,13 @@ QUERIES = {
     "q208_ppl_filter": q208_ppl_filter,
     "q221_heavy_hitters": q221_heavy_hitters,
     "q225_dataset_card": q225_dataset_card,
+    "q228_quantile_normalize": q228_quantile_normalize,
 }
 
 ORACLE = {
     "q221_heavy_hitters": Q221_SQL,
     "q225_dataset_card": Q225_SQL,
+    "q228_quantile_normalize": Q228_SQL,
     "q79_token_packing": Q79_SQL,
     "q80_corpus_mixing": Q80_SQL,
     "q81_embedding_quantize": Q81_SQL,
