@@ -471,5 +471,94 @@ def run_rate_limit_stream(
     )
 
 
+# ---------------------------------------------------------------------------
+# q222 streaming face — stateful interval-union "uptime tracker": each
+# event opens a fixed activity interval; the state is ONLY the open
+# island (cur_start, cur_end) plus two running totals — O(1) per key,
+# the streaming shape of q222's batch gaps-and-islands merge (uptime
+# from heartbeats without retaining the heartbeats).
+# Semantics match the batch twin exactly under in-order per-user
+# delivery (same strict `s > cur_end` island boundary; a within-batch
+# sort handles intra-batch disorder). Across micro-batches a late
+# event BEFORE the open island's start cannot reopen already-closed
+# islands — its coverage contribution is dropped (counted in neither
+# covered_us nor islands), so the streamed totals are a LOWER bound
+# vs the batch twin, the same retained-horizon policy as _update_rate
+# above; pinned by test_update_uptime_out_of_order_batches.
+# ---------------------------------------------------------------------------
+UPTIME_SCHEMA = "user_id bigint, n_islands bigint, covered_us bigint"
+UPTIME_STATE_SCHEMA = (
+    "cur_s bigint, cur_e bigint, covered bigint, islands bigint"
+)
+UPTIME_DUR_US = 300_000_000  # keep in lockstep with temporal.IVL_DUR_US
+
+
+def _update_uptime(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        cur_s, cur_e, covered, islands = state.get
+    else:
+        cur_s, cur_e, covered, islands = -1, -1, 0, 0
+    starts: list[int] = []
+    for pdf in batches:
+        starts.extend((pdf["ts"].astype("int64") // 1_000).tolist())
+    starts.sort()
+    for s in starts:
+        e = s + UPTIME_DUR_US
+        if cur_s < 0:
+            cur_s, cur_e, islands = s, e, islands + 1
+        elif s > cur_e:  # strict: s == cur_e joins the island (batch twin)
+            covered += cur_e - cur_s
+            cur_s, cur_e, islands = s, e, islands + 1
+        elif s >= cur_s:
+            cur_e = max(cur_e, e)
+        # else: late before the open island — closed islands are gone;
+        # dropped from coverage (lower bound, see header comment)
+    state.update((cur_s, cur_e, covered, islands))
+    total = covered + (cur_e - cur_s if cur_s >= 0 else 0)
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_islands": [islands],
+            "covered_us": [total],
+        }
+    )
+
+
+def run_uptime_stream(
+    spark: SparkSession, src_dir: str, sink_table: str = "uptime_out"
+) -> None:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    ev = spark.readStream.schema(schema).parquet(src_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _update_uptime,
+        outputStructType=UPTIME_SCHEMA,
+        stateStructType=UPTIME_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    (
+        out.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 QUERIES = {"q163_state_ttl_profile": q163_state_ttl_profile}
 ORACLE = {"q163_state_ttl_profile": Q163_SQL}

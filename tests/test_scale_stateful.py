@@ -520,3 +520,74 @@ def test_q227_schema_drift_classifies_every_state(spark, sf_dir):
         "source": "stable",
         "text": "null_drift",
     }, got
+
+
+def test_uptime_stream_matches_batch_twin(spark, sf_dir):
+    """Single-file availableNow source => one in-order micro-batch per
+    user => the streamed interval union equals q222 exactly."""
+    from generative_ai_vector_db_spark.operators import temporal
+
+    src = tempfile.mkdtemp(prefix="uptime_src_")
+    try:
+        load(spark, sf_dir, "events").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stateful.run_uptime_stream(spark, src, sink_table="uptime_out")
+        got = spark.table("uptime_out").toPandas()
+        got = (
+            got.groupby("user_id")
+            .tail(1)
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            temporal.q222_interval_union(spark, sf_dir)
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        assert got["user_id"].tolist() == want["user_id"].tolist()
+        assert got["n_islands"].tolist() == want["n_islands"].tolist()
+        assert got["covered_us"].tolist() == want["covered_us"].tolist()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def test_update_uptime_out_of_order_batches():
+    """Cross-batch disorder: a late start before the open island is
+    dropped from coverage (lower bound); an in-order continuation
+    still merges exactly."""
+    import pandas as pd
+
+    D = stateful.UPTIME_DUR_US
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    def ts_frame(us_list):
+        return pd.DataFrame(
+            {"ts": pd.to_datetime([u * 1_000 for u in us_list], unit="ns")}
+        )
+
+    st = FakeState()
+    # batch 1: two overlapping intervals -> one island [0, 100 + D)
+    out1 = list(stateful._update_uptime((7,), iter([ts_frame([0, 100])]), st))
+    assert out1[0]["n_islands"][0] == 1
+    assert out1[0]["covered_us"][0] == 100 + D
+    # batch 2: late event BEFORE the open island start -> dropped
+    far = 10 * D
+    list(stateful._update_uptime((7,), iter([ts_frame([far])]), st))
+    out3 = list(
+        stateful._update_uptime((7,), iter([ts_frame([far - 5 * D])]), st)
+    )
+    assert out3[0]["n_islands"][0] == 2  # no reopened middle island
+    assert out3[0]["covered_us"][0] == (100 + D) + D  # late drop: bound
