@@ -256,15 +256,23 @@ def main() -> None:
     try:
         write_planted_embeddings(pdir)
         p_exact = vector.q26_knn_cosine(spark, pdir).toPandas()
+        # q47/q175 rank by L2; on unit vectors (planted are normalized)
+        # L2 and cosine top-k coincide (||a-b||^2 = 2 - 2cos), so one
+        # exact set serves all five families.
         for name, fn, scan_fn in (
             ("q46_ann_lsh_topk", vector.q46_ann_lsh_topk, _lsh_scan_fraction),
+            ("q47_ann_brp_lsh", mllib_index.q47_ann_brp_lsh, None),
             ("q49_ann_ivf", mllib_index.q49_ann_ivf, _ivf_scan_fraction),
+            ("q175_ann_ivf_pq", mllib_index.q175_ann_ivf_pq,
+             _ivf_scan_fraction),
             ("q214_ann_graph", graph_ann.q214_ann_graph, _graph_scan_fraction),
         ):
             m, mn = _topk_recall(p_exact, fn(spark, pdir).toPandas())
-            planted_rows.append(
-                (name, f"mean {m:.3f} / min {mn:.3f}", f"{scan_fn(pdir):.0%}")
-            )
+            planted_rows.append((
+                name,
+                f"mean {m:.3f} / min {mn:.3f}",
+                f"{scan_fn(pdir):.0%}" if scan_fn else "n/a (hash join)",
+            ))
 
         # --- q224 SemDeDup within-cell recall on the planted corpus:
         # ground truth = ALL pairs with cosine >= tau (numpy all-pairs,
