@@ -84,6 +84,7 @@ _PRIORITY = [
     "q220_ks_drift", "q221_heavy_hitters", "q222_interval_union",
     "q223_fuzzy_survivorship", "q225_dataset_card",
     "q226_variant_shred", "q227_schema_drift", "q228_quantile_normalize",
+    "q229_graph_profile", "q230_lsh_param_advisor",
     # tier 1 — final r1-stale rotation: these 13 green rows predate
     # two testdata regenerations. First driver slots this round.
     "q38_text_quality", "q39_token_count", "q40_fingerprint",

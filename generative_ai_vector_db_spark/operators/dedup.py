@@ -610,6 +610,84 @@ ORDER BY p_type, name_a, name_b
 
 
 # ---------------------------------------------------------------------------
+# q230 LSH parameter advisor — the (bands b, rows r) tuning table for
+# a 16-hash MinHash signature (q44's family): for every factorization
+# b*r = 16, the S-curve threshold t = (1/b)^(1/r) and the candidate
+# probability P(s) = 1 - (1 - s^r)^b at four probe similarities. The
+# advisor marks the configuration whose threshold sits closest to the
+# verify tau (q44's 4x4 is the recommendation the production pipeline
+# should confirm before a 100 TB run — banding is the ONE knob that
+# trades shuffle volume against missed near-dups, and this table is
+# how you read the trade). Pure closed-form math over a 5-row literal
+# grid — both engines evaluate the identical pow() expressions; the
+# q188/q209 advisor family member for dedup.
+# ---------------------------------------------------------------------------
+ADVISOR_SIG_SIZE = 16
+ADVISOR_PROBES = (0.2, 0.4, 0.6, 0.8)
+
+
+def q230_lsh_param_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = [
+        (b, ADVISOR_SIG_SIZE // b)
+        for b in (1, 2, 4, 8, 16)
+    ]
+    df = spark.createDataFrame(grid, "bands bigint, rows_per_band bigint")
+    t = F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows_per_band"))
+    cols = [
+        "bands",
+        "rows_per_band",
+        F.round(t, 4).alias("threshold"),
+    ]
+    for s in ADVISOR_PROBES:
+        p = 1 - F.pow(
+            1 - F.pow(F.lit(float(s)), F.col("rows_per_band")),
+            F.col("bands"),
+        )
+        cols.append(F.round(p, 4).alias(f"p_at_{int(s * 100):02d}"))
+    w = Window.orderBy(
+        F.abs(F.round(t, 4) - MINHASH_VERIFY_TAU), F.col("bands")
+    )
+    return (
+        df.select(*cols)
+        .withColumn(
+            "recommended", (F.row_number().over(w) == 1).cast("boolean")
+        )
+        .orderBy("bands")
+    )
+
+
+def _advisor_sql() -> str:
+    probes = ", ".join(
+        f"round(1 - pow(1 - pow({s}, rows_per_band), bands), 4)"
+        f" AS p_at_{int(s * 100):02d}"
+        for s in ADVISOR_PROBES
+    )
+    vals = ", ".join(
+        f"({b}, {ADVISOR_SIG_SIZE // b})" for b in (1, 2, 4, 8, 16)
+    )
+    return f"""
+WITH grid(bands, rows_per_band) AS (VALUES {vals}),
+scored AS (
+  SELECT CAST(bands AS BIGINT) AS bands,
+         CAST(rows_per_band AS BIGINT) AS rows_per_band,
+         round(pow(1.0 / bands, 1.0 / rows_per_band), 4) AS threshold,
+         {probes}
+  FROM grid
+)
+SELECT bands, rows_per_band, threshold,
+       p_at_20, p_at_40, p_at_60, p_at_80,
+       row_number() OVER (
+         ORDER BY abs(threshold - {MINHASH_VERIFY_TAU}), bands
+       ) = 1 AS recommended
+FROM scored
+ORDER BY bands
+"""
+
+
+Q230_SQL = _advisor_sql()
+
+
+# ---------------------------------------------------------------------------
 # q223 fuzzy survivorship (golden-record merge): q215's pairwise
 # matches completed into the record-linkage END PRODUCT — connected
 # clusters of near-duplicate names with one canonical survivor each.
@@ -744,10 +822,12 @@ QUERIES = {
     "q186_incremental_dedup": q186_incremental_dedup,
     "q215_fuzzy_blocked_dedup": q215_fuzzy_blocked_dedup,
     "q223_fuzzy_survivorship": q223_fuzzy_survivorship,
+    "q230_lsh_param_advisor": q230_lsh_param_advisor,
 }
 
 ORACLE: dict[str, str] = {
     "q223_fuzzy_survivorship": Q223_SQL,
+    "q230_lsh_param_advisor": Q230_SQL,
     "q76_dedup_clusters": Q76_SQL,
     "q186_incremental_dedup": Q186_SQL,
     "q215_fuzzy_blocked_dedup": Q215_SQL,

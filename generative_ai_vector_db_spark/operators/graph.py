@@ -408,14 +408,125 @@ LIMIT {PR_TOP}
 
 Q211_SQL = _ppr_sql()
 
+# ---------------------------------------------------------------------------
+# q229 graph profile — one-row topology summary of the co-visitation
+# graph: node/edge counts, degree extremes, and DEGREE ASSORTATIVITY
+# (Pearson correlation of endpoint degrees across edges — positive =
+# hubs link to hubs / social-like, negative = hub-and-spoke /
+# bot-like). The profile a pipeline reads BEFORE running the heavier
+# graph ops (q193/q210/q211): assortativity and max degree predict
+# whether wedge counting needs the degree-ordered orientation and how
+# skewed the PageRank shuffle will be. Plan: the edge list is built
+# once (same capped covisit CTE as q193/q210/q211), degrees are one
+# groupBy, and the correlation comes from SIX exact integer sums
+# (m, Σx, Σy, Σxy, Σx², Σy²) folded through the textbook formula —
+# doubles enter only at the final multiply/divide/sqrt over exact
+# integer inputs, so both engines compute the identical value.
+# ---------------------------------------------------------------------------
+def q229_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _covisit_edges(spark, sf_dir).localCheckpoint()
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    dx = deg.select(F.col("src").alias("_sx"), F.col("deg").alias("dx"))
+    dy = deg.select(F.col("src").alias("_sy"), F.col("deg").alias("dy"))
+    ed = (
+        edges.join(dx, edges["src"] == dx["_sx"])
+        .join(dy, edges["dst"] == dy["_sy"])
+        .select("dx", "dy")
+    )
+    sums = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+    )
+    nstats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.max("deg").cast("bigint").alias("max_degree"),
+        F.sum("deg").cast("bigint").alias("_degsum"),
+    )
+    num = (
+        F.col("m").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    )
+    den = F.sqrt(
+        F.col("m").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(
+        F.col("m").cast("double") * F.col("syy")
+        - F.col("sy").cast("double") * F.col("sy")
+    )
+    return (
+        nstats.crossJoin(sums)
+        .select(
+            "n_nodes",
+            (F.col("m") / 2).cast("bigint").alias("n_edges"),
+            "max_degree",
+            F.round(
+                F.col("_degsum").cast("double") / F.col("n_nodes"), 4
+            ).alias("mean_degree"),
+            F.round(num / den, 4).alias("assortativity"),
+        )
+    )
+
+
+Q229_SQL = f"""
+WITH {covisit_kept_cte()},
+pairs AS (
+  SELECT DISTINCT a.user_id AS u_a, b.user_id AS u_b
+  FROM kept a JOIN kept b USING (bucket)
+  WHERE a.user_id < b.user_id
+),
+edges AS (
+  SELECT u_a AS src, u_b AS dst FROM pairs
+  UNION ALL
+  SELECT u_b AS src, u_a AS dst FROM pairs
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+ed AS (
+  SELECT x.deg AS dx, y.deg AS dy
+  FROM edges e JOIN deg x ON e.src = x.src JOIN deg y ON e.dst = y.src
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(dx) AS BIGINT) AS sx,
+         CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy
+  FROM ed
+),
+nstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(max(deg) AS BIGINT) AS max_degree,
+         CAST(sum(deg) AS BIGINT) AS degsum
+  FROM deg
+)
+SELECT n_nodes,
+       CAST(m // 2 AS BIGINT) AS n_edges,
+       max_degree,
+       round(CAST(degsum AS DOUBLE) / n_nodes, 4) AS mean_degree,
+       round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             4) AS assortativity
+FROM nstats, sums
+"""
+
+
 QUERIES = {
     "q193_graph_pagerank": q193_graph_pagerank,
     "q210_triangle_count": q210_triangle_count,
     "q211_personalized_pagerank": q211_personalized_pagerank,
+    "q229_graph_profile": q229_graph_profile,
 }
 
 ORACLE = {
     "q193_graph_pagerank": Q193_SQL,
     "q210_triangle_count": Q210_SQL,
     "q211_personalized_pagerank": Q211_SQL,
+    "q229_graph_profile": Q229_SQL,
 }
