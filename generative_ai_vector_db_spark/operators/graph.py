@@ -468,7 +468,11 @@ def q229_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("_degsum").cast("double") / F.col("n_nodes"), 4
             ).alias("mean_degree"),
-            F.round(num / den, 4).alias("assortativity"),
+            # degree-REGULAR graphs (every degree equal — e.g. one
+            # clique) have zero degree variance: the correlation is
+            # undefined, emitted as NULL (caught by the hypothesis
+            # brute-force test, which generates single-bucket cliques)
+            F.when(den != 0, F.round(num / den, 4)).alias("assortativity"),
         )
     )
 
@@ -509,10 +513,14 @@ SELECT n_nodes,
        CAST(m // 2 AS BIGINT) AS n_edges,
        max_degree,
        round(CAST(degsum AS DOUBLE) / n_nodes, 4) AS mean_degree,
-       round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
-             4) AS assortativity
+       CASE WHEN sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                 = 0 THEN NULL
+            ELSE round(
+              (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+              4) END AS assortativity
 FROM nstats, sums
 """
 

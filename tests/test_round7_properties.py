@@ -238,3 +238,192 @@ def test_q228_percent_rank_matches_pandas(spark, docs):
         assert got["pr_source"].tolist() == want_s.tolist()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q215 fuzzy blocked dedup vs brute-force levenshtein over distinct
+# names (tiny alphabet => typo collisions are common; the length-band
+# prefilter must be lossless)
+# --------------------------------------------------------------------------
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+names_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),  # block (p_type)
+        st.text(alphabet="ab", min_size=1, max_size=4),  # name
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=names_strategy)
+def test_q215_fuzzy_pairs_match_bruteforce(spark, rows):
+    from generative_ai_vector_db_spark.operators import dedup
+
+    pdf = pd.DataFrame(
+        {
+            "p_partkey": np.arange(len(rows), dtype="int64"),
+            "p_name": [n for _, n in rows],
+            "p_brand": "b",
+            "p_type": [f"t{t}" for t, _ in rows],
+            "p_size": np.int32(1),
+            "p_retailprice": 1.0,
+        }
+    )
+    d = _tmp_table("part", pdf)
+    try:
+        got = dedup.q215_fuzzy_blocked_dedup(spark, d).toPandas()
+        got_pairs = {
+            (r.p_type, r.name_a, r.name_b): (int(r.dist), int(r.row_pairs))
+            for r in got.itertuples()
+        }
+        # brute force over distinct (block, name) with multiplicities
+        counts: dict[tuple[str, str], int] = {}
+        for t, n in rows:
+            counts[(f"t{t}", n)] = counts.get((f"t{t}", n), 0) + 1
+        want = {}
+        keys = sorted(counts)
+        for i, (bt, na) in enumerate(keys):
+            for bt2, nb in keys[i + 1:]:
+                if bt2 != bt or na == nb:
+                    continue
+                dist = _lev(na, nb)
+                if dist <= dedup.FUZZY_MAX_DIST:
+                    a, b = sorted((na, nb))
+                    want[(bt, a, b)] = (
+                        dist,
+                        counts[(bt, na)] * counts[(bt, nb)],
+                    )
+        assert got_pairs == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q216 rolling 7-day distinct users vs brute force (sparse days, users
+# active on single days, gaps longer than the window)
+# --------------------------------------------------------------------------
+activity_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # day offset
+        st.integers(min_value=0, max_value=5),  # user
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(acts=activity_strategy)
+def test_q216_rolling_distinct_matches_bruteforce(spark, acts):
+    rows = [(u, EPOCH + timedelta(days=day, hours=3)) for day, u in acts]
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(len(rows), dtype="int64"),
+            "ts": [t for _, t in rows],
+            "user_id": np.array([u for u, _ in rows], dtype="int64"),
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    d = _tmp_table("events", pdf)
+    try:
+        got = {
+            r.day: int(r.users_7d)
+            for r in temporal.q216_rolling_distinct(spark, d)
+            .toPandas()
+            .itertuples()
+        }
+        days = sorted({day for day, _ in acts})
+        want = {}
+        for day in days:
+            users = {
+                u for dd, u in acts if day - 6 <= dd <= day
+            }
+            want[(EPOCH + timedelta(days=day)).strftime("%Y-%m-%d")] = len(
+                users
+            )
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q229 graph profile vs networkx-free brute force on controlled
+# covisit buckets (distinct (hour, type) buckets of chosen users)
+# --------------------------------------------------------------------------
+buckets_strategy = st.lists(
+    st.sets(st.integers(min_value=0, max_value=7), min_size=2, max_size=5),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(buckets=buckets_strategy)
+def test_q229_graph_profile_matches_bruteforce(spark, buckets):
+    from generative_ai_vector_db_spark.operators import graph
+
+    rows = []
+    for h, users in enumerate(buckets):
+        for u in users:
+            rows.append((u, EPOCH + timedelta(hours=h, minutes=5)))
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(len(rows), dtype="int64"),
+            "ts": [t for _, t in rows],
+            "user_id": np.array([u for u, _ in rows], dtype="int64"),
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    d = _tmp_table("events", pdf)
+    try:
+        got = graph.q229_graph_profile(spark, d).toPandas().iloc[0]
+        # brute force: undirected pair set across buckets (cap never
+        # binds at <= 5 users/bucket)
+        pairs = set()
+        for users in buckets:
+            us = sorted(users)
+            for i, a in enumerate(us):
+                for b in us[i + 1:]:
+                    pairs.add((a, b))
+        deg: dict[int, int] = {}
+        for a, b in pairs:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        dx, dy = [], []
+        for a, b in pairs:
+            dx += [deg[a], deg[b]]
+            dy += [deg[b], deg[a]]
+        dx, dy = np.array(dx, float), np.array(dy, float)
+        m = len(dx)
+        num = m * (dx * dy).sum() - dx.sum() * dy.sum()
+        den = np.sqrt(m * (dx * dx).sum() - dx.sum() ** 2) * np.sqrt(
+            m * (dy * dy).sum() - dy.sum() ** 2
+        )
+        assert int(got["n_nodes"]) == len(deg)
+        assert int(got["n_edges"]) == len(pairs)
+        assert int(got["max_degree"]) == max(deg.values())
+        assert abs(float(got["mean_degree"]) - round(2 * len(pairs) / len(deg), 4)) <= 1e-9
+        if den > 0:
+            assert abs(float(got["assortativity"]) - round(num / den, 4)) <= 1e-4
+        else:
+            # degree-regular graph: correlation undefined -> NULL
+            assert pd.isna(got["assortativity"])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
