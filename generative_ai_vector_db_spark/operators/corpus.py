@@ -1248,12 +1248,45 @@ def q221_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = (
         tokens.mapInPandas(_mg_sketch_partition, "term string").distinct()
     )
-    return (
+    topk = (
         tokens.join(F.broadcast(candidates), "term", "left_semi")
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy(F.col("n").desc(), "term")
         .limit(MG_TOPK)
+    )
+    # Exactness precondition, enforced IN-PLAN so a capacity-starved
+    # regime fails loudly instead of surfacing as a mystery oracle
+    # mismatch after a fixture regeneration: the two-pass result is the
+    # exact global top-k iff either (a) the candidate set IS the whole
+    # vocabulary (nothing was ever evicted — today's fixture regime,
+    # vocab < MG_CAPACITY), or (b) the k-th exact candidate count
+    # exceeds N/MG_CAPACITY (the MG survival bound covers the top-k
+    # margin). assert_true keeps schema and rows identical when the
+    # precondition holds and raises at execution when it does not.
+    # The countDistinct in (a) is a fixture-scale diagnostic only — at
+    # 100 TB you drop it and rely on (b), which needs just N and the
+    # already-tiny candidate recount.
+    guard = (
+        tokens.agg(
+            F.count(F.lit(1)).alias("_n_tok"),
+            F.countDistinct("term").alias("_n_vocab"),
+        )
+        .crossJoin(F.broadcast(candidates.agg(F.count(F.lit(1)).alias("_n_cand"))))
+        .crossJoin(
+            F.broadcast(
+                topk.agg(F.min("n").alias("_kth_n"), F.count(F.lit(1)).alias("_k"))
+            )
+        )
+    )
+    exact_ok = (F.col("_n_vocab") == F.col("_n_cand")) | (
+        F.col("_kth_n") * MG_CAPACITY > F.col("_n_tok")
+    )
+    return (
+        topk.crossJoin(F.broadcast(guard))
+        .where(F.assert_true(exact_ok, F.lit("q221: MG capacity starved — top-k not provably exact")).isNull())
+        .select("term", "n")
+        .orderBy(F.col("n").desc(), "term")
     )
 
 

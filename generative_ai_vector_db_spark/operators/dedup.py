@@ -615,10 +615,12 @@ ORDER BY p_type, name_a, name_b
 # b*r = 16, the S-curve threshold t = (1/b)^(1/r) and the candidate
 # probability P(s) = 1 - (1 - s^r)^b at four probe similarities. The
 # advisor marks the configuration whose threshold sits closest to the
-# verify tau (q44's 4x4 is the recommendation the production pipeline
-# should confirm before a 100 TB run — banding is the ONE knob that
-# trades shuffle volume against missed near-dups, and this table is
-# how you read the trade). Pure closed-form math over a 5-row literal
+# verify tau: at MINHASH_VERIFY_TAU=0.4 that is 8 bands x 2 rows
+# (threshold (1/8)^(1/2) = 0.3536 — q44's 4x4 sits at 0.7071, a
+# higher-precision/lower-recall point a production pipeline would pick
+# only for a tighter tau). Banding is the ONE knob that trades shuffle
+# volume against missed near-dups, and this table is how you read the
+# trade. Pure closed-form math over a 5-row literal
 # grid — both engines evaluate the identical pow() expressions; the
 # q188/q209 advisor family member for dedup.
 # ---------------------------------------------------------------------------

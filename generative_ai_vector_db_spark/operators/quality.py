@@ -1411,13 +1411,21 @@ def q219_chi2_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "source")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
     )
-    rows_t = cells.groupBy("lang").agg(F.sum("n_obs").alias("_n_r"))
-    cols_t = cells.groupBy("source").agg(F.sum("n_obs").alias("_n_c"))
+    # Null-safe key equality: the oracle's window-partition formulation
+    # keeps NULL lang/source cells (PARTITION BY groups NULLs together),
+    # so the rejoin must use <=> — a plain inner join would silently
+    # drop those cells if a testdata regeneration introduced NULL keys.
+    rows_t = cells.groupBy(F.col("lang").alias("_lang")).agg(
+        F.sum("n_obs").alias("_n_r")
+    )
+    cols_t = cells.groupBy(F.col("source").alias("_source")).agg(
+        F.sum("n_obs").alias("_n_c")
+    )
     total = cells.agg(F.sum("n_obs").alias("_n"))
     exp = (F.col("_n_r") * F.col("_n_c")).cast("double") / F.col("_n")
     return (
-        cells.join(F.broadcast(rows_t), "lang")
-        .join(F.broadcast(cols_t), "source")
+        cells.join(F.broadcast(rows_t), F.col("lang").eqNullSafe(F.col("_lang")))
+        .join(F.broadcast(cols_t), F.col("source").eqNullSafe(F.col("_source")))
         .crossJoin(F.broadcast(total))
         .select(
             "lang",

@@ -1084,17 +1084,32 @@ Q209_SQL = _q209_sql()
 # ---------------------------------------------------------------------------
 BUCKET_JOIN_MIN_ITEMS = 7
 _BUCKET_JOIN_TABLES: dict[tuple[str, str], tuple[str, str]] = {}
+_BUCKET_TMPDIRS: list[str] = []
+
+
+def _cleanup_bucket_dirs() -> None:
+    import shutil
+
+    while _BUCKET_TMPDIRS:
+        shutil.rmtree(_BUCKET_TMPDIRS.pop(), ignore_errors=True)
 
 
 def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BUCKET_JOIN_TABLES:
+        import atexit
         import hashlib
         import os
         import tempfile
 
-        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+        # Tag carries the APPLICATION id, not just sf_dir: two Spark
+        # apps sharing a metastore must never DROP/overwrite each
+        # other's bucketed tables mid-query.
+        tag = hashlib.sha1("|".join(key).encode()).hexdigest()[:8]
         base = tempfile.mkdtemp(prefix=f"gavd_buckets_{tag}_")
+        if not _BUCKET_TMPDIRS:
+            atexit.register(_cleanup_bucket_dirs)
+        _BUCKET_TMPDIRS.append(base)
         names = (f"gavd_orders_b_{tag}", f"gavd_lineitem_b_{tag}")
         for name, tbl, col in (
             (names[0], "orders", "o_orderkey"),

@@ -28,6 +28,14 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..tables import load
 
+
+def _ts_ns(s: pd.Series) -> pd.Series:
+    """Epoch nanoseconds, with the unit ENFORCED: under Arrow/pandas
+    configs that surface datetime64[us] a raw ``astype('int64')`` view
+    would already be microseconds and downstream ``// 1_000`` divisions
+    would silently yield the wrong unit — normalize to ns first."""
+    return s.astype("datetime64[ns]").astype("int64")
+
 PROFILE_SCHEMA = (
     "user_id bigint, n_events bigint, total_value double, max_value double"
 )
@@ -379,7 +387,7 @@ def _update_rate(
         secs, n, mx, br = [], 0, 0, 0
     rows = []
     for pdf in batches:
-        sec = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+        sec = (_ts_ns(pdf["ts"]) // 1_000_000_000).tolist()
         rows.extend(sec)
     rows.sort()
     # process per distinct second: a RANGE frame includes same-second
@@ -503,7 +511,7 @@ def _update_uptime(
         cur_s, cur_e, covered, islands = -1, -1, 0, 0
     starts: list[int] = []
     for pdf in batches:
-        starts.extend((pdf["ts"].astype("int64") // 1_000).tolist())
+        starts.extend((_ts_ns(pdf["ts"]) // 1_000).tolist())
     starts.sort()
     for s in starts:
         e = s + UPTIME_DUR_US
