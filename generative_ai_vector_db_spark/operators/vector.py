@@ -450,9 +450,15 @@ ORDER BY q_id, rn
 # query inside applyInPandas: each group is N=50 candidate rows, a few
 # KB — thousands of queries parallelize across executors while the
 # corpus-side work stays in stage 1. The greedy loop is inherently
-# sequential per query — no SQL twin (rows-only check); exact
-# equivalence vs a pure-numpy reference is asserted in
-# tests/test_retrieval.py.
+# sequential per query, but it is K-BOUNDED and deterministic, so the
+# DuckDB twin unrolls the K=13 selection steps as chained CTEs (each
+# step: rank the not-yet-picked candidates by round(λ·rel −
+# (1−λ)·max_sim, 10) DESC, vec_id, keep rank 1) — an exact oracle,
+# not a rows-only check. Numeric parity: the numpy loop accumulates
+# dots/norms left-to-right over dims (see _mmr_select) so both engines
+# fold the identical double sequence; λ and (1.0−λ) appear as the SAME
+# double expressions on both sides. Exact equivalence vs a pure-numpy
+# reference is additionally asserted in tests/test_retrieval.py.
 # ---------------------------------------------------------------------------
 MMR_LAMBDA = 0.7
 MMR_PREFILTER = 50
@@ -471,9 +477,20 @@ def _mmr_select(pdf, lam: float = MMR_LAMBDA, k: int = K):
     emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     rel = pdf["cos_sim"].to_numpy().astype(np.float64)
     ids = pdf["vec_id"].to_numpy()
-    # candidate-candidate cosine matrix (N<=50: tiny)
-    norms = np.sqrt((emb * emb).sum(axis=1))
-    sim = (emb @ emb.T) / np.outer(norms, norms)
+    # candidate-candidate cosine matrix (N<=50: tiny). Accumulated
+    # strictly left-to-right over dimensions — NOT emb @ emb.T (BLAS
+    # blocking/FMA reorders the sum) — so every dot/norm is the exact
+    # double the DuckDB oracle's list_sum fold produces (same policy
+    # as functions/vectors.py).
+    n_cand, dim = emb.shape
+    dot = np.zeros((n_cand, n_cand))
+    sq = np.zeros(n_cand)
+    for d_idx in range(dim):
+        col = emb[:, d_idx]
+        dot += np.outer(col, col)
+        sq += col * col
+    norms = np.sqrt(sq)
+    sim = dot / np.outer(norms, norms)
     picked: list[int] = []
     scores: list[float] = []
     remaining = list(range(len(ids)))
@@ -491,13 +508,21 @@ def _mmr_select(pdf, lam: float = MMR_LAMBDA, k: int = K):
         picked.append(remaining[best])
         scores.append(float(mmr[best]))
         remaining.pop(best)
+    # relevance/mmr_score leave here UNROUNDED, and stay unrounded in
+    # the output: rank-1 scores are 0.7*rel with rel a 4-dp decimal, so
+    # their shortest decimal representation lands on exact 4-dp
+    # midpoints where every engine's own round() convention disagrees
+    # (np half-even, Spark F.round shortest-repr HALF_UP, DuckDB
+    # binary-value nearest). Both engines emit the bit-identical raw
+    # double instead and the driver's canonicalization applies ONE
+    # rounding function to both sides.
     return pd.DataFrame(
         {
             "q_id": pdf["q_id"].iloc[0],
             "vec_id": ids[picked],
             "mmr_rank": range(1, len(picked) + 1),
-            "relevance": np.round(rel[picked], 4),
-            "mmr_score": np.round(scores, 4),
+            "relevance": rel[picked],
+            "mmr_score": scores,
         }
     )
 
@@ -520,6 +545,84 @@ def q89_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(lambda pdf: _mmr_select(pdf), _MMR_SCHEMA)
         .orderBy("q_id", "mmr_rank")
     )
+
+
+def _q89_sql() -> str:
+    """Unrolled greedy MMR oracle: K chained CTE steps (p{i} = the i-th
+    pick per query, cum{i} = cumulative picks). Candidate-candidate sims
+    join only against already-picked rows, mirroring the numpy loop's
+    max over the picked set; (1.0 - {lam}) is spelled as an expression
+    so both engines use the identical double (1.0-0.7 != 0.3 in IEEE)."""
+    lam = MMR_LAMBDA
+    parts = [
+        f"""
+WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < {N_QUERY}),
+scored AS (
+  SELECT a.q_id, b.vec_id,
+         round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 4) AS rel
+  FROM q a CROSS JOIN embeddings b
+  WHERE b.vec_id != a.q_id
+),
+cand AS MATERIALIZED (
+  SELECT q_id, vec_id, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= {MMR_PREFILTER}
+),
+ce AS (
+  SELECT c.q_id, c.vec_id, e.embedding
+  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+),
+pairsim AS MATERIALIZED (
+  SELECT a.q_id, a.vec_id AS v1, b.vec_id AS v2,
+         {_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}) AS sim
+  FROM ce a JOIN ce b ON a.q_id = b.q_id AND a.vec_id != b.vec_id
+),
+p1 AS (
+  SELECT q_id, vec_id, rel, {lam} * rel AS score, 1 AS mmr_rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY q_id ORDER BY round({lam} * rel, 10) DESC, vec_id) AS rnk
+    FROM cand
+  ) WHERE rnk = 1
+),
+cum1 AS MATERIALIZED (SELECT * FROM p1)"""
+    ]
+    for i in range(2, K + 1):
+        parts.append(
+            f""",
+p{i} AS MATERIALIZED (
+  SELECT q_id, vec_id, rel, score, {i} AS mmr_rank FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY s.q_id ORDER BY round(s.score, 10) DESC, s.vec_id) AS rnk
+    FROM (
+      SELECT c.q_id, c.vec_id, c.rel,
+             {lam} * c.rel - (1.0 - {lam}) * ms.m AS score
+      FROM cand c
+      JOIN (SELECT ps.q_id, ps.v1, max(ps.sim) AS m
+            FROM pairsim ps
+            JOIN cum{i - 1} pk ON pk.q_id = ps.q_id AND pk.vec_id = ps.v2
+            GROUP BY 1, 2) ms
+        ON ms.q_id = c.q_id AND ms.v1 = c.vec_id
+      WHERE NOT EXISTS (SELECT 1 FROM cum{i - 1} pk
+                        WHERE pk.q_id = c.q_id AND pk.vec_id = c.vec_id)
+    ) s
+  ) WHERE rnk = 1
+),
+cum{i} AS MATERIALIZED (SELECT * FROM cum{i - 1} UNION ALL SELECT * FROM p{i})"""
+        )
+    parts.append(
+        f"""
+SELECT q_id, vec_id,
+       CAST(mmr_rank AS BIGINT) AS mmr_rank,
+       rel AS relevance,
+       score AS mmr_score
+FROM cum{K}
+ORDER BY q_id, mmr_rank"""
+    )
+    return "".join(parts)
+
+
+Q89_SQL = _q89_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1033,6 +1136,7 @@ ORACLE = {
     "q28_context_assembly": Q28_SQL,
     "q42_cosine_neardup": Q42_SQL,
     "q77_user_filtered_knn": Q77_SQL,
+    "q89_mmr_rerank": Q89_SQL,
     "q130_range_search": Q130_SQL,
     "q153_matryoshka_retention": Q153_SQL,
     "q169_threshold_curve": Q169_SQL,
