@@ -69,91 +69,89 @@ _MODULES = [
 _QUERIES, _ORACLE = merge_registries(*_MODULES)
 
 # Registry ordering: the driver's correctness pass covers the FIRST 50
-# entries, so ordering is evidence placement. Round-7 window: (a) new
-# round-7 operators auto-prepend via _ordered (never graded = first),
-# (b) the last 13 r1-stale rows — after these, no green row predates
-# r3 (VERDICT r6 next-steps #2), (c) r3-graded rotation oldest-first
-# to fill the window to exactly 50 (tail rows pushed out by new
-# operators just wait for r8 — opportunistic refresh only). Tier 3 =
-# other green queries (rows stand); tier 4 = rows-only-by-design.
+# entries, so ordering is evidence placement. Round-8 window: (a) the
+# 9 new round-8 operators + q89 (converted rows-only -> exact oracle
+# this round), (b) the 23 r3-stale rows — after these, no green row
+# predates r4 (VERDICT r7 next-steps #1), (c) the 17 oldest r4 rows
+# to fill the window to exactly 50. Tier 3 = other green queries
+# (rows stand; remaining r4 rows head the r9 rotation); tier 4 =
+# rows-only-by-design.
 _PRIORITY = [
-    # tier 0 — NEW round-7 operators (never graded — window rule: an
-    # operator added this round must be graded this round or wait).
-    "q215_fuzzy_blocked_dedup", "q216_rolling_distinct",
-    "q217_bucketed_join", "q218_pareto_front", "q219_chi2_assoc",
-    "q220_ks_drift", "q221_heavy_hitters", "q222_interval_union",
-    "q223_fuzzy_survivorship", "q225_dataset_card",
-    "q226_variant_shred", "q227_schema_drift", "q228_quantile_normalize",
-    "q229_graph_profile", "q230_lsh_param_advisor",
-    # tier 1 — final r1-stale rotation: these 13 green rows predate
-    # two testdata regenerations. First driver slots this round.
-    "q38_text_quality", "q39_token_count", "q40_fingerprint",
-    "q41_ngram_jaccard", "q42_cosine_neardup", "q54_percentiles",
-    "q55_pivot", "q57_redact_pii", "q60_systematic_sample",
-    "q63_corpus_stats", "q64_repetition_ratio", "q72_window_rank_family",
-    "q75_chunk_udtf",
-    # --- new round-7 operators slot in HERE (window rule: an operator
-    # added this round must be graded this round or wait) ---
-    # tier 2 — r3-graded rotation, oldest evidence first. Fills the
-    # window to 50; rows pushed past slot 50 by new operators keep
-    # their standing r3 rows and rotate in r8.
-    "q31_tumbling_window", "q32_sliding_window", "q35_pandas_udf_zscore",
-    "q43_multimodal_decode", "q52_delete_by_source", "q53_rag_pipeline",
-    "q56_salted_agg", "q59_range_join", "q62_chatlog_format",
-    "q65_contamination", "q66_multimodal_framesample",
-    "q67_correlated_min", "q68_exists_distribution",
-    "q69_count_distribution", "q74_curation_pipeline",
-    "q76_dedup_clusters", "q77_user_filtered_knn",
-    "q78_ingest_pipeline_stride", "q79_token_packing", "q80_corpus_mixing",
-    "q81_embedding_quantize", "q82_length_histogram", "q83_bm25_topk",
-    "q84_hybrid_rrf", "q85_dedup_corpus", "q86_tfidf_keywords",
-    "q87_vocab_coverage", "q88_median_length_filter", "q90_tpch_q4_shape",
-    "q91_tpch_q12_shape", "q92_tpch_q14_shape", "q93_gopher_quality",
-    "q94_source_cap", "q95_lang_kl_divergence", "q96_event_funnel",
-    "q97_tpch_q3_shape", "q98_tpch_q10_shape",
-    # ---- driver's 50-slot window ends here (before new-op prepends) ----
-    # tier 3 — all other driver-green oracle queries (rows stand):
-    # remaining r3 rows first (next rotation candidates), then r4+.
-    "q99_centroid_outliers",
-    "q100_rolling_anomaly", "q101_stratified_downsample", "q102_hash_split",
-    "q103_length_bucketing", "q104_truncation_stats",
-    "q105_source_overlap_matrix",
-    "q01_scan_project", "q02_filter_pushdown", "q03_tpch_q1",
-    "q04_count_distinct", "q06_join_inner", "q07_join_broadcast",
-    "q08_join_multiway", "q09_join_left", "q10_join_semi", "q11_join_anti",
-    "q12_dedup_exact", "q13_window_topk", "q14_window_running",
-    "q15_window_lag", "q16_global_topk", "q17_set_ops", "q18_rollup",
-    "q19_string_fns", "q20_date_fns", "q21_math_fns", "q22_array_fns",
-    "q23_json_fns", "q24_chunk_stride", "q25_knn_l2", "q26_knn_cosine",
-    "q27_similarity_join", "q28_context_assembly", "q29_ingest_routing",
-    "q30_store_counts", "q34_latest_per_key", "q36_weighted_avg",
-    "q37_lang_id",
+    # tier 0 — NEW round-8 operators + q89 (first oracle grade after
+    # its rows-only-to-oracle conversion). Window rule: an operator
+    # added (or oracle-converted) this round is graded this round.
+    "q73_temporal_split", "q231_ohlc_bars", "q232_source_corr",
+    "q233_range_frame_ma", "q234_mutual_info", "q235_mad_outliers",
+    "q236_inverted_index", "q237_knn_classify", "q238_gaps_islands",
+    "q89_mmr_rerank",
+    # tier 1 — r3-stale rotation: the 23 oldest green rows (graded r3,
+    # before two testdata regenerations). After this round no green
+    # row predates r4 (VERDICT r7 next-steps #1).
+    "q83_bm25_topk", "q84_hybrid_rrf", "q85_dedup_corpus",
+    "q86_tfidf_keywords", "q87_vocab_coverage", "q88_median_length_filter",
+    "q90_tpch_q4_shape", "q91_tpch_q12_shape", "q92_tpch_q14_shape",
+    "q93_gopher_quality", "q94_source_cap", "q95_lang_kl_divergence",
+    "q96_event_funnel", "q97_tpch_q3_shape", "q98_tpch_q10_shape",
+    "q99_centroid_outliers", "q100_rolling_anomaly",
+    "q101_stratified_downsample", "q102_hash_split", "q103_length_bucketing",
+    "q104_truncation_stats", "q105_source_overlap_matrix",
+    "q107_retention_cohorts",
+    # tier 2 — oldest r4 rows, filling the 50-slot window exactly.
     "q33_session_window", "q58_asof_join", "q70_interval_join",
-    "q71_stats_agg",
-    "q200_recursive_hierarchy", "q201_context_budget",
-    "q202_compaction_plan", "q203_decile_lift", "q204_lateral_topk",
-    "q205_seasonality", "q206_null_semantics", "q207_asof_tolerance",
-    "q208_ppl_filter", "q209_tuning_advisor", "q210_triangle_count",
-    "q211_personalized_pagerank", "q212_join_ivm", "q213_cross_label_audit",
-    "q132_weighted_sample", "q184_epoch_shuffle", "q187_bucket_layout",
-    "q189_embedding_drift",
-    "q106_sessionize",
-    "q107_retention_cohorts", "q108_grouping_sets", "q109_tpch_q5_shape",
+    "q106_sessionize", "q108_grouping_sets", "q109_tpch_q5_shape",
     "q110_tpch_q18_shape", "q111_stream_static_enrich", "q112_tpch_q7_shape",
     "q113_tpch_q11_shape", "q114_tpch_q15_shape", "q115_tpch_q2_shape",
     "q116_tpch_q19_shape", "q117_tpch_q21_shape", "q118_tpch_q22_shape",
-    "q119_ngram_decontam", "q120_span_dedup", "q121_unigram_logprob",
-    "q122_scd2_dimension", "q123_store_upsert", "q124_outer_attribution",
-    "q125_time_rollup", "q126_tpch_q8_shape", "q127_tpch_q9_shape",
-    "q128_zorder_stats", "q129_unpivot_metrics", "q130_range_search",
-    "q131_copurchase_lift", "q133_tpch_q16_shape", "q134_tpch_q17_shape",
-    "q135_tpch_q20_shape", "q136_quality_percentile_gate",
-    "q137_token_curriculum", "q138_skew_profile", "q139_integrity_audit",
-    "q140_pergroup_trend", "q141_incremental_agg", "q142_event_bitmask",
-    "q143_embedding_dim_stats", "q144_zipf_fit", "q145_token_entropy",
-    "q146_pmi_collocations", "q147_late_arrival_profile",
-    "q148_tpch_q6_shape", "q149_gap_fill", "q150_dedup_keep_best",
-    "q151_traffic_bursts", "q152_multimodal_resize",
+    "q119_ngram_decontam", "q120_span_dedup",
+    # ---- driver's 50-slot window ends here ----
+    # tier 3 — all other driver-green oracle queries (rows stand):
+    # remaining r4 rows first (the r9 rotation head), then r5+ in
+    # prior registry order.
+    "q121_unigram_logprob", "q122_scd2_dimension", "q123_store_upsert",
+    "q124_outer_attribution", "q125_time_rollup", "q126_tpch_q8_shape",
+    "q127_tpch_q9_shape", "q128_zorder_stats", "q129_unpivot_metrics",
+    "q130_range_search", "q131_copurchase_lift", "q133_tpch_q16_shape",
+    "q134_tpch_q17_shape", "q135_tpch_q20_shape",
+    "q136_quality_percentile_gate", "q137_token_curriculum",
+    "q138_skew_profile", "q139_integrity_audit", "q140_pergroup_trend",
+    "q141_incremental_agg", "q142_event_bitmask", "q143_embedding_dim_stats",
+    "q144_zipf_fit", "q145_token_entropy", "q146_pmi_collocations",
+    "q147_late_arrival_profile", "q148_tpch_q6_shape", "q151_traffic_bursts",
+    "q215_fuzzy_blocked_dedup", "q216_rolling_distinct",
+    "q217_bucketed_join", "q218_pareto_front", "q219_chi2_assoc",
+    "q220_ks_drift", "q221_heavy_hitters", "q222_interval_union",
+    "q223_fuzzy_survivorship", "q225_dataset_card", "q226_variant_shred",
+    "q227_schema_drift", "q228_quantile_normalize", "q229_graph_profile",
+    "q230_lsh_param_advisor", "q38_text_quality", "q39_token_count",
+    "q40_fingerprint", "q41_ngram_jaccard", "q42_cosine_neardup",
+    "q54_percentiles", "q55_pivot", "q57_redact_pii",
+    "q60_systematic_sample", "q63_corpus_stats", "q64_repetition_ratio",
+    "q72_window_rank_family", "q75_chunk_udtf", "q31_tumbling_window",
+    "q32_sliding_window", "q35_pandas_udf_zscore", "q43_multimodal_decode",
+    "q52_delete_by_source", "q53_rag_pipeline", "q56_salted_agg",
+    "q59_range_join", "q62_chatlog_format", "q65_contamination",
+    "q66_multimodal_framesample", "q67_correlated_min",
+    "q68_exists_distribution", "q69_count_distribution",
+    "q74_curation_pipeline", "q76_dedup_clusters", "q77_user_filtered_knn",
+    "q78_ingest_pipeline_stride", "q79_token_packing", "q80_corpus_mixing",
+    "q81_embedding_quantize", "q82_length_histogram", "q01_scan_project",
+    "q02_filter_pushdown", "q03_tpch_q1", "q04_count_distinct",
+    "q06_join_inner", "q07_join_broadcast", "q08_join_multiway",
+    "q09_join_left", "q10_join_semi", "q11_join_anti", "q12_dedup_exact",
+    "q13_window_topk", "q14_window_running", "q15_window_lag",
+    "q16_global_topk", "q17_set_ops", "q18_rollup", "q19_string_fns",
+    "q20_date_fns", "q21_math_fns", "q22_array_fns", "q23_json_fns",
+    "q24_chunk_stride", "q25_knn_l2", "q26_knn_cosine",
+    "q27_similarity_join", "q28_context_assembly", "q29_ingest_routing",
+    "q30_store_counts", "q34_latest_per_key", "q36_weighted_avg",
+    "q37_lang_id", "q71_stats_agg", "q200_recursive_hierarchy",
+    "q201_context_budget", "q202_compaction_plan", "q203_decile_lift",
+    "q204_lateral_topk", "q205_seasonality", "q206_null_semantics",
+    "q207_asof_tolerance", "q208_ppl_filter", "q209_tuning_advisor",
+    "q210_triangle_count", "q211_personalized_pagerank", "q212_join_ivm",
+    "q213_cross_label_audit", "q132_weighted_sample", "q184_epoch_shuffle",
+    "q187_bucket_layout", "q189_embedding_drift", "q149_gap_fill",
+    "q150_dedup_keep_best", "q152_multimodal_resize",
     "q153_matryoshka_retention", "q154_novelty_curve", "q155_column_profile",
     "q156_event_transitions", "q157_winsorized_stats",
     "q158_centroid_similarity", "q159_weighted_jaccard",
@@ -176,8 +174,8 @@ _PRIORITY = [
     "q50_ingest_pipeline", "q05_approx_count_distinct",
     "q61_approx_quantiles", "q46_ann_lsh_topk", "q48_chunk_recursive",
     "q44_minhash_neardup", "q45_simhash_neardup", "q47_ann_brp_lsh",
-    "q49_ann_ivf", "q51_minhash_lsh_simjoin", "q89_mmr_rerank",
-    "q175_ann_ivf_pq", "q214_ann_graph", "q224_semdedup",
+    "q49_ann_ivf", "q51_minhash_lsh_simjoin", "q175_ann_ivf_pq",
+    "q214_ann_graph", "q224_semdedup",
 ]
 
 

@@ -1554,6 +1554,226 @@ GROUP BY n_a, n_b
 """
 
 
+# ---------------------------------------------------------------------------
+# q232 per-source length/token correlation — Pearson corr, population
+# covariance and the two stddevs between character length and token
+# count, per source: the screen that catches sources whose tokenizer
+# behaves differently (code vs prose vs CJK — same chars, wildly
+# different tokens). Pure built-in aggregates (corr/covar_pop/
+# stddev_pop are single-pass co-moment aggregates with map-side
+# partials), so the whole thing is ONE scan + one tiny shuffle on
+# source; the token count is a scan-side expression (no explode — the
+# array is sized, never materialized through the aggregation). A
+# zero-variance source yields NaN corr on Spark and NULL on DuckDB;
+# both canonicalize to the same driver token.
+# ---------------------------------------------------------------------------
+def q232_source_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split(F.col("text"), "\\s+"), lambda x: x != "")
+    ).cast("double")
+    return (
+        docs.select(
+            "source", F.col("n_chars").cast("double").alias("nc"), n_tokens.alias("nt")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.corr("nc", "nt"), 4).alias("corr_chars_tokens"),
+            F.round(F.covar_pop("nc", "nt"), 4).alias("covar_pop"),
+            F.round(F.stddev_pop("nc"), 4).alias("sd_chars"),
+            F.round(F.stddev_pop("nt"), 4).alias("sd_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+Q232_SQL = """
+WITH d AS (
+  SELECT source,
+         CAST(n_chars AS DOUBLE) AS nc,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x != '')) AS DOUBLE) AS nt
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(corr(nc, nt), 4) AS corr_chars_tokens,
+       round(covar_pop(nc, nt), 4) AS covar_pop,
+       round(stddev_pop(nc), 4) AS sd_chars,
+       round(stddev_pop(nt), 4) AS sd_tokens
+FROM d
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q234 mutual information lang<->source — the single-number summary of
+# the q219 chi-square cell audit: MI in nats, the two marginal
+# entropies, and normalized MI (mi / sqrt(h_lang*h_source)) — the
+# scale-free "is language confounded with source" score a corpus
+# mixing plan (q80/q162) checks before reweighting. Same plan shape as
+# q219: one groupBy over the corpus, then tiny broadcast rejoins of
+# the marginals (null-safe <=>, matching the oracle's IS NOT DISTINCT
+# FROM); all log terms are computed per-cell on exact bigint counts,
+# summed, and rounded once at the end.
+# ---------------------------------------------------------------------------
+def q234_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    rows_t = cells.groupBy(F.col("lang").alias("_lang")).agg(
+        F.sum("n").alias("n_r")
+    )
+    cols_t = cells.groupBy(F.col("source").alias("_source")).agg(
+        F.sum("n").alias("n_c")
+    )
+    tot = cells.agg(F.sum("n").alias("big_n"))
+    term = (F.col("n").cast("double") / F.col("big_n")) * F.log(
+        F.col("n").cast("double") * F.col("big_n")
+        / (F.col("n_r").cast("double") * F.col("n_c"))
+    )
+    mi = (
+        cells.join(F.broadcast(rows_t), F.col("lang").eqNullSafe(F.col("_lang")))
+        .join(F.broadcast(cols_t), F.col("source").eqNullSafe(F.col("_source")))
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(term).alias("mi"), F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+    )
+    p_r = F.col("n_r").cast("double") / F.col("big_n")
+    h_lang = (
+        rows_t.crossJoin(F.broadcast(tot))
+        .agg((-F.sum(p_r * F.log(p_r))).alias("hl"))
+    )
+    p_c = F.col("n_c").cast("double") / F.col("big_n")
+    h_source = (
+        cols_t.crossJoin(F.broadcast(tot))
+        .agg((-F.sum(p_c * F.log(p_c))).alias("hs"))
+    )
+    return (
+        mi.crossJoin(h_lang)
+        .crossJoin(h_source)
+        .select(
+            "n_cells",
+            F.round("mi", 4).alias("mi_nats"),
+            F.round("hl", 4).alias("h_lang"),
+            F.round("hs", 4).alias("h_source"),
+            F.round(F.col("mi") / F.sqrt(F.col("hl") * F.col("hs")), 4).alias("nmi"),
+        )
+    )
+
+
+Q234_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+lt AS (SELECT lang, sum(n) AS n_r FROM cells GROUP BY 1),
+st AS (SELECT source, sum(n) AS n_c FROM cells GROUP BY 1),
+tt AS (SELECT sum(n) AS big_n FROM cells),
+mi AS (
+  SELECT sum((CAST(c.n AS DOUBLE) / t.big_n)
+             * ln(CAST(c.n AS DOUBLE) * t.big_n
+                  / (CAST(l.n_r AS DOUBLE) * s.n_c))) AS mi,
+         CAST(count(*) AS BIGINT) AS n_cells
+  FROM cells c
+  JOIN lt l ON c.lang IS NOT DISTINCT FROM l.lang
+  JOIN st s ON c.source IS NOT DISTINCT FROM s.source
+  CROSS JOIN tt t
+),
+hl AS (
+  SELECT -sum((CAST(n_r AS DOUBLE) / t.big_n)
+              * ln(CAST(n_r AS DOUBLE) / t.big_n)) AS hl
+  FROM lt CROSS JOIN tt t
+),
+hs AS (
+  SELECT -sum((CAST(n_c AS DOUBLE) / t.big_n)
+              * ln(CAST(n_c AS DOUBLE) / t.big_n)) AS hs
+  FROM st CROSS JOIN tt t
+)
+SELECT n_cells,
+       round(mi, 4) AS mi_nats,
+       round(hl, 4) AS h_lang,
+       round(hs, 4) AS h_source,
+       round(mi / sqrt(hl * hs), 4) AS nmi
+FROM mi, hl, hs
+"""
+
+
+# ---------------------------------------------------------------------------
+# q235 MAD robust outliers — per event_type: exact median, median
+# absolute deviation, and the count of events beyond the 3-sigma
+# robust band (3 * 1.4826 * MAD — 1.4826 is the MAD->sigma consistency
+# constant for a normal distribution). The robust twin of q100's
+# mean/stddev anomaly screen: immune to the outliers it is hunting.
+# Plan: three passes over events sharing ONE shuffle key (event_type):
+# exact-median aggregate, deviation re-scan with the 5-row medians
+# broadcast back, MAD aggregate + threshold count. At 100 TB swap
+# F.percentile for percentile_approx/q168's KLL sketch (one pass,
+# bounded error) — the exact form here is the oracle for that swap.
+# The sigma constant multiplies as int * double-literal on both
+# engines (CAST in SQL: DuckDB would otherwise parse 1.4826 as
+# DECIMAL and round-trip through decimal arithmetic).
+# ---------------------------------------------------------------------------
+MAD_SIGMA = 3
+
+
+def q235_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy(F.col("event_type").alias("_et")).agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(
+        F.broadcast(med), F.col("event_type") == F.col("_et")
+    ).withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    mad = dev.groupBy(F.col("event_type").alias("_et2")).agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    thresh = F.lit(float(MAD_SIGMA)) * F.lit(1.4826) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), F.col("event_type") == F.col("_et2"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.min("med"), 4).alias("med"),
+            F.round(F.min("mad"), 4).alias("mad"),
+            F.sum(F.when(F.col("adev") > thresh, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q235_SQL = f"""
+WITH med AS (
+  SELECT event_type,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(min(d.med), 4) AS med,
+       round(min(m.mad), 4) AS mad,
+       CAST(sum(CASE WHEN d.adev > {MAD_SIGMA} * CAST(1.4826 AS DOUBLE) * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
 QUERIES = {
     "q93_gopher_quality": q93_gopher_quality,
     "q94_source_cap": q94_source_cap,
@@ -1576,6 +1796,9 @@ QUERIES = {
     "q189_embedding_drift": q189_embedding_drift,
     "q203_decile_lift": q203_decile_lift,
     "q219_chi2_assoc": q219_chi2_assoc,
+    "q232_source_corr": q232_source_corr,
+    "q234_mutual_info": q234_mutual_info,
+    "q235_mad_outliers": q235_mad_outliers,
     "q220_ks_drift": q220_ks_drift,
 }
 
@@ -1601,5 +1824,8 @@ ORACLE = {
     "q189_embedding_drift": Q189_SQL,
     "q203_decile_lift": Q203_SQL,
     "q219_chi2_assoc": Q219_SQL,
+    "q232_source_corr": Q232_SQL,
+    "q234_mutual_info": Q234_SQL,
+    "q235_mad_outliers": Q235_SQL,
     "q220_ks_drift": Q220_SQL,
 }

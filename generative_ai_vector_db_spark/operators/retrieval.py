@@ -827,6 +827,68 @@ ORDER BY rn
 """
 
 
+# ---------------------------------------------------------------------------
+# q236 inverted-index build — the batch posting-list construction step
+# of every search stack (the thing Chroma's keyword sibling or a
+# Lucene segment build does offline): per term with document
+# frequency >= INDEX_MIN_DF, emit df, total tf, and the posting list
+# as doc_ids in ascending order. Plan: tokenize once (same scan-side
+# explode as q83/q86/q87), per-(term, doc) tf aggregate, then ONE
+# groupBy term — posting order comes from array_sort over the
+# collected NUMERIC ids (collect_list order is nondeterministic and a
+# string sort would put 10 before 9), serialized with array_join so
+# the driver hashes a flat string. At 100 TB this output IS the
+# index: write it range-partitioned by term (q194) and a term lookup
+# is one partition-pruned scan; the df floor bounds both the skewed
+# stopword postings and the long tail of hapaxes.
+# ---------------------------------------------------------------------------
+INDEX_MIN_DF = 5
+
+
+def q236_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = (
+        _tokens(spark, sf_dir)
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("tf_total"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= INDEX_MIN_DF)
+        .orderBy("term")
+    )
+
+
+Q236_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+),
+per_doc AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM tok WHERE term != '' GROUP BY 1, 2
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS tf_total,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM per_doc
+GROUP BY term
+HAVING count(*) >= {INDEX_MIN_DF}
+ORDER BY term
+"""
+
+
 QUERIES = {
     "q83_bm25_topk": q83_bm25_topk,
     "q84_hybrid_rrf": q84_hybrid_rrf,
@@ -837,6 +899,7 @@ QUERIES = {
     "q161_ce_rerank": q161_ce_rerank,
     "q192_citation_coverage": q192_citation_coverage,
     "q201_context_budget": q201_context_budget,
+    "q236_inverted_index": q236_inverted_index,
 }
 
 ORACLE = {
@@ -849,4 +912,5 @@ ORACLE = {
     "q161_ce_rerank": Q161_SQL,
     "q192_citation_coverage": Q192_SQL,
     "q201_context_budget": Q201_SQL,
+    "q236_inverted_index": Q236_SQL,
 }

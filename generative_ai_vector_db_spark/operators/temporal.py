@@ -1695,6 +1695,273 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q73 stratified TEMPORAL train/val/test split — the one curation
+# split shape q101/q102 do not cover: within each stratum (event_type)
+# rows are ordered by TIME and cut at the 80%/90% boundaries, so the
+# validation and test sets are strictly LATER than training data — the
+# leakage-safe split for forecasting / next-event training corpora
+# (hash and stratified-random splits shuffle future into train).
+# Plan: ONE shuffle on the stratum key; row_number + count computed in
+# the same window pass; the output is the per-(stratum, split) audit
+# card (counts + time ranges — the thing a pipeline asserts before
+# training). At 100 TB replace the exact row_number with
+# approx-percentile boundary timestamps per stratum (sketch pass +
+# broadcast cut points) — same contract, no per-stratum total order.
+# ---------------------------------------------------------------------------
+SPLIT_TRAIN_FRAC = 0.8
+SPLIT_VAL_FRAC = 0.9  # cumulative: val is (0.8, 0.9]
+
+
+def q73_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "ts",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_strat"),
+    )
+    split = (
+        F.when(
+            F.col("rn") <= F.floor(F.lit(SPLIT_TRAIN_FRAC) * F.col("n_strat")),
+            F.lit("train"),
+        )
+        .when(
+            F.col("rn") <= F.floor(F.lit(SPLIT_VAL_FRAC) * F.col("n_strat")),
+            F.lit("val"),
+        )
+        .otherwise(F.lit("test"))
+    )
+    return (
+        ranked.withColumn("split", split)
+        .groupBy("event_type", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.date_format(F.min("ts"), TS_FMT_SPARK).alias("ts_first"),
+            F.date_format(F.max("ts"), TS_FMT_SPARK).alias("ts_last"),
+        )
+        .orderBy("event_type", "split")
+    )
+
+
+Q73_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, ts,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_strat
+  FROM events
+),
+tagged AS (
+  SELECT event_type, ts,
+         CASE WHEN rn <= floor({SPLIT_TRAIN_FRAC} * n_strat) THEN 'train'
+              WHEN rn <= floor({SPLIT_VAL_FRAC} * n_strat) THEN 'val'
+              ELSE 'test' END AS split
+  FROM ranked
+)
+SELECT event_type, split,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS ts_first,
+       strftime(max(ts), '{TS_FMT_DUCK}') AS ts_last
+FROM tagged
+GROUP BY event_type, split
+ORDER BY event_type, split
+"""
+
+
+# ---------------------------------------------------------------------------
+# q231 OHLC bars — the hypertable/time-series rollup: per (event_type,
+# hour bucket) the open (first value by (ts, event_id)), high, low,
+# close (last value), event count and volume. Open/close are resolved
+# with two row_number windows on the SAME (type, bucket) ordering and
+# folded into the groupBy as conditional aggregates — the window and
+# the aggregation share one shuffle on the bucket key (Spark plans a
+# single Exchange). At 100 TB this is the canonical pre-aggregation
+# cascade: hour bars roll up to day/week bars without re-reading raw
+# events (q125's rollup applies downstream of this operator).
+# ---------------------------------------------------------------------------
+def q231_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_asc = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn_a", F.row_number().over(w_asc))
+        .withColumn("rn_d", F.row_number().over(w_desc))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.date_format("bucket", TS_FMT_SPARK).alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "volume",
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+Q231_SQL = f"""
+WITH e AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type,
+       strftime(bucket, '{TS_FMT_DUCK}') AS bucket,
+       round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+       round(max(value), 4) AS high,
+       round(min(value), 4) AS low,
+       round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS volume
+FROM e
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# q233 time-RANGE-frame moving aggregate — the window family member
+# q14/q216 do NOT cover: the frame is defined by an INTERVAL on event
+# TIME (all events of the same type in the trailing 10 minutes), not
+# by a row count — the correct moving average for irregular event
+# streams (a ROWS frame mixes dense and sparse periods). The order key
+# is integer epoch MICROseconds (fixture timestamps are sub-second),
+# so the frame bound arithmetic is exact integer comparison on both
+# engines and frame membership is bit-identical. Spark evaluates the
+# running frame in one pass per partition after ONE shuffle on
+# event_type; at 100 TB pre-bucket coarse windows (q125) or stream it
+# with a watermark (streaming/jobs.py q31/q32) — this shape is the
+# batch oracle for those.
+# ---------------------------------------------------------------------------
+RANGE_MA_US = 600_000_000  # 10 minutes in microseconds
+
+
+def q233_range_frame_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us")
+        .rangeBetween(-RANGE_MA_US, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+            F.round("value", 4).alias("value"),
+            F.round(F.avg("value").over(w), 4).alias("ma_10m"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_in_frame"),
+        )
+        .orderBy("event_type", "ts", "event_id")
+    )
+
+
+Q233_SQL = f"""
+SELECT event_id, event_type,
+       strftime(ts, '{TS_FMT_DUCK}') AS ts,
+       round(value, 4) AS value,
+       round(avg(value) OVER w, 4) AS ma_10m,
+       CAST(count(*) OVER w AS BIGINT) AS n_in_frame
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN {RANGE_MA_US} PRECEDING AND CURRENT ROW)
+ORDER BY event_type, strftime(ts, '{TS_FMT_DUCK}'), event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q238 gaps-and-islands — consecutive-day activity runs per user: the
+# classic SQL shape (row_number difference collapses each maximal run
+# of consecutive days to one group key) driving the streak/retention
+# metrics q107's cohort view cannot express (longest streak, number of
+# distinct streaks). Day arithmetic runs on INTEGER day numbers
+# (datediff from epoch) so group keys are exact on both engines.
+# Plan: distinct (user, day) first — the only pass over raw events —
+# then two cheap stages over |user-days| rows sharing the user_id
+# shuffle. At 100 TB |user-days| << |events| (it is capped by
+# users x 365/yr), so the heavy input is touched exactly once.
+# ---------------------------------------------------------------------------
+def q238_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias(
+                "day_num"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    runs = (
+        days.withColumn("grp", F.col("day_num") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.sum("run_len").cast("bigint").alias("n_active_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.max("run_len").cast("bigint").alias("longest_run"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q238_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+  FROM events
+),
+runs AS (
+  SELECT user_id,
+         day_num - row_number() OVER (PARTITION BY user_id ORDER BY day_num) AS grp
+  FROM days
+),
+agg AS (
+  SELECT user_id, grp, count(*) AS run_len FROM runs GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(sum(run_len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(max(run_len) AS BIGINT) AS longest_run
+FROM agg
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
     "q59_range_join": q59_range_join,
@@ -1719,11 +1986,19 @@ QUERIES = {
     "q212_join_ivm": q212_join_ivm,
     "q216_rolling_distinct": q216_rolling_distinct,
     "q222_interval_union": q222_interval_union,
+    "q73_temporal_split": q73_temporal_split,
+    "q231_ohlc_bars": q231_ohlc_bars,
+    "q233_range_frame_ma": q233_range_frame_ma,
+    "q238_gaps_islands": q238_gaps_islands,
 }
 
 ORACLE = {
     "q216_rolling_distinct": Q216_SQL,
     "q222_interval_union": Q222_SQL,
+    "q73_temporal_split": Q73_SQL,
+    "q231_ohlc_bars": Q231_SQL,
+    "q233_range_frame_ma": Q233_SQL,
+    "q238_gaps_islands": Q238_SQL,
     "q58_asof_join": Q58_SQL,
     "q59_range_join": Q59_SQL,
     "q106_sessionize": Q106_SQL,

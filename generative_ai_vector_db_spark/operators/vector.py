@@ -1112,6 +1112,81 @@ ORDER BY "check"
 """
 
 
+# ---------------------------------------------------------------------------
+# q237 kNN classification — majority-label vote over the exact L2
+# top-k: the label-propagation / weak-annotation primitive a training
+# pipeline runs to pseudo-label new documents from an already-labeled
+# corpus (and the evaluation harness for every ANN index above: swap
+# _scored_pairs for q46/q49/q214 candidates and compare votes).
+# Plan: identical corpus-side cost to q25 (broadcast query side,
+# WindowGroupLimit top-k — the corpus never shuffles); voting then
+# runs on Q*k rows: groupBy (q_id, label) count + one tiny window to
+# take the plurality, ties broken toward the smaller label. The
+# label lookup joins the K-row hit list BROADCAST against embeddings.
+# ---------------------------------------------------------------------------
+def q237_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("q_id").orderBy("dist", "vec_id")
+    hits = (
+        _scored_pairs(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= K)
+        .select("q_id", "vec_id", "dist")
+    )
+    labels = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = (
+        hits.join(labels, "vec_id")
+        .groupBy("q_id", "label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_votes"),
+            F.avg("dist").alias("_mean_dist"),
+        )
+    )
+    w_win = Window.partitionBy("q_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("rnk", F.row_number().over(w_win))
+        .where(F.col("rnk") == 1)
+        .select(
+            "q_id",
+            F.col("label").cast("bigint").alias("pred_label"),
+            "n_votes",
+            F.round("_mean_dist", 4).alias("mean_dist"),
+        )
+        .orderBy("q_id")
+    )
+
+
+Q237_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < {N_QUERY}),
+pairs AS (
+  SELECT a.q_id, b.vec_id, b.label, round({_DUCK_L2}, 4) AS dist
+  FROM q a CROSS JOIN embeddings b
+  WHERE b.vec_id != a.q_id
+),
+hits AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+    FROM pairs
+  ) WHERE rn <= {K}
+),
+votes AS (
+  SELECT q_id, label,
+         CAST(count(*) AS BIGINT) AS n_votes,
+         avg(dist) AS mean_dist
+  FROM hits GROUP BY 1, 2
+)
+SELECT q_id, CAST(label AS BIGINT) AS pred_label, n_votes,
+       round(mean_dist, 4) AS mean_dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY n_votes DESC, label) AS rnk
+  FROM votes
+) WHERE rnk = 1
+ORDER BY q_id
+"""
+
+
 QUERIES = {
     "q25_knn_l2": q25_knn_l2,
     "q26_knn_cosine": q26_knn_cosine,
@@ -1127,6 +1202,7 @@ QUERIES = {
     "q178_hard_negatives": q178_hard_negatives,
     "q197_vector_integrity": q197_vector_integrity,
     "q213_cross_label_audit": q213_cross_label_audit,
+    "q237_knn_classify": q237_knn_classify,
 }
 
 ORACLE = {
@@ -1143,4 +1219,5 @@ ORACLE = {
     "q178_hard_negatives": Q178_SQL,
     "q197_vector_integrity": Q197_SQL,
     "q213_cross_label_audit": Q213_SQL,
+    "q237_knn_classify": Q237_SQL,
 }

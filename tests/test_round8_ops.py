@@ -1,0 +1,284 @@
+"""Round-8 operators: invariant tests on the sf0.001 fixture plus
+brute-force-reference property checks on generated corpora for the
+semantics the fixture exercises only weakly (island boundaries, OHLC
+first/last ties, split cut points, MAD thresholds, vote ties)."""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from generative_ai_vector_db_spark.operators import (
+    quality,
+    retrieval,
+    temporal,
+    vector,
+)
+
+EPOCH = datetime(2024, 1, 1)
+
+
+def _tmp_table(name: str, pdf: pd.DataFrame) -> str:
+    d = tempfile.mkdtemp(prefix=f"r8_{name}_")
+    pdf.to_parquet(os.path.join(d, f"{name}.parquet"), index=False)
+    return d
+
+
+# --------------------------------------------------------------------------
+# q73 stratified temporal split
+# --------------------------------------------------------------------------
+def test_q73_split_fractions_and_ordering(spark, sf_dir_t2):
+    pdf = temporal.q73_temporal_split(spark, sf_dir_t2).toPandas()
+    assert set(pdf["split"]) == {"train", "val", "test"}
+    for et, g in pdf.groupby("event_type"):
+        by = {r.split: r for r in g.itertuples()}
+        n = sum(r.n_rows for r in by.values())
+        assert by["train"].n_rows == math.floor(0.8 * n)
+        assert by["train"].n_rows + by["val"].n_rows == math.floor(0.9 * n)
+        # temporal ordering: train ends at-or-before val starts, etc.
+        assert by["train"].ts_last <= by["val"].ts_first
+        assert by["val"].ts_last <= by["test"].ts_first
+
+
+def test_q73_split_is_exhaustive(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.tables import load
+
+    total = load(spark, sf_dir_t2, "events").count()
+    pdf = temporal.q73_temporal_split(spark, sf_dir_t2).toPandas()
+    assert int(pdf["n_rows"].sum()) == total
+
+
+# --------------------------------------------------------------------------
+# q231 OHLC bars vs a pandas reference
+# --------------------------------------------------------------------------
+def test_q231_ohlc_matches_pandas_reference(spark):
+    rng = np.random.default_rng(8)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            # duplicate timestamps on purpose: tie-break is event_id
+            "ts": [EPOCH + timedelta(seconds=int(s)) for s in rng.integers(0, 7200, n)],
+            "user_id": np.zeros(n, dtype="int64"),
+            "event_type": rng.choice(["a", "b"], n),
+            "value": np.round(rng.normal(0, 10, n), 6),
+            "props": "{}",
+        }
+    )
+    d = _tmp_table("events", pdf)
+    got = temporal.q231_ohlc_bars(spark, d).toPandas()
+    ref = pdf.copy()
+    ref["bucket"] = ref["ts"].dt.floor("h")
+    rows = []
+    for (et, b), g in ref.groupby(["event_type", "bucket"]):
+        g = g.sort_values(["ts", "event_id"])
+        rows.append(
+            {
+                "event_type": et,
+                "bucket": b.strftime("%Y-%m-%d %H:%M:%S"),
+                "open": round(g["value"].iloc[0], 4),
+                "high": round(g["value"].max(), 4),
+                "low": round(g["value"].min(), 4),
+                "close": round(g["value"].iloc[-1], 4),
+                "n_events": len(g),
+            }
+        )
+    want = pd.DataFrame(rows).sort_values(["event_type", "bucket"]).reset_index(drop=True)
+    got = got.sort_values(["event_type", "bucket"]).reset_index(drop=True)
+    for c in ["open", "high", "low", "close"]:
+        assert np.allclose(got[c], want[c], atol=1e-9), c
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+
+
+# --------------------------------------------------------------------------
+# q233 time-RANGE moving average vs brute force
+# --------------------------------------------------------------------------
+def test_q233_range_frame_matches_bruteforce(spark):
+    rng = np.random.default_rng(33)
+    n = 200
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": [
+                EPOCH + timedelta(seconds=float(s))
+                for s in np.sort(rng.uniform(0, 3000, n))
+            ],
+            "user_id": np.zeros(n, dtype="int64"),
+            "event_type": ["x"] * n,
+            "value": rng.normal(0, 5, n),
+            "props": "{}",
+        }
+    )
+    d = _tmp_table("events", pdf)
+    got = (
+        temporal.q233_range_frame_ma(spark, d)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    us = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000).to_numpy()
+    vals = pdf["value"].to_numpy()
+    for i in range(0, n, 17):
+        mask = (us >= us[i] - temporal.RANGE_MA_US) & (us <= us[i])
+        assert int(got.loc[i, "n_in_frame"]) == int(mask.sum())
+        assert got.loc[i, "ma_10m"] == pytest.approx(vals[mask].mean(), abs=1e-4)
+
+
+# --------------------------------------------------------------------------
+# q238 gaps-and-islands vs brute force
+# --------------------------------------------------------------------------
+def test_q238_islands_match_bruteforce(spark):
+    rng = np.random.default_rng(38)
+    rows = []
+    want = {}
+    eid = 0
+    for uid in range(12):
+        days = sorted(rng.choice(60, size=rng.integers(1, 25), replace=False))
+        runs, cur = [], 1
+        for a, b in zip(days, days[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        want[uid] = (len(days), len(runs), max(runs))
+        for day in days:
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": EPOCH + timedelta(days=int(day), hours=3),
+                    "user_id": uid,
+                    "event_type": "a",
+                    "value": 0.0,
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    d = _tmp_table("events", pd.DataFrame(rows))
+    got = temporal.q238_gaps_islands(spark, d).toPandas()
+    for r in got.itertuples():
+        assert (r.n_active_days, r.n_islands, r.longest_run) == want[r.user_id]
+
+
+# --------------------------------------------------------------------------
+# q232 correlation profile
+# --------------------------------------------------------------------------
+def test_q232_corr_bounds_and_counts(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.tables import load
+
+    pdf = quality.q232_source_corr(spark, sf_dir_t2).toPandas()
+    assert int(pdf["n_docs"].sum()) == load(spark, sf_dir_t2, "documents").count()
+    finite = pdf["corr_chars_tokens"].dropna()
+    assert ((finite >= -1.0001) & (finite <= 1.0001)).all()
+    assert (pdf["sd_chars"].dropna() >= 0).all()
+
+
+# --------------------------------------------------------------------------
+# q234 mutual information invariants
+# --------------------------------------------------------------------------
+def test_q234_mi_bounds(spark, sf_dir_t2):
+    row = quality.q234_mutual_info(spark, sf_dir_t2).toPandas().iloc[0]
+    # MI >= 0 and bounded by each marginal entropy; NMI in [0, 1]
+    assert row["mi_nats"] >= -1e-9
+    assert row["mi_nats"] <= min(row["h_lang"], row["h_source"]) + 1e-9
+    assert -1e-9 <= row["nmi"] <= 1 + 1e-9
+
+
+def test_q234_mi_independent_is_zero(spark):
+    # perfectly independent lang x source grid -> MI exactly 0
+    rows = []
+    doc = 0
+    for lang in ["en", "fr"]:
+        for source in ["s1", "s2", "s3"]:
+            for _ in range(7):
+                rows.append(
+                    {
+                        "doc_id": doc,
+                        "text": "t",
+                        "lang": lang,
+                        "source": source,
+                        "n_chars": 1,
+                    }
+                )
+                doc += 1
+    d = _tmp_table("documents", pd.DataFrame(rows))
+    row = quality.q234_mutual_info(spark, d).toPandas().iloc[0]
+    assert row["mi_nats"] == pytest.approx(0.0, abs=1e-9)
+    assert row["n_cells"] == 6
+
+
+# --------------------------------------------------------------------------
+# q235 MAD outliers vs numpy reference
+# --------------------------------------------------------------------------
+def test_q235_mad_matches_numpy(spark):
+    rng = np.random.default_rng(35)
+    vals = np.concatenate([rng.normal(0, 1, 500), [40.0, -35.0, 60.0]])
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(len(vals), dtype="int64"),
+            "ts": [EPOCH + timedelta(seconds=i) for i in range(len(vals))],
+            "user_id": np.zeros(len(vals), dtype="int64"),
+            "event_type": ["m"] * len(vals),
+            "value": vals,
+            "props": "{}",
+        }
+    )
+    d = _tmp_table("events", pdf)
+    got = quality.q235_mad_outliers(spark, d).toPandas().iloc[0]
+    med = np.quantile(vals, 0.5)
+    mad = np.quantile(np.abs(vals - med), 0.5)
+    assert got["med"] == pytest.approx(med, abs=1e-4)
+    assert got["mad"] == pytest.approx(mad, abs=1e-4)
+    n_out = int((np.abs(vals - med) > 3 * 1.4826 * mad).sum())
+    assert int(got["n_outliers"]) == n_out
+    assert n_out >= 3  # the planted spikes are caught
+
+
+# --------------------------------------------------------------------------
+# q236 inverted index
+# --------------------------------------------------------------------------
+def test_q236_postings_sorted_and_df_consistent(spark, sf_dir_t2):
+    pdf = retrieval.q236_inverted_index(spark, sf_dir_t2).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["df"] >= retrieval.INDEX_MIN_DF).all()
+    assert (pdf["tf_total"] >= pdf["df"]).all()
+    for r in pdf.itertuples():
+        ids = [int(x) for x in r.postings.split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) == r.df
+
+
+# --------------------------------------------------------------------------
+# q237 kNN classify vs brute force
+# --------------------------------------------------------------------------
+def test_q237_knn_matches_bruteforce(spark, sf_dir_t2):
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(
+        os.path.join(sf_dir_t2, "embeddings.parquet")
+    ).to_pandas()
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    labels = emb["label"].to_numpy()
+    ids = emb["vec_id"].to_numpy()
+    got = vector.q237_knn_classify(spark, sf_dir_t2).toPandas()
+    assert len(got) == vector.N_QUERY
+    for r in got.itertuples():
+        qi = np.where(ids == r.q_id)[0][0]
+        dist = np.round(np.sqrt(((vecs - vecs[qi]) ** 2).sum(axis=1)), 4)
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != r.q_id),
+            key=lambda i: (dist[i], ids[i]),
+        )[: vector.K]
+        votes: dict[int, int] = {}
+        for i in order:
+            votes[labels[i]] = votes.get(labels[i], 0) + 1
+        pred = min(votes, key=lambda label: (-votes[label], label))
+        assert r.pred_label == pred
+        assert r.n_votes == votes[pred]
