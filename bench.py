@@ -32,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from generative_ai_vector_db_spark.session import get_session  # noqa: E402
 from generative_ai_vector_db_spark.operators import (  # noqa: E402
     chunker,
+    corpus,
     dedup,
     ingest,
     merge_registries,
@@ -73,6 +74,13 @@ HEADLINE = [
     "q58_asof_join",
     "q63_corpus_stats",
     "q64_repetition_ratio",
+    # round-7 heavy operators (added r8 per VERDICT r7 #4 — regressions
+    # in the newest families show up in the bench, not just plan reads;
+    # BASELINE.md records their first-round medians as the forward band)
+    "q215_fuzzy_blocked_dedup",
+    "q221_heavy_hitters",
+    "q223_fuzzy_survivorship",
+    "q228_quantile_normalize",
 ]
 
 
@@ -89,7 +97,7 @@ def main() -> None:
         driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     )
     queries, _ = merge_registries(
-        relational, vector, chunker, ingest, text, dedup, multimodal,
+        relational, vector, chunker, corpus, ingest, text, dedup, multimodal,
         pandas_udfs, mllib_index, store, rag, scale, temporal, streaming_jobs,
     )
 

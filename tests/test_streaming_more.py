@@ -253,3 +253,51 @@ def test_debounce_stream_equals_batch_twin(spark, sf_dir, events_src):
     )
     assert got["event_type"].tolist() == want["event_type"].tolist()
     assert got["n_kept"].tolist() == want["n_kept"].tolist()
+
+
+def test_q216_rolling_distinct_stream_face(spark, sf_dir, events_src):
+    """q216's streaming face: the stateful core of rolling 7-day
+    distinct users is the DISTINCT over (window-end day, user) — run it
+    as a streamed dropDuplicates (bounded per-key state, the thing that
+    must scale), then the stateless count-per-day on the sink output
+    must reproduce the batch operator exactly."""
+    from generative_ai_vector_db_spark.operators import temporal
+
+    contrib = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(events_src)
+        .withWatermark("ts", "10 minutes")
+        .select(F.to_date("ts").alias("day"), "user_id", "ts")
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.date_add("day", temporal.ROLLING_DISTINCT_DAYS - 1),
+                )
+            ).alias("day"),
+            "user_id",
+        )
+        .dropDuplicates(["day", "user_id"])
+    )
+    (
+        contrib.writeStream.format("memory")
+        .queryName("t_rolling_distinct")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    observed = (
+        load(spark, sf_dir, "events").select(F.to_date("ts").alias("day")).distinct()
+    )
+    got = (
+        spark.table("t_rolling_distinct")
+        .join(observed, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("users_7d"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "users_7d")
+        .orderBy("day")
+        .toPandas()
+    )
+    want = temporal.q216_rolling_distinct(spark, sf_dir).toPandas()
+    assert got.equals(want), (len(got), len(want))
