@@ -1774,6 +1774,148 @@ ORDER BY d.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q239 RFM segmentation — recency/frequency/monetary quartile scoring
+# per user, rolled up to segment cards (the classic user-value
+# segmentation; here it doubles as the per-contributor profile of a
+# crowdsourced corpus: how recently, how often, how much). Quartiles
+# come from ntile(4) over all users ordered on the ROUNDED metric
+# (4 dp — both engines rank the identical doubles) with user_id
+# tie-breaks, so the assignment is fully deterministic. Scale note:
+# the three global ntile windows sort |users| rows in one partition —
+# fine at |users| << |events|, and the documented 100 TB swap is the
+# q228 rewrite (distinct-value reduce + prefix sums) or approx
+# quantile cut points broadcast back; the heavy |events| table is
+# touched exactly once by the per-user aggregate.
+# ---------------------------------------------------------------------------
+RFM_TILES = 4
+
+
+def q239_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.round(F.sum("value"), 4).alias("monetary"),
+    )
+    corpus_max = ev.agg(F.max("ts").alias("corpus_max"))
+    scored = per_user.crossJoin(F.broadcast(corpus_max)).withColumn(
+        "r_days", F.datediff(F.to_date("corpus_max"), F.to_date("last_ts"))
+    )
+    r_q = F.ntile(RFM_TILES).over(Window.orderBy("r_days", "user_id"))
+    f_q = F.ntile(RFM_TILES).over(
+        Window.orderBy(F.col("freq").desc(), "user_id")
+    )
+    m_q = F.ntile(RFM_TILES).over(
+        Window.orderBy(F.col("monetary").desc(), "user_id")
+    )
+    return (
+        scored.select(
+            "user_id",
+            "r_days",
+            "freq",
+            "monetary",
+            F.concat(r_q.cast("string"), f_q.cast("string"), m_q.cast("string")).alias(
+                "segment"
+            ),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.avg("r_days"), 4).alias("avg_recency_days"),
+            F.round(F.avg("freq"), 4).alias("avg_frequency"),
+            F.round(F.sum("monetary"), 4).alias("total_monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
+Q239_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, max(ts) AS last_ts,
+         CAST(count(*) AS BIGINT) AS freq,
+         round(sum(value), 4) AS monetary
+  FROM events GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, freq, monetary,
+         date_diff('day', CAST(last_ts AS DATE),
+                   CAST((SELECT max(ts) FROM events) AS DATE)) AS r_days
+  FROM per_user
+),
+tiled AS (
+  SELECT user_id, r_days, freq, monetary,
+         ntile({RFM_TILES}) OVER (ORDER BY r_days, user_id) AS r_q,
+         ntile({RFM_TILES}) OVER (ORDER BY freq DESC, user_id) AS f_q,
+         ntile({RFM_TILES}) OVER (ORDER BY monetary DESC, user_id) AS m_q
+  FROM scored
+)
+SELECT CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR)
+           AS segment,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(r_days), 4) AS avg_recency_days,
+       round(avg(freq), 4) AS avg_frequency,
+       round(sum(monetary), 4) AS total_monetary
+FROM tiled
+GROUP BY 1
+ORDER BY segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# q240 Benford first-digit test — the forensic data-quality screen:
+# does the leading significant digit of o_totalprice follow Benford's
+# law (P(d) = log10(1 + 1/d))? Fabricated or truncated monetary data
+# fails this audit loudly. The digit is extracted arithmetically —
+# floor(p / 10^floor(log10 p)) — a scan-side expression; the whole op
+# is one 9-group aggregate with the total broadcast back, so it costs
+# a single narrow scan at any scale. chi2 parts are emitted per digit
+# (q219's per-cell audit convention: WHICH digit deviates matters).
+# ---------------------------------------------------------------------------
+def q240_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = F.col("o_totalprice")
+    digit = F.floor(p / F.pow(F.lit(10.0), F.floor(F.log10(p)))).cast("bigint")
+    obs = (
+        load(spark, sf_dir, "orders")
+        .where(p > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").alias("n_total"))
+    n_exp = F.col("n_total") * F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(n_exp, 4).alias("n_exp"),
+            F.round((F.col("n_obs") - n_exp) ** 2 / n_exp, 4).alias("chi2_part"),
+        )
+        .orderBy("digit")
+    )
+
+
+Q240_SQL = """
+WITH obs AS (
+  SELECT CAST(floor(o_totalprice / power(10.0, floor(log10(o_totalprice))))
+              AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM orders WHERE o_totalprice > 0
+  GROUP BY 1
+),
+tot AS (SELECT sum(n_obs) AS n_total FROM obs)
+SELECT digit, n_obs,
+       round(n_total * log10(1.0 + 1.0 / digit), 4) AS n_exp,
+       round((n_obs - n_total * log10(1.0 + 1.0 / digit))
+             * (n_obs - n_total * log10(1.0 + 1.0 / digit))
+             / (n_total * log10(1.0 + 1.0 / digit)), 4) AS chi2_part
+FROM obs, tot
+ORDER BY digit
+"""
+
+
+
 QUERIES = {
     "q93_gopher_quality": q93_gopher_quality,
     "q94_source_cap": q94_source_cap,
@@ -1799,6 +1941,8 @@ QUERIES = {
     "q232_source_corr": q232_source_corr,
     "q234_mutual_info": q234_mutual_info,
     "q235_mad_outliers": q235_mad_outliers,
+    "q239_rfm_segmentation": q239_rfm_segmentation,
+    "q240_benford_test": q240_benford_test,
     "q220_ks_drift": q220_ks_drift,
 }
 
@@ -1827,5 +1971,7 @@ ORACLE = {
     "q232_source_corr": Q232_SQL,
     "q234_mutual_info": Q234_SQL,
     "q235_mad_outliers": Q235_SQL,
+    "q239_rfm_segmentation": Q239_SQL,
+    "q240_benford_test": Q240_SQL,
     "q220_ks_drift": Q220_SQL,
 }

@@ -1962,6 +1962,138 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q241 interpolation join — time-series alignment: for every 'error'
+# event, linearly interpolate the same user's 'click' metric value at
+# the error's timestamp from the nearest click before and after (edge
+# rows forward-/backward-fill; users with no clicks stay null). The
+# two-sided generalization of the as-of join (q58): sensor-stream
+# alignment, feature backfill at label timestamps, trade/quote
+# mid-price reconstruction all run exactly this.
+# Plan shape: q58's union trick, run in BOTH directions over ONE
+# shuffle on user_id — last(value IGNORE NULLS) over a trailing RANGE
+# frame and first(value IGNORE NULLS) over a leading RANGE frame on
+# the merged stream. RANGE frames on integer epoch-microseconds make a
+# source at the exact target timestamp visible to both directions
+# (frame peers), and all gap arithmetic is exact integer math — only
+# the final lerp is floating point. No range fan-out, no self-join:
+# O(n log n) per user vs the quadratic join-then-filter-then-argmin.
+# ---------------------------------------------------------------------------
+INTERP_SRC_TYPE = "click"
+INTERP_TGT_TYPE = "error"
+
+
+def q241_interpolation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    src = ev.where(F.col("event_type") == INTERP_SRC_TYPE).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("tgt_ts"),
+        F.col("value").alias("sv"),
+    )
+    tgt = ev.where(F.col("event_type") == INTERP_TGT_TYPE).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.col("ts").alias("tgt_ts"),
+        F.lit(None).cast("double").alias("sv"),
+    )
+    u = src.unionByName(tgt)
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(0, Window.unboundedFollowing)
+    )
+    sv_ts = F.when(F.col("sv").isNotNull(), F.col("ts_us"))
+    ann = u.select(
+        "user_id",
+        "event_id",
+        "tgt_ts",
+        "ts_us",
+        F.last("sv", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(sv_ts, ignorenulls=True).over(w_back).alias("pt"),
+        F.first("sv", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(sv_ts, ignorenulls=True).over(w_fwd).alias("nt"),
+    ).where(F.col("event_id").isNotNull())
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("ts_us") - F.col("pt")).cast("double")
+        / (F.col("nt") - F.col("pt")).cast("double")
+    )
+    interp = (
+        F.when(F.col("pv").isNull() & F.col("nv").isNull(), F.lit(None).cast("double"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(F.col("nt") == F.col("pt"), F.col("pv"))
+        .otherwise(lerp)
+    )
+    mode = (
+        F.when(F.col("pv").isNull() & F.col("nv").isNull(), F.lit("none"))
+        .when(F.col("pv").isNull(), F.lit("bfill"))
+        .when(F.col("nv").isNull(), F.lit("ffill"))
+        .otherwise(F.lit("interp"))
+    )
+    return ann.select(
+        "event_id",
+        "user_id",
+        F.date_format("tgt_ts", TS_FMT_SPARK).alias("ts"),
+        F.round(interp, 4).alias("interp_value"),
+        mode.alias("mode"),
+    ).orderBy("event_id")
+
+
+Q241_SQL = f"""
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(NULL AS BIGINT) AS event_id,
+         CAST(NULL AS TIMESTAMP) AS tgt_ts,
+         value AS sv
+  FROM events WHERE event_type = '{INTERP_SRC_TYPE}'
+  UNION ALL
+  SELECT user_id, epoch_us(ts), event_id, ts, CAST(NULL AS DOUBLE)
+  FROM events WHERE event_type = '{INTERP_TGT_TYPE}'
+),
+ann AS (
+  SELECT user_id, event_id, tgt_ts, ts_us,
+         last_value(sv IGNORE NULLS) OVER wb AS pv,
+         last_value(CASE WHEN sv IS NOT NULL THEN ts_us END IGNORE NULLS)
+             OVER wb AS pt,
+         first_value(sv IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN sv IS NOT NULL THEN ts_us END IGNORE NULLS)
+             OVER wf AS nt
+  FROM u
+  WINDOW wb AS (PARTITION BY user_id ORDER BY ts_us
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY ts_us
+                RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id,
+       strftime(tgt_ts, '{TS_FMT_DUCK}') AS ts,
+       round(CASE
+         WHEN pv IS NULL AND nv IS NULL THEN NULL
+         WHEN pv IS NULL THEN nv
+         WHEN nv IS NULL THEN pv
+         WHEN nt = pt THEN pv
+         ELSE pv + (nv - pv) * (CAST(ts_us - pt AS DOUBLE)
+                                / CAST(nt - pt AS DOUBLE))
+       END, 4) AS interp_value,
+       CASE
+         WHEN pv IS NULL AND nv IS NULL THEN 'none'
+         WHEN pv IS NULL THEN 'bfill'
+         WHEN nv IS NULL THEN 'ffill'
+         ELSE 'interp'
+       END AS mode
+FROM ann
+WHERE event_id IS NOT NULL
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
     "q59_range_join": q59_range_join,
@@ -1990,6 +2122,7 @@ QUERIES = {
     "q231_ohlc_bars": q231_ohlc_bars,
     "q233_range_frame_ma": q233_range_frame_ma,
     "q238_gaps_islands": q238_gaps_islands,
+    "q241_interpolation_join": q241_interpolation_join,
 }
 
 ORACLE = {
@@ -1999,6 +2132,7 @@ ORACLE = {
     "q231_ohlc_bars": Q231_SQL,
     "q233_range_frame_ma": Q233_SQL,
     "q238_gaps_islands": Q238_SQL,
+    "q241_interpolation_join": Q241_SQL,
     "q58_asof_join": Q58_SQL,
     "q59_range_join": Q59_SQL,
     "q106_sessionize": Q106_SQL,

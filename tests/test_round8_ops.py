@@ -282,3 +282,97 @@ def test_q237_knn_matches_bruteforce(spark, sf_dir_t2):
         pred = min(votes, key=lambda label: (-votes[label], label))
         assert r.pred_label == pred
         assert r.n_votes == votes[pred]
+
+
+# --------------------------------------------------------------------------
+# q239 RFM segmentation
+# --------------------------------------------------------------------------
+def test_q239_rfm_partitions_users(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.tables import load
+
+    pdf = quality.q239_rfm_segmentation(spark, sf_dir_t2).toPandas()
+    n_users = (
+        load(spark, sf_dir_t2, "events").select("user_id").distinct().count()
+    )
+    assert int(pdf["n_users"].sum()) == n_users
+    for seg in pdf["segment"]:
+        assert len(seg) == 3 and all(c in "1234" for c in seg)
+
+
+# --------------------------------------------------------------------------
+# q240 Benford first-digit test
+# --------------------------------------------------------------------------
+def test_q240_benford_digits_and_totals(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.tables import load
+
+    pdf = quality.q240_benford_test(spark, sf_dir_t2).toPandas()
+    assert set(pdf["digit"]).issubset(set(range(1, 10)))
+    n = load(spark, sf_dir_t2, "orders").where("o_totalprice > 0").count()
+    assert int(pdf["n_obs"].sum()) == n
+    assert pdf["n_exp"].sum() == pytest.approx(n, rel=1e-3)
+    assert (pdf["chi2_part"] >= 0).all()
+
+
+def test_q240_benford_digit_extraction(spark):
+    # known leading digits across magnitudes, incl. values < 1
+    vals = [0.042, 0.9, 1.5, 19.99, 250.0, 3999.5, 70000.0]
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(len(vals), dtype="int64"),
+            "o_custkey": np.zeros(len(vals), dtype="int64"),
+            "o_orderstatus": ["O"] * len(vals),
+            "o_totalprice": vals,
+            "o_orderdate": [EPOCH] * len(vals),
+            "o_orderpriority": ["1-URGENT"] * len(vals),
+        }
+    )
+    d = _tmp_table("orders", pdf)
+    got = quality.q240_benford_test(spark, d).toPandas()
+    counts = dict(zip(got["digit"], got["n_obs"]))
+    assert counts == {1: 2, 2: 1, 3: 1, 4: 1, 7: 1, 9: 1}
+
+
+# --------------------------------------------------------------------------
+# q241 interpolation join vs brute force
+# --------------------------------------------------------------------------
+def test_q241_interp_matches_bruteforce(spark):
+    rng = np.random.default_rng(41)
+    rows = []
+    eid = 0
+    for uid in range(6):
+        for _ in range(rng.integers(0, 12)):  # some users have no clicks
+            rows.append((eid, EPOCH + timedelta(seconds=float(rng.uniform(0, 5000))),
+                         uid, "click", float(rng.normal(10, 3))))
+            eid += 1
+        for _ in range(rng.integers(1, 8)):
+            rows.append((eid, EPOCH + timedelta(seconds=float(rng.uniform(0, 5000))),
+                         uid, "error", 0.0))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["props"] = "{}"
+    d = _tmp_table("events", pdf)
+    got = temporal.q241_interpolation_join(spark, d).toPandas().set_index("event_id")
+    us_all = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000
+    for r in pdf[pdf["event_type"] == "error"].itertuples():
+        clicks = pdf[(pdf["event_type"] == "click") & (pdf["user_id"] == r.user_id)]
+        t = us_all[r.Index]
+        cus = us_all[clicks.index]
+        prev = clicks[(cus <= t).values]
+        nxt = clicks[(cus >= t).values]
+        g = got.loc[r.event_id]
+        if prev.empty and nxt.empty:
+            assert g["mode"] == "none" and pd.isna(g["interp_value"])
+            continue
+        pv = prev.loc[us_all[prev.index].idxmax(), "value"] if not prev.empty else None
+        nv = nxt.loc[us_all[nxt.index].idxmin(), "value"] if not nxt.empty else None
+        if pv is None:
+            assert g["mode"] == "bfill"
+            assert g["interp_value"] == pytest.approx(nv, abs=1e-4)
+        elif nv is None:
+            assert g["mode"] == "ffill"
+            assert g["interp_value"] == pytest.approx(pv, abs=1e-4)
+        else:
+            pt, nt = us_all[prev.index].max(), us_all[nxt.index].min()
+            want = pv if nt == pt else pv + (nv - pv) * (t - pt) / (nt - pt)
+            assert g["mode"] == "interp"
+            assert g["interp_value"] == pytest.approx(want, abs=1e-4)

@@ -1,9 +1,10 @@
 """Generate QUALITY.md: measured quality floors for the rows-only ops.
 
 The driver's correctness gate can only hash-compare SQL-expressible
-queries; the sketch/LSH/greedy operators (q05, q44, q45, q46, q47, q49,
-q51, q61, q89) are checked by recall/precision/error against their EXACT
-counterparts instead. Those numbers lived only inside test assertions;
+queries; the sketch/LSH operators (q05, q44, q45, q46, q47, q49,
+q51, q61) are checked by recall/precision/error against their EXACT
+counterparts instead (q89 graduated to a driver-graded oracle in r8 —
+its numpy-equivalence row is kept as independent evidence). Those numbers lived only inside test assertions;
 this tool measures them on the real testdata and writes them to a
 committed artifact the grader can read.
 
@@ -343,7 +344,13 @@ def main() -> None:
     # of N, so the explored FRACTION must fall as N rises while recall
     # holds. This is the curve that backs "HNSW-class at batch cost".
     scaling_rows: list[tuple[str, str, str]] = []
-    for n_clusters, per_cluster in ((40, 15), (160, 15), (400, 25)):
+    # (2000, 50) = N=100k extends the curve a full decade (r7 advice #3;
+    # ~11 min of graph build at local[32]); export SPARK_GRAFT_SKIP_100K=1
+    # to drop it for quick iteration regens.
+    sizes = [(40, 15), (160, 15), (400, 25)]
+    if not os.environ.get("SPARK_GRAFT_SKIP_100K"):
+        sizes.append((2000, 50))
+    for n_clusters, per_cluster in sizes:
         sdir = _tf.mkdtemp(prefix="planted_scale_")
         try:
             write_planted_embeddings(
@@ -480,7 +487,8 @@ def main() -> None:
     rows.append((
         "q89_mmr_rerank", "vs single-process numpy greedy on same candidates",
         "bit-identical selection + scores" if ident else "MISMATCH",
-        "applyInPandas per q_id block; seedless deterministic",
+        "applyInPandas per q_id block; seedless deterministic; since r8 "
+        "ALSO driver-graded vs an unrolled greedy-CTE DuckDB oracle",
     ))
 
     # --- sketch error -------------------------------------------------
