@@ -881,3 +881,60 @@ def test_q213_sign_block_no_cartesian(spark, sf_dir):
     plan = plan_of(v.q213_cross_label_audit(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+# --- round-8 operator plan shapes -----------------------------------------
+
+
+def test_q231_ohlc_single_exchange(spark, sf_dir):
+    """Windows and the aggregation share the (event_type, bucket)
+    clustering: exactly one data shuffle in the whole plan."""
+    from generative_ai_vector_db_spark.operators import temporal
+
+    plan = plan_of(temporal.q231_ohlc_bars(spark, sf_dir))
+    # one hash Exchange for the window/agg key; the only other exchange
+    # is the final presentation sort (rangepartitioning)
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_q233_range_frame_partitioned_window(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import temporal
+
+    plan = plan_of(temporal.q233_range_frame_ma(spark, sf_dir))
+    # a genuine RANGE frame with the -10min integer bound, partitioned
+    # by event_type (never a global window)
+    assert "RangeFrame, -600000000, currentrow" in plan, plan
+    assert "windowspecdefinition(event_type" in plan, plan
+
+
+def test_q237_knn_broadcasts_queries_and_labels(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import vector as vec
+
+    plan = plan_of(vec.q237_knn_classify(spark, sf_dir))
+    # corpus side never shuffles for scoring: the 5-row query side and
+    # the label lookup both arrive via broadcast
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 2, plan
+    assert "WindowGroupLimit" in plan  # top-k pushed below the exchange
+
+
+def test_q238_islands_distinct_before_window(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import temporal
+
+    plan = plan_of(temporal.q238_gaps_islands(spark, sf_dir))
+    # raw events collapse to distinct (user, day) BEFORE any shuffle:
+    # in the plan tree (printed root-first) a partial HashAggregate
+    # sits BELOW the lowest Exchange, i.e. after it in text order
+    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    last_exchange = tree.rindex("Exchange")
+    assert "HashAggregate" in tree[last_exchange:], plan
+
+
+def test_q241_interp_single_user_shuffle(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import temporal
+
+    plan = plan_of(temporal.q241_interpolation_join(spark, sf_dir))
+    # both direction windows run on the SAME user_id clustering: one
+    # hash exchange total (plus the final rangepartitioning sort)
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
