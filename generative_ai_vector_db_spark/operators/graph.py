@@ -525,11 +525,84 @@ FROM nstats, sums
 """
 
 
+# ---------------------------------------------------------------------------
+# q242 — single-source shortest paths (BFS hop counts) over the same
+# co-visitation graph, bounded to BFS_MAX_HOPS: the "how close is every
+# user to patient zero" primitive (influence radius, abuse-ring blast
+# radius, friend-of-friend candidate generation). Completes the graph
+# family (q193 centrality, q210 cohesion, q211 proximity, q229
+# topology, q76/q223 components) with the distance primitive.
+# Plan: textbook iterative frontier expansion — each round is ONE
+# shuffle (reached set joined to edges on src, min-combined on dst),
+# re-materialized with localCheckpoint so round N's plan does not
+# embed rounds 1..N-1. After k rounds every min-hop <= k is final
+# (BFS invariant), so the k-bounded result is EXACT — hash-graded
+# against a recursive-CTE oracle (hops are integers: no float drift).
+# The source is data-derived (minimum node id), not a literal, so the
+# operator is fixture-scale-independent.
+# ---------------------------------------------------------------------------
+BFS_MAX_HOPS = 4
+
+
+def q242_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _covisit_edges(spark, sf_dir).localCheckpoint()
+    dist = (
+        edges.agg(F.min("src").cast("bigint").alias("node"))
+        .withColumn("hops", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    for _ in range(BFS_MAX_HOPS):
+        nxt = (
+            dist.join(edges, dist.node == edges.src)
+            .select(
+                F.col("dst").cast("bigint").alias("node"),
+                (F.col("hops") + 1).cast("bigint").alias("hops"),
+            )
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint()
+        )
+    return dist.select("node", F.col("hops").cast("bigint").alias("hops")).orderBy(
+        "node"
+    )
+
+
+Q242_SQL = f"""
+WITH RECURSIVE {covisit_kept_cte()},
+pairs AS (
+  SELECT DISTINCT a.user_id AS u_a, b.user_id AS u_b
+  FROM kept a JOIN kept b USING (bucket)
+  WHERE a.user_id < b.user_id
+),
+edges AS (
+  SELECT u_a AS src, u_b AS dst FROM pairs
+  UNION ALL
+  SELECT u_b AS src, u_a AS dst FROM pairs
+),
+reach(node, hops) AS (
+  SELECT min(src), 0 FROM edges
+  UNION
+  SELECT e.dst, r.hops + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.hops < {BFS_MAX_HOPS}
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(min(hops) AS BIGINT) AS hops
+FROM reach
+GROUP BY node
+ORDER BY node
+"""
+
+
 QUERIES = {
     "q193_graph_pagerank": q193_graph_pagerank,
     "q210_triangle_count": q210_triangle_count,
     "q211_personalized_pagerank": q211_personalized_pagerank,
     "q229_graph_profile": q229_graph_profile,
+    "q242_shortest_paths": q242_shortest_paths,
 }
 
 ORACLE = {
@@ -537,4 +610,5 @@ ORACLE = {
     "q210_triangle_count": Q210_SQL,
     "q211_personalized_pagerank": Q211_SQL,
     "q229_graph_profile": Q229_SQL,
+    "q242_shortest_paths": Q242_SQL,
 }

@@ -1915,6 +1915,73 @@ ORDER BY digit
 """
 
 
+# ---------------------------------------------------------------------------
+# q243 cross-split exact-dup leakage audit — the check every split
+# pipeline must run BEFORE training: how many val/test documents share
+# a content hash with a train document (q102's split rule + q12's
+# sha2 fingerprint, composed). A leaked eval set silently inflates
+# benchmark scores; this is the exact-dup tier of decontamination
+# (q65/q119 are the n-gram tiers for non-identical leakage).
+# Plan: one scan computes (split, digest); the train digest set
+# semi-joins against the eval side ON THE 32-BYTE DIGEST — the q12
+# discipline: the shuffle never carries document bodies, and the
+# digest join key is uniform so no skew. No broadcast assumption: at
+# 100 TB the train hash set is itself huge and this stays a plain
+# shuffled semi-join.
+# ---------------------------------------------------------------------------
+def q243_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        _split_expr().alias("split"),
+        F.sha2(F.col("text"), 256).alias("h"),
+    )
+    train_h = d.where(F.col("split") == "train").select("h").distinct()
+    ev = d.where(F.col("split") != "train")
+    leaked = (
+        ev.join(train_h, "h", "left_semi")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaked"))
+    )
+    totals = ev.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return (
+        totals.join(leaked, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce("n_leaked", F.lit(0)).cast("bigint").alias("n_leaked"),
+            F.round(
+                F.coalesce("n_leaked", F.lit(0)) * 100.0 / F.col("n_docs"), 4
+            ).alias("leak_pct"),
+        )
+        .orderBy("split")
+    )
+
+
+Q243_SQL = f"""
+WITH d AS (
+  SELECT CASE WHEN doc_id % {TRAIN_MOD} < {VAL_RESIDUE} THEN 'train'
+              WHEN doc_id % {TRAIN_MOD} = {VAL_RESIDUE} THEN 'val'
+              ELSE 'test' END AS split,
+         sha256(text) AS h
+  FROM documents
+),
+train_h AS (SELECT DISTINCT h FROM d WHERE split = 'train'),
+ev AS (SELECT * FROM d WHERE split != 'train'),
+leaked AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_leaked
+  FROM ev WHERE h IN (SELECT h FROM train_h)
+  GROUP BY split
+)
+SELECT t.split,
+       CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(coalesce(l.n_leaked, 0) AS BIGINT) AS n_leaked,
+       round(coalesce(l.n_leaked, 0) * 100.0 / t.n_docs, 4) AS leak_pct
+FROM (SELECT split, count(*) AS n_docs FROM ev GROUP BY split) t
+LEFT JOIN leaked l USING (split)
+ORDER BY split
+"""
+
 
 QUERIES = {
     "q93_gopher_quality": q93_gopher_quality,
@@ -1943,6 +2010,7 @@ QUERIES = {
     "q235_mad_outliers": q235_mad_outliers,
     "q239_rfm_segmentation": q239_rfm_segmentation,
     "q240_benford_test": q240_benford_test,
+    "q243_split_leakage": q243_split_leakage,
     "q220_ks_drift": q220_ks_drift,
 }
 
@@ -1973,5 +2041,6 @@ ORACLE = {
     "q235_mad_outliers": Q235_SQL,
     "q239_rfm_segmentation": Q239_SQL,
     "q240_benford_test": Q240_SQL,
+    "q243_split_leakage": Q243_SQL,
     "q220_ks_drift": Q220_SQL,
 }

@@ -2094,6 +2094,69 @@ ORDER BY event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q244 run-length compaction — collapse each user's event stream into
+# maximal runs of consecutive same-type events and profile the runs
+# per type (count, mean/max length, and how much the stream compresses
+# — n_runs/n_events is the stream's repetition factor). The adjacency
+# twin of q191's time-based debounce: "the user clicked 9 times in a
+# row" is one behavioral action, and run statistics are the cheap
+# screen for scripted repetition (a bot's max_run dwarfs a human's).
+# Plan: the two-row_number difference trick — rn_overall minus
+# rn_within_type is constant exactly within a maximal run — needs TWO
+# window passes over the SAME (user_id) clustering: one shuffle, two
+# in-partition sorts, then an aggregation keyed by the derived run id
+# whose first element re-uses the clustering. Integer group keys, no
+# floats anywhere until the final averages.
+# ---------------------------------------------------------------------------
+def q244_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = (
+        ev.withColumn(
+            "grp", F.row_number().over(w_all) - F.row_number().over(w_type)
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+            F.sum("run_len").cast("bigint").alias("n_events"),
+            F.round(F.avg("run_len"), 4).alias("avg_run_len"),
+            F.max("run_len").cast("bigint").alias("max_run_len"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q244_SQL = """
+WITH runs AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS grp
+  FROM events
+),
+agg AS (
+  SELECT user_id, event_type, grp, count(*) AS run_len
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(sum(run_len) AS BIGINT) AS n_events,
+       round(avg(run_len), 4) AS avg_run_len,
+       CAST(max(run_len) AS BIGINT) AS max_run_len
+FROM agg
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
     "q59_range_join": q59_range_join,
@@ -2123,6 +2186,7 @@ QUERIES = {
     "q233_range_frame_ma": q233_range_frame_ma,
     "q238_gaps_islands": q238_gaps_islands,
     "q241_interpolation_join": q241_interpolation_join,
+    "q244_run_length": q244_run_length,
 }
 
 ORACLE = {
@@ -2133,6 +2197,7 @@ ORACLE = {
     "q233_range_frame_ma": Q233_SQL,
     "q238_gaps_islands": Q238_SQL,
     "q241_interpolation_join": Q241_SQL,
+    "q244_run_length": Q244_SQL,
     "q58_asof_join": Q58_SQL,
     "q59_range_join": Q59_SQL,
     "q106_sessionize": Q106_SQL,

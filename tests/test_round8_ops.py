@@ -376,3 +376,89 @@ def test_q241_interp_matches_bruteforce(spark):
             want = pv if nt == pt else pv + (nv - pv) * (t - pt) / (nt - pt)
             assert g["mode"] == "interp"
             assert g["interp_value"] == pytest.approx(want, abs=1e-4)
+
+
+# --------------------------------------------------------------------------
+# q242 BFS shortest paths vs python BFS over the same edges
+# --------------------------------------------------------------------------
+def test_q242_bfs_matches_python_reference(spark, sf_dir):
+    from collections import deque
+
+    from generative_ai_vector_db_spark.operators import graph
+
+    edges = graph._covisit_edges(spark, sf_dir).toPandas()
+    adj: dict[int, set[int]] = {}
+    for r in edges.itertuples():
+        adj.setdefault(int(r.src), set()).add(int(r.dst))
+    src = min(adj)
+    want = {src: 0}
+    q = deque([src])
+    while q:
+        n = q.popleft()
+        if want[n] >= graph.BFS_MAX_HOPS:
+            continue
+        for m in adj.get(n, ()):
+            if m not in want:
+                want[m] = want[n] + 1
+                q.append(m)
+    got = graph.q242_shortest_paths(spark, sf_dir).toPandas()
+    assert dict(zip(got["node"], got["hops"])) == want
+
+
+# --------------------------------------------------------------------------
+# q243 split leakage with planted cross-split duplicates
+# --------------------------------------------------------------------------
+def test_q243_planted_leakage(spark):
+    # doc_id % 10: 0-7 train, 8 val, 9 test. Plant: val doc 8 dups a
+    # train doc; test doc 19 dups a train doc; val doc 18 unique.
+    rows = [
+        {"doc_id": i, "text": f"train text {i}", "lang": "en",
+         "source": "s", "n_chars": 10}
+        for i in range(8)
+    ]
+    rows += [
+        {"doc_id": 8, "text": "train text 3", "lang": "en", "source": "s", "n_chars": 10},
+        {"doc_id": 9, "text": "unique test a", "lang": "en", "source": "s", "n_chars": 10},
+        {"doc_id": 18, "text": "unique val b", "lang": "en", "source": "s", "n_chars": 10},
+        {"doc_id": 19, "text": "train text 5", "lang": "en", "source": "s", "n_chars": 10},
+    ]
+    d = _tmp_table("documents", pd.DataFrame(rows))
+    got = quality.q243_split_leakage(spark, d).toPandas().set_index("split")
+    assert got.loc["val", "n_docs"] == 2 and got.loc["val", "n_leaked"] == 1
+    assert got.loc["test", "n_docs"] == 2 and got.loc["test", "n_leaked"] == 1
+    assert got.loc["val", "leak_pct"] == pytest.approx(50.0)
+
+
+# --------------------------------------------------------------------------
+# q244 run-length compaction vs brute force
+# --------------------------------------------------------------------------
+def test_q244_runs_match_bruteforce(spark):
+    rng = np.random.default_rng(44)
+    rows = []
+    eid = 0
+    for uid in range(8):
+        seq = rng.choice(["a", "b"], size=rng.integers(1, 30), p=[0.7, 0.3])
+        for i, et in enumerate(seq):
+            rows.append(
+                {"event_id": eid, "ts": EPOCH + timedelta(seconds=i),
+                 "user_id": uid, "event_type": str(et), "value": 0.0, "props": "{}"}
+            )
+            eid += 1
+    pdf = pd.DataFrame(rows)
+    d = _tmp_table("events", pdf)
+    got = temporal.q244_run_length(spark, d).toPandas().set_index("event_type")
+    # brute force
+    from itertools import groupby
+
+    stats: dict[str, list[int]] = {}
+    for uid, g in pdf.groupby("user_id"):
+        seq = g.sort_values(["ts", "event_id"])["event_type"].tolist()
+        for et, run in groupby(seq):
+            stats.setdefault(et, []).append(len(list(run)))
+    for et, runs in stats.items():
+        assert got.loc[et, "n_runs"] == len(runs)
+        assert got.loc[et, "n_events"] == sum(runs)
+        assert got.loc[et, "max_run_len"] == max(runs)
+        assert got.loc[et, "avg_run_len"] == pytest.approx(
+            sum(runs) / len(runs), abs=1e-4
+        )
