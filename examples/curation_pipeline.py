@@ -1,0 +1,80 @@
+"""Curation pipeline: the training-data workflow end-to-end.
+
+    python examples/curation_pipeline.py [sf_dir]
+
+Chains the north-star operator families over the fixture corpus the
+way a 100 TB pretraining-data pipeline would (each stage is one of the
+graded operators — this file only composes them):
+
+  1. corpus profile        (q225 dataset card)
+  2. quality gates         (q93 Gopher rules + q38 ratios)
+  3. exact dedup           (q12 sha2 groupBy)
+  4. near-dup dedup        (q44 MinHash-LSH band join + exact verify)
+  5. decontamination       (q65 benchmark n-gram overlap)
+  6. leakage-safe split    (q73 stratified temporal split on events;
+                            q243 cross-split exact-dup audit on docs)
+  7. token packing         (q79 first-fit into fixed budgets)
+
+Every stage prints a one-line summary; the whole run is lazy Spark
+jobs over parquet — nothing is collected except the tiny summaries.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from generative_ai_vector_db_spark.operators import (  # noqa: E402
+    corpus,
+    dedup,
+    quality,
+    relational,
+    temporal,
+    text,
+)
+from generative_ai_vector_db_spark.session import get_session  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_session(
+        app_name="curation-pipeline", master="local[4]", shuffle_partitions=4
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    card = corpus.q225_dataset_card(spark, sf_dir).toPandas()
+    print(f"[1] dataset card: {len(card)} metrics rows")
+
+    gates = quality.q93_gopher_quality(spark, sf_dir).toPandas()
+    print(
+        f"[2] gopher gates: {int(gates['keep'].sum())}/{len(gates)} docs kept"
+    )
+
+    exact = relational.q12_dedup_exact(spark, sf_dir).toPandas()
+    print(f"[3] exact dedup: {len(exact)} duplicate-hash groups")
+
+    near = dedup.q44_minhash_neardup(spark, sf_dir).toPandas()
+    print(f"[4] minhash near-dups: {len(near)} verified pairs")
+
+    contam = text.q65_contamination(spark, sf_dir).toPandas()
+    print(f"[5] decontamination: {len(contam)} flagged docs")
+
+    split = temporal.q73_temporal_split(spark, sf_dir).toPandas()
+    leak = quality.q243_split_leakage(spark, sf_dir).toPandas()
+    print(
+        f"[6] temporal split: {len(split)} (stratum, split) cells; "
+        f"exact-dup leakage: "
+        + ", ".join(f"{r.split}={r.leak_pct}%" for r in leak.itertuples())
+    )
+
+    packed = corpus.q79_token_packing(spark, sf_dir).toPandas()
+    print(f"[7] token packing: {len(packed)} packed sequences/bins")
+
+    spark.stop()
+    print("curation pipeline complete")
+
+
+if __name__ == "__main__":
+    main()
