@@ -462,3 +462,88 @@ def test_q244_runs_match_bruteforce(spark):
         assert got.loc[et, "avg_run_len"] == pytest.approx(
             sum(runs) / len(runs), abs=1e-4
         )
+
+
+# --------------------------------------------------------------------------
+# hypothesis: edge regimes the fixture cannot produce
+# --------------------------------------------------------------------------
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=50),  # many ts ties
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(evs=events_strategy)
+def test_q73_property_split_sizes_and_order(spark, evs):
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(len(evs), dtype="int64"),
+            "ts": [EPOCH + timedelta(seconds=s) for _, s in evs],
+            "user_id": np.zeros(len(evs), dtype="int64"),
+            "event_type": [t for t, _ in evs],
+            "value": np.zeros(len(evs)),
+            "props": "{}",
+        }
+    )
+    d = _tmp_table("events", pdf)
+    got = temporal.q73_temporal_split(spark, d).toPandas()
+    for et, g in pdf.groupby("event_type"):
+        n = len(g)
+        cells = got[got["event_type"] == et].set_index("split")
+        n_train = math.floor(0.8 * n)
+        n_val = math.floor(0.9 * n) - n_train
+        n_test = n - n_train - n_val
+        assert int(cells["n_rows"].sum()) == n
+        assert (
+            int(cells.loc["train", "n_rows"]) if "train" in cells.index else 0
+        ) == n_train
+        assert (
+            int(cells.loc["val", "n_rows"]) if "val" in cells.index else 0
+        ) == n_val
+        assert (
+            int(cells.loc["test", "n_rows"]) if "test" in cells.index else 0
+        ) == n_test
+        # time ordering holds whenever both cells exist
+        if "train" in cells.index and "test" in cells.index:
+            assert cells.loc["train", "ts_last"] <= cells.loc["test", "ts_first"]
+
+
+values_strategy = st.lists(
+    st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(vals=values_strategy)
+def test_q235_property_vs_numpy(spark, vals):
+    vals = [float(v) for v in vals]
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(len(vals), dtype="int64"),
+            "ts": [EPOCH + timedelta(seconds=i) for i in range(len(vals))],
+            "user_id": np.zeros(len(vals), dtype="int64"),
+            "event_type": ["g"] * len(vals),
+            "value": vals,
+            "props": "{}",
+        }
+    )
+    d = _tmp_table("events", pdf)
+    got = quality.q235_mad_outliers(spark, d).toPandas().iloc[0]
+    arr = np.array(vals)
+    med = np.quantile(arr, 0.5)
+    mad = np.quantile(np.abs(arr - med), 0.5)
+    assert got["med"] == pytest.approx(med, abs=1e-4)
+    assert got["mad"] == pytest.approx(mad, abs=1e-4)
+    assert int(got["n_outliers"]) == int(
+        (np.abs(arr - med) > 3 * 1.4826 * mad).sum()
+    )
