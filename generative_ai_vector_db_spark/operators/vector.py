@@ -23,6 +23,8 @@ Plan shapes (100 TB reasoning):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1187,6 +1189,130 @@ ORDER BY q_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q245 — embedding anisotropy via power iteration: the top eigenvalue
+# of the (uncentered) gram matrix G = X^T X, its share of the total
+# variance (trace), as a 10-iteration Rayleigh estimate. THE
+# spectral-health screen for an embedding corpus: isotropic embeddings
+# spread variance across dimensions (explained_frac ~ 1/d), collapsed/
+# anisotropic ones concentrate it — the measurement behind QUALITY.md's
+# "fixture ANN floors are data-bounded" argument, now as a graded
+# operator.
+# Scale shape: the ONE data-touching pass builds G — a d x d = 64x64
+# aggregate with map-side partial sums (explode to (vec, dim) pairs,
+# self-join per vec, groupBy (j, k): the fan-out is N*d^2 rows INTO a
+# combiner, 4096 rows OUT; at 100 TB this is the textbook distributed
+# gram computation and d^2 stays tiny). The 10 power iterations then
+# run on the 4096-row G with a 64-row vector frame — metadata-scale
+# joins, localCheckpoint hygiene, zero driver-side collect.
+# Determinism/oracle: iterations are an exact deterministic function
+# of G on both engines (v0 = 1/sqrt(64) = 0.125, binary-exact); G
+# entries differ only by parallel-summation ulps, far below the 4-dp
+# rounding of the three output scalars. Convergence note: the
+# 10-round Rayleigh value is the DECLARED semantics (a lower bound on
+# lambda_1) — near-isotropic data has lambda_2/lambda_1 ~ 1 where
+# power iteration converges slowly, and both engines compute the same
+# estimate regardless.
+# ---------------------------------------------------------------------------
+POWER_ITERS = 10
+EMB_DIM = 64
+
+
+def q245_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    xs = emb.select(
+        "vec_id", F.posexplode(V.as_double(F.col("embedding"))).alias("j", "x")
+    )
+    a = xs.select("vec_id", "j", F.col("x").alias("xj"))
+    b = xs.select("vec_id", F.col("j").alias("k"), F.col("x").alias("xk"))
+    gram = (
+        a.join(b, "vec_id")
+        .groupBy("j", "k")
+        .agg(F.sum(F.col("xj") * F.col("xk")).alias("g"))
+        .localCheckpoint()
+    )
+    v = gram.select("j").distinct().select(
+        "j", F.lit(1.0 / math.sqrt(float(EMB_DIM))).alias("val")
+    )
+    for _ in range(POWER_ITERS):
+        u = (
+            gram.join(v.select(F.col("j").alias("k"), "val"), "k")
+            .groupBy("j")
+            .agg(F.sum(F.col("g") * F.col("val")).alias("uval"))
+        )
+        nrm = u.agg(F.sqrt(F.sum(F.col("uval") * F.col("uval"))).alias("nm"))
+        v = (
+            u.crossJoin(F.broadcast(nrm))
+            .select("j", (F.col("uval") / F.col("nm")).alias("val"))
+            .localCheckpoint()
+        )
+    gv = (
+        gram.join(v.select(F.col("j").alias("k"), "val"), "k")
+        .groupBy("j")
+        .agg(F.sum(F.col("g") * F.col("val")).alias("gv"))
+    )
+    lam = gv.join(v, "j").agg(F.sum(F.col("gv") * F.col("val")).alias("lam"))
+    trace = gram.where(F.col("j") == F.col("k")).agg(F.sum("g").alias("tr"))
+    nvec = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vec"))
+    return (
+        lam.crossJoin(F.broadcast(trace))
+        .crossJoin(F.broadcast(nvec))
+        .select(
+            "n_vec",
+            F.lit(EMB_DIM).cast("bigint").alias("dim"),
+            F.round("lam", 4).alias("top_eig"),
+            F.round("tr", 4).alias("trace_total"),
+            F.round(F.col("lam") / F.col("tr"), 4).alias("explained_frac"),
+        )
+    )
+
+
+def _q245_sql() -> str:
+    iters = []
+    for t in range(1, POWER_ITERS + 1):
+        iters.append(
+            f""",
+u{t} AS MATERIALIZED (
+  SELECT g.j, sum(g.g * v.val) AS uval
+  FROM gmat g JOIN v{t - 1} v ON v.j = g.k
+  GROUP BY g.j
+),
+v{t} AS MATERIALIZED (
+  SELECT u.j, u.uval / nm.nm AS val
+  FROM u{t} u, (SELECT sqrt(sum(uval * uval)) AS nm FROM u{t}) nm
+)"""
+        )
+    chain = "".join(iters)
+    return f"""
+WITH dims AS (SELECT unnest(generate_series(1, {EMB_DIM})) AS j),
+gmat AS MATERIALIZED (
+  SELECT d1.j AS j, d2.j AS k,
+         sum(CAST(e.embedding[d1.j] AS DOUBLE)
+             * CAST(e.embedding[d2.j] AS DOUBLE)) AS g
+  FROM embeddings e, dims d1, dims d2
+  GROUP BY 1, 2
+),
+v0 AS (SELECT j, 1.0 / sqrt({EMB_DIM}.0) AS val FROM dims){chain},
+gv AS (
+  SELECT g.j, sum(g.g * v.val) AS gv
+  FROM gmat g JOIN v{POWER_ITERS} v ON v.j = g.k
+  GROUP BY g.j
+),
+lam AS (SELECT sum(gv.gv * v.val) AS lam FROM gv JOIN v{POWER_ITERS} v USING (j)),
+tr AS (SELECT sum(g) AS tr FROM gmat WHERE j = k),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vec FROM embeddings)
+SELECT n_vec,
+       CAST({EMB_DIM} AS BIGINT) AS dim,
+       round(lam, 4) AS top_eig,
+       round(tr, 4) AS trace_total,
+       round(lam / tr, 4) AS explained_frac
+FROM lam, tr, nv
+"""
+
+
+Q245_SQL = _q245_sql()
+
+
 QUERIES = {
     "q25_knn_l2": q25_knn_l2,
     "q26_knn_cosine": q26_knn_cosine,
@@ -1203,6 +1329,7 @@ QUERIES = {
     "q197_vector_integrity": q197_vector_integrity,
     "q213_cross_label_audit": q213_cross_label_audit,
     "q237_knn_classify": q237_knn_classify,
+    "q245_power_iteration": q245_power_iteration,
 }
 
 ORACLE = {
@@ -1220,4 +1347,5 @@ ORACLE = {
     "q197_vector_integrity": Q197_SQL,
     "q213_cross_label_audit": Q213_SQL,
     "q237_knn_classify": Q237_SQL,
+    "q245_power_iteration": Q245_SQL,
 }

@@ -547,3 +547,56 @@ def test_q235_property_vs_numpy(spark, vals):
     assert int(got["n_outliers"]) == int(
         (np.abs(arr - med) > 3 * 1.4826 * mad).sum()
     )
+
+
+# --------------------------------------------------------------------------
+# q245 power iteration vs numpy eigendecomposition
+# --------------------------------------------------------------------------
+def test_q245_power_iteration_matches_numpy(spark, sf_dir_t2):
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(os.path.join(sf_dir_t2, "embeddings.parquet")).to_pandas()
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    G = X.T @ X
+    # the operator's declared semantics: 10-round Rayleigh estimate
+    v = np.full(X.shape[1], 1.0 / np.sqrt(X.shape[1]))
+    for _ in range(vector.POWER_ITERS):
+        u = G @ v
+        v = u / np.sqrt((u * u).sum())
+    rayleigh = float(v @ G @ v)
+    got = vector.q245_power_iteration(spark, sf_dir_t2).toPandas().iloc[0]
+    assert got["n_vec"] == len(emb) and got["dim"] == X.shape[1]
+    assert got["top_eig"] == pytest.approx(rayleigh, abs=1e-3)
+    assert got["trace_total"] == pytest.approx(float(np.trace(G)), abs=1e-3)
+    # sanity: Rayleigh estimate is a lower bound on the true lambda_1
+    lam1 = float(np.linalg.eigvalsh(G).max())
+    assert got["top_eig"] <= lam1 + 1e-6
+    assert got["explained_frac"] == pytest.approx(rayleigh / np.trace(G), abs=1e-4)
+
+
+def test_q245_planted_anisotropy_detected(spark):
+    # rank-1-dominated corpus -> explained_frac near 1
+    rng = np.random.default_rng(45)
+    base = rng.normal(0, 1, 64)
+    base /= np.linalg.norm(base)
+    rows = []
+    for i in range(200):
+        v = base + 0.05 * rng.normal(0, 1, 64)
+        v /= np.linalg.norm(v)
+        rows.append((i, v.astype("float32").tolist(), 0))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="r8_aniso_")
+    schema = pa.schema([
+        pa.field("vec_id", pa.int64()),
+        pa.field("embedding", pa.list_(pa.float32())),
+        pa.field("label", pa.int32()),
+    ])
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    got = vector.q245_power_iteration(spark, d).toPandas().iloc[0]
+    assert got["explained_frac"] > 0.8  # collapse detected (isotropic ~0.03)
