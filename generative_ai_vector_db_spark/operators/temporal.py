@@ -1855,6 +1855,11 @@ ORDER BY event_type, bucket
 # event_type; at 100 TB pre-bucket coarse windows (q125) or stream it
 # with a watermark (streaming/jobs.py q31/q32) — this shape is the
 # batch oracle for those.
+# ma_10m is emitted UNROUNDED (the q89 lesson): event values are
+# 2-decimal, so frame means land exactly on 4-dp midpoints where
+# Spark's shortest-repr HALF_UP round and DuckDB's binary-value round
+# disagree (2 rows in 100k at sf0.1) — the driver's single
+# canonicalization rounds both engines' bit-compatible raw doubles.
 # ---------------------------------------------------------------------------
 RANGE_MA_US = 600_000_000  # 10 minutes in microseconds
 
@@ -1878,7 +1883,7 @@ def q233_range_frame_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.date_format("ts", TS_FMT_SPARK).alias("ts"),
             F.round("value", 4).alias("value"),
-            F.round(F.avg("value").over(w), 4).alias("ma_10m"),
+            F.avg("value").over(w).alias("ma_10m"),
             F.count(F.lit(1)).over(w).cast("bigint").alias("n_in_frame"),
         )
         .orderBy("event_type", "ts", "event_id")
@@ -1889,7 +1894,7 @@ Q233_SQL = f"""
 SELECT event_id, event_type,
        strftime(ts, '{TS_FMT_DUCK}') AS ts,
        round(value, 4) AS value,
-       round(avg(value) OVER w, 4) AS ma_10m,
+       avg(value) OVER w AS ma_10m,
        CAST(count(*) OVER w AS BIGINT) AS n_in_frame
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
