@@ -568,5 +568,124 @@ def run_uptime_stream(
     )
 
 
+# ---------------------------------------------------------------------------
+# q244's streaming face — run-length compaction as per-user state.
+# State = the OPEN run (type + length) plus per-type accumulators for
+# closed runs (parallel arrays — applyInPandasWithState state structs
+# are fixed-schema, so the per-type "map" is (types[], n_runs[],
+# n_events[], max_run[])). Each batch: sort the user's new events by
+# (ts, event_id), extend or close the open run, emit the CURRENT
+# per-type totals WITH the open run folded in — so after the final
+# batch the emission equals the batch operator's per-(user, type) run
+# profile exactly (asserted in tests/test_scale_stateful.py by
+# aggregating the last emission per user to q244's output). In-order
+# per-user delivery assumed, same contract as _update_uptime above.
+# ---------------------------------------------------------------------------
+RUNLEN_SCHEMA = (
+    "user_id bigint, event_type string, n_runs bigint, "
+    "n_events bigint, max_run bigint"
+)
+RUNLEN_STATE_SCHEMA = (
+    "cur_type string, cur_len bigint, types array<string>, "
+    "n_runs array<bigint>, n_events array<bigint>, max_run array<bigint>"
+)
+
+
+def _update_runlen(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        cur_type, cur_len, types, n_runs, n_events, max_run = state.get
+        types, n_runs = list(types), list(n_runs)
+        n_events, max_run = list(n_events), list(max_run)
+    else:
+        cur_type, cur_len = None, 0
+        types, n_runs, n_events, max_run = [], [], [], []
+
+    def _close(t: str, ln: int) -> None:
+        if t not in types:
+            types.append(t)
+            n_runs.append(0)
+            n_events.append(0)
+            max_run.append(0)
+        i = types.index(t)
+        n_runs[i] += 1
+        n_events[i] += ln
+        max_run[i] = max(max_run[i], ln)
+
+    rows = []
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        rows.extend(pdf["event_type"].tolist())
+    for et in rows:
+        if et == cur_type:
+            cur_len += 1
+        else:
+            if cur_type is not None:
+                _close(cur_type, cur_len)
+            cur_type, cur_len = et, 1
+    state.update((cur_type, cur_len, types, n_runs, n_events, max_run))
+    # emission folds the open run in WITHOUT closing it in state
+    out_t, out_r, out_e, out_m = (
+        list(types),
+        list(n_runs),
+        list(n_events),
+        list(max_run),
+    )
+    if cur_type is not None:
+        if cur_type not in out_t:
+            out_t.append(cur_type)
+            out_r.append(0)
+            out_e.append(0)
+            out_m.append(0)
+        i = out_t.index(cur_type)
+        out_r[i] += 1
+        out_e[i] += cur_len
+        out_m[i] = max(out_m[i], cur_len)
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(out_t),
+            "event_type": out_t,
+            "n_runs": out_r,
+            "n_events": out_e,
+            "max_run": out_m,
+        }
+    )
+
+
+def run_runlen_stream(
+    spark: SparkSession, src_dir: str, sink_table: str = "runlen_out"
+) -> None:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    ev = spark.readStream.schema(schema).parquet(src_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _update_runlen,
+        outputStructType=RUNLEN_SCHEMA,
+        stateStructType=RUNLEN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    (
+        out.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 QUERIES = {"q163_state_ttl_profile": q163_state_ttl_profile}
 ORACLE = {"q163_state_ttl_profile": Q163_SQL}

@@ -591,3 +591,92 @@ def test_update_uptime_out_of_order_batches():
     )
     assert out3[0]["n_islands"][0] == 2  # no reopened middle island
     assert out3[0]["covered_us"][0] == (100 + D) + D  # late drop: bound
+
+
+def test_runlen_stream_matches_batch_twin(spark, sf_dir):
+    """q244's streaming face: the final per-(user, type) emission of
+    the run-length state op, aggregated per type, equals the batch
+    operator exactly."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from generative_ai_vector_db_spark.operators import temporal
+    from generative_ai_vector_db_spark.streaming import stateful
+    from generative_ai_vector_db_spark.tables import load
+
+    src = tempfile.mkdtemp(prefix="runlen_src_")
+    try:
+        load(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(src)
+        stateful.run_runlen_stream(spark, src, sink_table="runlen_out")
+        got = (
+            spark.table("runlen_out")
+            .groupBy("event_type")
+            .agg(
+                F.sum("n_runs").cast("bigint").alias("n_runs"),
+                F.sum("n_events").cast("bigint").alias("n_events"),
+                F.round(
+                    F.sum("n_events") / F.sum("n_runs"), 4
+                ).alias("avg_run_len"),
+                F.max("max_run").cast("bigint").alias("max_run_len"),
+            )
+            .orderBy("event_type")
+            .toPandas()
+        )
+        want = temporal.q244_run_length(spark, sf_dir).toPandas()
+        assert got.reset_index(drop=True).equals(want.reset_index(drop=True)), (
+            got.to_string(),
+            want.to_string(),
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def test_update_runlen_run_crosses_batch_boundary():
+    """A run split across micro-batches stays ONE run; the open run is
+    folded into every emission without being closed in state."""
+    import pandas as pd
+
+    from generative_ai_vector_db_spark.streaming import stateful
+
+    class _St:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    def frame(types, start_eid):
+        n = len(types)
+        return pd.DataFrame(
+            {
+                "event_id": range(start_eid, start_eid + n),
+                "ts": pd.to_datetime(
+                    [1_000_000_000 + i for i in range(start_eid, start_eid + n)],
+                    unit="s",
+                ),
+                "user_id": 1,
+                "event_type": types,
+                "value": 0.0,
+                "props": "{}",
+            }
+        )
+
+    st = _St()
+    out1 = list(stateful._update_runlen((1,), iter([frame(["a", "a"], 0)]), st))[0]
+    assert out1.to_dict("records") == [
+        {"user_id": 1, "event_type": "a", "n_runs": 1, "n_events": 2, "max_run": 2}
+    ]
+    out2 = list(stateful._update_runlen((1,), iter([frame(["a", "b"], 2)]), st))[0]
+    rows = {r["event_type"]: r for r in out2.to_dict("records")}
+    # the a-run spans both batches: one run of length 3
+    assert rows["a"]["n_runs"] == 1 and rows["a"]["n_events"] == 3
+    assert rows["a"]["max_run"] == 3
+    assert rows["b"]["n_runs"] == 1 and rows["b"]["n_events"] == 1
