@@ -70,11 +70,11 @@ _QUERIES, _ORACLE = merge_registries(*_MODULES)
 
 # Registry ordering: the driver's correctness pass covers the FIRST 50
 # entries, so ordering is evidence placement. Round-8 window: (a) the
-# 16 new round-8 operators + q89 (converted rows-only -> exact oracle
+# 18 new round-8 operators + q89 (converted rows-only -> exact oracle
 # this round), (b) the 23 r3-stale rows — after these, no green row
 # predates r4 (VERDICT r7 next-steps #1), (c) the oldest r4 rows —
-# the first 10 fill the window to exactly 50; the last 7 tier-2 rows
-# (q114-q120) spill past slot 50 and keep their r4 standing for the
+# the first 8 fill the window to exactly 50; the last 9 tier-2 rows
+# (q112-q120) spill past slot 50 and keep their r4 standing for the
 # r9 rotation. Tier 3 = other green queries (rows stand; remaining
 # r4 rows head the r9 rotation); tier 4 = rows-only-by-design.
 _PRIORITY = [
@@ -87,6 +87,7 @@ _PRIORITY = [
     "q239_rfm_segmentation", "q240_benford_test",
     "q241_interpolation_join", "q242_shortest_paths",
     "q243_split_leakage", "q244_run_length", "q245_power_iteration",
+    "q246_revenue_bridge", "q247_records_drawdown",
     "q89_mmr_rerank",
     # tier 1 — r3-stale rotation: the 23 oldest green rows (graded r3,
     # before two testdata regenerations). After this round no green

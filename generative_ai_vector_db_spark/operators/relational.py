@@ -1877,6 +1877,79 @@ ORDER BY p_partkey
 """
 
 
+# ---------------------------------------------------------------------------
+# q246 revenue bridge — period-over-period contribution analysis: the
+# year-over-year revenue delta per brand decomposed into a PRICE
+# effect ((p1-p0)*q1) and a VOLUME effect ((q1-q0)*p0), where p is the
+# realized unit price (rev/qty). The two effects sum to the delta
+# EXACTLY by construction — the finance-close "bridge"/waterfall every
+# BI stack ships, and the template for any metric decomposition
+# (tokens-per-source drift, cost attribution). Brands priced in only
+# one period are excluded (no unit price to bridge — the declared
+# semantics, applied identically in the oracle).
+# Plan: ONE scan of lineitem (both years read together, year folded
+# into conditional aggregates — not two scans), part dim broadcast,
+# one shuffle on brand. 25 output rows.
+# ---------------------------------------------------------------------------
+BRIDGE_Y0, BRIDGE_Y1 = 1996, 1997
+
+
+def q246_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    yr = F.year("l_shipdate")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.where(yr.isin(BRIDGE_Y0, BRIDGE_Y1))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(yr == BRIDGE_Y0, rev)).alias("rev0"),
+            F.sum(F.when(yr == BRIDGE_Y0, F.col("l_quantity"))).alias("qty0"),
+            F.sum(F.when(yr == BRIDGE_Y1, rev)).alias("rev1"),
+            F.sum(F.when(yr == BRIDGE_Y1, F.col("l_quantity"))).alias("qty1"),
+        )
+        .where(F.col("qty0").isNotNull() & F.col("qty1").isNotNull())
+    )
+    p0 = F.col("rev0") / F.col("qty0")
+    p1 = F.col("rev1") / F.col("qty1")
+    return agg.select(
+        "p_brand",
+        _r4(F.col("rev0")).alias("rev0"),
+        _r4(F.col("rev1")).alias("rev1"),
+        _r4(F.col("rev1") - F.col("rev0")).alias("delta"),
+        _r4((p1 - p0) * F.col("qty1")).alias("price_effect"),
+        _r4((F.col("qty1") - F.col("qty0")) * p0).alias("volume_effect"),
+    ).orderBy("p_brand")
+
+
+Q246_SQL = f"""
+WITH agg AS (
+  SELECT p.p_brand,
+         sum(CASE WHEN year(l.l_shipdate) = {BRIDGE_Y0}
+                  THEN l.l_extendedprice * (1 - l.l_discount) END) AS rev0,
+         sum(CASE WHEN year(l.l_shipdate) = {BRIDGE_Y0}
+                  THEN l.l_quantity END) AS qty0,
+         sum(CASE WHEN year(l.l_shipdate) = {BRIDGE_Y1}
+                  THEN l.l_extendedprice * (1 - l.l_discount) END) AS rev1,
+         sum(CASE WHEN year(l.l_shipdate) = {BRIDGE_Y1}
+                  THEN l.l_quantity END) AS qty1
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE year(l.l_shipdate) IN ({BRIDGE_Y0}, {BRIDGE_Y1})
+  GROUP BY p.p_brand
+)
+SELECT p_brand,
+       round(rev0, 4) AS rev0,
+       round(rev1, 4) AS rev1,
+       round(rev1 - rev0, 4) AS delta,
+       round((rev1 / qty1 - rev0 / qty0) * qty1, 4) AS price_effect,
+       round((qty1 - qty0) * (rev0 / qty0), 4) AS volume_effect
+FROM agg
+WHERE qty0 IS NOT NULL AND qty1 IS NOT NULL
+ORDER BY p_brand
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_pushdown": q02_filter_pushdown,
@@ -1927,6 +2000,7 @@ QUERIES = {
     "q131_copurchase_lift": q131_copurchase_lift,
     "q132_weighted_sample": q132_weighted_sample,
     "q218_pareto_front": q218_pareto_front,
+    "q246_revenue_bridge": q246_revenue_bridge,
 }
 
 ORACLE = {
@@ -1977,4 +2051,5 @@ ORACLE = {
     "q129_unpivot_metrics": Q129_SQL,
     "q131_copurchase_lift": Q131_SQL,
     "q132_weighted_sample": Q132_SQL,
+    "q246_revenue_bridge": Q246_SQL,
 }

@@ -2162,6 +2162,87 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q247 records-and-drawdown — per event_type over the DAILY value
+# series: how many days set a new running maximum (record days), the
+# peak daily value, and the maximum drawdown (worst peak-to-day drop,
+# max over days of running_max - daily). The running-extreme window
+# family member q14 (running sum) and q100 (rolling frame) do not
+# cover: an UNBOUNDED PRECEDING max frame plus derived record flags —
+# capacity planning ("when was the high-water mark"), KPI monitoring
+# ("how far below peak are we"), and bot screens (a record-day burst)
+# all read exactly this. Plan: events collapse to |type x day| rows
+# first (the only pass over raw data), then one window pass per type
+# over the tiny daily series; integer record counts, drawdown in raw
+# doubles per the midpoint rule (daily sums can be all-2-decimal and
+# the drawdown is a difference of two such — midpoint-class).
+# ---------------------------------------------------------------------------
+def q247_records_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("daily_value"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = daily.select(
+        "event_type",
+        "daily_value",
+        F.max("daily_value").over(w).alias("run_max"),
+        F.max("daily_value").over(w_prev).alias("prev_max"),
+    )
+    is_record = F.col("prev_max").isNull() | (
+        F.col("daily_value") > F.col("prev_max")
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(F.when(is_record, 1).otherwise(0)).cast("bigint").alias(
+                "n_record_days"
+            ),
+            F.max("daily_value").alias("peak_daily"),
+            F.max(F.col("run_max") - F.col("daily_value")).alias("max_drawdown"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q247_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS daily_value
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, daily_value,
+         max(daily_value) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS run_max,
+         max(daily_value) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max
+  FROM daily
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN prev_max IS NULL OR daily_value > prev_max
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_record_days,
+       max(daily_value) AS peak_daily,
+       max(run_max - daily_value) AS max_drawdown
+FROM scored
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
     "q59_range_join": q59_range_join,
@@ -2192,6 +2273,7 @@ QUERIES = {
     "q238_gaps_islands": q238_gaps_islands,
     "q241_interpolation_join": q241_interpolation_join,
     "q244_run_length": q244_run_length,
+    "q247_records_drawdown": q247_records_drawdown,
 }
 
 ORACLE = {
@@ -2203,6 +2285,7 @@ ORACLE = {
     "q238_gaps_islands": Q238_SQL,
     "q241_interpolation_join": Q241_SQL,
     "q244_run_length": Q244_SQL,
+    "q247_records_drawdown": Q247_SQL,
     "q58_asof_join": Q58_SQL,
     "q59_range_join": Q59_SQL,
     "q106_sessionize": Q106_SQL,

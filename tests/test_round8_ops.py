@@ -600,3 +600,48 @@ def test_q245_planted_anisotropy_detected(spark):
     )
     got = vector.q245_power_iteration(spark, d).toPandas().iloc[0]
     assert got["explained_frac"] > 0.8  # collapse detected (isotropic ~0.03)
+
+
+# --------------------------------------------------------------------------
+# q246 revenue bridge: the decomposition identity
+# --------------------------------------------------------------------------
+def test_q246_bridge_effects_sum_to_delta(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import relational
+
+    pdf = relational.q246_revenue_bridge(spark, sf_dir_t2).toPandas()
+    assert len(pdf) > 0
+    # price_effect + volume_effect == delta exactly (up to output rounding)
+    assert np.allclose(
+        pdf["price_effect"] + pdf["volume_effect"], pdf["delta"], atol=2e-4
+    )
+    assert np.allclose(pdf["rev1"] - pdf["rev0"], pdf["delta"], atol=2e-4)
+
+
+# --------------------------------------------------------------------------
+# q247 records & drawdown vs brute force
+# --------------------------------------------------------------------------
+def test_q247_records_match_bruteforce(spark):
+    rng = np.random.default_rng(47)
+    rows = []
+    eid = 0
+    series = {}
+    for et in ["a", "b"]:
+        vals = rng.normal(100, 30, 40)
+        series[et] = vals
+        for d, v in enumerate(vals):
+            rows.append(
+                {"event_id": eid, "ts": EPOCH + timedelta(days=d, hours=1),
+                 "user_id": 0, "event_type": et, "value": float(v), "props": "{}"}
+            )
+            eid += 1
+    d = _tmp_table("events", pd.DataFrame(rows))
+    got = temporal.q247_records_drawdown(spark, d).toPandas().set_index("event_type")
+    for et, vals in series.items():
+        runmax = np.maximum.accumulate(vals)
+        n_records = 1 + int((vals[1:] > runmax[:-1]).sum())
+        assert got.loc[et, "n_days"] == len(vals)
+        assert got.loc[et, "n_record_days"] == n_records
+        assert got.loc[et, "peak_daily"] == pytest.approx(vals.max(), abs=1e-6)
+        assert got.loc[et, "max_drawdown"] == pytest.approx(
+            float((runmax - vals).max()), abs=1e-6
+        )
