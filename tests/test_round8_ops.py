@@ -645,3 +645,96 @@ def test_q247_records_match_bruteforce(spark):
         assert got.loc[et, "max_drawdown"] == pytest.approx(
             float((runmax - vals).max()), abs=1e-6
         )
+
+
+# --------------------------------------------------------------------------
+# q232 correlation vs numpy on synthetic documents
+# --------------------------------------------------------------------------
+def test_q232_matches_numpy_reference(spark):
+    rng = np.random.default_rng(32)
+    rows = []
+    for i in range(120):
+        n_tok = int(rng.integers(1, 40))
+        text = " ".join("w" * int(rng.integers(1, 8)) for _ in range(n_tok))
+        rows.append(
+            {"doc_id": i, "text": text, "lang": "en",
+             "source": f"s{i % 2}", "n_chars": len(text)}
+        )
+    pdf = pd.DataFrame(rows)
+    d = _tmp_table("documents", pdf)
+    got = quality.q232_source_corr(spark, d).toPandas().set_index("source")
+    for src_name, g in pdf.groupby("source"):
+        nc = g["n_chars"].to_numpy(dtype=float)
+        nt = np.array([len(t.split()) for t in g["text"]], dtype=float)
+        r = got.loc[src_name]
+        assert r["n_docs"] == len(g)
+        assert r["corr_chars_tokens"] == pytest.approx(
+            np.corrcoef(nc, nt)[0, 1], abs=1e-4
+        )
+        assert r["covar_pop"] == pytest.approx(
+            ((nc - nc.mean()) * (nt - nt.mean())).mean(), abs=1e-4
+        )
+        assert r["sd_chars"] == pytest.approx(nc.std(), abs=1e-4)
+
+
+# --------------------------------------------------------------------------
+# q234 MI vs a manual reference on a random contingency table
+# --------------------------------------------------------------------------
+def test_q234_matches_manual_reference(spark):
+    rng = np.random.default_rng(34)
+    rows = []
+    doc = 0
+    for lang in ["en", "fr", "de"]:
+        for source in ["s1", "s2"]:
+            for _ in range(int(rng.integers(1, 30))):
+                rows.append(
+                    {"doc_id": doc, "text": "t", "lang": lang,
+                     "source": source, "n_chars": 1}
+                )
+                doc += 1
+    pdf = pd.DataFrame(rows)
+    d = _tmp_table("documents", pdf)
+    got = quality.q234_mutual_info(spark, d).toPandas().iloc[0]
+    ct = pdf.groupby(["lang", "source"]).size()
+    n = ct.sum()
+    p_l = ct.groupby("lang").sum() / n
+    p_s = ct.groupby("source").sum() / n
+    mi = sum(
+        (c / n) * math.log((c / n) / (p_l[la] * p_s[so]))
+        for (la, so), c in ct.items()
+    )
+    h_l = -sum(p * math.log(p) for p in p_l)
+    h_s = -sum(p * math.log(p) for p in p_s)
+    assert got["mi_nats"] == pytest.approx(mi, abs=1e-4)
+    assert got["h_lang"] == pytest.approx(h_l, abs=1e-4)
+    assert got["h_source"] == pytest.approx(h_s, abs=1e-4)
+    assert got["nmi"] == pytest.approx(mi / math.sqrt(h_l * h_s), abs=1e-4)
+
+
+# --------------------------------------------------------------------------
+# q236 inverted index vs brute-force postings
+# --------------------------------------------------------------------------
+def test_q236_matches_bruteforce_postings(spark):
+    rng = np.random.default_rng(36)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    truth: dict[str, dict[int, int]] = {}
+    for doc in range(40):
+        toks = list(rng.choice(vocab, size=rng.integers(3, 25)))
+        rows.append(
+            {"doc_id": doc, "text": " ".join(toks), "lang": "en",
+             "source": "s", "n_chars": 1}
+        )
+        for t in toks:
+            truth.setdefault(t, {})
+            truth[t][doc] = truth[t].get(doc, 0) + 1
+    d = _tmp_table("documents", pd.DataFrame(rows))
+    got = retrieval.q236_inverted_index(spark, d).toPandas().set_index("term")
+    for term, posting in truth.items():
+        if len(posting) < retrieval.INDEX_MIN_DF:
+            assert term not in got.index
+            continue
+        r = got.loc[term]
+        assert r["df"] == len(posting)
+        assert r["tf_total"] == sum(posting.values())
+        assert r["postings"] == ",".join(str(k) for k in sorted(posting))
