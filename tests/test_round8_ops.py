@@ -738,3 +738,41 @@ def test_q236_matches_bruteforce_postings(spark):
         assert r["df"] == len(posting)
         assert r["tf_total"] == sum(posting.values())
         assert r["postings"] == ",".join(str(k) for k in sorted(posting))
+
+
+def test_q246_bridge_planted_effects(spark):
+    # one brand: price doubles, volume halves -> known effects
+    from generative_ai_vector_db_spark.operators import relational
+
+    orders_rows = []  # unused by q246 but keep fixture shape minimal
+    part = pd.DataFrame(
+        {"p_partkey": [1], "p_name": ["p"], "p_brand": ["B1"],
+         "p_type": ["t"], "p_size": [1], "p_retailprice": [1.0]}
+    )
+    li_rows = []
+    # 1996: 100 units at 10.0 -> rev0 1000; 1997: 50 units at 20.0 -> rev1 1000
+    for i in range(10):
+        li_rows.append((i, 1, 1, 1, 10.0, 100.0, 0.0, 0.0, "N", "O",
+                        datetime(1996, 3, 1)))
+    for i in range(5):
+        li_rows.append((100 + i, 1, 1, 1, 10.0, 200.0, 0.0, 0.0, "N", "O",
+                        datetime(1997, 3, 1)))
+    li = pd.DataFrame(
+        li_rows,
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    )
+    # fixture parquet uses TIMESTAMP(MICROS); pandas defaults to NANOS
+    # which the loader's session rejects for non-events tables
+    li["l_shipdate"] = li["l_shipdate"].astype("datetime64[us]")
+    d = tempfile.mkdtemp(prefix="r8_bridge_")
+    part.to_parquet(os.path.join(d, "part.parquet"), index=False)
+    li.to_parquet(os.path.join(d, "lineitem.parquet"), index=False)
+    got = relational.q246_revenue_bridge(spark, d).toPandas().iloc[0]
+    # p0 = 1000/100 = 10, p1 = 1000/50 = 20
+    assert got["rev0"] == pytest.approx(1000.0)
+    assert got["rev1"] == pytest.approx(1000.0)
+    assert got["delta"] == pytest.approx(0.0)
+    assert got["price_effect"] == pytest.approx((20 - 10) * 50)  # +500
+    assert got["volume_effect"] == pytest.approx((50 - 100) * 10)  # -500
