@@ -532,14 +532,19 @@ FROM nstats, sums
 # radius, friend-of-friend candidate generation). Completes the graph
 # family (q193 centrality, q210 cohesion, q211 proximity, q229
 # topology, q76/q223 components) with the distance primitive.
-# Plan: textbook iterative frontier expansion — each round is ONE
-# shuffle (reached set joined to edges on src, min-combined on dst),
-# re-materialized with localCheckpoint so round N's plan does not
-# embed rounds 1..N-1. After k rounds every min-hop <= k is final
-# (BFS invariant), so the k-bounded result is EXACT — hash-graded
-# against a recursive-CTE oracle (hops are integers: no float drift).
-# The source is data-derived (minimum node id), not a literal, so the
-# operator is fixture-scale-independent.
+# Plan: TRUE frontier expansion (r9, ADVICE r8 — the r8 loop joined
+# the full reached set to edges every round, re-expanding settled
+# nodes): each round joins only the nodes DISCOVERED last round to
+# edges on src, dedupes the candidate dst set, and anti-joins against
+# the settled set, so round h touches O(|frontier_h| * degree) edges —
+# total work O(E) across all rounds, the textbook distributed BFS.
+# Each round is re-materialized with localCheckpoint so round N's plan
+# does not embed rounds 1..N-1, and an empty frontier short-circuits.
+# After k rounds every min-hop <= k is final (BFS invariant), so the
+# k-bounded result is EXACT — hash-graded against a recursive-CTE
+# oracle (hops are integers: no float drift). The source is
+# data-derived (minimum node id), not a literal, so the operator is
+# fixture-scale-independent.
 # ---------------------------------------------------------------------------
 BFS_MAX_HOPS = 4
 
@@ -551,20 +556,20 @@ def q242_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hops", F.lit(0).cast("bigint"))
         .localCheckpoint()
     )
-    for _ in range(BFS_MAX_HOPS):
-        nxt = (
-            dist.join(edges, dist.node == edges.src)
-            .select(
-                F.col("dst").cast("bigint").alias("node"),
-                (F.col("hops") + 1).cast("bigint").alias("hops"),
-            )
-        )
-        dist = (
-            dist.unionByName(nxt)
-            .groupBy("node")
-            .agg(F.min("hops").alias("hops"))
+    frontier = dist.select("node")
+    for h in range(1, BFS_MAX_HOPS + 1):
+        new = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").cast("bigint").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("bigint"))
             .localCheckpoint()
         )
+        if not new.take(1):
+            break
+        dist = dist.unionByName(new).localCheckpoint()
+        frontier = new.select("node")
     return dist.select("node", F.col("hops").cast("bigint").alias("hops")).orderBy(
         "node"
     )

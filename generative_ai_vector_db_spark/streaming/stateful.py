@@ -614,10 +614,19 @@ def _update_runlen(
         n_events[i] += ln
         max_run[i] = max(max_run[i], ln)
 
-    rows = []
-    for pdf in batches:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        rows.extend(pdf["event_type"].tolist())
+    # collect ALL Arrow chunks first, then ONE global (ts, event_id)
+    # sort — same pattern as _update_profile. Sorting each chunk
+    # independently and concatenating in arrival order (r8 version)
+    # breaks run boundaries when a user's events split out-of-order
+    # across chunk boundaries (ADVICE r8).
+    chunks = list(batches)
+    if chunks:
+        allpdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        rows = allpdf["event_type"].tolist()
+    else:
+        rows = []
     for et in rows:
         if et == cur_type:
             cur_len += 1

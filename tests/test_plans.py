@@ -938,3 +938,29 @@ def test_q241_interp_single_user_shuffle(spark, sf_dir):
     # both direction windows run on the SAME user_id clustering: one
     # hash exchange total (plus the final rangepartitioning sort)
     assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_q239_rfm_every_window_is_partitioned(spark, sf_dir):
+    import re
+
+    from generative_ai_vector_db_spark.operators import quality
+
+    plan = plan_of(quality.q239_rfm_segmentation(spark, sf_dir))
+    # the r9 rewrite: no ntile, and every WindowExec partitions by the
+    # range-partition id — a global single-reducer sort never appears
+    assert "ntile" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^,]+)", plan)
+    assert specs, plan
+    assert all(s.strip().startswith("_pid#") for s in specs), specs
+
+
+def test_q245_gram_single_exchange_no_join(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import vector as vec
+    from generative_ai_vector_db_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    plan = plan_of(vec._gram_scan_side(emb))
+    # the r9 scan-side outer product: the only Exchange is the (j, k)
+    # combiner; the r8 per-vec self-join (two shuffled N*d sides) is gone
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan

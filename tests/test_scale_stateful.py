@@ -680,3 +680,56 @@ def test_update_runlen_run_crosses_batch_boundary():
     assert rows["a"]["n_runs"] == 1 and rows["a"]["n_events"] == 3
     assert rows["a"]["max_run"] == 3
     assert rows["b"]["n_runs"] == 1 and rows["b"]["n_events"] == 1
+
+
+def test_update_runlen_sorts_across_chunk_boundaries():
+    """Out-of-time-order Arrow chunks within one micro-batch are
+    globally sorted before the run fold (ADVICE r8): a user's events
+    split as chunks [t3, t4], [t1, t2] must produce the same runs as
+    the time-ordered stream."""
+    import pandas as pd
+
+    from generative_ai_vector_db_spark.streaming import stateful
+
+    class _St:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    def frame(types, start_eid):
+        n = len(types)
+        return pd.DataFrame(
+            {
+                "event_id": range(start_eid, start_eid + n),
+                "ts": pd.to_datetime(
+                    [1_000_000_000 + i for i in range(start_eid, start_eid + n)],
+                    unit="s",
+                ),
+                "user_id": 1,
+                "event_type": types,
+                "value": 0.0,
+                "props": "{}",
+            }
+        )
+
+    # time order: a a b b  (runs: a×2, b×2). Delivered as [b b], [a a].
+    st = _St()
+    out = list(
+        stateful._update_runlen(
+            (1,), iter([frame(["b", "b"], 2), frame(["a", "a"], 0)]), st
+        )
+    )[0]
+    rows = {r["event_type"]: r for r in out.to_dict("records")}
+    assert rows["a"]["n_runs"] == 1 and rows["a"]["max_run"] == 2
+    assert rows["b"]["n_runs"] == 1 and rows["b"]["max_run"] == 2
+    # per-chunk-sort-only folding would have yielded b,b,a,a → same run
+    # counts but wrong OPEN run; assert state holds the time-latest run
+    assert st.get[0] == "b" and st.get[1] == 2
