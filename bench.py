@@ -34,6 +34,7 @@ from generative_ai_vector_db_spark.operators import (  # noqa: E402
     chunker,
     corpus,
     dedup,
+    graph,
     ingest,
     merge_registries,
     mllib_index,
@@ -41,6 +42,7 @@ from generative_ai_vector_db_spark.operators import (  # noqa: E402
     pandas_udfs,
     rag,
     relational,
+    retrieval,
     scale,
     store,
     temporal,
@@ -81,6 +83,12 @@ HEADLINE = [
     "q221_heavy_hitters",
     "q223_fuzzy_survivorship",
     "q228_quantile_normalize",
+    # round-8 heavy operators (added r9 per VERDICT r8 #4): the
+    # iterative-join, scan-side-gram and full-tokenize+collect_list
+    # shapes get numeric regression coverage like the r7 set above
+    "q236_inverted_index",
+    "q242_shortest_paths",
+    "q245_power_iteration",
 ]
 
 
@@ -97,8 +105,9 @@ def main() -> None:
         driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     )
     queries, _ = merge_registries(
-        relational, vector, chunker, corpus, ingest, text, dedup, multimodal,
-        pandas_udfs, mllib_index, store, rag, scale, temporal, streaming_jobs,
+        relational, vector, chunker, corpus, graph, ingest, text, dedup,
+        multimodal, pandas_udfs, mllib_index, store, rag, retrieval, scale,
+        temporal, streaming_jobs,
     )
 
     def run(name: str) -> float:

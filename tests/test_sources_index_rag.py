@@ -245,3 +245,57 @@ def test_q224_semdedup_planted_recall_and_fixture_noop(spark, sf_dir):
         assert recall >= 0.6, recall
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ivf_probe_path_exact_conditional_on_model(spark, sf_dir):
+    """VERDICT r8 #5: q49's probe path is EXACT given the fitted model —
+    an independent numpy reference (bit-identical left-to-right folds)
+    reproduces the full output: probed cells, candidate set, rounded
+    distances, ranks. This pins the deterministic part of q49 without a
+    cross-session golden hash (brittle: KMeans centroid sums depend on
+    input partitioning, so ulp drift near Voronoi boundaries can move
+    assignments between environments; conditional-on-model exactness
+    does not)."""
+    import numpy as np
+
+    emb = mllib_index._emb_vectors(spark, sf_dir)
+    model = mllib_index._cached_model(
+        spark, sf_dir, "ivf", lambda: mllib_index.build_ivf(emb)
+    )
+    assigned = (
+        model.transform(emb).select("vec_id", "embedding", "cell").toPandas()
+    )
+    X = np.stack(assigned["embedding"].to_numpy()).astype(np.float64)
+    ids = assigned["vec_id"].to_numpy()
+    cells = assigned["cell"].to_numpy()
+    C = np.array([[float(x) for x in c] for c in model.clusterCenters()])
+
+    def l2_rows(q, M):
+        # accumulate left-to-right over dims — the same double sequence
+        # as functions.vectors._fold_sum
+        acc = np.zeros(len(M))
+        for j in range(M.shape[1]):
+            d = q[j] - M[:, j]
+            acc += d * d
+        return np.sqrt(acc)
+
+    want = []
+    for qi in np.sort(ids[ids < mllib_index.N_QUERY]):
+        qv = X[ids == qi][0]
+        cd = l2_rows(qv, C)
+        probe = sorted(range(len(C)), key=lambda c: (cd[c], c))[
+            : mllib_index.IVF_NPROBE
+        ]
+        mask = np.isin(cells, probe) & (ids != qi)
+        dist = np.round(l2_rows(qv, X[mask]), 4)
+        cand = sorted(zip(dist, ids[mask]))[: mllib_index.K]
+        for rn, (d, v) in enumerate(cand, 1):
+            want.append((qi, v, d, rn))
+
+    got = [
+        tuple(r)
+        for r in mllib_index.q49_ann_ivf(spark, sf_dir)
+        .toPandas()
+        .itertuples(index=False)
+    ]
+    assert got == want, (got[:5], want[:5])
