@@ -69,29 +69,41 @@ _MODULES = [
 _QUERIES, _ORACLE = merge_registries(*_MODULES)
 
 # Registry ordering: the driver's correctness pass covers the FIRST 50
-# entries, so ordering is evidence placement. Round-8 window: (a) the
-# 18 new round-8 operators + q89 (converted rows-only -> exact oracle
-# this round), (b) the 23 r3-stale rows — after these, no green row
-# predates r4 (VERDICT r7 next-steps #1), (c) the oldest r4 rows —
-# the first 8 fill the window to exactly 50; the last 9 tier-2 rows
-# (q112-q120) spill past slot 50 and keep their r4 standing for the
-# r9 rotation. Tier 3 = other green queries (rows stand; remaining
-# r4 rows head the r9 rotation); tier 4 = rows-only-by-design.
+# entries, so ordering is evidence placement. Round-9 window (VERDICT
+# r8 #2): (a) the 12 new round-9 operators q248-q259 plus q239 (its
+# quartile assignment was rewritten this round — the rewrite gets a
+# fresh grade), (b) ALL 37 remaining r4-graded oracle rows
+# (q112-q120 tier-2 spill + the q121-q151 tier-3 head) — exactly 50;
+# after this round no oracle-backed green predates r5. Immediately
+# past the window: q242/q245/q89, whose implementations also changed
+# this round but hold r8 grades and local sf0.01+sf0.1 re-verification
+# (verify_sf) — they head the r10 window with the oldest r5 rows.
+# Tier 3 = other green queries in prior order (r5 rows first); tier 4
+# = rows-only-by-design, never in a graded slot.
 _PRIORITY = [
-    # tier 0 — NEW round-8 operators + q89 (first oracle grade after
-    # its rows-only-to-oracle conversion). Window rule: an operator
-    # added (or oracle-converted) this round is graded this round.
+    "q248_cdc_apply", "q249_ab_lift", "q250_gini_concentration",
+    "q251_prune_advisor", "q252_readability", "q253_canonical_dedup",
+    "q254_survival_retention", "q255_effective_rank", "q256_acf",
+    "q257_change_point", "q258_bpe_pair_stats", "q259_fill_latency",
+    "q239_rfm_segmentation", "q112_tpch_q7_shape", "q113_tpch_q11_shape",
+    "q114_tpch_q15_shape", "q115_tpch_q2_shape", "q116_tpch_q19_shape",
+    "q117_tpch_q21_shape", "q118_tpch_q22_shape", "q119_ngram_decontam",
+    "q120_span_dedup", "q121_unigram_logprob", "q122_scd2_dimension",
+    "q123_store_upsert", "q124_outer_attribution", "q125_time_rollup",
+    "q126_tpch_q8_shape", "q127_tpch_q9_shape", "q128_zorder_stats",
+    "q129_unpivot_metrics", "q130_range_search", "q131_copurchase_lift",
+    "q133_tpch_q16_shape", "q134_tpch_q17_shape", "q135_tpch_q20_shape",
+    "q136_quality_percentile_gate", "q137_token_curriculum",
+    "q138_skew_profile", "q139_integrity_audit", "q140_pergroup_trend",
+    "q141_incremental_agg", "q142_event_bitmask", "q143_embedding_dim_stats",
+    "q144_zipf_fit", "q145_token_entropy", "q146_pmi_collocations",
+    "q147_late_arrival_profile", "q148_tpch_q6_shape", "q151_traffic_bursts",
+    "q242_shortest_paths", "q245_power_iteration", "q89_mmr_rerank",
     "q73_temporal_split", "q231_ohlc_bars", "q232_source_corr",
     "q233_range_frame_ma", "q234_mutual_info", "q235_mad_outliers",
     "q236_inverted_index", "q237_knn_classify", "q238_gaps_islands",
-    "q239_rfm_segmentation", "q240_benford_test",
-    "q241_interpolation_join", "q242_shortest_paths",
-    "q243_split_leakage", "q244_run_length", "q245_power_iteration",
-    "q246_revenue_bridge", "q247_records_drawdown",
-    "q89_mmr_rerank",
-    # tier 1 — r3-stale rotation: the 23 oldest green rows (graded r3,
-    # before two testdata regenerations). After this round no green
-    # row predates r4 (VERDICT r7 next-steps #1).
+    "q240_benford_test", "q241_interpolation_join", "q243_split_leakage",
+    "q244_run_length", "q246_revenue_bridge", "q247_records_drawdown",
     "q83_bm25_topk", "q84_hybrid_rrf", "q85_dedup_corpus",
     "q86_tfidf_keywords", "q87_vocab_coverage", "q88_median_length_filter",
     "q90_tpch_q4_shape", "q91_tpch_q12_shape", "q92_tpch_q14_shape",
@@ -100,28 +112,9 @@ _PRIORITY = [
     "q99_centroid_outliers", "q100_rolling_anomaly",
     "q101_stratified_downsample", "q102_hash_split", "q103_length_bucketing",
     "q104_truncation_stats", "q105_source_overlap_matrix",
-    "q107_retention_cohorts",
-    # tier 2 — oldest r4 rows, filling the 50-slot window exactly.
-    "q33_session_window", "q58_asof_join", "q70_interval_join",
-    "q106_sessionize", "q108_grouping_sets", "q109_tpch_q5_shape",
-    "q110_tpch_q18_shape", "q111_stream_static_enrich", "q112_tpch_q7_shape",
-    "q113_tpch_q11_shape", "q114_tpch_q15_shape", "q115_tpch_q2_shape",
-    "q116_tpch_q19_shape", "q117_tpch_q21_shape", "q118_tpch_q22_shape",
-    "q119_ngram_decontam", "q120_span_dedup",
-    # ---- driver's 50-slot window ends here ----
-    # tier 3 — all other driver-green oracle queries (rows stand):
-    # remaining r4 rows first (the r9 rotation head), then r5+ in
-    # prior registry order.
-    "q121_unigram_logprob", "q122_scd2_dimension", "q123_store_upsert",
-    "q124_outer_attribution", "q125_time_rollup", "q126_tpch_q8_shape",
-    "q127_tpch_q9_shape", "q128_zorder_stats", "q129_unpivot_metrics",
-    "q130_range_search", "q131_copurchase_lift", "q133_tpch_q16_shape",
-    "q134_tpch_q17_shape", "q135_tpch_q20_shape",
-    "q136_quality_percentile_gate", "q137_token_curriculum",
-    "q138_skew_profile", "q139_integrity_audit", "q140_pergroup_trend",
-    "q141_incremental_agg", "q142_event_bitmask", "q143_embedding_dim_stats",
-    "q144_zipf_fit", "q145_token_entropy", "q146_pmi_collocations",
-    "q147_late_arrival_profile", "q148_tpch_q6_shape", "q151_traffic_bursts",
+    "q107_retention_cohorts", "q33_session_window", "q58_asof_join",
+    "q70_interval_join", "q106_sessionize", "q108_grouping_sets",
+    "q109_tpch_q5_shape", "q110_tpch_q18_shape", "q111_stream_static_enrich",
     "q215_fuzzy_blocked_dedup", "q216_rolling_distinct",
     "q217_bucketed_join", "q218_pareto_front", "q219_chi2_assoc",
     "q220_ks_drift", "q221_heavy_hitters", "q222_interval_union",
@@ -172,15 +165,11 @@ _PRIORITY = [
     "q191_debounce", "q192_citation_coverage", "q193_graph_pagerank",
     "q194_range_partition_plan", "q195_session_paths",
     "q196_weighted_length_quartiles", "q197_vector_integrity",
-    "q198_purge_audit", "q199_rate_limit",
-    # tier 4 — rows-only by design (sketches, seeded LSH, Python
-    # algos; q50's digest is not SQL-expressible — q78 is its graded
-    # twin). Must never occupy a graded window slot.
-    "q50_ingest_pipeline", "q05_approx_count_distinct",
-    "q61_approx_quantiles", "q46_ann_lsh_topk", "q48_chunk_recursive",
-    "q44_minhash_neardup", "q45_simhash_neardup", "q47_ann_brp_lsh",
-    "q49_ann_ivf", "q51_minhash_lsh_simjoin", "q175_ann_ivf_pq",
-    "q214_ann_graph", "q224_semdedup",
+    "q198_purge_audit", "q199_rate_limit", "q50_ingest_pipeline",
+    "q05_approx_count_distinct", "q61_approx_quantiles", "q46_ann_lsh_topk",
+    "q48_chunk_recursive", "q44_minhash_neardup", "q45_simhash_neardup",
+    "q47_ann_brp_lsh", "q49_ann_ivf", "q51_minhash_lsh_simjoin",
+    "q175_ann_ivf_pq", "q214_ann_graph", "q224_semdedup",
 ]
 
 

@@ -816,6 +816,83 @@ ORDER BY p_type, p_name
 """
 
 
+# ---------------------------------------------------------------------------
+# q253 — canonicalization dedup: the cheap middle rung between q12's
+# byte-exact sha2 dedup (reference parity: SHA-256 of the raw file,
+# helper/multiple_document_upload.py:15-18) and q44's MinHash — two
+# docs differing only in case, punctuation or whitespace ARE
+# duplicates for training purposes, and a strict byte hash misses
+# them. Canonical form = lowercase, non-alphanumerics collapsed to
+# single spaces, trimmed; additionally an 8-token PREFIX canon
+# catches boilerplate-headed docs (template intros with divergent
+# tails) — the common crawl pattern. Per source: doc counts, docs
+# removed by each rung, survivors (min doc_id per group). Everything
+# is scan-side string expressions + two count-distincts per source —
+# one shuffle, no joins, no UDFs; at 100 TB the canon hash (not the
+# text) is what crosses the exchange if you swap count-distinct for
+# the sha2-of-canon form documented in q12.
+# ---------------------------------------------------------------------------
+CANON_PREFIX_TOKENS = 8
+
+
+def q253_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    canon = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    prefix = F.array_join(
+        F.slice(F.split(canon, " "), 1, CANON_PREFIX_TOKENS), " "
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "source", canon.alias("canon"), prefix.alias("prefix")
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("canon").cast("bigint").alias("n_canon"),
+            F.countDistinct("prefix").cast("bigint").alias("n_prefix"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            (F.col("n_docs") - F.col("n_canon")).alias("exact_canon_dups"),
+            (F.col("n_docs") - F.col("n_prefix")).alias("prefix_dups"),
+            ((F.col("n_docs") - F.col("n_prefix")) / F.col("n_docs")).alias(
+                "prefix_dup_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+Q253_SQL = f"""
+WITH c AS (
+  SELECT source,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS canon
+  FROM documents
+),
+cp AS (
+  SELECT source, canon,
+         array_to_string(string_split(canon, ' ')[1:{CANON_PREFIX_TOKENS}], ' ')
+           AS prefix
+  FROM c
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT canon) AS BIGINT) AS n_canon,
+         CAST(count(DISTINCT prefix) AS BIGINT) AS n_prefix
+  FROM cp GROUP BY source
+)
+SELECT source, n_docs,
+       n_docs - n_canon AS exact_canon_dups,
+       n_docs - n_prefix AS prefix_dups,
+       (n_docs - n_prefix) / CAST(n_docs AS DOUBLE) AS prefix_dup_rate
+FROM agg
+ORDER BY source
+"""
+
+
 QUERIES = {
     "q44_minhash_neardup": q44_minhash_neardup,
     "q45_simhash_neardup": q45_simhash_neardup,
@@ -825,10 +902,12 @@ QUERIES = {
     "q215_fuzzy_blocked_dedup": q215_fuzzy_blocked_dedup,
     "q223_fuzzy_survivorship": q223_fuzzy_survivorship,
     "q230_lsh_param_advisor": q230_lsh_param_advisor,
+    "q253_canonical_dedup": q253_canonical_dedup,
 }
 
 ORACLE: dict[str, str] = {
     "q223_fuzzy_survivorship": Q223_SQL,
+    "q253_canonical_dedup": Q253_SQL,
     "q230_lsh_param_advisor": Q230_SQL,
     "q76_dedup_clusters": Q76_SQL,
     "q186_incremental_dedup": Q186_SQL,

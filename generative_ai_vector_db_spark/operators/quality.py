@@ -2046,6 +2046,172 @@ ORDER BY split
 """
 
 
+# ---------------------------------------------------------------------------
+# q249 — A/B experiment lift: deterministic variant assignment
+# (user_id parity — in production a hash-mod bucket, q102's shape),
+# per-user conversion (any 'purchase' event), per-variant rates and
+# the pooled two-proportion z statistic. The experiment-readout
+# primitive a data platform runs constantly; q219's chi2 is the
+# k x k association screen, this is the 2-arm decision statistic with
+# effect direction. Conversion is ACTIVATION — first purchase within
+# 24 h of the user's first event — because lifetime has-ever-purchased
+# saturates to 1.0 on a year of events (se = 0, z undefined); the
+# activation framing is scale-invariant and non-degenerate at every
+# sf. Plan: ONE groupBy(user) conditional-min then one tiny 2-group
+# aggregate pivoted into a single row — events reduce map-side;
+# nothing but 2 rows crosses the final stage. Floats: rates and z are
+# emitted RAW (divisions/sqrt of identical ints are bit-identical
+# across engines; the driver canonicalizes once — the 4-dp policy in
+# DESIGN.md round-8 delta); z is NULL if the pooled se is 0.
+# ---------------------------------------------------------------------------
+def q249_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    ).select(
+        "user_id",
+        F.when(
+            F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") <= F.col("first_ts") + F.expr("INTERVAL 1 DAY")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("conv"),
+    )
+    per_var = (
+        per_user.withColumn("variant", (F.col("user_id") % 2).cast("int"))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("conv").cast("bigint").alias("k"),
+        )
+    )
+    row = per_var.groupBy().agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("k"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("k"))).alias("conv_b"),
+    )
+    ra = F.col("conv_a") / F.col("n_a")
+    rb = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return row.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        ra.alias("rate_a"),
+        rb.alias("rate_b"),
+        (rb - ra).alias("abs_lift"),
+        F.when(se > 0, (rb - ra) / se).alias("z_stat"),
+    )
+
+
+Q249_SQL = """
+WITH mins AS (
+  SELECT user_id,
+         min(ts) AS first_ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+),
+per_user AS (
+  SELECT user_id,
+         CASE WHEN first_purchase IS NOT NULL
+                   AND first_purchase <= first_ts + INTERVAL 1 DAY
+              THEN 1 ELSE 0 END AS conv
+  FROM mins
+),
+per_var AS (
+  SELECT CAST(user_id % 2 AS INT) AS variant,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(conv) AS BIGINT) AS k
+  FROM per_user GROUP BY 1
+),
+row_ AS (
+  SELECT max(CASE WHEN variant = 0 THEN n END) AS n_a,
+         max(CASE WHEN variant = 0 THEN k END) AS conv_a,
+         max(CASE WHEN variant = 1 THEN n END) AS n_b,
+         max(CASE WHEN variant = 1 THEN k END) AS conv_b
+  FROM per_var
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       conv_a / CAST(n_a AS DOUBLE) AS rate_a,
+       conv_b / CAST(n_b AS DOUBLE) AS rate_b,
+       conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE) AS abs_lift,
+       CASE WHEN sqrt((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)
+                      * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 / n_a + 1.0 / n_b)) > 0
+            THEN (conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE))
+                 / sqrt((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)
+                        * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / n_a + 1.0 / n_b))
+            END AS z_stat
+FROM row_
+"""
+
+
+# ---------------------------------------------------------------------------
+# q250 — Gini concentration of per-user spend within each event type:
+# HOW UNEQUAL is each event stream's value distribution across users
+# (corpus analogue: contributor concentration — a source where 1% of
+# contributors produce 90% of content is a poisoning/robustness risk).
+# Gini via the rank formula G = (2*Σ r_i x_i − (n+1) Σ x_i)/(n Σ x_i)
+# with x ascending. Determinism: per-user sums are ROUNDED to 4 dp
+# before ranking — the true sum of 2-dp values is an exact ≤2-dp
+# decimal, so rounding is identity on both engines (the safe class in
+# DESIGN.md) and the (x, user_id) rank is reproducible; the Gini
+# itself is emitted raw. Plan: per-(type, user) aggregate reduces
+# map-side, then a rank window PARTITIONED by event_type (never
+# global), then a per-type aggregate — two shuffles on the same key.
+# ---------------------------------------------------------------------------
+def q250_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 4).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    ranked = per_user.withColumn("r", F.row_number().over(w).cast("double"))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.sum("x"), 4).alias("total_value"),
+            (
+                (2.0 * F.sum(F.col("r") * F.col("x"))
+                 - (F.count(F.lit(1)) + 1.0) * F.sum("x"))
+                / (F.count(F.lit(1)) * F.sum("x"))
+            ).alias("gini"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q250_SQL = """
+WITH per_user AS (
+  SELECT event_type, user_id, round(sum(value), 4) AS x
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, x,
+         CAST(row_number() OVER (
+           PARTITION BY event_type ORDER BY x, user_id) AS DOUBLE) AS r
+  FROM per_user
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(sum(x), 4) AS total_value,
+       (2.0 * sum(r * x) - (count(*) + 1.0) * sum(x))
+         / (count(*) * sum(x)) AS gini
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q93_gopher_quality": q93_gopher_quality,
     "q94_source_cap": q94_source_cap,
@@ -2075,6 +2241,8 @@ QUERIES = {
     "q240_benford_test": q240_benford_test,
     "q243_split_leakage": q243_split_leakage,
     "q220_ks_drift": q220_ks_drift,
+    "q249_ab_lift": q249_ab_lift,
+    "q250_gini_concentration": q250_gini_concentration,
 }
 
 ORACLE = {
@@ -2106,4 +2274,6 @@ ORACLE = {
     "q240_benford_test": Q240_SQL,
     "q243_split_leakage": Q243_SQL,
     "q220_ks_drift": Q220_SQL,
+    "q249_ab_lift": Q249_SQL,
+    "q250_gini_concentration": Q250_SQL,
 }

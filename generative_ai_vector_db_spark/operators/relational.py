@@ -1950,6 +1950,68 @@ ORDER BY p_brand
 """
 
 
+# ---------------------------------------------------------------------------
+# q259 — order-fulfilment latency distribution: days from order date
+# to the LAST line shipment, summarized per order priority (count,
+# mean, exact p50/p90 via interpolated percentile, max). The
+# SLA-readout shape: one fact-to-fact aggregate then a percentile per
+# small group. Plan: lineitem reduces to per-order max(l_shipdate) in
+# ONE map-side-combining groupBy on l_orderkey, joins orders on the
+# same key (co-partitioned shuffle), then a 5-group percentile
+# aggregate — latencies are small ints so the exact percentile state
+# is a per-group histogram, not a sort. Parity: Spark F.percentile
+# and DuckDB quantile_cont both use the (n-1)p linear-interpolation
+# estimator; inputs are identical ints so the doubles match.
+# ---------------------------------------------------------------------------
+def q259_fill_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("last_ship"), F.to_date("o_orderdate")).alias(
+            "latency_days"
+        ),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.avg("latency_days").alias("avg_days"),
+            F.percentile("latency_days", F.lit(0.5)).alias("p50_days"),
+            F.percentile("latency_days", F.lit(0.9)).alias("p90_days"),
+            F.max("latency_days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q259_SQL = """
+WITH last_ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY l_orderkey
+),
+lat AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.last_ship AS DATE))
+           AS latency_days
+  FROM orders o JOIN last_ship l ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       avg(latency_days) AS avg_days,
+       quantile_cont(latency_days, 0.5) AS p50_days,
+       quantile_cont(latency_days, 0.9) AS p90_days,
+       CAST(max(latency_days) AS BIGINT) AS max_days
+FROM lat
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_pushdown": q02_filter_pushdown,
@@ -1975,6 +2037,7 @@ QUERIES = {
     "q22_array_fns": q22_array_fns,
     "q23_json_fns": q23_json_fns,
     "q30_store_counts": q30_store_counts,
+    "q259_fill_latency": q259_fill_latency,
     "q34_latest_per_key": q34_latest_per_key,
     "q36_weighted_avg": q36_weighted_avg,
     "q54_percentiles": q54_percentiles,
@@ -2004,6 +2067,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q259_fill_latency": Q259_SQL,
     "q218_pareto_front": Q218_SQL,
     "q01_scan_project": Q01_SQL,
     "q02_filter_pushdown": Q02_SQL,

@@ -1309,6 +1309,119 @@ ORDER BY col_name
 """
 
 
+# ---------------------------------------------------------------------------
+# q251 — zone-map prune advisor: simulate file-level min/max pruning
+# for a date predicate under two physical layouts of lineitem —
+# shipdate-clustered files (file = shipdate month: the layout a
+# time-partitioned lake produces) vs orderkey-clustered files (file =
+# orderkey div 4096: insert-order clustering, shipdate uncorrelated).
+# For each layout: per-file zone map (min/max l_shipdate), a file is
+# SKIPPED iff its range is disjoint from the predicate; report files
+# and rows scanned vs matched. This quantifies the q128/q194 layout
+# story against a concrete predicate: the month layout prunes to the
+# 3 touched files, the orderkey layout scans everything — the
+# measurement behind "cluster by your filter column" at 100 TB.
+# Plan: one scan per layout into a per-file aggregate (map-side
+# combine), then a per-layout rollup of file verdicts — zone maps,
+# not data, cross the final exchange.
+# ---------------------------------------------------------------------------
+PRUNE_LO, PRUNE_HI = "1994-01-01", "1994-03-31"
+PRUNE_ORDERKEY_WIDTH = 4096
+
+
+def q251_prune_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lo, hi = F.lit(PRUNE_LO).cast("date"), F.lit(PRUNE_HI).cast("date")
+    match = (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") <= hi)
+
+    def layout(df: DataFrame, name: str, file_id) -> DataFrame:
+        files = (
+            df.groupBy(file_id.alias("file_id"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.min("l_shipdate").alias("zmin"),
+                F.max("l_shipdate").alias("zmax"),
+                F.sum(match.cast("bigint")).cast("bigint").alias("n_match"),
+            )
+            .withColumn("scanned", ((F.col("zmax") >= lo) & (F.col("zmin") <= hi)))
+        )
+        return files.agg(
+            F.lit(name).alias("layout"),
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(F.col("scanned").cast("bigint")).cast("bigint").alias("files_scanned"),
+            F.sum("n_rows").cast("bigint").alias("rows_total"),
+            F.sum(F.when(F.col("scanned"), F.col("n_rows")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.sum("n_match").cast("bigint").alias("rows_matched"),
+        )
+
+    by_month = layout(
+        li,
+        "shipdate_month",
+        F.year("l_shipdate") * 100 + F.month("l_shipdate"),
+    )
+    by_order = layout(
+        li,
+        "orderkey_range",
+        F.floor(F.col("l_orderkey") / PRUNE_ORDERKEY_WIDTH).cast("bigint"),
+    )
+    return (
+        by_month.unionByName(by_order)
+        .select(
+            "layout",
+            "n_files",
+            "files_scanned",
+            "rows_total",
+            "rows_scanned",
+            "rows_matched",
+            (F.col("rows_scanned") / F.col("rows_total")).alias("scan_ratio"),
+        )
+        .orderBy("layout")
+    )
+
+
+Q251_SQL = f"""
+WITH li AS (SELECT l_orderkey, l_shipdate FROM lineitem),
+tagged AS (
+  SELECT l_shipdate,
+         CASE WHEN l_shipdate >= DATE '{PRUNE_LO}'
+                   AND l_shipdate <= DATE '{PRUNE_HI}' THEN 1 ELSE 0 END AS m,
+         CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS f_month,
+         CAST(floor(l_orderkey / {PRUNE_ORDERKEY_WIDTH}.0) AS BIGINT) AS f_order
+  FROM li
+),
+files AS (
+  SELECT 'shipdate_month' AS layout, f_month AS file_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         min(l_shipdate) AS zmin, max(l_shipdate) AS zmax,
+         CAST(sum(m) AS BIGINT) AS n_match
+  FROM tagged GROUP BY 2
+  UNION ALL
+  SELECT 'orderkey_range', f_order,
+         CAST(count(*) AS BIGINT),
+         min(l_shipdate), max(l_shipdate),
+         CAST(sum(m) AS BIGINT)
+  FROM tagged GROUP BY 2
+),
+verdict AS (
+  SELECT *, (zmax >= DATE '{PRUNE_LO}' AND zmin <= DATE '{PRUNE_HI}') AS scanned
+  FROM files
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN scanned THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(sum(n_match) AS BIGINT) AS rows_matched,
+       sum(CASE WHEN scanned THEN n_rows ELSE 0 END)
+         / CAST(sum(n_rows) AS DOUBLE) AS scan_ratio
+FROM verdict
+GROUP BY layout
+ORDER BY layout
+"""
+
+
 QUERIES = {
     "q56_salted_agg": q56_salted_agg,
     "q128_zorder_stats": q128_zorder_stats,
@@ -1324,6 +1437,7 @@ QUERIES = {
     "q209_tuning_advisor": q209_tuning_advisor,
     "q217_bucketed_join": q217_bucketed_join,
     "q227_schema_drift": q227_schema_drift,
+    "q251_prune_advisor": q251_prune_advisor,
 }
 
 ORACLE = {
@@ -1341,4 +1455,5 @@ ORACLE = {
     "q194_range_partition_plan": Q194_SQL,
     "q198_purge_audit": Q198_SQL,
     "q209_tuning_advisor": Q209_SQL,
+    "q251_prune_advisor": Q251_SQL,
 }

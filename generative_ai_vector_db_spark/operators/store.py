@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
@@ -346,11 +346,83 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# q248 — CDC change-log application with delete tombstones. The
+# reference's store only ever appends or bulk-deletes by metadata
+# (helper/multiple_document_upload.py:161-200); a production store also
+# consumes ordered change streams (Debezium/Delta CDF shape):
+# upsert/delete events applied per key in (ts, event_id) order, where a
+# trailing tombstone removes the key entirely — stricter than q34/q123
+# latest-per-key, which have no delete semantics. Fixture mapping:
+# events with event_type='error' are tombstones, every other event
+# upserts ``value``. Plan: ONE hash shuffle on user_id serves both the
+# per-key last-record window (row_number desc) and the per-key op
+# counts (the window and groupBy share the clustering); no self-join,
+# no global sort. At 100 TB the log is typically time-partitioned —
+# the same plan applies per partition with a final latest-merge.
+# ---------------------------------------------------------------------------
+def q248_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    op = F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    d = ev.withColumn("op", op).withColumn("rn", F.row_number().over(w))
+    agg = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ops"),
+        F.sum((F.col("op") == "D").cast("bigint")).cast("bigint").alias("n_deletes"),
+    )
+    last = d.where(F.col("rn") == 1).select(
+        "user_id", F.col("op").alias("last_op"), "value", F.col("ts").alias("last_ts")
+    )
+    return (
+        agg.join(last, "user_id")
+        .where(F.col("last_op") == "U")  # tombstoned keys are gone
+        .select(
+            "user_id",
+            "n_ops",
+            "n_deletes",
+            F.round("value", 4).alias("final_value"),
+            "last_ts",
+        )
+        .orderBy("user_id")
+    )
+
+
+Q248_SQL = """
+WITH log AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM log
+),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_ops,
+         CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+  FROM log GROUP BY user_id
+)
+SELECT a.user_id, a.n_ops, a.n_deletes,
+       round(r.value, 4) AS final_value,
+       r.ts AS last_ts
+FROM agg a JOIN ranked r ON a.user_id = r.user_id AND r.rn = 1
+WHERE r.op = 'U'
+ORDER BY a.user_id
+"""
+
+
 QUERIES = {
     "q52_delete_by_source": q52_delete_by_source,
     "q123_store_upsert": q123_store_upsert,
     "q176_snapshot_diff": q176_snapshot_diff,
     "q202_compaction_plan": q202_compaction_plan,
+    "q248_cdc_apply": q248_cdc_apply,
 }
 
 ORACLE = {
@@ -358,4 +430,5 @@ ORACLE = {
     "q123_store_upsert": Q123_SQL,
     "q176_snapshot_diff": Q176_SQL,
     "q202_compaction_plan": Q202_SQL,
+    "q248_cdc_apply": Q248_SQL,
 }

@@ -2243,8 +2243,241 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q254 — Kaplan-Meier survival over user lifetimes: S(t) for t in
+# 0..T-1 days where "death" = the user's LAST observed event day
+# (lifetime = last day − first day), right-censored at T. The
+# retention curve behind cohort charts (q107 counts returns per
+# month; this is the canonical at-risk/deaths product estimator).
+# Scale shape: ONE per-user aggregate over events (map-side reduce),
+# then a lifetime HISTOGRAM (≤ a few hundred distinct day values) —
+# all survival arithmetic happens on the bounded histogram, broadcast
+# everywhere; the heavy table is touched once. Float parity: S(t) is
+# a strict left-to-right product of the (1 − d/n) factors in t order
+# on BOTH engines (Spark aggregate() fold over the sorted factor
+# array / DuckDB list_reduce over list(... ORDER BY t)) — IEEE
+# multiplication is order-sensitive, fold order is pinned, so the
+# doubles are bit-identical (the functions/vectors.py policy).
+# ---------------------------------------------------------------------------
+KM_HORIZON_DAYS = 14
+
+
+def q254_survival_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias("lt")
+    )
+    hist = life.groupBy("lt").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ts = spark.range(KM_HORIZON_DAYS).select(F.col("id").cast("int").alias("t"))
+    # at-risk n_t = users with lifetime >= t; deaths d_t at exactly t
+    joined = ts.crossJoin(F.broadcast(hist)).groupBy("t").agg(
+        F.sum(F.when(F.col("lt") >= F.col("t"), F.col("d")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_at_risk"),
+        F.sum(F.when(F.col("lt") == F.col("t"), F.col("d")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_deaths"),
+    )
+    factor = F.when(
+        F.col("n_at_risk") > 0,
+        1.0 - F.col("n_deaths").cast("double") / F.col("n_at_risk"),
+    ).otherwise(F.lit(1.0))
+    facs = joined.select("t", "n_at_risk", "n_deaths", factor.alias("f"))
+    all_f = facs.agg(
+        F.array_sort(F.collect_list(F.struct("t", "f"))).alias("fs")
+    )
+    return (
+        facs.crossJoin(F.broadcast(all_f))
+        .select(
+            "t",
+            "n_at_risk",
+            "n_deaths",
+            F.aggregate(
+                F.transform(
+                    F.slice(F.col("fs"), 1, F.col("t") + 1), lambda x: x["f"]
+                ),
+                F.lit(1.0),
+                lambda acc, x: acc * x,
+            ).alias("survival"),
+        )
+        .orderBy("t")
+    )
+
+
+Q254_SQL = f"""
+WITH life AS (
+  SELECT user_id,
+         date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS lt
+  FROM events GROUP BY user_id
+),
+hist AS (SELECT lt, CAST(count(*) AS BIGINT) AS d FROM life GROUP BY lt),
+ts AS (SELECT unnest(generate_series(0, {KM_HORIZON_DAYS - 1})) AS t),
+per_t AS (
+  SELECT t,
+         CAST(coalesce(sum(CASE WHEN lt >= t THEN d END), 0) AS BIGINT) AS n_at_risk,
+         CAST(coalesce(sum(CASE WHEN lt = t THEN d END), 0) AS BIGINT) AS n_deaths
+  FROM ts LEFT JOIN hist ON TRUE
+  GROUP BY t
+),
+facs AS (
+  SELECT t, n_at_risk, n_deaths,
+         CASE WHEN n_at_risk > 0
+              THEN 1.0 - CAST(n_deaths AS DOUBLE) / n_at_risk
+              ELSE CAST(1.0 AS DOUBLE) END AS f
+  FROM per_t
+),
+fl AS (SELECT list(CAST(f AS DOUBLE) ORDER BY t) AS fs FROM facs)
+SELECT t, n_at_risk, n_deaths,
+       list_reduce(list_prepend(CAST(1.0 AS DOUBLE), fs[1:t + 1]),
+                   (a, b) -> a * b) AS survival
+FROM facs, fl
+ORDER BY t
+"""
+
+
+# ---------------------------------------------------------------------------
+# q256 — autocorrelation function of the daily value series, lags
+# 1..7: the seasonality DETECTOR (q205 assumes day-of-week structure
+# and measures it; the ACF finds whatever periodicity is actually
+# there — the screen you run before fitting any seasonal model).
+# Sample ACF: r_k = Σ (x_t − x̄)(x_{t−k} − x̄) / Σ (x_t − x̄)², mean
+# and denominator over the FULL series (the standard estimator).
+# Scale shape: ONE groupBy(day) reduce over events; everything after
+# operates on the ~|days| daily frame — the lag alignment is an
+# explode(1..7) + equi-join on (day − lag) between two broadcast-size
+# sides, and the mean/denominator ride along via a broadcast
+# single-row crossJoin. Raw doubles out; the driver canonicalizes.
+# ---------------------------------------------------------------------------
+ACF_MAX_LAG = 7
+
+
+def q256_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum("value").alias("x"))
+    )
+    stats = daily.agg(F.avg("x").alias("mu"))
+    base = daily.crossJoin(F.broadcast(stats))
+    denom = base.agg(
+        F.sum((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))).alias("ss")
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = base.select("d", "x", "mu")
+    b = base.select(F.col("d").alias("d2"), F.col("x").alias("x2"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.date_add(F.col("d2"), F.col("lag")) == F.col("d"))
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum((F.col("x") - F.col("mu")) * (F.col("x2") - F.col("mu"))).alias(
+                "num"
+            ),
+        )
+        .crossJoin(F.broadcast(denom))
+        .select("lag", "n_pairs", (F.col("num") / F.col("ss")).alias("acf"))
+        .orderBy("lag")
+    )
+
+
+Q256_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, sum(value) AS x FROM events GROUP BY 1
+),
+mu AS (SELECT avg(x) AS mu FROM daily),
+ss AS (SELECT sum((x - mu) * (x - mu)) AS ss FROM daily, mu),
+lags AS (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag),
+pairs AS (
+  SELECT l.lag, a.x AS x, b.x AS x2, m.mu
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b ON b.d + CAST(l.lag AS INT) = a.d
+  CROSS JOIN mu m
+)
+SELECT CAST(lag AS INT) AS lag,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       sum((x - mu) * (x2 - mu)) / (SELECT ss FROM ss) AS acf
+FROM pairs
+GROUP BY lag
+ORDER BY lag
+"""
+
+
+# ---------------------------------------------------------------------------
+# q257 — change-point detection on the daily event-count/value series:
+# the split day t* maximizing |mean(≤t) − mean(>t)| (binary
+# segmentation's scoring step / the mean-shift CUSUM screen) — the
+# drift alarm for ingest pipelines ("traffic changed regime on day
+# X"). Scale shape: the heavy table reduces to the bounded daily
+# frame in ONE groupBy; split scoring is prefix sums over that
+# ~|days|-row frame via a day-ordered running window (documented
+# bounded-domain unpartitioned window, same class as q15/q247) and
+# the argmax is a 1-row TakeOrdered. Ties break to the EARLIEST day
+# on both engines. Raw doubles out.
+# ---------------------------------------------------------------------------
+def q257_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum("value").alias("x"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    tot = daily.agg(
+        F.sum("x").alias("sx"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    pref = (
+        daily.withColumn("cum", F.sum("x").over(w))
+        .withColumn("k", F.row_number().over(Window.orderBy("d")).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("k") < F.col("n"))  # both segments non-empty
+    )
+    mean_l = F.col("cum") / F.col("k")
+    mean_r = (F.col("sx") - F.col("cum")) / (F.col("n") - F.col("k"))
+    scored = pref.select(
+        F.date_format("d", "yyyy-MM-dd").alias("split_day"),
+        F.col("k").alias("n_before"),
+        (F.col("n") - F.col("k")).alias("n_after"),
+        mean_l.alias("mean_before"),
+        mean_r.alias("mean_after"),
+        F.abs(mean_r - mean_l).alias("abs_shift"),
+    )
+    return scored.orderBy(F.col("abs_shift").desc(), "split_day").limit(1)
+
+
+Q257_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, sum(value) AS x FROM events GROUP BY 1
+),
+tot AS (SELECT sum(x) AS sx, CAST(count(*) AS BIGINT) AS n FROM daily),
+pref AS (
+  SELECT d,
+         sum(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum,
+         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k
+  FROM daily
+)
+SELECT strftime(d, '%Y-%m-%d') AS split_day,
+       k AS n_before,
+       n - k AS n_after,
+       cum / k AS mean_before,
+       (sx - cum) / (n - k) AS mean_after,
+       abs((sx - cum) / (n - k) - cum / k) AS abs_shift
+FROM pref, tot
+WHERE k < n
+ORDER BY abs_shift DESC, split_day
+LIMIT 1
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
+    "q254_survival_retention": q254_survival_retention,
+    "q256_acf": q256_acf,
+    "q257_change_point": q257_change_point,
     "q59_range_join": q59_range_join,
     "q106_sessionize": q106_sessionize,
     "q107_retention_cohorts": q107_retention_cohorts,
@@ -2287,6 +2520,9 @@ ORACLE = {
     "q244_run_length": Q244_SQL,
     "q247_records_drawdown": Q247_SQL,
     "q58_asof_join": Q58_SQL,
+    "q254_survival_retention": Q254_SQL,
+    "q256_acf": Q256_SQL,
+    "q257_change_point": Q257_SQL,
     "q59_range_join": Q59_SQL,
     "q106_sessionize": Q106_SQL,
     "q107_retention_cohorts": Q107_SQL,

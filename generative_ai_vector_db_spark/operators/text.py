@@ -1185,6 +1185,142 @@ ORDER BY t.source
 """
 
 
+# ---------------------------------------------------------------------------
+# q252 — readability scoring (Flesch reading-ease with a vowel-group
+# syllable proxy): words, sentences and syllable estimates per
+# document, rolled up per source. The curation screen q38/q93 lack:
+# Gopher-style filters catch degenerate TEXT SHAPE, readability
+# catches register (legalese vs conversational) — a routine mixture
+# lever in pretraining-data recipes. Everything is scan-side
+# ``regexp_count`` arithmetic (JVM codegen, no UDF, no shuffle before
+# the per-source combine); syllables ~= [aeiouy]+ groups — the
+# standard cheap proxy, identical regex semantics on both engines.
+# Sentences are floored at 1 so headline-only docs don't divide by 0.
+# ---------------------------------------------------------------------------
+def q252_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.lower(F.col("text"))
+    words = F.regexp_count(t, F.lit("[a-z0-9]+"))
+    sents = F.greatest(F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1))
+    syll = F.regexp_count(t, F.lit("[aeiouy]+"))
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (words.cast("double") / sents.cast("double"))
+        - 84.6 * (syll.cast("double") / words.cast("double"))
+    )
+    per_doc = (
+        load(spark, sf_dir, "documents")
+        .where(F.length("text") > 0)
+        .select(
+            "source",
+            words.alias("w"),
+            sents.alias("s"),
+            syll.alias("y"),
+            flesch.alias("flesch"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (F.sum("w") / F.sum("s")).alias("words_per_sentence"),
+            (F.sum("y") / F.sum("w")).alias("syllables_per_word"),
+            F.avg("flesch").alias("avg_flesch"),
+        )
+        .orderBy("source")
+    )
+
+
+Q252_SQL = """
+WITH per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+  FROM documents WHERE length(text) > 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       sum(w) / CAST(sum(s) AS DOUBLE) AS words_per_sentence,
+       sum(y) / CAST(sum(w) AS DOUBLE) AS syllables_per_word,
+       avg(206.835 - 1.015 * (w / CAST(s AS DOUBLE))
+                   - 84.6 * (y / CAST(w AS DOUBLE))) AS avg_flesch
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q258 — BPE pair statistics: global counts of ADJACENT CHARACTER
+# PAIRS inside words — exactly the statistic the first BPE merge
+# iteration maximizes (Sennrich et al. 2016). Running it over a corpus
+# answers "what would the tokenizer learn first here" and detects
+# corpus drift tokenizer-side (a shifted top-pair table means shifted
+# character statistics). Distinct from q146 PMI (word-level
+# co-occurrence): this is character-level within words. Plan: words
+# explode scan-side (split), each word emits its len-1 bigrams via a
+# sequence/substr transform (all JVM expressions), and ONE hash
+# aggregate counts pairs — at 100 TB the pair domain is ~1k keys so
+# map-side combine collapses virtually all traffic before the
+# exchange. Top 20 by (count desc, pair) is a TakeOrdered, no global
+# sort.
+# ---------------------------------------------------------------------------
+BPE_TOP_PAIRS = 20
+
+
+def q258_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"))
+        .where(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair"),
+        "w",
+    )
+    total = pairs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("w").cast("bigint").alias("n_distinct_words"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "pair",
+            "n_occurrences",
+            "n_distinct_words",
+            (F.col("n_occurrences") / F.col("n_total")).alias("share"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+Q258_SQL = f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+keep AS (SELECT w FROM words WHERE length(w) >= 2),
+pairs AS (
+  SELECT w, unnest([substr(w, i, 2) for i in generate_series(1, length(w) - 1)]) AS pair
+  FROM keep
+),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM pairs)
+SELECT pair,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_words,
+       count(*) / (SELECT n_total FROM tot) AS share
+FROM pairs
+GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
 QUERIES = {
     "q37_lang_id": q37_lang_id,
     "q38_text_quality": q38_text_quality,
@@ -1204,6 +1340,8 @@ QUERIES = {
     "q179_pii_inventory": q179_pii_inventory,
     "q181_neardup_explain": q181_neardup_explain,
     "q190_compression_proxy": q190_compression_proxy,
+    "q252_readability": q252_readability,
+    "q258_bpe_pair_stats": q258_bpe_pair_stats,
 }
 
 ORACLE = {
@@ -1225,4 +1363,6 @@ ORACLE = {
     "q179_pii_inventory": Q179_SQL,
     "q181_neardup_explain": Q181_SQL,
     "q190_compression_proxy": Q190_SQL,
+    "q252_readability": Q252_SQL,
+    "q258_bpe_pair_stats": Q258_SQL,
 }

@@ -1336,6 +1336,60 @@ FROM lam, tr, nv
 Q245_SQL = _q245_sql()
 
 
+# ---------------------------------------------------------------------------
+# q255 — effective rank (participation ratio) of the embedding gram:
+# tr(G)^2 / tr(G^2) = (Σλ)^2 / Σλ^2 — the dimensionality-collapse
+# scalar that complements q245's top-eigenvalue share: q245 asks "how
+# dominant is the top direction", this asks "how many directions
+# effectively carry variance" (d for isotropic, → 1 for collapsed).
+# NO iterations needed: both traces are direct functionals of G, and
+# for symmetric G, tr(G^2) = Σ_jk G_jk^2 — so the whole operator is
+# the q245 scan-side gram (single Exchange, see _gram_scan_side)
+# plus a 4096-row aggregate. Raw doubles out; driver canonicalizes.
+# ---------------------------------------------------------------------------
+def q255_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    gram = _gram_scan_side(emb)
+    stats = gram.agg(
+        F.sum(F.when(F.col("j") == F.col("k"), F.col("g"))).alias("tr"),
+        F.sum(F.col("g") * F.col("g")).alias("tr2"),
+    )
+    nvec = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vec"))
+    return stats.crossJoin(F.broadcast(nvec)).select(
+        "n_vec",
+        F.lit(EMB_DIM).cast("bigint").alias("dim"),
+        F.col("tr").alias("trace_total"),
+        (F.col("tr") * F.col("tr") / F.col("tr2")).alias("effective_rank"),
+        (F.col("tr") * F.col("tr") / F.col("tr2") / EMB_DIM).alias(
+            "rank_fraction"
+        ),
+    )
+
+
+Q255_SQL = f"""
+WITH dims AS (SELECT unnest(generate_series(1, {EMB_DIM})) AS j),
+gmat AS MATERIALIZED (
+  SELECT d1.j AS j, d2.j AS k,
+         sum(CAST(e.embedding[d1.j] AS DOUBLE)
+             * CAST(e.embedding[d2.j] AS DOUBLE)) AS g
+  FROM embeddings e, dims d1, dims d2
+  GROUP BY 1, 2
+),
+st AS (
+  SELECT sum(CASE WHEN j = k THEN g END) AS tr,
+         sum(g * g) AS tr2
+  FROM gmat
+),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vec FROM embeddings)
+SELECT n_vec,
+       CAST({EMB_DIM} AS BIGINT) AS dim,
+       tr AS trace_total,
+       tr * tr / tr2 AS effective_rank,
+       tr * tr / tr2 / {EMB_DIM} AS rank_fraction
+FROM st, nv
+"""
+
+
 QUERIES = {
     "q25_knn_l2": q25_knn_l2,
     "q26_knn_cosine": q26_knn_cosine,
@@ -1353,6 +1407,7 @@ QUERIES = {
     "q213_cross_label_audit": q213_cross_label_audit,
     "q237_knn_classify": q237_knn_classify,
     "q245_power_iteration": q245_power_iteration,
+    "q255_effective_rank": q255_effective_rank,
 }
 
 ORACLE = {
@@ -1371,4 +1426,5 @@ ORACLE = {
     "q213_cross_label_audit": Q213_SQL,
     "q237_knn_classify": Q237_SQL,
     "q245_power_iteration": Q245_SQL,
+    "q255_effective_rank": Q255_SQL,
 }
