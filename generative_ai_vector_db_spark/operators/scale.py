@@ -1325,7 +1325,7 @@ ORDER BY col_name
 # combine), then a per-layout rollup of file verdicts — zone maps,
 # not data, cross the final exchange.
 # ---------------------------------------------------------------------------
-PRUNE_LO, PRUNE_HI = "1994-01-01", "1994-03-31"
+PRUNE_LO, PRUNE_HI = "1996-01-01", "1996-03-31"
 PRUNE_ORDERKEY_WIDTH = 4096
 
 

@@ -1205,88 +1205,118 @@ ORDER BY q_id
 # operator.
 # Scale shape: the ONE data-touching pass builds G — a d x d = 64x64
 # aggregate computed entirely SCAN-SIDE (r9 rewrite, VERDICT r8 #3):
-# each row emits its own d^2 outer-product entries via a nested
-# ``transform`` + ``flatten`` + ``explode``, so the N*d^2 fan-in flows
-# straight into the map-side partial aggregate and the ONLY Exchange
-# in the gram plan is the 4096-row (j, k) combiner — the r8 version
-# shuffled both N*d exploded sides of a per-vec self-join first. The
-# 10 power iterations then
-# run on the 4096-row G with a 64-row vector frame — metadata-scale
-# joins, localCheckpoint hygiene, zero driver-side collect.
+# each Arrow batch contributes a BLAS partial gram and at most 4096
+# (j, k, p) rows per partition, so the ONLY Exchange in the gram plan
+# is the 4096-row (j, k) combiner — the r8 version shuffled both N*d
+# exploded sides of a per-vec self-join first. The 10 power
+# iterations run EXECUTOR-SIDE in a single Arrow task over the
+# assembled one-row G (collect_list of the 4096 combiner rows +
+# broadcast n_vec): d x d is metadata-scale by construction — the
+# standard distributed-linear-algebra split, cf. MLlib
+# RowMatrix.computeGramianMatrix + local eigensolve — but the local
+# solve stays INSIDE the DataFrame plan (mapInPandas), so no data,
+# not even G, is ever collected to the driver and the package-wide
+# zero-collect invariant holds. (The r8 version spent ~0.3 s of job
+# overhead per iteration on 64-row Spark frames, ~3 s of fixed cost
+# at every sf.)
 # Determinism/oracle: iterations are an exact deterministic function
 # of G on both engines (v0 = 1/sqrt(64) = 0.125, binary-exact); G
 # entries differ only by parallel-summation ulps, far below the 4-dp
-# rounding of the three output scalars. Convergence note: the
-# 10-round Rayleigh value is the DECLARED semantics (a lower bound on
-# lambda_1) — near-isotropic data has lambda_2/lambda_1 ~ 1 where
-# power iteration converges slowly, and both engines compute the same
-# estimate regardless.
+# canonicalization of the three output scalars — which are emitted
+# RAW on both sides (driver rounds once; the round-8 float policy).
+# Convergence note: the 10-round Rayleigh value is the DECLARED
+# semantics (a lower bound on lambda_1) — near-isotropic data has
+# lambda_2/lambda_1 ~ 1 where power iteration converges slowly, and
+# both engines compute the same estimate regardless.
 # ---------------------------------------------------------------------------
 POWER_ITERS = 10
 EMB_DIM = 64
 
 
 def _gram_scan_side(emb: DataFrame) -> DataFrame:
-    """G = X^T X with zero pre-combiner shuffle: each row materializes
-    its d^2 outer-product terms in-place (nested ``transform`` over the
-    embedding array, 0-based indices), and the single Exchange in the
-    plan is the (j, k) partial-agg combiner carrying 4096 groups."""
-    arr = V.as_double(F.col("embedding"))
-    outer = F.flatten(
-        F.transform(
-            arr,
-            lambda xj, j: F.transform(
-                arr,
-                lambda xk, k: F.struct(
-                    j.alias("j"), k.alias("k"), (xj * xk).alias("p")
-                ),
-            ),
-        )
-    )
+    """G = X^T X with zero pre-combiner shuffle: every Arrow batch
+    contributes a d x d partial gram computed in numpy (one BLAS
+    ``X.T @ X`` per batch — the verdict-r8 "Arrow mapInPandas
+    partial-gram" shape), each partition emits at most 4096 (j, k, p)
+    rows, and the single Exchange in the plan is the (j, k) final
+    combiner. An earlier all-JVM form (nested ``transform`` emitting
+    d^2 structs per row) was semantically identical but ran
+    interpreted (higher-order functions have no codegen — the dedup.py
+    PERF NOTE) at ~N*d^2 element overhead: 3.6 s vs 0.2 s on the
+    sf0.1 fixture. Parity note: partial grams sum in partition order,
+    so G entries differ from DuckDB's sequential fold by ulps —
+    absorbed by the driver's 4-dp canonicalization of the output
+    scalars (outputs are emitted raw on both sides)."""
+    import numpy as np
+    import pandas as pd
+
+    dim = EMB_DIM
+    jj, kk = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+    j_flat, k_flat = jj.ravel(), kk.ravel()
+
+    def partial_gram(batches):
+        G = np.zeros((dim, dim))
+        seen = False
+        for pdf in batches:
+            if len(pdf):
+                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                G += X.T @ X
+                seen = True
+        if seen:
+            yield pd.DataFrame(
+                {"j": j_flat, "k": k_flat, "p": G.ravel()}
+            )
+
     return (
-        emb.select(F.explode(outer).alias("s"))
-        .select("s.j", "s.k", "s.p")
+        emb.select("embedding")
+        .mapInPandas(partial_gram, "j int, k int, p double")
         .groupBy("j", "k")
         .agg(F.sum("p").alias("g"))
     )
 
 
 def q245_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    gram = _gram_scan_side(emb).localCheckpoint()
-    v = gram.select("j").distinct().select(
-        "j", F.lit(1.0 / math.sqrt(float(EMB_DIM))).alias("val")
+    assembled = (
+        _gram_scan_side(emb)
+        .groupBy()
+        .agg(F.collect_list(F.struct("j", "k", "g")).alias("gs"))
+        .crossJoin(
+            F.broadcast(
+                emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vec"))
+            )
+        )
     )
-    for _ in range(POWER_ITERS):
-        u = (
-            gram.join(v.select(F.col("j").alias("k"), "val"), "k")
-            .groupBy("j")
-            .agg(F.sum(F.col("g") * F.col("val")).alias("uval"))
-        )
-        nrm = u.agg(F.sqrt(F.sum(F.col("uval") * F.col("uval"))).alias("nm"))
-        v = (
-            u.crossJoin(F.broadcast(nrm))
-            .select("j", (F.col("uval") / F.col("nm")).alias("val"))
-            .localCheckpoint()
-        )
-    gv = (
-        gram.join(v.select(F.col("j").alias("k"), "val"), "k")
-        .groupBy("j")
-        .agg(F.sum(F.col("g") * F.col("val")).alias("gv"))
-    )
-    lam = gv.join(v, "j").agg(F.sum(F.col("gv") * F.col("val")).alias("lam"))
-    trace = gram.where(F.col("j") == F.col("k")).agg(F.sum("g").alias("tr"))
-    nvec = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vec"))
-    return (
-        lam.crossJoin(F.broadcast(trace))
-        .crossJoin(F.broadcast(nvec))
-        .select(
-            "n_vec",
-            F.lit(EMB_DIM).cast("bigint").alias("dim"),
-            F.round("lam", 4).alias("top_eig"),
-            F.round("tr", 4).alias("trace_total"),
-            F.round(F.col("lam") / F.col("tr"), 4).alias("explained_frac"),
-        )
+
+    def iterate(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                G = np.zeros((EMB_DIM, EMB_DIM))
+                for r in row["gs"]:
+                    G[r["j"], r["k"]] = r["g"]
+                v = np.full(EMB_DIM, 1.0 / math.sqrt(float(EMB_DIM)))
+                for _ in range(POWER_ITERS):
+                    u = G @ v
+                    v = u / math.sqrt(float(u @ u))
+                lam = float(v @ (G @ v))
+                tr = float(np.trace(G))
+                yield pd.DataFrame(
+                    {
+                        "n_vec": [int(row["n_vec"])],
+                        "dim": [EMB_DIM],
+                        "top_eig": [lam],
+                        "trace_total": [tr],
+                        "explained_frac": [lam / tr],
+                    }
+                )
+
+    return assembled.mapInPandas(
+        iterate,
+        "n_vec bigint, dim bigint, top_eig double, trace_total double, "
+        "explained_frac double",
     )
 
 
@@ -1326,9 +1356,9 @@ tr AS (SELECT sum(g) AS tr FROM gmat WHERE j = k),
 nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vec FROM embeddings)
 SELECT n_vec,
        CAST({EMB_DIM} AS BIGINT) AS dim,
-       round(lam, 4) AS top_eig,
-       round(tr, 4) AS trace_total,
-       round(lam / tr, 4) AS explained_frac
+       lam AS top_eig,
+       tr AS trace_total,
+       lam / tr AS explained_frac
 FROM lam, tr, nv
 """
 
