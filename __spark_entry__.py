@@ -75,11 +75,14 @@ _QUERIES, _ORACLE = merge_registries(*_MODULES)
 # fresh grade), (b) ALL 37 remaining r4-graded oracle rows
 # (q112-q120 tier-2 spill + the q121-q151 tier-3 head) — exactly 50;
 # after this round no oracle-backed green predates r5. Immediately
-# past the window: q242/q245/q89, whose implementations also changed
-# this round but hold r8 grades and local sf0.01+sf0.1 re-verification
-# (verify_sf) — they head the r10 window with the oldest r5 rows.
-# Tier 3 = other green queries in prior order (r5 rows first); tier 4
-# = rows-only-by-design, never in a graded slot.
+# past the window (the r10 window head, in grading order): the 12
+# late-round-9 operators q260-q271 (oracle-backed, locally verified
+# at sf0.01 + sf0.1 but added after the 50 r9 slots were committed),
+# then q242/q245/q89, whose implementations also changed this round
+# but hold r8 grades and local sf0.01+sf0.1 re-verification
+# (verify_sf). r10 window math: 12 new + 3 re-grades + the 35 oldest
+# r5 rows = 50. Tier 3 = other green queries in prior order (r5 rows
+# first); tier 4 = rows-only-by-design, never in a graded slot.
 _PRIORITY = [
     "q248_cdc_apply", "q249_ab_lift", "q250_gini_concentration",
     "q251_prune_advisor", "q252_readability", "q253_canonical_dedup",
@@ -98,6 +101,11 @@ _PRIORITY = [
     "q141_incremental_agg", "q142_event_bitmask", "q143_embedding_dim_stats",
     "q144_zipf_fit", "q145_token_entropy", "q146_pmi_collocations",
     "q147_late_arrival_profile", "q148_tpch_q6_shape", "q151_traffic_bursts",
+    "q260_ewma_smoothing", "q261_cohort_ltv",
+    "q262_session_threshold_advisor", "q263_spectral_gap",
+    "q264_bloom_join_advisor", "q265_filter_waterfall", "q266_psi_drift",
+    "q267_ndcg_eval", "q268_stats_histogram", "q269_hourweek_fingerprint",
+    "q270_stream_dedup_profile", "q271_lead_lag_xcorr",
     "q242_shortest_paths", "q245_power_iteration", "q89_mmr_rerank",
     "q73_temporal_split", "q231_ohlc_bars", "q232_source_corr",
     "q233_range_frame_ma", "q234_mutual_info", "q235_mad_outliers",

@@ -2212,8 +2212,238 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q265 — curation filter waterfall: the ordered filter pipeline
+# (length gate → language allow-list → type-token-ratio floor →
+# mean-word-length band) with per-stage attribution — how many documents each stage
+# uniquely removes GIVEN everything before it passed. q74 runs a
+# pipeline and reports survivors; this is the diagnostic that tells
+# you which rule is doing the work (and which is dead weight) before
+# you burn a 100 TB pass on it.
+# Scale shape: every stage predicate is a scan-side expression
+# computed ONCE in a single projection; the waterfall is ONE
+# aggregate producing 2×#stages conditional counts (map-side
+# combine), unpivoted to 4 rows via stack — the corpus is touched
+# exactly once and no row data crosses an exchange.
+# ---------------------------------------------------------------------------
+WATERFALL_LANGS = ("en", "es", "de", "fr")
+WATERFALL_MIN_CHARS, WATERFALL_MAX_CHARS = 100, 20000
+WATERFALL_MIN_TTR = 0.32
+WATERFALL_WORDLEN_LO, WATERFALL_WORDLEN_HI = 4.15, 12.0
+
+
+def q265_filter_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " +")
+    n_words = F.size(words)
+    ttr = (
+        F.size(F.array_distinct(F.split(F.trim(F.lower("text")), " +")))
+        / n_words.cast("double")
+    )
+    word_chars = F.length(F.regexp_replace("text", " ", ""))
+    mean_wl = word_chars / n_words.cast("double")
+    flagged = docs.select(
+        (
+            (F.col("n_chars") >= WATERFALL_MIN_CHARS)
+            & (F.col("n_chars") <= WATERFALL_MAX_CHARS)
+        ).alias("c1"),
+        F.col("lang").isin(*WATERFALL_LANGS).alias("c2"),
+        (ttr >= WATERFALL_MIN_TTR).alias("c3"),
+        (
+            (mean_wl >= WATERFALL_WORDLEN_LO)
+            & (mean_wl <= WATERFALL_WORDLEN_HI)
+        ).alias("c4"),
+    )
+    cnt = lambda c: F.sum(c.cast("bigint")).cast("bigint")  # noqa: E731
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        cnt(F.col("c1")).alias("n1"),
+        cnt(F.col("c1") & F.col("c2")).alias("n2"),
+        cnt(F.col("c1") & F.col("c2") & F.col("c3")).alias("n3"),
+        cnt(F.col("c1") & F.col("c2") & F.col("c3") & F.col("c4")).alias("n4"),
+    )
+    stages = ["length_gate", "lang_allowlist", "ttr_floor", "mean_word_len"]
+    stacked = agg.selectExpr(
+        "stack(4, "
+        + ", ".join(
+            f"{i + 1}, '{name}', n{i}, n{i + 1}" for i, name in enumerate(stages)
+        )
+        + ") as (stage, filter_name, n_in, n_out)"
+    )
+    return stacked.select(
+        "stage",
+        "filter_name",
+        "n_in",
+        (F.col("n_in") - F.col("n_out")).alias("n_removed"),
+        "n_out",
+        (
+            (F.col("n_in") - F.col("n_out")) / F.col("n_in").cast("double")
+        ).alias("removal_rate"),
+    ).orderBy("stage")
+
+
+_WF_LANGS_SQL = ", ".join(f"'{lang}'" for lang in WATERFALL_LANGS)
+Q265_SQL = f"""
+WITH flagged AS (
+  SELECT (n_chars >= {WATERFALL_MIN_CHARS}
+          AND n_chars <= {WATERFALL_MAX_CHARS}) AS c1,
+         lang IN ({_WF_LANGS_SQL}) AS c2,
+         (CAST(len(list_distinct(string_split_regex(trim(lower(text)), ' +')))
+               AS DOUBLE)
+            / len(string_split_regex(trim(text), ' +')))
+           >= {WATERFALL_MIN_TTR} AS c3,
+         (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / len(string_split_regex(trim(text), ' +')))
+           BETWEEN {WATERFALL_WORDLEN_LO} AND {WATERFALL_WORDLEN_HI} AS c4
+  FROM documents
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(coalesce(sum(CASE WHEN c1 THEN 1 END), 0) AS BIGINT) AS n1,
+         CAST(coalesce(sum(CASE WHEN c1 AND c2 THEN 1 END), 0) AS BIGINT) AS n2,
+         CAST(coalesce(sum(CASE WHEN c1 AND c2 AND c3 THEN 1 END), 0)
+              AS BIGINT) AS n3,
+         CAST(coalesce(sum(CASE WHEN c1 AND c2 AND c3 AND c4 THEN 1 END), 0)
+              AS BIGINT) AS n4
+  FROM flagged
+),
+stages AS (
+  SELECT 1 AS stage, 'length_gate' AS filter_name, n0 AS n_in, n1 AS n_out
+  FROM agg
+  UNION ALL
+  SELECT 2, 'lang_allowlist', n1, n2 FROM agg
+  UNION ALL
+  SELECT 3, 'ttr_floor', n2, n3 FROM agg
+  UNION ALL
+  SELECT 4, 'mean_word_len', n3, n4 FROM agg
+)
+SELECT stage, filter_name, n_in,
+       n_in - n_out AS n_removed,
+       n_out,
+       (n_in - n_out) / CAST(n_in AS DOUBLE) AS removal_rate
+FROM stages
+ORDER BY stage
+"""
+
+
+# ---------------------------------------------------------------------------
+# q266 — PSI drift between the q102 hash splits: Population Stability
+# Index of the train-vs-test n_chars distribution over train-derived
+# decile bins — the industry drift gate (q220 is the KS test, q95 the
+# KL screen; PSI is the binned, reason-code-friendly one model-risk
+# teams actually threshold at 0.1/0.25). Bin boundaries are the
+# DISTINCT exact interpolated deciles of the TRAIN side (both engines
+# implement the same R-7 quantile formula on identical ints →
+# bit-identical cut points); shares are epsilon-clamped (1e-6) before
+# the log so empty bins stay finite and deterministic.
+# Scale shape: the boundary frame is a 1-row array broadcast to the
+# scan; bin assignment is a scan-side array filter; one ≤10-group
+# aggregate with conditional counts. Two passes over documents (one
+# to fit boundaries on train, one to bin) — at 100 TB the boundary
+# pass would read a sampled/sketched stats table instead (q168).
+# ---------------------------------------------------------------------------
+PSI_EPS = 1e-6
+PSI_DECILES = [i / 10.0 for i in range(1, 10)]
+
+
+def q266_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % TRAIN_MOD).alias("r"), "n_chars"
+    )
+    train = docs.where(F.col("r") < VAL_RESIDUE)
+    test = docs.where(F.col("r") == TRAIN_MOD - 1)
+    bounds = train.agg(
+        F.array_distinct(
+            F.percentile("n_chars", F.array(*[F.lit(p) for p in PSI_DECILES]))
+        ).alias("bnds")
+    )
+    both = train.select(F.lit("train").alias("side"), "n_chars").unionByName(
+        test.select(F.lit("test").alias("side"), "n_chars")
+    )
+    binned = both.crossJoin(F.broadcast(bounds)).select(
+        "side",
+        F.size(
+            F.filter(F.col("bnds"), lambda b: F.col("n_chars") > b)
+        ).alias("bin"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum((F.col("side") == "train").cast("bigint"))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum((F.col("side") == "test").cast("bigint"))
+        .cast("bigint")
+        .alias("n_test"),
+    )
+    totals = per_bin.agg(
+        F.sum("n_train").cast("bigint").alias("tt"),
+        F.sum("n_test").cast("bigint").alias("te"),
+    )
+    p = F.greatest(F.col("n_train") / F.col("tt"), F.lit(PSI_EPS))
+    q = F.greatest(F.col("n_test") / F.col("te"), F.lit(PSI_EPS))
+    return (
+        per_bin.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_train",
+            "n_test",
+            (F.col("n_train") / F.col("tt")).alias("p_train"),
+            (F.col("n_test") / F.col("te")).alias("q_test"),
+            ((p - q) * F.log(p / q)).alias("psi_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+_PSI_DECILES_SQL = ", ".join(str(p) for p in PSI_DECILES)
+Q266_SQL = f"""
+WITH docs AS (
+  SELECT doc_id % {TRAIN_MOD} AS r, n_chars FROM documents
+),
+bounds AS (
+  SELECT list(b ORDER BY b) AS bnds
+  FROM (SELECT DISTINCT unnest(
+          quantile_cont(n_chars, [{_PSI_DECILES_SQL}])) AS b
+        FROM docs WHERE r < {VAL_RESIDUE})
+),
+both_ AS (
+  SELECT 'train' AS side, n_chars FROM docs WHERE r < {VAL_RESIDUE}
+  UNION ALL
+  SELECT 'test', n_chars FROM docs WHERE r = {TRAIN_MOD - 1}
+),
+binned AS (
+  SELECT side,
+         CAST(len(list_filter(b.bnds, x -> n_chars > x)) AS INT) AS bin
+  FROM both_, bounds b
+),
+per_bin AS (
+  SELECT bin,
+         CAST(coalesce(sum(CASE WHEN side = 'train' THEN 1 END), 0)
+              AS BIGINT) AS n_train,
+         CAST(coalesce(sum(CASE WHEN side = 'test' THEN 1 END), 0)
+              AS BIGINT) AS n_test
+  FROM binned GROUP BY bin
+),
+totals AS (
+  SELECT CAST(sum(n_train) AS BIGINT) AS tt,
+         CAST(sum(n_test) AS BIGINT) AS te
+  FROM per_bin
+)
+SELECT bin, n_train, n_test,
+       n_train / CAST(tt AS DOUBLE) AS p_train,
+       n_test / CAST(te AS DOUBLE) AS q_test,
+       (greatest(n_train / CAST(tt AS DOUBLE), {PSI_EPS})
+        - greatest(n_test / CAST(te AS DOUBLE), {PSI_EPS}))
+       * ln(greatest(n_train / CAST(tt AS DOUBLE), {PSI_EPS})
+            / greatest(n_test / CAST(te AS DOUBLE), {PSI_EPS})) AS psi_contrib
+FROM per_bin, totals
+ORDER BY bin
+"""
+
+
 QUERIES = {
     "q93_gopher_quality": q93_gopher_quality,
+    "q265_filter_waterfall": q265_filter_waterfall,
+    "q266_psi_drift": q266_psi_drift,
     "q94_source_cap": q94_source_cap,
     "q95_lang_kl_divergence": q95_lang_kl_divergence,
     "q96_event_funnel": q96_event_funnel,
@@ -2247,6 +2477,8 @@ QUERIES = {
 
 ORACLE = {
     "q93_gopher_quality": Q93_SQL,
+    "q265_filter_waterfall": Q265_SQL,
+    "q266_psi_drift": Q266_SQL,
     "q94_source_cap": Q94_SQL,
     "q95_lang_kl_divergence": Q95_SQL,
     "q96_event_funnel": Q96_SQL,

@@ -53,8 +53,10 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("term") != "")
 
 
-def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, score): BM25 of QUERY_TERMS over every matching doc.
+def _bm25_per_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, tf, contrib): per-term BM25 contribution of each
+    QUERY_TERMS member in each matching doc (shared by q83/q84's score
+    sum and q267's per-term ranking eval).
 
     idf = ln(1 + (N - df + 0.5) / (df + 0.5))   (Lucene/ATIRE form)
     tf_norm = tf / (tf + k1 * (1 - b + b * dl / avgdl))
@@ -87,12 +89,17 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(1.0) - F.lit(B) + F.lit(B) * F.col("dl").cast("double") / avgdl)
         )
     )
-    per_term = (
+    return (
         tf.join(F.broadcast(dft), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
-        .select("doc_id", "term", contrib.alias("contrib"))
+        .select("doc_id", "term", "tf", contrib.alias("contrib"))
     )
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score): BM25 of QUERY_TERMS over every matching doc."""
+    per_term = _bm25_per_term(spark, sf_dir)
     # fixed-order sum across query terms (each term is one row per doc
     # post-aggregation, so max() picks that single value)
     parts = [
@@ -889,6 +896,113 @@ ORDER BY term
 """
 
 
+# ---------------------------------------------------------------------------
+# q267 — retrieval ranking evaluation (NDCG@10): for each query term,
+# rank matching docs by that term's BM25 contribution and score the
+# ranking against a term-frequency relevance gold with normalized
+# discounted cumulative gain — the standard IR eval harness (BM25's
+# length normalization reorders docs away from raw-tf relevance;
+# NDCG < 1 quantifies by how much). q83 produces the ranking; this
+# grades it — the eval loop a retrieval stack ships with.
+# Ranking key is round(contrib, 4) + doc_id (the q83/q115 RANKING
+# exception: 4-dp collapse makes cross-engine ties exact, doc_id
+# breaks them identically); DCG discounts and the final ratio are raw
+# doubles (driver canonicalizes).
+# Scale shape: reuses the q83 per-term frame (token explode + two
+# bounded-key joins); both rankings are per-term windows —
+# WindowGroupLimit prunes to top-10 per partition before the sort
+# completes; the DCG/IDCG sums aggregate ≤10 rows per term.
+# ---------------------------------------------------------------------------
+NDCG_K = 10
+
+
+def q267_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = _bm25_per_term(spark, sf_dir).select(
+        "term", "doc_id", "tf", F.round("contrib", 4).alias("score")
+    )
+    w_sys = Window.partitionBy("term").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    w_ideal = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), "doc_id"
+    )
+    ranked = per.select(
+        "term",
+        "tf",
+        F.row_number().over(w_sys).alias("r_sys"),
+        F.row_number().over(w_ideal).alias("r_ideal"),
+    )
+    gain = F.col("tf").cast("double")
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.sum(
+                F.when(
+                    F.col("r_sys") <= NDCG_K,
+                    gain / F.log2(F.col("r_sys") + 1),
+                ).otherwise(F.lit(0.0))
+            ).alias("dcg"),
+            F.sum(
+                F.when(
+                    F.col("r_ideal") <= NDCG_K,
+                    gain / F.log2(F.col("r_ideal") + 1),
+                ).otherwise(F.lit(0.0))
+            ).alias("idcg"),
+        )
+        .select(
+            "term",
+            "n_matched",
+            "dcg",
+            "idcg",
+            (F.col("dcg") / F.col("idcg")).alias("ndcg"),
+        )
+        .orderBy("term")
+    )
+
+
+Q267_SQL = f"""
+WITH {_BM25_CTE.split("per AS")[0]}per AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(ln(1.0 + (corpus.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * CAST(dl.dl AS DOUBLE)
+              / (CAST(corpus.total_len AS DOUBLE)
+                 / CAST(corpus.n_docs AS DOUBLE)))), 4)
+           AS score
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corpus
+),
+ranked AS (
+  SELECT term, tf,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY score DESC, doc_id) AS r_sys,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY tf DESC, doc_id) AS r_ideal
+  FROM per
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS n_matched,
+       sum(CASE WHEN r_sys <= {NDCG_K}
+                THEN CAST(tf AS DOUBLE) / log2(r_sys + 1)
+                ELSE 0.0 END) AS dcg,
+       sum(CASE WHEN r_ideal <= {NDCG_K}
+                THEN CAST(tf AS DOUBLE) / log2(r_ideal + 1)
+                ELSE 0.0 END) AS idcg,
+       sum(CASE WHEN r_sys <= {NDCG_K}
+                THEN CAST(tf AS DOUBLE) / log2(r_sys + 1)
+                ELSE 0.0 END)
+         / sum(CASE WHEN r_ideal <= {NDCG_K}
+                    THEN CAST(tf AS DOUBLE) / log2(r_ideal + 1)
+                    ELSE 0.0 END) AS ndcg
+FROM ranked
+GROUP BY term
+ORDER BY term
+"""
+
+
 QUERIES = {
     "q83_bm25_topk": q83_bm25_topk,
     "q84_hybrid_rrf": q84_hybrid_rrf,
@@ -900,6 +1014,7 @@ QUERIES = {
     "q192_citation_coverage": q192_citation_coverage,
     "q201_context_budget": q201_context_budget,
     "q236_inverted_index": q236_inverted_index,
+    "q267_ndcg_eval": q267_ndcg_eval,
 }
 
 ORACLE = {
@@ -913,4 +1028,5 @@ ORACLE = {
     "q192_citation_coverage": Q192_SQL,
     "q201_context_budget": Q201_SQL,
     "q236_inverted_index": Q236_SQL,
+    "q267_ndcg_eval": Q267_SQL,
 }

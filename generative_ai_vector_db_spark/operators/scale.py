@@ -1422,6 +1422,191 @@ ORDER BY layout
 """
 
 
+# ---------------------------------------------------------------------------
+# q264 — bloom-filter runtime-filter advisor: for the selective
+# orders→lineitem semi-join (orders filtered to one year), size the
+# bloom filter Spark's runtime row-group filtering would push to the
+# probe side and quantify the scan reduction — m = ceil(−n·ln p /
+# ln²2) bits, k = round(m/n·ln 2) hashes, and the expected post-filter
+# probe volume match + (probe − match)·p. This is the arithmetic
+# behind spark.sql.optimizer.runtime.bloomFilter.enabled, surfaced as
+# a readout (q182 advises on join strategy; this advises on the
+# runtime filter that makes the shuffle-heavy strategy cheap).
+# Scale shape: two exact aggregates (distinct build keys; probe/match
+# counts via a broadcast-able semi join) and a 2-row target-fpp
+# frame; all advisor arithmetic is scan-free on a 1-row crossJoin.
+# ---------------------------------------------------------------------------
+BLOOM_YEAR = 1996
+BLOOM_FPPS = [0.01, 0.001]
+
+
+def q264_bloom_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").where(
+        F.year("o_orderdate") == BLOOM_YEAR
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    build = orders.agg(
+        F.count_distinct("o_orderkey").cast("bigint").alias("n_build_keys")
+    )
+    probe = li.agg(F.count(F.lit(1)).cast("bigint").alias("probe_rows"))
+    match = (
+        li.join(orders.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"), "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("match_rows"))
+    )
+    fpp = spark.createDataFrame([(p,) for p in BLOOM_FPPS], "target_fpp double")
+    ln2 = 0.6931471805599453
+    bits = F.ceil(
+        -F.col("n_build_keys") * F.log(F.col("target_fpp")) / (ln2 * ln2)
+    ).cast("bigint")
+    base = (
+        fpp.crossJoin(F.broadcast(build))
+        .crossJoin(F.broadcast(probe))
+        .crossJoin(F.broadcast(match))
+        .withColumn("bloom_bits", bits)
+    )
+    est = (
+        F.col("match_rows")
+        + (F.col("probe_rows") - F.col("match_rows")) * F.col("target_fpp")
+    )
+    return base.select(
+        "target_fpp",
+        "n_build_keys",
+        "probe_rows",
+        "match_rows",
+        "bloom_bits",
+        (F.col("bloom_bits") / F.lit(8192.0)).alias("bloom_kib"),
+        F.round(F.col("bloom_bits") / F.col("n_build_keys") * ln2)
+        .cast("bigint")
+        .alias("n_hashes"),
+        est.alias("est_rows_after_filter"),
+        (F.lit(1.0) - est / F.col("probe_rows")).alias("scan_reduction"),
+    ).orderBy(F.col("target_fpp").desc())
+
+
+_FPP_SQL = ", ".join(f"({p})" for p in BLOOM_FPPS)
+Q264_SQL = f"""
+WITH build AS (
+  SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_build_keys
+  FROM orders WHERE year(o_orderdate) = {BLOOM_YEAR}
+),
+probe AS (SELECT CAST(count(*) AS BIGINT) AS probe_rows FROM lineitem),
+match_ AS (
+  SELECT CAST(count(*) AS BIGINT) AS match_rows
+  FROM lineitem WHERE l_orderkey IN (
+    SELECT o_orderkey FROM orders WHERE year(o_orderdate) = {BLOOM_YEAR})
+),
+fpp(target_fpp) AS (VALUES {_FPP_SQL}),
+base AS (
+  SELECT target_fpp, n_build_keys, probe_rows, match_rows,
+         CAST(ceil(-n_build_keys * ln(target_fpp)
+                   / (0.6931471805599453 * 0.6931471805599453))
+              AS BIGINT) AS bloom_bits
+  FROM fpp, build, probe, match_
+)
+SELECT target_fpp, n_build_keys, probe_rows, match_rows, bloom_bits,
+       bloom_bits / 8192.0 AS bloom_kib,
+       CAST(round(bloom_bits / CAST(n_build_keys AS DOUBLE)
+                  * 0.6931471805599453) AS BIGINT) AS n_hashes,
+       match_rows + (probe_rows - match_rows) * target_fpp
+         AS est_rows_after_filter,
+       1.0 - (match_rows + (probe_rows - match_rows) * target_fpp)
+             / probe_rows AS scan_reduction
+FROM base
+ORDER BY target_fpp DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# q268 — equi-depth histogram stats (the ANALYZE TABLE ... FOR COLUMNS
+# shape): 16 equi-depth buckets over l_extendedprice with per-bucket
+# row count, NDV and bounds, plus the depth-skew ratio — the
+# statistics a cost-based optimizer feeds selectivity estimation
+# (Spark's CBO stores exactly this histogram form). q155 profiles
+# columns, q168 sketches quantiles; this materializes the
+# planner-facing stats object.
+# Bucket boundaries are the exact interpolated 1/16-quantiles (same
+# R-7 formula in both engines on identical doubles → bit-identical
+# cut points); bucket i covers (b_{i-1}, b_i] with x <= b_1 in
+# bucket 1, so heavy ties can make depths uneven — that unevenness
+# IS the skew readout.
+# Scale shape: one pass fits boundaries (at 100 TB: the q168 sketch
+# instead), the second bins scan-side against the broadcast 17-double
+# array and aggregates to 16 groups with map-side combine.
+# ---------------------------------------------------------------------------
+HIST_BUCKETS = 16
+
+
+def q268_stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
+    probs = [i / HIST_BUCKETS for i in range(1, HIST_BUCKETS)]
+    bounds = li.agg(
+        F.percentile(
+            "l_extendedprice", F.array(*[F.lit(p) for p in probs])
+        ).alias("bnds")
+    )
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        "l_extendedprice",
+        (
+            F.size(
+                F.filter(
+                    F.col("bnds"), lambda b: F.col("l_extendedprice") > b
+                )
+            )
+            + 1
+        ).alias("bucket"),
+    )
+    per = binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct("l_extendedprice").cast("bigint").alias("ndv"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    avg_depth = per.agg(F.avg("n_rows").alias("avg_depth"))
+    return (
+        per.crossJoin(F.broadcast(avg_depth))
+        .select(
+            "bucket",
+            "n_rows",
+            "ndv",
+            "lo",
+            "hi",
+            (F.col("n_rows") / F.col("avg_depth")).alias("depth_skew"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_HIST_PROBS_SQL = ", ".join(
+    str(i / HIST_BUCKETS) for i in range(1, HIST_BUCKETS)
+)
+Q268_SQL = f"""
+WITH bounds AS (
+  SELECT quantile_cont(l_extendedprice, [{_HIST_PROBS_SQL}]) AS bnds
+  FROM lineitem
+),
+binned AS (
+  SELECT l_extendedprice,
+         CAST(len(list_filter(b.bnds, x -> l_extendedprice > x)) AS INT) + 1
+           AS bucket
+  FROM lineitem, bounds b
+),
+per AS (
+  SELECT bucket,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS ndv,
+         min(l_extendedprice) AS lo,
+         max(l_extendedprice) AS hi
+  FROM binned GROUP BY bucket
+),
+avg_depth AS (SELECT avg(n_rows) AS avg_depth FROM per)
+SELECT bucket, n_rows, ndv, lo, hi,
+       n_rows / avg_depth AS depth_skew
+FROM per, avg_depth
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "q56_salted_agg": q56_salted_agg,
     "q128_zorder_stats": q128_zorder_stats,
@@ -1438,6 +1623,8 @@ QUERIES = {
     "q217_bucketed_join": q217_bucketed_join,
     "q227_schema_drift": q227_schema_drift,
     "q251_prune_advisor": q251_prune_advisor,
+    "q264_bloom_join_advisor": q264_bloom_join_advisor,
+    "q268_stats_histogram": q268_stats_histogram,
 }
 
 ORACLE = {
@@ -1456,4 +1643,6 @@ ORACLE = {
     "q198_purge_audit": Q198_SQL,
     "q209_tuning_advisor": Q209_SQL,
     "q251_prune_advisor": Q251_SQL,
+    "q264_bloom_join_advisor": Q264_SQL,
+    "q268_stats_histogram": Q268_SQL,
 }

@@ -2473,11 +2473,469 @@ LIMIT 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q260 — EWMA smoothing + residual anomaly per event type: the
+# exponentially weighted moving average over the daily value series
+# (alpha = 0.3, seeded at the first day), the final smoothed level,
+# and the day with the largest one-step-ahead surprise
+# |x_t − ewma_{t−1}| — the classic streaming anomaly score (q100 is
+# the windowed-zscore variant; EWMA is the constant-memory one you
+# actually deploy in a stream).
+# Scale shape: ONE groupBy(type, day) reduce over events; all EWMA
+# arithmetic happens on the per-type sorted daily ARRAY (≤ |days|
+# elements, bounded) inside higher-order functions — the heavy table
+# is touched once and nothing unbounded crosses an exchange.
+# Float parity: every EWMA value is a pinned LEFT-TO-RIGHT fold
+# (Spark ``aggregate`` with init = first element / DuckDB
+# ``list_reduce``, which seeds from the head) — bit-identical doubles
+# on both engines, so the argmax day needs no rounding and ties
+# (exact double equality only) break to the earliest day on both
+# sides.
+# ---------------------------------------------------------------------------
+EWMA_ALPHA = 0.3
+
+
+def q260_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.sum("value").alias("x"))
+    )
+    arrs = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("s")
+    )
+    xs = F.transform("s", lambda e: e["x"])
+    a, b = F.lit(EWMA_ALPHA), F.lit(1.0 - EWMA_ALPHA)
+
+    def prefix_ewma(m):
+        # EWMA of xs[1..m] (1-based): init = xs[1], fold xs[2..m]
+        return F.aggregate(
+            F.slice(xs, 2, m - 1),
+            F.element_at(xs, 1),
+            lambda acc, x: a * x + b * acc,
+        )
+
+    n = F.size("s")
+    devs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(2), n),
+            lambda t: F.struct(
+                F.abs(F.element_at(xs, t) - prefix_ewma(t - 1)).alias("dev"),
+                F.element_at(F.col("s"), t)["d"].alias("d"),
+            ),
+        ),
+    ).otherwise(F.array())
+    worst = F.aggregate(
+        devs,
+        F.struct(
+            F.lit(-1.0).alias("dev"), F.lit(None).cast("date").alias("d")
+        ),
+        lambda acc, x: F.when(x["dev"] > acc["dev"], x).otherwise(acc),
+    )
+    return (
+        arrs.select(
+            "event_type",
+            n.cast("bigint").alias("n_days"),
+            prefix_ewma(n).alias("last_ewma"),
+            worst["dev"].alias("max_abs_dev"),
+            F.date_format(worst["d"], "yyyy-MM-dd").alias("max_dev_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q260_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, sum(value) AS x
+  FROM events GROUP BY 1, 2
+),
+arrs AS (
+  SELECT event_type,
+         list(x ORDER BY d) AS xs,
+         list(d ORDER BY d) AS ds
+  FROM daily GROUP BY 1
+),
+devs AS (
+  SELECT event_type, xs, ds, t,
+         abs(xs[t] - list_reduce(xs[1:t - 1],
+                                 (acc, x) -> {EWMA_ALPHA} * x
+                                             + {1.0 - EWMA_ALPHA} * acc)) AS dev
+  FROM arrs, unnest(generate_series(2, len(xs))) AS g(t)
+),
+worst AS (
+  SELECT event_type, dev, ds[t] AS d,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY dev DESC, ds[t]) AS rn
+  FROM devs
+)
+SELECT a.event_type,
+       CAST(len(a.xs) AS BIGINT) AS n_days,
+       list_reduce(a.xs, (acc, x) -> {EWMA_ALPHA} * x
+                                     + {1.0 - EWMA_ALPHA} * acc) AS last_ewma,
+       coalesce(w.dev, -1.0) AS max_abs_dev,
+       strftime(w.d, '%Y-%m-%d') AS max_dev_day
+FROM arrs a LEFT JOIN worst w ON w.event_type = a.event_type AND w.rn = 1
+ORDER BY a.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q261 — cohort LTV curves: users grouped by first-seen week; for each
+# (cohort, age-in-weeks) the cohort's cumulative value per member —
+# the "how does lifetime value accrue" readout behind q107's retention
+# counts and q254's survival probabilities. Ages with zero cohort
+# activity don't emit a row (the cumulative then jumps — documented;
+# q149 gap_fill is the densify primitive if a dense grid is wanted).
+# Scale shape: first-seen reduce per user, one user_id-keyed join back
+# (both sides shuffle-partitioned on user_id — co-located), one
+# (cohort, age) aggregate; the cumulative runs in a window PARTITIONED
+# by cohort over the ≤|weeks| age frame. Raw doubles out (cum/LTV are
+# sums and sum/count of 2-dp values — the driver canonicalizes once).
+# ---------------------------------------------------------------------------
+def q261_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    rows = ev.join(first, "user_id").select(
+        "cohort_week",
+        "user_id",
+        "value",
+        (
+            F.datediff(F.to_date(F.date_trunc("week", F.col("ts"))),
+                       F.col("cohort_week"))
+            / 7
+        ).cast("int").alias("age_weeks"),
+    )
+    weekly = rows.groupBy("cohort_week", "age_weeks").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_active"),
+        F.sum("value").alias("week_value"),
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_weeks").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        weekly.withColumn("cum_value", F.sum("week_value").over(w))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "age_weeks",
+            "n_users",
+            "n_active",
+            "week_value",
+            "cum_value",
+            (F.col("cum_value") / F.col("n_users")).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
+Q261_SQL = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+  FROM first GROUP BY cohort_week
+),
+rows_ AS (
+  SELECT f.cohort_week, e.user_id, e.value,
+         CAST(date_diff('day', f.cohort_week,
+                        CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT)
+           AS age_weeks
+  FROM events e JOIN first f USING (user_id)
+),
+weekly AS (
+  SELECT cohort_week, age_weeks,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,
+         sum(value) AS week_value
+  FROM rows_ GROUP BY 1, 2
+)
+SELECT strftime(w.cohort_week, '%Y-%m-%d') AS cohort_week,
+       w.age_weeks,
+       s.n_users,
+       w.n_active,
+       w.week_value,
+       sum(w.week_value) OVER (PARTITION BY w.cohort_week
+                               ORDER BY w.age_weeks
+                               ROWS UNBOUNDED PRECEDING) AS cum_value,
+       sum(w.week_value) OVER (PARTITION BY w.cohort_week
+                               ORDER BY w.age_weeks
+                               ROWS UNBOUNDED PRECEDING) / s.n_users
+         AS ltv_per_user
+FROM weekly w JOIN sizes s USING (cohort_week)
+ORDER BY cohort_week, age_weeks
+"""
+
+
+# ---------------------------------------------------------------------------
+# q262 — sessionization threshold advisor: for each candidate
+# inactivity gap (5/15/30/60 min), how many sessions the event log
+# splits into and how large they are — the measurement you run BEFORE
+# committing q106's threshold (q106 assumes 30 min; this is where 30
+# comes from). A new session starts when the gap from the previous
+# event is >= the threshold (the q33/q106 boundary convention), so
+# n_sessions = n_users + n_splitting_gaps with no per-threshold
+# re-sessionization pass.
+# Scale shape: ONE user_id-partitioned lag pass computes every gap
+# once (microsecond integer math — exact on both engines); the
+# 4-row threshold frame is broadcast-crossed against the gap rows and
+# the conditional counts partial-combine map-side to 4 groups.
+# ---------------------------------------------------------------------------
+SESSION_THRESHOLDS_MIN = [5, 15, 30, 60]
+
+
+def q262_session_threshold_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    )
+    totals = gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+    th = spark.createDataFrame(
+        [(m,) for m in SESSION_THRESHOLDS_MIN], "threshold_min int"
+    )
+    return (
+        gaps.crossJoin(F.broadcast(th))
+        .groupBy("threshold_min")
+        .agg(
+            F.sum(F.col("gap_us").isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_gaps"),
+            F.sum(
+                (
+                    F.col("gap_us")
+                    >= F.col("threshold_min").cast("bigint") * 60_000_000
+                )
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_splits"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "threshold_min",
+            "n_gaps",
+            "n_splits",
+            (F.col("n_users") + F.col("n_splits")).alias("n_sessions"),
+            (
+                F.col("n_events")
+                / (F.col("n_users") + F.col("n_splits")).cast("double")
+            ).alias("events_per_session"),
+        )
+        .orderBy("threshold_min")
+    )
+
+
+_TH_SQL = ", ".join(f"({m})" for m in SESSION_THRESHOLDS_MIN)
+Q262_SQL = f"""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM gaps
+),
+th(threshold_min) AS (VALUES {_TH_SQL})
+SELECT th.threshold_min,
+       CAST(count(gap_us) AS BIGINT) AS n_gaps,
+       CAST(coalesce(sum(CASE WHEN gap_us >= CAST(th.threshold_min AS BIGINT) * 60000000
+                              THEN 1 END), 0) AS BIGINT) AS n_splits,
+       any_value(t.n_users)
+         + CAST(coalesce(sum(CASE WHEN gap_us >= CAST(th.threshold_min AS BIGINT) * 60000000
+                                  THEN 1 END), 0) AS BIGINT) AS n_sessions,
+       any_value(t.n_events)
+         / CAST(any_value(t.n_users)
+                + coalesce(sum(CASE WHEN gap_us >= CAST(th.threshold_min AS BIGINT) * 60000000
+                               THEN 1 END), 0) AS DOUBLE) AS events_per_session
+FROM gaps CROSS JOIN th CROSS JOIN totals t
+GROUP BY th.threshold_min
+ORDER BY th.threshold_min
+"""
+
+
+# ---------------------------------------------------------------------------
+# q269 — hour-of-week traffic fingerprint: activity per (ISO weekday,
+# hour) cell with a z-score against the all-cell mean — the 168-cell
+# heatmap behind load-shaping and anomaly baselines (finer than
+# q205's day-of-week seasonality; q100 is the per-day z variant).
+# Cells with zero events emit no row (no gap fill) on both engines.
+# Scale shape: one scan collapses events to ≤168 cells map-side;
+# the mean/stddev ride back via a broadcast 1-row crossJoin. Raw
+# doubles out.
+# ---------------------------------------------------------------------------
+def q269_hourweek_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            (F.weekday("ts") + 1).alias("iso_dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    stats = cells.agg(
+        F.avg("n_events").alias("mu"),
+        F.stddev_pop("n_events").alias("sd"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(stats))
+        .select(
+            "iso_dow",
+            "hour",
+            "n_events",
+            "sum_value",
+            ((F.col("n_events") - F.col("mu")) / F.col("sd")).alias("z_events"),
+        )
+        .orderBy("iso_dow", "hour")
+    )
+
+
+Q269_SQL = """
+WITH cells AS (
+  SELECT CAST(isodow(ts) AS INT) AS iso_dow,
+         CAST(hour(ts) AS INT) AS hour,
+         CAST(count(*) AS BIGINT) AS n_events,
+         sum(value) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT avg(n_events) AS mu, stddev_pop(n_events) AS sd FROM cells
+)
+SELECT iso_dow, hour, n_events, sum_value,
+       (n_events - mu) / sd AS z_events
+FROM cells, stats
+ORDER BY iso_dow, hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# q271 — lead/lag cross-correlation between two event types' daily
+# value series ('click' leading 'purchase'): r_k for k in −7..7 with
+# the ACF-style normalization Σ(a_t−ā)(b_{t+k}−b̄)/√(ssa·ssb) — the
+# detector for "does activity in A precede activity in B, and by how
+# many days" (q256 is the single-series ACF; this is the two-series
+# generalization that finds conversion lag). Positive k means A leads
+# B by k days. Pairs exist only where both days are observed.
+# Scale shape: ONE groupBy(day) reduce per type (a single events scan
+# with conditional aggregates); everything downstream — lag frame
+# (15 rows, broadcast), day alignment join, moment sums — runs on the
+# two ≤|days| daily frames. Raw doubles out.
+# ---------------------------------------------------------------------------
+XCORR_A, XCORR_B = "click", "purchase"
+XCORR_MAX_LAG = 7
+
+
+def q271_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin(XCORR_A, XCORR_B)
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == XCORR_A, F.col("value"))).alias("xa"),
+        F.sum(F.when(F.col("event_type") == XCORR_B, F.col("value"))).alias("xb"),
+    )
+    a = daily.where(F.col("xa").isNotNull()).select("d", "xa")
+    b = daily.where(F.col("xb").isNotNull()).select(
+        F.col("d").alias("db"), "xb"
+    )
+    stats = (
+        a.agg(F.avg("xa").alias("ma"))
+        .crossJoin(b.agg(F.avg("xb").alias("mb")))
+    )
+    base_a = a.crossJoin(F.broadcast(stats))
+    ssa = base_a.agg(
+        F.sum((F.col("xa") - F.col("ma")) * (F.col("xa") - F.col("ma"))).alias("ssa")
+    )
+    ssb = (
+        b.crossJoin(F.broadcast(stats))
+        .agg(
+            F.sum((F.col("xb") - F.col("mb")) * (F.col("xb") - F.col("mb"))).alias(
+                "ssb"
+            )
+        )
+    )
+    lags = spark.range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    pairs = base_a.crossJoin(F.broadcast(lags)).join(
+        b, F.date_add(F.col("d"), F.col("lag")) == F.col("db")
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                (F.col("xa") - F.col("ma")) * (F.col("xb") - F.col("mb"))
+            ).alias("num"),
+        )
+        .crossJoin(F.broadcast(ssa))
+        .crossJoin(F.broadcast(ssb))
+        .select(
+            "lag",
+            "n_pairs",
+            (F.col("num") / F.sqrt(F.col("ssa") * F.col("ssb"))).alias("xcorr"),
+        )
+        .orderBy("lag")
+    )
+
+
+Q271_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         sum(CASE WHEN event_type = '{XCORR_A}' THEN value END) AS xa,
+         sum(CASE WHEN event_type = '{XCORR_B}' THEN value END) AS xb
+  FROM events
+  WHERE event_type IN ('{XCORR_A}', '{XCORR_B}')
+  GROUP BY 1
+),
+a AS (SELECT d, xa FROM daily WHERE xa IS NOT NULL),
+b AS (SELECT d AS db, xb FROM daily WHERE xb IS NOT NULL),
+stats AS (
+  SELECT (SELECT avg(xa) FROM a) AS ma, (SELECT avg(xb) FROM b) AS mb
+),
+ssa AS (SELECT sum((xa - ma) * (xa - ma)) AS ssa FROM a, stats),
+ssb AS (SELECT sum((xb - mb) * (xb - mb)) AS ssb FROM b, stats),
+lags AS (SELECT unnest(generate_series(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG})) AS lag),
+pairs AS (
+  SELECT l.lag, a.xa, b.xb, s.ma, s.mb
+  FROM a CROSS JOIN lags l
+  JOIN b ON a.d + CAST(l.lag AS INT) = b.db
+  CROSS JOIN stats s
+)
+SELECT lag,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       sum((xa - ma) * (xb - mb)) / sqrt(ssa.ssa * ssb.ssb) AS xcorr
+FROM pairs, ssa, ssb
+GROUP BY lag, ssa.ssa, ssb.ssb
+ORDER BY lag
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
     "q254_survival_retention": q254_survival_retention,
     "q256_acf": q256_acf,
     "q257_change_point": q257_change_point,
+    "q260_ewma_smoothing": q260_ewma_smoothing,
+    "q261_cohort_ltv": q261_cohort_ltv,
+    "q262_session_threshold_advisor": q262_session_threshold_advisor,
+    "q269_hourweek_fingerprint": q269_hourweek_fingerprint,
+    "q271_lead_lag_xcorr": q271_lead_lag_xcorr,
     "q59_range_join": q59_range_join,
     "q106_sessionize": q106_sessionize,
     "q107_retention_cohorts": q107_retention_cohorts,
@@ -2523,6 +2981,11 @@ ORACLE = {
     "q254_survival_retention": Q254_SQL,
     "q256_acf": Q256_SQL,
     "q257_change_point": Q257_SQL,
+    "q260_ewma_smoothing": Q260_SQL,
+    "q261_cohort_ltv": Q261_SQL,
+    "q262_session_threshold_advisor": Q262_SQL,
+    "q269_hourweek_fingerprint": Q269_SQL,
+    "q271_lead_lag_xcorr": Q271_SQL,
     "q59_range_join": Q59_SQL,
     "q106_sessionize": Q106_SQL,
     "q107_retention_cohorts": Q107_SQL,

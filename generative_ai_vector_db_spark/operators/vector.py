@@ -1420,6 +1420,159 @@ FROM st, nv
 """
 
 
+# ---------------------------------------------------------------------------
+# q263 — spectral gap via deflated power iteration: λ1 (as in q245),
+# then λ2 of the deflated gram G₂ = G − λ1·v1v1ᵀ, and the gap ratio
+# λ2/λ1 — the scalar that says whether the corpus has ONE dominant
+# semantic direction (gap ≪ 1: rank-1 collapse, q245's alarm) or a
+# plateau of comparable directions (gap ≈ 1: healthy isotropy, where
+# q255's effective rank is high). Completes the spectral triple
+# (top-share, effective rank, gap).
+# ESTIMATE semantics (declared, like q245's): both numbers are
+# 10-round Rayleigh estimates. When the spectrum is a near-degenerate
+# plateau (λ2/λ1 → 1), phase 1 has not singled out v1, the deflation
+# removes a MIXTURE direction, and the phase-2 estimate can slightly
+# EXCEED phase 1 (gap_ratio marginally above 1 — observed 1.05 on the
+# isotropic fixture); on a collapsed corpus (the alarm case) phase 1
+# converges geometrically, the deflation is accurate, and the ratio
+# is a faithful λ2/λ1 ≪ 1 (tests plant a rank-1-dominated corpus and
+# assert this). Read it as a plateau detector: ~1 healthy, ≪1 alarm.
+# Scale shape: identical to q245 — the ONE data pass is the Arrow
+# partial-gram (single (j,k) combiner Exchange); both 10-iteration
+# loops and the rank-1 deflation run executor-side in a single Arrow
+# task over the assembled 4096-double G; only G crosses the plan.
+# Determinism/oracle: both phases are exact functions of G (v0 = w0 =
+# 0.125 uniform, binary-exact; deflation is one subtract); the oracle
+# unrolls all 20 iterations + the deflated gram as CTEs. Engine
+# doubles differ by summation-order ulps only — raw scalars out, the
+# driver canonicalizes once (the q245/q254 float policy).
+# ---------------------------------------------------------------------------
+def q263_spectral_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assembled = (
+        _gram_scan_side(emb)
+        .groupBy()
+        .agg(F.collect_list(F.struct("j", "k", "g")).alias("gs"))
+        .crossJoin(
+            F.broadcast(
+                emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vec"))
+            )
+        )
+    )
+
+    def iterate(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                G = np.zeros((EMB_DIM, EMB_DIM))
+                for r in row["gs"]:
+                    G[r["j"], r["k"]] = r["g"]
+                v = np.full(EMB_DIM, 1.0 / math.sqrt(float(EMB_DIM)))
+                for _ in range(POWER_ITERS):
+                    u = G @ v
+                    v = u / math.sqrt(float(u @ u))
+                lam1 = float(v @ (G @ v))
+                G2 = G - lam1 * np.outer(v, v)
+                w = np.full(EMB_DIM, 1.0 / math.sqrt(float(EMB_DIM)))
+                for _ in range(POWER_ITERS):
+                    u = G2 @ w
+                    w = u / math.sqrt(float(u @ u))
+                lam2 = float(w @ (G2 @ w))
+                yield pd.DataFrame(
+                    {
+                        "n_vec": [int(row["n_vec"])],
+                        "dim": [EMB_DIM],
+                        "top_eig": [lam1],
+                        "second_eig": [lam2],
+                        "gap_ratio": [lam2 / lam1],
+                    }
+                )
+
+    return assembled.mapInPandas(
+        iterate,
+        "n_vec bigint, dim bigint, top_eig double, second_eig double, "
+        "gap_ratio double",
+    )
+
+
+def _q263_sql() -> str:
+    iters_v = []
+    for t in range(1, POWER_ITERS + 1):
+        iters_v.append(
+            f""",
+u{t} AS MATERIALIZED (
+  SELECT g.j, sum(g.g * v.val) AS uval
+  FROM gmat g JOIN v{t - 1} v ON v.j = g.k
+  GROUP BY g.j
+),
+v{t} AS MATERIALIZED (
+  SELECT u.j, u.uval / nm.nm AS val
+  FROM u{t} u, (SELECT sqrt(sum(uval * uval)) AS nm FROM u{t}) nm
+)"""
+        )
+    iters_w = []
+    for t in range(1, POWER_ITERS + 1):
+        iters_w.append(
+            f""",
+x{t} AS MATERIALIZED (
+  SELECT g.j, sum(g.g * w.val) AS uval
+  FROM gmat2 g JOIN w{t - 1} w ON w.j = g.k
+  GROUP BY g.j
+),
+w{t} AS MATERIALIZED (
+  SELECT x.j, x.uval / nm.nm AS val
+  FROM x{t} x, (SELECT sqrt(sum(uval * uval)) AS nm FROM x{t}) nm
+)"""
+        )
+    chain_v = "".join(iters_v)
+    chain_w = "".join(iters_w)
+    return f"""
+WITH dims AS (SELECT unnest(generate_series(1, {EMB_DIM})) AS j),
+gmat AS MATERIALIZED (
+  SELECT d1.j AS j, d2.j AS k,
+         sum(CAST(e.embedding[d1.j] AS DOUBLE)
+             * CAST(e.embedding[d2.j] AS DOUBLE)) AS g
+  FROM embeddings e, dims d1, dims d2
+  GROUP BY 1, 2
+),
+v0 AS (SELECT j, 1.0 / sqrt({EMB_DIM}.0) AS val FROM dims){chain_v},
+gv AS (
+  SELECT g.j, sum(g.g * v.val) AS gv
+  FROM gmat g JOIN v{POWER_ITERS} v ON v.j = g.k
+  GROUP BY g.j
+),
+lam AS (SELECT sum(gv.gv * v.val) AS lam
+        FROM gv JOIN v{POWER_ITERS} v USING (j)),
+gmat2 AS MATERIALIZED (
+  SELECT g.j, g.k, g.g - lam.lam * vj.val * vk.val AS g
+  FROM gmat g
+  JOIN v{POWER_ITERS} vj ON vj.j = g.j
+  JOIN v{POWER_ITERS} vk ON vk.j = g.k
+  CROSS JOIN lam
+),
+w0 AS (SELECT j, 1.0 / sqrt({EMB_DIM}.0) AS val FROM dims){chain_w},
+gw AS (
+  SELECT g.j, sum(g.g * w.val) AS gw
+  FROM gmat2 g JOIN w{POWER_ITERS} w ON w.j = g.k
+  GROUP BY g.j
+),
+lam2 AS (SELECT sum(gw.gw * w.val) AS lam2
+         FROM gw JOIN w{POWER_ITERS} w USING (j)),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vec FROM embeddings)
+SELECT n_vec,
+       CAST({EMB_DIM} AS BIGINT) AS dim,
+       lam AS top_eig,
+       lam2 AS second_eig,
+       lam2 / lam AS gap_ratio
+FROM lam, lam2, nv
+"""
+
+
+Q263_SQL = _q263_sql()
+
+
 QUERIES = {
     "q25_knn_l2": q25_knn_l2,
     "q26_knn_cosine": q26_knn_cosine,
@@ -1437,6 +1590,7 @@ QUERIES = {
     "q213_cross_label_audit": q213_cross_label_audit,
     "q237_knn_classify": q237_knn_classify,
     "q245_power_iteration": q245_power_iteration,
+    "q263_spectral_gap": q263_spectral_gap,
     "q255_effective_rank": q255_effective_rank,
 }
 
@@ -1456,5 +1610,6 @@ ORACLE = {
     "q213_cross_label_audit": Q213_SQL,
     "q237_knn_classify": Q237_SQL,
     "q245_power_iteration": Q245_SQL,
+    "q263_spectral_gap": Q263_SQL,
     "q255_effective_rank": Q255_SQL,
 }

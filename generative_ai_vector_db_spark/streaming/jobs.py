@@ -767,6 +767,88 @@ def run_debounce_stream(
     )
 
 
+# ---------------------------------------------------------------------------
+# q270 — stream-dedup profile (batch twin of the bucketed
+# ``dropDuplicatesWithinWatermark`` job below): collapse events to one
+# per (user_id, event_type, minute) semantic key and report, per
+# event type, how much the stream dedup would drop — the sizing
+# readout you run before turning the dedup on (state volume ≈ #keys
+# inside the watermark horizon; dropped volume = dup_rate).
+# run_bucket_dedup_stream executes the same key with bounded state;
+# counts are arrival-order-independent (only WHICH duplicate survives
+# varies), so the twin's aggregate is exact for any replay order —
+# tests/test_streaming_more.py asserts the equivalence.
+# Scale shape: ONE events scan, one (type, key)-combining aggregate —
+# the composite key partial-aggregates map-side; nothing but the
+# 5-type rollup crosses the final exchange.
+# ---------------------------------------------------------------------------
+def q270_stream_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("minute", "ts").alias("mb")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+            F.count_distinct("user_id", "mb").cast("bigint").alias("n_keys"),
+        )
+        .select(
+            "event_type",
+            "n_raw",
+            "n_keys",
+            (F.col("n_raw") - F.col("n_keys")).alias("n_dupes"),
+            (
+                (F.col("n_raw") - F.col("n_keys"))
+                / F.col("n_raw").cast("double")
+            ).alias("dup_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q270_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(count(DISTINCT (user_id, date_trunc('minute', ts)))
+            AS BIGINT) AS n_keys,
+       CAST(count(*) AS BIGINT)
+         - CAST(count(DISTINCT (user_id, date_trunc('minute', ts)))
+                AS BIGINT) AS n_dupes,
+       (count(*) - count(DISTINCT (user_id, date_trunc('minute', ts))))
+         / CAST(count(*) AS DOUBLE) AS dup_rate
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def run_bucket_dedup_stream(
+    spark: SparkSession,
+    src_dir: str,
+    sink_table: str = "bucket_dedup_out",
+    watermark: str = "30 minutes",
+) -> None:
+    """Streaming face of q270: one event per (user_id, event_type,
+    minute) semantic key via ``dropDuplicatesWithinWatermark`` on the
+    materialized bucket column — bounded state (keys expire with the
+    watermark), arrival-order "first wins" within the horizon. The
+    q270 batch twin's per-type counts are invariant to which duplicate
+    survives, so twin equivalence holds for any replay order."""
+    ev = _events_stream(spark, src_dir).withWatermark("ts", watermark)
+    keyed = ev.withColumn("mb", F.date_trunc("minute", "ts"))
+    deduped = keyed.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "mb"]
+    ).select("event_id", "user_id", "event_type", "mb", "value")
+    (
+        deduped.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 QUERIES = {
     "q31_tumbling_window": q31_tumbling_window,
     "q32_sliding_window": q32_sliding_window,
@@ -776,6 +858,7 @@ QUERIES = {
     "q111_stream_static_enrich": q111_stream_static_enrich,
     "q124_outer_attribution": q124_outer_attribution,
     "q191_debounce": q191_debounce,
+    "q270_stream_dedup_profile": q270_stream_dedup_profile,
 }
 
 ORACLE = {
@@ -787,4 +870,5 @@ ORACLE = {
     "q111_stream_static_enrich": Q111_SQL,
     "q124_outer_attribution": Q124_SQL,
     "q191_debounce": Q191_SQL,
+    "q270_stream_dedup_profile": Q270_SQL,
 }
