@@ -1741,6 +1741,119 @@ LIMIT 50
 
 
 # ---------------------------------------------------------------------------
+# q275 — directional association rules over co-purchased parts:
+# for every supported pair (the q131 candidate set), the rule metrics
+# a→b and b→a — confidence (P(b|a)), and conviction
+# ((1 − P(b)) / (1 − conf), the "how much worse than independence is
+# a-without-b" odds ratio; NULL when conf = 1) — ranked by forward
+# confidence. q131 stops at symmetric lift; rules are what a
+# recommender actually deploys (direction matters: bread→butter and
+# butter→bread have the same lift, different confidence).
+# Float/ranking determinism: every metric is a single division of
+# exact int64 counts — bit-identical doubles on both engines, so the
+# confidence ranking needs no rounding; ties break (part_a, part_b).
+# Scale shape: identical to q131 — distinct projection, self-join on
+# the order key (co-partitioned), support floor applied before the
+# per-part joins, broadcast count dims, TakeOrdered top-20.
+# ---------------------------------------------------------------------------
+RULES_TOP = 20
+
+
+def q275_rule_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .where(F.col("support") >= MIN_PAIR_SUPPORT)
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders_part")
+    )
+    pa = per_part.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_orders_part").alias("na")
+    )
+    pb = per_part.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_orders_part").alias("nb")
+    )
+    conf_ab = F.col("support") / F.col("na").cast("double")
+    conf_ba = F.col("support") / F.col("nb").cast("double")
+    conviction = F.when(
+        conf_ab < 1.0,
+        (F.lit(1.0) - F.col("nb") / F.col("n_orders")) / (F.lit(1.0) - conf_ab),
+    )
+    return (
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "na",
+            "nb",
+            conf_ab.alias("conf_a2b"),
+            conf_ba.alias("conf_b2a"),
+            (
+                F.col("support")
+                * F.col("n_orders")
+                / (F.col("na") * F.col("nb")).cast("double")
+            ).alias("lift"),
+            conviction.alias("conviction_a2b"),
+        )
+        .orderBy(F.desc("conf_a2b"), "part_a", "part_b")
+        .limit(RULES_TOP)
+    )
+
+
+Q275_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM li),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_PAIR_SUPPORT}
+),
+per_part AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders_part
+  FROM li GROUP BY 1
+)
+SELECT part_a, part_b, support,
+       pa.n_orders_part AS na,
+       pb.n_orders_part AS nb,
+       support / CAST(pa.n_orders_part AS DOUBLE) AS conf_a2b,
+       support / CAST(pb.n_orders_part AS DOUBLE) AS conf_b2a,
+       support * n.n_orders
+         / CAST(pa.n_orders_part * pb.n_orders_part AS DOUBLE) AS lift,
+       CASE WHEN support / CAST(pa.n_orders_part AS DOUBLE) < 1.0
+            THEN (1.0 - pb.n_orders_part / n.n_orders)
+                 / (1.0 - support / CAST(pa.n_orders_part AS DOUBLE))
+       END AS conviction_a2b
+FROM pairs
+JOIN per_part pa ON part_a = pa.l_partkey
+JOIN per_part pb ON part_b = pb.l_partkey
+CROSS JOIN n
+ORDER BY conf_a2b DESC, part_a, part_b
+LIMIT {RULES_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # q132 — deterministic weighted sampling (A-Res, Efraimidis-Spirakis):
 # key_i = u_i^(1/w_i) with a deterministic engine-portable uniform
 # u_i from a Knuth multiplicative hash of the doc id; the global top-k
@@ -2061,6 +2174,7 @@ QUERIES = {
     "q127_tpch_q9_shape": q127_tpch_q9_shape,
     "q129_unpivot_metrics": q129_unpivot_metrics,
     "q131_copurchase_lift": q131_copurchase_lift,
+    "q275_rule_confidence": q275_rule_confidence,
     "q132_weighted_sample": q132_weighted_sample,
     "q218_pareto_front": q218_pareto_front,
     "q246_revenue_bridge": q246_revenue_bridge,
@@ -2114,6 +2228,7 @@ ORACLE = {
     "q127_tpch_q9_shape": Q127_SQL,
     "q129_unpivot_metrics": Q129_SQL,
     "q131_copurchase_lift": Q131_SQL,
+    "q275_rule_confidence": Q275_SQL,
     "q132_weighted_sample": Q132_SQL,
     "q246_revenue_bridge": Q246_SQL,
 }

@@ -1003,6 +1003,93 @@ ORDER BY term
 """
 
 
+# ---------------------------------------------------------------------------
+# q274 — MRR / hit-rate eval of the BM25 ranking: per query term, the
+# reciprocal rank of the first MOST-RELEVANT doc (relevance = term
+# frequency; relevant = docs attaining the term's max tf) plus
+# hit@1/5/10 — the binary-relevance companion to q267's graded NDCG
+# (MRR is what vector-store evals actually report). Exact arithmetic
+# end to end: ranks are ints, rr = 1/int — bit-identical on both
+# engines, no float policy needed beyond the q83 ranking key.
+# Scale shape: reuses the q83 per-term frame; one rank window per
+# term (WindowGroupLimit-prunable), one ≤|terms|-group aggregate.
+# ---------------------------------------------------------------------------
+def q274_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = _bm25_per_term(spark, sf_dir).select(
+        "term", "doc_id", "tf", F.round("contrib", 4).alias("score")
+    )
+    w_sys = Window.partitionBy("term").orderBy(F.col("score").desc(), "doc_id")
+    w_max = Window.partitionBy("term")
+    ranked = per.select(
+        "term",
+        "tf",
+        F.row_number().over(w_sys).alias("r_sys"),
+        F.max("tf").over(w_max).alias("best_tf"),
+    )
+    first_rel = F.min(
+        F.when(F.col("tf") == F.col("best_tf"), F.col("r_sys"))
+    )
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.max("best_tf").cast("bigint").alias("best_tf"),
+            first_rel.cast("bigint").alias("first_rel_rank"),
+        )
+        .select(
+            "term",
+            "n_matched",
+            "best_tf",
+            "first_rel_rank",
+            (F.lit(1.0) / F.col("first_rel_rank")).alias("rr"),
+            (F.col("first_rel_rank") <= 1).cast("int").alias("hit_at_1"),
+            (F.col("first_rel_rank") <= 5).cast("int").alias("hit_at_5"),
+            (F.col("first_rel_rank") <= 10).cast("int").alias("hit_at_10"),
+        )
+        .orderBy("term")
+    )
+
+
+Q274_SQL = f"""
+WITH {_BM25_CTE.split("per AS")[0]}per AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(ln(1.0 + (corpus.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * CAST(dl.dl AS DOUBLE)
+              / (CAST(corpus.total_len AS DOUBLE)
+                 / CAST(corpus.n_docs AS DOUBLE)))), 4)
+           AS score
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corpus
+),
+ranked AS (
+  SELECT term, tf,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY score DESC, doc_id) AS r_sys,
+         max(tf) OVER (PARTITION BY term) AS best_tf
+  FROM per
+),
+agg AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS n_matched,
+         CAST(max(best_tf) AS BIGINT) AS best_tf,
+         CAST(min(CASE WHEN tf = best_tf THEN r_sys END) AS BIGINT)
+           AS first_rel_rank
+  FROM ranked
+  GROUP BY term
+)
+SELECT term, n_matched, best_tf, first_rel_rank,
+       1.0 / first_rel_rank AS rr,
+       CAST(first_rel_rank <= 1 AS INT) AS hit_at_1,
+       CAST(first_rel_rank <= 5 AS INT) AS hit_at_5,
+       CAST(first_rel_rank <= 10 AS INT) AS hit_at_10
+FROM agg
+ORDER BY term
+"""
+
+
 QUERIES = {
     "q83_bm25_topk": q83_bm25_topk,
     "q84_hybrid_rrf": q84_hybrid_rrf,
@@ -1015,6 +1102,7 @@ QUERIES = {
     "q201_context_budget": q201_context_budget,
     "q236_inverted_index": q236_inverted_index,
     "q267_ndcg_eval": q267_ndcg_eval,
+    "q274_mrr_eval": q274_mrr_eval,
 }
 
 ORACLE = {
@@ -1029,4 +1117,5 @@ ORACLE = {
     "q201_context_budget": Q201_SQL,
     "q236_inverted_index": Q236_SQL,
     "q267_ndcg_eval": Q267_SQL,
+    "q274_mrr_eval": Q274_SQL,
 }

@@ -2926,6 +2926,79 @@ ORDER BY lag
 """
 
 
+# ---------------------------------------------------------------------------
+# q273 — classical seasonal decomposition of the daily value series
+# (the moving-average STL-lite): trend = centered 7-day MA (full
+# windows only), detrended = x − trend, seasonal = per-ISO-weekday
+# mean of the detrended series, residual = detrended − seasonal;
+# reported per weekday with the residual spread — the decomposition
+# behind "is Monday really +20%, or is that trend/noise" (q205
+# measures raw day-of-week factors; q233 is the MA primitive; this
+# combines them into the additive model with a residual diagnostic).
+# Scale shape: ONE day reduce over events; every window (centered MA,
+# per-dow seasonal mean) runs on the bounded ≤|days| daily frame — a
+# documented bounded-domain window site, same class as q15/q247.
+# Averages of raw doubles out; the driver canonicalizes once.
+# ---------------------------------------------------------------------------
+def q273_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum("value").alias("x"))
+    )
+    w_ma = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        "d",
+        "x",
+        (F.weekday("d") + 1).alias("iso_dow"),
+        F.avg("x").over(w_ma).alias("trend"),
+        F.count(F.lit(1)).over(w_ma).alias("n_win"),
+    ).where(F.col("n_win") == 7)
+    det = trended.withColumn("det", F.col("x") - F.col("trend"))
+    w_dow = Window.partitionBy("iso_dow")
+    decomposed = det.withColumn("seasonal", F.avg("det").over(w_dow))
+    return (
+        decomposed.groupBy("iso_dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.avg("x").alias("mean_value"),
+            F.max("seasonal").alias("seasonal"),
+            F.stddev_pop(F.col("det") - F.col("seasonal")).alias("resid_std"),
+        )
+        .orderBy("iso_dow")
+    )
+
+
+Q273_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, sum(value) AS x FROM events GROUP BY 1
+),
+trended AS (
+  SELECT d, x, CAST(isodow(d) AS INT) AS iso_dow,
+         avg(x) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS trend,
+         count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS n_win
+  FROM daily
+),
+det AS (
+  SELECT d, x, iso_dow, x - trend AS det
+  FROM trended WHERE n_win = 7
+),
+decomposed AS (
+  SELECT *, avg(det) OVER (PARTITION BY iso_dow) AS seasonal FROM det
+)
+SELECT iso_dow,
+       CAST(count(*) AS BIGINT) AS n_days,
+       avg(x) AS mean_value,
+       max(seasonal) AS seasonal,
+       stddev_pop(det - seasonal) AS resid_std
+FROM decomposed
+GROUP BY iso_dow
+ORDER BY iso_dow
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
     "q254_survival_retention": q254_survival_retention,
@@ -2936,6 +3009,7 @@ QUERIES = {
     "q262_session_threshold_advisor": q262_session_threshold_advisor,
     "q269_hourweek_fingerprint": q269_hourweek_fingerprint,
     "q271_lead_lag_xcorr": q271_lead_lag_xcorr,
+    "q273_seasonal_decompose": q273_seasonal_decompose,
     "q59_range_join": q59_range_join,
     "q106_sessionize": q106_sessionize,
     "q107_retention_cohorts": q107_retention_cohorts,
@@ -2986,6 +3060,7 @@ ORACLE = {
     "q262_session_threshold_advisor": Q262_SQL,
     "q269_hourweek_fingerprint": Q269_SQL,
     "q271_lead_lag_xcorr": Q271_SQL,
+    "q273_seasonal_decompose": Q273_SQL,
     "q59_range_join": Q59_SQL,
     "q106_sessionize": Q106_SQL,
     "q107_retention_cohorts": Q107_SQL,

@@ -1573,6 +1573,99 @@ FROM lam, lam2, nv
 Q263_SQL = _q263_sql()
 
 
+# ---------------------------------------------------------------------------
+# q272 — centroid silhouette per label: for each vector, a = L2
+# distance to its own label centroid, b = the nearest OTHER centroid,
+# s = (b − a)/max(a, b); averaged per label — the clustering-quality
+# readout (silhouette-by-centroid, the O(N·L) simplification of the
+# O(N²) silhouette) that tells you whether labels are separable in
+# embedding space. Completes the label-eval family: q99 flags
+# outliers, q158 compares centroids, q213 audits cross-label
+# neighbors; this scores cohesion-vs-separation per label.
+# Scale shape: centroids via posexplode + avg (one d×L aggregate);
+# the L-row centroid-ARRAY frame is broadcast and each vector scores
+# against all L centroids through a zip_with fold — N·L rows total,
+# no N² pair join anywhere. Per-vector sums differ from the oracle's
+# j-grouped sums by ulps only; outputs are per-label AVERAGES of raw
+# doubles (driver canonicalizes), and the min/branch comparisons
+# (b vs a, nearest-other) compare macroscopically different
+# distances, so ulp drift cannot flip them.
+# ---------------------------------------------------------------------------
+def q272_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.as_double(F.col("embedding")).alias("v")
+    )
+    cents = (
+        emb.select("label", F.posexplode("v").alias("j", "x"))
+        .groupBy("label", "j")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "c"))),
+                lambda s: s["c"],
+            ).alias("cent")
+        )
+        .select(F.col("label").alias("clabel"), "cent")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cent"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "clabel", F.sqrt(d2).alias("d")
+    )
+    per_vec = dists.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d"))).alias("b"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.avg("a").alias("mean_dist_own"),
+            F.avg("b").alias("mean_dist_other"),
+            F.avg(
+                (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+            ).alias("silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+Q272_SQL = f"""
+WITH dims AS (SELECT unnest(generate_series(1, {EMB_DIM})) AS j),
+cent AS (
+  SELECT e.label AS clabel, d.j,
+         avg(CAST(e.embedding[d.j] AS DOUBLE)) AS c
+  FROM embeddings e, dims d
+  GROUP BY 1, 2
+),
+dist AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         sqrt(sum((CAST(e.embedding[c.j] AS DOUBLE) - c.c)
+                  * (CAST(e.embedding[c.j] AS DOUBLE) - c.c))) AS d
+  FROM embeddings e JOIN cent c ON TRUE
+  GROUP BY 1, 2, 3
+),
+per_vec AS (
+  SELECT vec_id, label,
+         max(CASE WHEN clabel = label THEN d END) AS a,
+         min(CASE WHEN clabel <> label THEN d END) AS b
+  FROM dist GROUP BY 1, 2
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       avg(a) AS mean_dist_own,
+       avg(b) AS mean_dist_other,
+       avg((b - a) / greatest(a, b)) AS silhouette
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
     "q25_knn_l2": q25_knn_l2,
     "q26_knn_cosine": q26_knn_cosine,
@@ -1591,6 +1684,7 @@ QUERIES = {
     "q237_knn_classify": q237_knn_classify,
     "q245_power_iteration": q245_power_iteration,
     "q263_spectral_gap": q263_spectral_gap,
+    "q272_centroid_silhouette": q272_centroid_silhouette,
     "q255_effective_rank": q255_effective_rank,
 }
 
@@ -1611,5 +1705,6 @@ ORACLE = {
     "q237_knn_classify": Q237_SQL,
     "q245_power_iteration": Q245_SQL,
     "q263_spectral_gap": Q263_SQL,
+    "q272_centroid_silhouette": Q272_SQL,
     "q255_effective_rank": Q255_SQL,
 }

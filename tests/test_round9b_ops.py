@@ -367,3 +367,125 @@ def test_q271_xcorr_matches_numpy(spark, sf_dir_t2):
             1 for d in a.index if d + pd.Timedelta(days=r.lag) in b.index
         )
         assert r.n_pairs == n_pairs
+
+
+# --------------------------------------------------------------------------
+# q272 centroid silhouette — numpy recompute
+# --------------------------------------------------------------------------
+def test_q272_silhouette_matches_numpy(spark, sf_dir_t2):
+    import pyarrow.parquet as pq
+
+    got = vector.q272_centroid_silhouette(spark, sf_dir_t2).toPandas()
+    emb = pq.read_table(
+        os.path.join(sf_dir_t2, "embeddings.parquet")
+    ).to_pandas()
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    labels = emb["label"].to_numpy()
+    cents = {
+        lab: X[labels == lab].mean(axis=0) for lab in np.unique(labels)
+    }
+    C = np.stack([cents[lab] for lab in sorted(cents)])
+    order = np.array(sorted(cents))
+    d = np.sqrt(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+    own_idx = np.searchsorted(order, labels)
+    a = d[np.arange(len(X)), own_idx]
+    dm = d.copy()
+    dm[np.arange(len(X)), own_idx] = np.inf
+    b = dm.min(axis=1)
+    s = (b - a) / np.maximum(a, b)
+    for r in got.itertuples():
+        m = labels == r.label
+        assert r.n_vecs == int(m.sum())
+        assert r.mean_dist_own == pytest.approx(a[m].mean(), rel=1e-9)
+        assert r.mean_dist_other == pytest.approx(b[m].mean(), rel=1e-9)
+        assert r.silhouette == pytest.approx(s[m].mean(), rel=1e-9)
+    # silhouette is bounded
+    assert (got["silhouette"].abs() <= 1 + 1e-12).all()
+
+
+# --------------------------------------------------------------------------
+# q273 seasonal decomposition — pandas recompute
+# --------------------------------------------------------------------------
+def test_q273_decompose_matches_pandas(spark, sf_dir_t2):
+    got = temporal.q273_seasonal_decompose(spark, sf_dir_t2).toPandas()
+    ev = _events_pdf(spark, sf_dir_t2)
+    daily = ev.groupby(ev["ts"].dt.date)["value"].sum().sort_index()
+    x = daily.to_numpy()
+    trend = pd.Series(x).rolling(7, center=True).mean().to_numpy()
+    keep = ~np.isnan(trend)
+    det = x[keep] - trend[keep]
+    dows = np.array([d.isoweekday() for d in daily.index])[keep]
+    for r in got.itertuples():
+        m = dows == r.iso_dow
+        assert r.n_days == int(m.sum())
+        assert r.seasonal == pytest.approx(det[m].mean(), rel=1e-9)
+        resid = det[m] - det[m].mean()
+        assert r.resid_std == pytest.approx(
+            float(np.sqrt((resid**2).mean())), rel=1e-9
+        )
+    # additive identity: the day-count-weighted mean of the per-dow
+    # seasonal components equals the overall detrended mean (group
+    # means aggregate back to the grand mean)
+    w = got["n_days"].to_numpy()
+    assert (got["seasonal"].to_numpy() * w).sum() / w.sum() == pytest.approx(
+        det.mean(), rel=1e-9
+    )
+
+
+# --------------------------------------------------------------------------
+# q274 MRR — consistency with the q267 ranking frame
+# --------------------------------------------------------------------------
+def test_q274_mrr_consistency(spark, sf_dir_t2):
+    got = retrieval.q274_mrr_eval(spark, sf_dir_t2).toPandas()
+    per = retrieval._bm25_per_term(spark, sf_dir_t2).toPandas()
+    for r in got.itertuples():
+        g = per[per["term"] == r.term].copy()
+        g["score"] = g["contrib"].round(4)
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True])
+        g["rank"] = np.arange(1, len(g) + 1)
+        best = g["tf"].max()
+        first = int(g.loc[g["tf"] == best, "rank"].min())
+        assert r.best_tf == best
+        assert r.first_rel_rank == first
+        assert r.rr == pytest.approx(1.0 / first)
+        assert r.hit_at_1 == int(first <= 1)
+        assert r.hit_at_5 == int(first <= 5)
+        assert r.hit_at_10 == int(first <= 10)
+
+
+# --------------------------------------------------------------------------
+# q275 rules — pandas recompute of the metric identities
+# --------------------------------------------------------------------------
+def test_q275_rules_match_pandas(spark, sf_dir_t2):
+    got = relational_q275(spark, sf_dir_t2)
+    li = (
+        load(spark, sf_dir_t2, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    n_orders = li["l_orderkey"].nunique()
+    counts = li.groupby("l_partkey").size()
+    assert len(got) <= 20
+    for r in got.itertuples():
+        both = len(
+            set(li[li["l_partkey"] == r.part_a]["l_orderkey"])
+            & set(li[li["l_partkey"] == r.part_b]["l_orderkey"])
+        )
+        assert r.support == both
+        assert r.na == counts[r.part_a] and r.nb == counts[r.part_b]
+        assert r.conf_a2b == pytest.approx(both / r.na)
+        assert r.conf_b2a == pytest.approx(both / r.nb)
+        assert r.lift == pytest.approx(both * n_orders / (r.na * r.nb))
+        if r.conf_a2b < 1.0:
+            assert r.conviction_a2b == pytest.approx(
+                (1 - r.nb / n_orders) / (1 - r.conf_a2b)
+            )
+    # ranked by forward confidence
+    assert (np.diff(got["conf_a2b"]) <= 1e-12).all()
+
+
+def relational_q275(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import relational
+
+    return relational.q275_rule_confidence(spark, sf_dir).toPandas()
