@@ -1432,27 +1432,33 @@ ORDER BY layout
 # behind spark.sql.optimizer.runtime.bloomFilter.enabled, surfaced as
 # a readout (q182 advises on join strategy; this advises on the
 # runtime filter that makes the shuffle-heavy strategy cheap).
-# Scale shape: two exact aggregates (distinct build keys; probe/match
-# counts via a broadcast-able semi join) and a 2-row target-fpp
-# frame; all advisor arithmetic is scan-free on a 1-row crossJoin.
+# Scale shape: ONE scan of each table — the filtered build keys are
+# checkpointed once (distinct orderkeys, broadcast-sized by the
+# advisor's premise) and reused for both the key count and a single
+# broadcast LEFT join over lineitem whose one aggregate yields probe
+# AND match counts together; all advisor arithmetic is scan-free on a
+# 1-row crossJoin against the 2-row target-fpp frame.
 # ---------------------------------------------------------------------------
 BLOOM_YEAR = 1996
 BLOOM_FPPS = [0.01, 0.001]
 
 
 def q264_bloom_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders").where(
-        F.year("o_orderdate") == BLOOM_YEAR
+    keys = (
+        load(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == BLOOM_YEAR)
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+        .localCheckpoint()
     )
     li = load(spark, sf_dir, "lineitem").select("l_orderkey")
-    build = orders.agg(
-        F.count_distinct("o_orderkey").cast("bigint").alias("n_build_keys")
-    )
-    probe = li.agg(F.count(F.lit(1)).cast("bigint").alias("probe_rows"))
-    match = (
-        li.join(orders.select("o_orderkey"),
-                li.l_orderkey == F.col("o_orderkey"), "left_semi")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("match_rows"))
+    build = keys.agg(F.count(F.lit(1)).cast("bigint").alias("n_build_keys"))
+    probe_match = (
+        li.join(F.broadcast(keys), li.l_orderkey == F.col("k"), "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("probe_rows"),
+            F.count("k").cast("bigint").alias("match_rows"),
+        )
     )
     fpp = spark.createDataFrame([(p,) for p in BLOOM_FPPS], "target_fpp double")
     ln2 = 0.6931471805599453
@@ -1461,8 +1467,7 @@ def q264_bloom_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     base = (
         fpp.crossJoin(F.broadcast(build))
-        .crossJoin(F.broadcast(probe))
-        .crossJoin(F.broadcast(match))
+        .crossJoin(F.broadcast(probe_match))
         .withColumn("bloom_bits", bits)
     )
     est = (

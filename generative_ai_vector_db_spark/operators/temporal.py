@@ -2352,10 +2352,13 @@ ACF_MAX_LAG = 7
 
 
 def q256_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # localCheckpoint: one events scan feeds every downstream branch
+    # (mean, denominator, 7 lag joins) — see the q271 note
     daily = (
         load(spark, sf_dir, "events")
         .groupBy(F.to_date("ts").alias("d"))
         .agg(F.sum("value").alias("x"))
+        .localCheckpoint()
     )
     stats = daily.agg(F.avg("x").alias("mu"))
     base = daily.crossJoin(F.broadcast(stats))
@@ -2845,9 +2848,22 @@ def q271_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").where(
         F.col("event_type").isin(XCORR_A, XCORR_B)
     )
-    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.sum(F.when(F.col("event_type") == XCORR_A, F.col("value"))).alias("xa"),
-        F.sum(F.when(F.col("event_type") == XCORR_B, F.col("value"))).alias("xb"),
+    # localCheckpoint the bounded daily frame so the moment/alignment
+    # branches below (means, ssa/ssb, 15 lag joins) all read the ≤|days|
+    # materialization instead of re-deriving it — exactly ONE events
+    # scan regardless of branch count (the header's claim, made true
+    # in the physical plan; asserted in tests/test_plans.py)
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == XCORR_A, F.col("value"))).alias(
+                "xa"
+            ),
+            F.sum(F.when(F.col("event_type") == XCORR_B, F.col("value"))).alias(
+                "xb"
+            ),
+        )
+        .localCheckpoint()
     )
     a = daily.where(F.col("xa").isNotNull()).select("d", "xa")
     b = daily.where(F.col("xb").isNotNull()).select(

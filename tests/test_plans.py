@@ -964,3 +964,34 @@ def test_q245_gram_single_exchange_no_join(spark, sf_dir):
     # combiner; the r8 per-vec self-join (two shuffled N*d sides) is gone
     assert plan.count("Arguments: hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_q271_single_events_scan(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import temporal
+
+    plan = plan_of(temporal.q271_lead_lag_xcorr(spark, sf_dir))
+    # the checkpointed daily frame feeds every moment/lag branch: the
+    # events parquet is scanned exactly once (inside the checkpoint),
+    # so the final plan contains NO parquet scan at all
+    assert "Scan parquet" not in plan, plan
+
+
+def test_q256_single_events_scan(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import temporal
+
+    plan = plan_of(temporal.q256_acf(spark, sf_dir))
+    assert "Scan parquet" not in plan, plan
+
+
+def test_q264_single_scan_per_table(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import scale as sc
+
+    import re
+
+    plan = plan_of(sc.q264_bloom_join_advisor(spark, sf_dir))
+    # orders is consumed entirely inside the checkpointed key frame;
+    # lineitem appears exactly once (probe+match share one aggregate).
+    # Formatted explain prints each node in the tree AND the details
+    # section — count the numbered detail entries only.
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
