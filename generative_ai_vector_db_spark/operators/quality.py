@@ -2440,10 +2440,290 @@ ORDER BY bin
 """
 
 
+# ---------------------------------------------------------------------------
+# q276 — k-anonymity audit: equivalence classes over the
+# quasi-identifier triple (event_type, ISO weekday, hour); for each
+# published k threshold, how many classes fall below k and what share
+# of RECORDS sits in them — the re-identification risk readout a
+# privacy review runs before releasing an event-level dataset (q57/
+# q179 handle direct identifiers in text; this handles the indirect
+# ones in structure). Record-level k-anonymity: a record is at risk
+# iff its class has < k records.
+# Scale shape: ONE aggregate collapses events to ≤|QI classes| rows
+# map-side; the 3-row k frame broadcast-crosses the class histogram
+# and every count partial-combines. Exact integer arithmetic except
+# the final share (raw double).
+# ---------------------------------------------------------------------------
+KANON_KS = [2, 5, 10]
+
+
+def q276_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    classes = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.weekday("ts") + 1).alias("iso_dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    )
+    ks = spark.createDataFrame([(k,) for k in KANON_KS], "k int")
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum((F.col("sz") < F.col("k")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_small_classes"),
+            F.sum(
+                F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_records_at_risk"),
+            F.sum("sz").cast("bigint").alias("n_records"),
+        )
+        .select(
+            "k",
+            "n_classes",
+            "n_small_classes",
+            "n_records_at_risk",
+            (
+                F.col("n_records_at_risk") / F.col("n_records").cast("double")
+            ).alias("risk_share"),
+        )
+        .orderBy("k")
+    )
+
+
+_KS_SQL = ", ".join(f"({k})" for k in KANON_KS)
+Q276_SQL = f"""
+WITH classes AS (
+  SELECT event_type, CAST(isodow(ts) AS INT) AS iso_dow,
+         CAST(hour(ts) AS INT) AS hour,
+         CAST(count(*) AS BIGINT) AS sz
+  FROM events GROUP BY 1, 2, 3
+),
+ks(k) AS (VALUES {_KS_SQL})
+SELECT k,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(coalesce(sum(CASE WHEN sz < k THEN 1 END), 0) AS BIGINT)
+         AS n_small_classes,
+       CAST(coalesce(sum(CASE WHEN sz < k THEN sz END), 0) AS BIGINT)
+         AS n_records_at_risk,
+       coalesce(sum(CASE WHEN sz < k THEN sz END), 0)
+         / CAST(sum(sz) AS DOUBLE) AS risk_share
+FROM classes CROSS JOIN ks
+GROUP BY k
+ORDER BY k
+"""
+
+
+# ---------------------------------------------------------------------------
+# q277 — higher-moment profile per event type: population variance,
+# skewness (g1 = m3/m2^1.5) and excess kurtosis (g2 = m4/m2^2 − 3)
+# from EXACT integer-cent raw-moment sums (the q71 trick, extended to
+# 3rd/4th powers) — distribution-shape stats a drift monitor tracks
+# beyond mean/std (q220 KS needs both samples; moments are the
+# streaming-friendly fingerprint). Native skewness()/kurtosis()
+# aggregates are NOT used: their double partial-sums are partition-
+# order dependent and their definitions differ across engines.
+# Instead the 2-dp values become exact integer cents (c = round(100x))
+# and Σc..Σc⁴ accumulate exactly — decimal(38,0) in Spark, HUGEINT in
+# DuckDB (a narrow-decimal power chain overflows DuckDB's int64-backed
+# widths); both engines cast the SAME exact integer to double and run
+# one identical expression, so outputs are bit-identical. Skewness/
+# kurtosis are scale-free in cents; mean and variance unscale by
+# 100/10⁴ (one identical division each).
+# Scale shape: one aggregate, all sums partial-combine map-side.
+# ---------------------------------------------------------------------------
+def q277_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.round(F.col("value") * 100).cast("decimal(38,0)")
+    g = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.lit(1)).cast("double").alias("nf"),
+            F.sum(c).cast("double").alias("s1"),
+            F.sum(c * c).cast("double").alias("s2"),
+            F.sum(c * c * c).cast("double").alias("s3"),
+            F.sum(c * c * c * c).cast("double").alias("s4"),
+        )
+    )
+    mu = F.col("s1") / F.col("nf")
+    m2 = F.col("s2") / F.col("nf") - mu * mu
+    m3 = (
+        F.col("s3") / F.col("nf")
+        - F.lit(3.0) * mu * (F.col("s2") / F.col("nf"))
+        + F.lit(2.0) * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4") / F.col("nf")
+        - F.lit(4.0) * mu * (F.col("s3") / F.col("nf"))
+        + F.lit(6.0) * mu * mu * (F.col("s2") / F.col("nf"))
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (mu / F.lit(100.0)).alias("mean"),
+        (m2 / F.lit(10000.0)).alias("var_pop"),
+        (m3 / F.sqrt(m2 * m2 * m2)).alias("skewness"),
+        (m4 / (m2 * m2) - F.lit(3.0)).alias("kurtosis_excess"),
+    ).orderBy("event_type")
+
+
+Q277_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) AS DOUBLE) AS nf,
+         CAST(sum(CAST(round(value * 100) AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(sum(CAST(round(value * 100) AS HUGEINT)
+                  * CAST(round(value * 100) AS HUGEINT)) AS DOUBLE) AS s2,
+         CAST(sum(CAST(round(value * 100) AS HUGEINT)
+                  * CAST(round(value * 100) AS HUGEINT)
+                  * CAST(round(value * 100) AS HUGEINT)) AS DOUBLE) AS s3,
+         CAST(sum(CAST(round(value * 100) AS HUGEINT)
+                  * CAST(round(value * 100) AS HUGEINT)
+                  * CAST(round(value * 100) AS HUGEINT)
+                  * CAST(round(value * 100) AS HUGEINT)) AS DOUBLE) AS s4
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       s1 / nf / 100.0 AS mean,
+       (s2 / nf - (s1 / nf) * (s1 / nf)) / 10000.0 AS var_pop,
+       (s3 / nf - 3.0 * (s1 / nf) * (s2 / nf)
+        + 2.0 * (s1 / nf) * (s1 / nf) * (s1 / nf))
+         / sqrt((s2 / nf - (s1 / nf) * (s1 / nf))
+                * (s2 / nf - (s1 / nf) * (s1 / nf))
+                * (s2 / nf - (s1 / nf) * (s1 / nf))) AS skewness,
+       (s4 / nf - 4.0 * (s1 / nf) * (s3 / nf)
+        + 6.0 * (s1 / nf) * (s1 / nf) * (s2 / nf)
+        - 3.0 * (s1 / nf) * (s1 / nf) * (s1 / nf) * (s1 / nf))
+         / ((s2 / nf - (s1 / nf) * (s1 / nf))
+            * (s2 / nf - (s1 / nf) * (s1 / nf))) - 3.0 AS kurtosis_excess
+FROM g
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q278 — one-way ANOVA of value across event types: F = (SSB/(g−1)) /
+# (SSW/(N−g)) — "do the types differ in mean value at all", the
+# continuous-outcome companion to q219's chi-square (categorical) and
+# q249's two-arm z (this is the k-arm omnibus). Float discipline:
+# per-group and grand sums are EXACT decimals (order-independent);
+# the cross-group SSB/SSW reductions fold a SORTED per-group term
+# array left-to-right (aggregate/list_reduce, the q254 pattern) — at
+# SSW magnitudes ~1e9 the 4-dp canonicalization would NOT absorb
+# shuffle-order ulps, so the fold order is pinned and the doubles are
+# bit-identical by construction.
+# Scale shape: one rollup aggregate (per-type rows + grand total in a
+# single pass), then all ANOVA math on the ≤|types|-row frame.
+# ---------------------------------------------------------------------------
+def q278_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    xd = F.col("value").cast("decimal(8,2)")
+    roll = (
+        load(spark, sf_dir, "events")
+        .rollup("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(xd).cast("double").alias("s1"),
+            F.sum(xd * xd).cast("double").alias("s2"),
+        )
+    )
+    tot = roll.where(F.col("event_type").isNull()).select(
+        F.col("n").alias("n_total"), F.col("s1").alias("s1_tot")
+    )
+    grps = roll.where(F.col("event_type").isNotNull())
+    mu = F.col("s1_tot") / F.col("n_total").cast("double")
+    arr = (
+        grps.crossJoin(F.broadcast(tot))
+        .groupBy("n_total", "s1_tot")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.array_sort(
+                F.collect_list(F.struct("event_type", "n", "s1", "s2"))
+            ).alias("gs"),
+        )
+    )
+    ssb = F.aggregate(
+        F.transform(
+            F.col("gs"),
+            lambda x: x["n"].cast("double")
+            * ((x["s1"] / x["n"].cast("double")) - mu)
+            * ((x["s1"] / x["n"].cast("double")) - mu),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    ssw = F.aggregate(
+        F.transform(
+            F.col("gs"),
+            lambda x: x["s2"] - x["s1"] * x["s1"] / x["n"].cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return arr.select(
+        "n_groups",
+        F.col("n_total"),
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        (
+            (ssb / (F.col("n_groups") - 1).cast("double"))
+            / (ssw / (F.col("n_total") - F.col("n_groups")).cast("double"))
+        ).alias("f_stat"),
+    )
+
+
+Q278_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(8,2))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value AS DECIMAL(8,2)) * CAST(value AS DECIMAL(8,2)))
+              AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CAST(value AS DECIMAL(8,2))) AS DOUBLE) AS s1_tot
+  FROM events
+),
+arr AS (
+  SELECT t.n_total, t.s1_tot,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         list(CAST(n AS DOUBLE)
+              * ((s1 / n) - (t.s1_tot / t.n_total))
+              * ((s1 / n) - (t.s1_tot / t.n_total))
+              ORDER BY event_type) AS ssb_terms,
+         list(s2 - s1 * s1 / n ORDER BY event_type) AS ssw_terms
+  FROM g, tot t
+  GROUP BY t.n_total, t.s1_tot
+)
+SELECT n_groups, n_total,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ssb_terms),
+                   (a, b) -> a + b) AS ssb,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ssw_terms),
+                   (a, b) -> a + b) AS ssw,
+       (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ssb_terms),
+                    (a, b) -> a + b) / (n_groups - 1))
+         / (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ssw_terms),
+                        (a, b) -> a + b) / (n_total - n_groups)) AS f_stat
+FROM arr
+"""
+
+
 QUERIES = {
     "q93_gopher_quality": q93_gopher_quality,
     "q265_filter_waterfall": q265_filter_waterfall,
     "q266_psi_drift": q266_psi_drift,
+    "q276_kanon_audit": q276_kanon_audit,
+    "q277_higher_moments": q277_higher_moments,
+    "q278_anova_oneway": q278_anova_oneway,
     "q94_source_cap": q94_source_cap,
     "q95_lang_kl_divergence": q95_lang_kl_divergence,
     "q96_event_funnel": q96_event_funnel,
@@ -2479,6 +2759,9 @@ ORACLE = {
     "q93_gopher_quality": Q93_SQL,
     "q265_filter_waterfall": Q265_SQL,
     "q266_psi_drift": Q266_SQL,
+    "q276_kanon_audit": Q276_SQL,
+    "q277_higher_moments": Q277_SQL,
+    "q278_anova_oneway": Q278_SQL,
     "q94_source_cap": Q94_SQL,
     "q95_lang_kl_divergence": Q95_SQL,
     "q96_event_funnel": Q96_SQL,

@@ -489,3 +489,73 @@ def relational_q275(spark, sf_dir):
     from generative_ai_vector_db_spark.operators import relational
 
     return relational.q275_rule_confidence(spark, sf_dir).toPandas()
+
+
+# --------------------------------------------------------------------------
+# q276 k-anonymity audit — pandas recompute + monotonicity
+# --------------------------------------------------------------------------
+def test_q276_kanon_matches_pandas(spark, sf_dir_t2):
+    got = quality.q276_kanon_audit(spark, sf_dir_t2).toPandas()
+    ev = _events_pdf(spark, sf_dir_t2)
+    cls = (
+        pd.DataFrame(
+            {
+                "et": ev["event_type"],
+                "dow": ev["ts"].dt.dayofweek + 1,
+                "hour": ev["ts"].dt.hour,
+            }
+        )
+        .groupby(["et", "dow", "hour"])
+        .size()
+    )
+    for r in got.itertuples():
+        small = cls[cls < r.k]
+        assert r.n_classes == len(cls)
+        assert r.n_small_classes == len(small)
+        assert r.n_records_at_risk == int(small.sum())
+        assert r.risk_share == pytest.approx(small.sum() / len(ev))
+    # risk grows with k
+    by = got.sort_values("k")
+    assert (np.diff(by["risk_share"]) >= -1e-12).all()
+
+
+# --------------------------------------------------------------------------
+# q277 higher moments — numpy recompute from raw values
+# --------------------------------------------------------------------------
+def test_q277_moments_match_numpy(spark, sf_dir_t2):
+    got = quality.q277_higher_moments(spark, sf_dir_t2).toPandas()
+    ev = _events_pdf(spark, sf_dir_t2)
+    for r in got.itertuples():
+        x = ev.loc[ev["event_type"] == r.event_type, "value"].to_numpy()
+        c = np.round(x * 100).astype(np.int64).astype(np.float64)
+        mu = c.mean()
+        m2 = ((c - mu) ** 2).mean()
+        m3 = ((c - mu) ** 3).mean()
+        m4 = ((c - mu) ** 4).mean()
+        assert r.n == len(x)
+        assert r.mean == pytest.approx(mu / 100.0, rel=1e-12)
+        assert r.var_pop == pytest.approx(m2 / 1e4, rel=1e-9)
+        assert r.skewness == pytest.approx(m3 / m2**1.5, rel=1e-6)
+        assert r.kurtosis_excess == pytest.approx(m4 / m2**2 - 3, rel=1e-6)
+
+
+# --------------------------------------------------------------------------
+# q278 one-way ANOVA — numpy recompute
+# --------------------------------------------------------------------------
+def test_q278_anova_matches_numpy(spark, sf_dir_t2):
+    got = quality.q278_anova_oneway(spark, sf_dir_t2).toPandas().iloc[0]
+    ev = _events_pdf(spark, sf_dir_t2)
+    c = np.round(ev["value"].to_numpy() * 100)
+    groups = [
+        c[(ev["event_type"] == et).to_numpy()]
+        for et in sorted(ev["event_type"].unique())
+    ]
+    mu = c.mean()
+    ssb = sum(len(g) * (g.mean() - mu) ** 2 for g in groups) / 1e4
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups) / 1e4
+    k, n = len(groups), len(c)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got["n_groups"] == k and got["n_total"] == n
+    assert got["ssb"] == pytest.approx(ssb, rel=1e-9)
+    assert got["ssw"] == pytest.approx(ssw, rel=1e-9)
+    assert got["f_stat"] == pytest.approx(f, rel=1e-9)
