@@ -559,3 +559,63 @@ def test_q278_anova_matches_numpy(spark, sf_dir_t2):
     assert got["ssb"] == pytest.approx(ssb, rel=1e-9)
     assert got["ssw"] == pytest.approx(ssw, rel=1e-9)
     assert got["f_stat"] == pytest.approx(f, rel=1e-9)
+
+
+# --------------------------------------------------------------------------
+# q261 planted multi-cohort corpus (the sf fixtures front-load all
+# users into week 1, so the fixture exercises a single cohort; this
+# plants three cohorts and checks the per-cohort accounting)
+# --------------------------------------------------------------------------
+def test_q261_planted_multicohort(spark):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    eid = 0
+    # cohorts starting Mon 2024-01-01, 2024-01-08, 2024-01-15; user u of
+    # cohort c is active in weeks c..2 with value 10*(c+1) per event
+    for c, day0 in enumerate(["2024-01-01", "2024-01-08", "2024-01-15"]):
+        assert pd.Timestamp(day0).isoweekday() == 1  # cohort weeks are Mondays
+        for u in range(5):
+            uid = 100 * (c + 1) + u
+            for wk in range(c, 3):
+                ts = pd.Timestamp("2024-01-01") + pd.Timedelta(
+                    weeks=wk, days=1, hours=u
+                )
+                rows.append(
+                    (eid, ts.to_pydatetime(), uid, "click", 10.0 * (c + 1), "{}")
+                )
+                eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    schema = pa.schema(
+        [
+            pa.field("event_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("user_id", pa.int64()),
+            pa.field("event_type", pa.string()),
+            pa.field("value", pa.float64()),
+            pa.field("props", pa.string()),
+        ]
+    )
+    d = tempfile.mkdtemp(prefix="r9_cohort_")
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+        os.path.join(d, "events.parquet"),
+    )
+    try:
+        got = temporal.q261_cohort_ltv(spark, d).toPandas()
+        # three cohorts; cohort c has 3-c age rows (ages 0..2-c)
+        assert got["cohort_week"].nunique() == 3
+        for c, cw in enumerate(sorted(got["cohort_week"].unique())):
+            g = got[got["cohort_week"] == cw].sort_values("age_weeks")
+            assert list(g["age_weeks"]) == list(range(3 - c))
+            assert (g["n_users"] == 5).all()
+            assert (g["n_active"] == 5).all()
+            # 5 users x 10*(c+1) per week, accruing linearly
+            assert np.allclose(
+                g["ltv_per_user"], [(a + 1) * 10.0 * (c + 1) for a in range(3 - c)]
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
