@@ -3015,6 +3015,196 @@ ORDER BY iso_dow
 """
 
 
+# ---------------------------------------------------------------------------
+# q279 — Theil–Sen robust trend of the daily value series: the exact
+# median of all pairwise slopes (y_j − y_i)/(x_j − x_i), with the
+# median-residual intercept and the OLS slope alongside — the
+# outlier-robust twin of q140's least-squares trend (one anomalous
+# day can move OLS arbitrarily; Theil–Sen has a 29% breakdown point).
+# Scale shape: ONE day reduce over events; the O(|days|²) pair frame
+# is built from the checkpointed bounded daily frame (a documented
+# bounded-domain site — |days| ≤ 31 here; at a longer horizon the
+# pair blow-up is bounded by pre-bucketing days to weeks first).
+# Float parity: each slope is one identical double expression of the
+# exact-by-ulps daily sums; medians are the same R-7 interpolation on
+# both engines; outputs are raw doubles (driver canonicalizes).
+# ---------------------------------------------------------------------------
+def q279_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum("value").alias("y"))
+        .localCheckpoint()
+    )
+    base = daily.crossJoin(
+        F.broadcast(daily.agg(F.min("d").alias("d0")))
+    ).select(F.datediff("d", "d0").cast("double").alias("x"), "y")
+    a = base.select(F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = base.select(F.col("x").alias("xj"), F.col("y").alias("yj"))
+    slopes = (
+        a.join(b, F.col("xi") < F.col("xj"))
+        .select(
+            ((F.col("yj") - F.col("yi")) / (F.col("xj") - F.col("xi"))).alias(
+                "s"
+            )
+        )
+    )
+    ts = slopes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.percentile("s", F.lit(0.5)).alias("ts_slope"),
+    )
+    resid = base.crossJoin(F.broadcast(ts)).select(
+        (F.col("y") - F.col("ts_slope") * F.col("x")).alias("r")
+    )
+    icept = resid.agg(F.percentile("r", F.lit(0.5)).alias("ts_intercept"))
+    ols = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (
+            (F.avg(F.col("x") * F.col("y")) - F.avg("x") * F.avg("y"))
+            / (F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x"))
+        ).alias("ols_slope"),
+    )
+    return (
+        ols.crossJoin(F.broadcast(ts))
+        .crossJoin(F.broadcast(icept))
+        .select("n_days", "n_pairs", "ts_slope", "ts_intercept", "ols_slope")
+    )
+
+
+Q279_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, sum(value) AS y FROM events GROUP BY 1
+),
+base AS (
+  SELECT CAST(date_diff('day', (SELECT min(d) FROM daily), d) AS DOUBLE) AS x,
+         y
+  FROM daily
+),
+slopes AS (
+  SELECT (b.y - a.y) / (b.x - a.x) AS s
+  FROM base a JOIN base b ON a.x < b.x
+),
+ts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         quantile_cont(s, 0.5) AS ts_slope
+  FROM slopes
+),
+icept AS (
+  SELECT quantile_cont(y - ts.ts_slope * x, 0.5) AS ts_intercept
+  FROM base, ts
+),
+ols AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         (avg(x * y) - avg(x) * avg(y))
+           / (avg(x * x) - avg(x) * avg(x)) AS ols_slope
+  FROM base
+)
+SELECT n_days, n_pairs, ts_slope, ts_intercept, ols_slope
+FROM ols, ts, icept
+"""
+
+
+# ---------------------------------------------------------------------------
+# q280 — Holt linear-trend forecast per event type (double exponential
+# smoothing, α = 0.5, β = 0.3): level/trend recursion over the daily
+# value series seeded with l₀ = y₀, b₀ = y₁ − y₀, plus 1-day and
+# 7-day-ahead forecasts ŷ_{T+h} = l_T + h·b_T — the forecasting
+# companion to q260's EWMA (level only) and q279's trend estimators
+# (global slope; Holt adapts to recent slope changes).
+# Scale shape: ONE (type, day) reduce; the recursion is a pinned
+# LEFT-TO-RIGHT fold over the per-type sorted daily array (Spark
+# ``aggregate`` with an [level, trend] array accumulator / DuckDB
+# ``list_reduce`` with a 2-double list accumulator over singleton-list
+# elements) — both engines execute the identical IEEE op sequence, so
+# level/trend/forecasts are bit-identical by construction (the
+# q254/q260 fold policy). Series of length 1 emit NULL trend/forecasts.
+# ---------------------------------------------------------------------------
+HOLT_ALPHA, HOLT_BETA = 0.5, 0.3
+HOLT_H1, HOLT_H7 = 1, 7
+
+
+def q280_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.sum("value").alias("y"))
+    )
+    arrs = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "y"))), lambda s: s["y"]
+        ).alias("ys")
+    )
+    n = F.size("ys")
+    al, be = F.lit(HOLT_ALPHA), F.lit(HOLT_BETA)
+    init = F.array(
+        F.element_at("ys", 1),
+        F.element_at("ys", 2) - F.element_at("ys", 1),
+    )
+
+    def lnew(acc, y):
+        return al * y + (F.lit(1.0) - al) * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+
+    acc = F.aggregate(
+        F.slice("ys", 3, F.greatest(n - 2, F.lit(0))),
+        init,
+        lambda acc, y: F.array(
+            lnew(acc, y),
+            be * (lnew(acc, y) - F.element_at(acc, 1))
+            + (F.lit(1.0) - be) * F.element_at(acc, 2),
+        ),
+    )
+    guarded = F.when(n >= 2, acc)
+    return arrs.select(
+        "event_type",
+        n.cast("bigint").alias("n_days"),
+        F.element_at(guarded, 1).alias("level"),
+        F.element_at(guarded, 2).alias("trend"),
+        (
+            F.element_at(guarded, 1) + F.lit(float(HOLT_H1)) * F.element_at(guarded, 2)
+        ).alias("fc_1d"),
+        (
+            F.element_at(guarded, 1) + F.lit(float(HOLT_H7)) * F.element_at(guarded, 2)
+        ).alias("fc_7d"),
+    ).orderBy("event_type")
+
+
+Q280_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, sum(value) AS y
+  FROM events GROUP BY 1, 2
+),
+arrs AS (
+  SELECT event_type, list(y ORDER BY d) AS ys FROM daily GROUP BY 1
+),
+folded AS (
+  SELECT event_type, len(ys) AS n,
+         CASE WHEN len(ys) >= 2 THEN
+           list_reduce(
+             list_prepend([ys[1], ys[2] - ys[1]],
+                          list_transform(ys[3:], x -> [x])),
+             (acc, e) -> [
+               {HOLT_ALPHA} * e[1] + {1.0 - HOLT_ALPHA} * (acc[1] + acc[2]),
+               {HOLT_BETA} * (({HOLT_ALPHA} * e[1]
+                               + {1.0 - HOLT_ALPHA} * (acc[1] + acc[2]))
+                              - acc[1])
+                 + {1.0 - HOLT_BETA} * acc[2]
+             ])
+         END AS acc
+  FROM arrs
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       acc[1] AS level,
+       acc[2] AS trend,
+       acc[1] + {float(HOLT_H1)} * acc[2] AS fc_1d,
+       acc[1] + {float(HOLT_H7)} * acc[2] AS fc_7d
+FROM folded
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q58_asof_join": q58_asof_join,
     "q254_survival_retention": q254_survival_retention,
@@ -3026,6 +3216,8 @@ QUERIES = {
     "q269_hourweek_fingerprint": q269_hourweek_fingerprint,
     "q271_lead_lag_xcorr": q271_lead_lag_xcorr,
     "q273_seasonal_decompose": q273_seasonal_decompose,
+    "q279_theil_sen": q279_theil_sen,
+    "q280_holt_forecast": q280_holt_forecast,
     "q59_range_join": q59_range_join,
     "q106_sessionize": q106_sessionize,
     "q107_retention_cohorts": q107_retention_cohorts,
@@ -3077,6 +3269,8 @@ ORACLE = {
     "q269_hourweek_fingerprint": Q269_SQL,
     "q271_lead_lag_xcorr": Q271_SQL,
     "q273_seasonal_decompose": Q273_SQL,
+    "q279_theil_sen": Q279_SQL,
+    "q280_holt_forecast": Q280_SQL,
     "q59_range_join": Q59_SQL,
     "q106_sessionize": Q106_SQL,
     "q107_retention_cohorts": Q107_SQL,

@@ -619,3 +619,59 @@ def test_q261_planted_multicohort(spark):
             )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q279 Theil-Sen — numpy recompute + robustness property
+# --------------------------------------------------------------------------
+def test_q279_theil_sen_matches_numpy(spark, sf_dir_t2):
+    got = temporal.q279_theil_sen(spark, sf_dir_t2).toPandas().iloc[0]
+    ev = _events_pdf(spark, sf_dir_t2)
+    daily = ev.groupby(ev["ts"].dt.date)["value"].sum().sort_index()
+    x = np.array(
+        [(d - daily.index[0]).days for d in daily.index], dtype=float
+    )
+    y = daily.to_numpy()
+    slopes = [
+        (y[j] - y[i]) / (x[j] - x[i])
+        for i in range(len(x))
+        for j in range(i + 1, len(x))
+    ]
+    assert got["n_days"] == len(x)
+    assert got["n_pairs"] == len(slopes)
+    assert got["ts_slope"] == pytest.approx(np.median(slopes), rel=1e-9)
+    assert got["ts_intercept"] == pytest.approx(
+        np.median(y - np.median(slopes) * x), rel=1e-9
+    )
+    xc, yc = x - x.mean(), y - y.mean()
+    assert got["ols_slope"] == pytest.approx(
+        (xc * yc).sum() / (xc * xc).sum(), rel=1e-9
+    )
+
+
+# --------------------------------------------------------------------------
+# q280 Holt forecast — pandas reference fold
+# --------------------------------------------------------------------------
+def test_q280_holt_matches_reference_fold(spark, sf_dir_t2):
+    got = temporal.q280_holt_forecast(spark, sf_dir_t2).toPandas()
+    ev = _events_pdf(spark, sf_dir_t2)
+    ev["d"] = ev["ts"].dt.date
+    a, b = temporal.HOLT_ALPHA, temporal.HOLT_BETA
+    for r in got.itertuples():
+        ys = (
+            ev[ev["event_type"] == r.event_type]
+            .groupby("d")["value"]
+            .sum()
+            .sort_index()
+            .to_numpy()
+        )
+        lvl, tr = ys[0], ys[1] - ys[0]
+        for y in ys[2:]:
+            lnew = a * y + (1 - a) * (lvl + tr)
+            tr = b * (lnew - lvl) + (1 - b) * tr
+            lvl = lnew
+        assert r.n_days == len(ys)
+        assert r.level == pytest.approx(lvl, rel=1e-12)
+        assert r.trend == pytest.approx(tr, rel=1e-12)
+        assert r.fc_1d == pytest.approx(lvl + tr, rel=1e-12)
+        assert r.fc_7d == pytest.approx(lvl + 7 * tr, rel=1e-12)
