@@ -893,6 +893,157 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# q283 — sorted-neighborhood dedup (SNM, Hernández–Stolfo): sort the
+# corpus by a canonical key, compare each doc only to its W nearest
+# neighbors in sort order, verify candidates exactly — the classic
+# third blocking family next to LSH banding (q44/q45) and attribute
+# blocking (q215): O(N·W) comparisons with no hash design, and the
+# per-offset match-rate decay it reports is the empirical basis for
+# choosing W. Candidates at sort distance o ∈ 1..W are verified with
+# exact 3-word-shingle Jaccard ≥ 0.4 on the canonical text (q253's
+# canon, q44's verify measure and threshold — TOKEN-set Jaccard was
+# measured non-discriminative on the shared-vocabulary fixture:
+# adjacent and random pairs both ~0.64 median, while shingle Jaccard
+# separates cleanly: 24 matches at offset 1 decaying to 0 by offset
+# 4, the classic SNM decay).
+# Scale shape: the global sort rank is computed WITHOUT a
+# single-partition window — repartitionByRange on the key, row_number
+# within each range partition (WindowExec partitioned by _pid), plus
+# broadcast prefix-summed partition offsets (the quality._global_ntile
+# rank stage, mirrored here); the neighbor join is an equi-join on
+# rank+offset against the broadcast W-row offset frame; Jaccard is
+# scan-side array arithmetic (int/int division → bit-identical match
+# decisions on both engines).
+# ---------------------------------------------------------------------------
+SNM_WINDOW = 4
+SNM_JACCARD = MINHASH_VERIFY_TAU  # 0.4 — same verify rule as q44
+SNM_RANK_PARTS = 32
+
+
+def _global_rank(df: DataFrame, order_cols: list, out: str) -> DataFrame:
+    """Exact ``row_number() OVER (ORDER BY order_cols)`` as a
+    distributed plan (the rank stage of quality._global_ntile):
+    range-partition on the key, rank within partitions, add broadcast
+    prefix-summed partition offsets. ``order_cols`` must be a strict
+    total order."""
+    d = df.repartitionByRange(SNM_RANK_PARTS, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    pc = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pc"))
+    off = (
+        pc.alias("a")
+        .join(
+            F.broadcast(
+                pc.select(
+                    F.col("_pid").alias("_bpid"), F.col("_pc").alias("_bpc")
+                )
+            ),
+            F.col("_bpid") < F.col("_pid"),
+            "left",
+        )
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_bpc"), F.lit(0)).alias("_off"))
+    )
+    rn = F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
+    return (
+        d.join(F.broadcast(off), "_pid")
+        .withColumn(out, (F.col("_off") + rn).cast("bigint"))
+        .drop("_pid", "_off")
+    )
+
+
+def q283_snm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    canon = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", canon.alias("canon")
+    )
+    shingled = with_shingles(docs, text_col="canon").select(
+        "doc_id", "canon", "shingles"
+    )
+    ranked = _global_rank(
+        shingled, ["canon", "doc_id"], "r"
+    ).localCheckpoint()
+    offs = spark.range(1, SNM_WINDOW + 1).select(
+        F.col("id").cast("bigint").alias("o")
+    )
+    a = ranked.select(F.col("r").alias("ra"), F.col("shingles").alias("sa"))
+    b = ranked.select(F.col("r").alias("rb"), F.col("shingles").alias("sb"))
+    pairs = a.crossJoin(F.broadcast(offs)).join(
+        b, F.col("rb") == F.col("ra") + F.col("o")
+    )
+    union = F.size(F.array_distinct(F.concat("sa", "sb")))
+    jac = F.when(
+        union > 0,
+        F.size(F.array_intersect("sa", "sb")) / union.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        pairs.select("o", (jac >= SNM_JACCARD).cast("bigint").alias("m"))
+        .groupBy("o")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum("m").cast("bigint").alias("n_matches"),
+        )
+        .select(
+            F.col("o").alias("sort_offset"),
+            "n_candidates",
+            "n_matches",
+            (F.col("n_matches") / F.col("n_candidates").cast("double")).alias(
+                "match_rate"
+            ),
+        )
+        .orderBy("sort_offset")
+    )
+
+
+Q283_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS canon
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, canon,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split(canon, ' ')) - {SHINGLE_N - 1}),
+           i -> string_split(canon, ' ')[i]
+                || ' ' || string_split(canon, ' ')[i + 1]
+                || ' ' || string_split(canon, ' ')[i + 2])) AS s
+  FROM c
+),
+ranked AS (
+  SELECT s,
+         CAST(row_number() OVER (ORDER BY canon, doc_id) AS BIGINT) AS r
+  FROM sh
+),
+offs AS (SELECT CAST(unnest(generate_series(1, {SNM_WINDOW})) AS BIGINT) AS o),
+pairs AS (
+  SELECT offs.o, a.s AS sa, b.s AS sb
+  FROM ranked a
+  CROSS JOIN offs
+  JOIN ranked b ON b.r = a.r + offs.o
+),
+scored AS (
+  SELECT o,
+         CASE WHEN len(list_distinct(list_concat(sa, sb))) > 0
+                   AND CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                       / len(list_distinct(list_concat(sa, sb)))
+                       >= {SNM_JACCARD}
+              THEN 1 ELSE 0 END AS m
+  FROM pairs
+)
+SELECT o AS sort_offset,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(m) AS BIGINT) AS n_matches,
+       sum(m) / CAST(count(*) AS DOUBLE) AS match_rate
+FROM scored
+GROUP BY o
+ORDER BY sort_offset
+"""
+
+
 QUERIES = {
     "q44_minhash_neardup": q44_minhash_neardup,
     "q45_simhash_neardup": q45_simhash_neardup,
@@ -903,11 +1054,13 @@ QUERIES = {
     "q223_fuzzy_survivorship": q223_fuzzy_survivorship,
     "q230_lsh_param_advisor": q230_lsh_param_advisor,
     "q253_canonical_dedup": q253_canonical_dedup,
+    "q283_snm_dedup": q283_snm_dedup,
 }
 
 ORACLE: dict[str, str] = {
     "q223_fuzzy_survivorship": Q223_SQL,
     "q253_canonical_dedup": Q253_SQL,
+    "q283_snm_dedup": Q283_SQL,
     "q230_lsh_param_advisor": Q230_SQL,
     "q76_dedup_clusters": Q76_SQL,
     "q186_incremental_dedup": Q186_SQL,

@@ -2717,6 +2717,252 @@ FROM arr
 """
 
 
+# ---------------------------------------------------------------------------
+# q281 — Tukey-HSD style post-hoc pairwise contrasts: after q278's
+# omnibus "the types differ somewhere", this says WHERE — for every
+# type pair, the mean difference, its pooled standard error
+# SE = √(MSW·(1/nᵢ+1/nⱼ)) and the studentized statistic diff/SE
+# (compare to t/q critical values). Float discipline: group
+# means are exact-decimal-derived (bit-identical); MSW reuses q278's
+# pinned sorted-array SSW fold; each pair's outputs are identical
+# expressions of those — bit-identical end to end.
+# Scale shape: one ROLLUP pass over events; the pair explosion is a
+# broadcast self-join of the ≤|types|-row group frame.
+# ---------------------------------------------------------------------------
+def q281_tukey_contrasts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    xd = F.col("value").cast("decimal(8,2)")
+    roll = (
+        load(spark, sf_dir, "events")
+        .rollup("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(xd).cast("double").alias("s1"),
+            F.sum(xd * xd).cast("double").alias("s2"),
+        )
+        .localCheckpoint()
+    )
+    tot = roll.where(F.col("event_type").isNull()).select(
+        F.col("n").alias("n_total")
+    )
+    grps = roll.where(F.col("event_type").isNotNull())
+    msw_frame = (
+        grps.crossJoin(F.broadcast(tot))
+        .groupBy("n_total")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.array_sort(
+                F.collect_list(F.struct("event_type", "n", "s1", "s2"))
+            ).alias("gs"),
+        )
+        .select(
+            "n_total",
+            "n_groups",
+            (
+                F.aggregate(
+                    F.transform(
+                        F.col("gs"),
+                        lambda x: x["s2"]
+                        - x["s1"] * x["s1"] / x["n"].cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / (F.col("n_total") - F.col("n_groups")).cast("double")
+            ).alias("msw"),
+        )
+    )
+    a = grps.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        (F.col("s1") / F.col("n").cast("double")).alias("mu_a"),
+    )
+    b = grps.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        (F.col("s1") / F.col("n").cast("double")).alias("mu_b"),
+    )
+    se = F.sqrt(
+        F.col("msw")
+        * (
+            F.lit(1.0) / F.col("na").cast("double")
+            + F.lit(1.0) / F.col("nb").cast("double")
+        )
+    )
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(msw_frame))
+        .select(
+            "type_a",
+            "type_b",
+            "na",
+            "nb",
+            (F.col("mu_a") - F.col("mu_b")).alias("mean_diff"),
+            se.alias("se"),
+            ((F.col("mu_a") - F.col("mu_b")) / se).alias("t_stat"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+Q281_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(8,2))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value AS DECIMAL(8,2)) * CAST(value AS DECIMAL(8,2)))
+              AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM events),
+msw AS (
+  SELECT n_total,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list(s2 - s1 * s1 / CAST(n AS DOUBLE)
+                             ORDER BY event_type)),
+           (x, y) -> x + y) / (n_total - count(*)) AS msw
+  FROM g, tot
+  GROUP BY n_total
+)
+SELECT a.event_type AS type_a,
+       b.event_type AS type_b,
+       a.n AS na,
+       b.n AS nb,
+       a.s1 / CAST(a.n AS DOUBLE) - b.s1 / CAST(b.n AS DOUBLE) AS mean_diff,
+       sqrt(m.msw * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE)))
+         AS se,
+       (a.s1 / CAST(a.n AS DOUBLE) - b.s1 / CAST(b.n AS DOUBLE))
+         / sqrt(m.msw * (1.0 / CAST(a.n AS DOUBLE)
+                         + 1.0 / CAST(b.n AS DOUBLE))) AS t_stat
+FROM g a
+JOIN g b ON a.event_type < b.event_type
+CROSS JOIN msw m
+ORDER BY type_a, type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# q282 — Mann–Whitney U (Wilcoxon rank-sum) between two event types'
+# value samples: U statistics, the tie-corrected normal approximation
+# z, and the rank-biserial effect size — the NONPARAMETRIC two-sample
+# test (q249's z and q281's contrasts assume the mean is the story;
+# this ranks, so one whale purchase cannot move it). Average ranks
+# for ties via the distinct-value frame: avg_rank = #smaller +
+# (t+1)/2.
+# Determinism: every rank is an exact multiple of 0.5 (exact in
+# doubles), counts are ints — the rank-sum and tie term are EXACT in
+# any summation order, and the final z/effect are one identical
+# double expression of exact integers: bit-identical across engines
+# with no fold pinning needed.
+# Scale shape: one conditional-count reduce to the distinct-value
+# frame (domain ≤ |price points|); the rank window runs over that
+# bounded frame (documented bounded-domain site, q218/q220/q228
+# class).
+# ---------------------------------------------------------------------------
+MW_A, MW_B = "click", "purchase"
+
+
+def q282_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin(MW_A, MW_B)
+    )
+    dv = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == MW_A).cast("bigint"))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum((F.col("event_type") == MW_B).cast("bigint"))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = dv.select(
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("t"),
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("before"),
+    )
+    avg_rank = F.col("before").cast("double") + (
+        F.col("t").cast("double") + F.lit(1.0)
+    ) / F.lit(2.0)
+    agg = ranked.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.sum(F.col("ca").cast("double") * avg_rank).alias("ra"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("double")
+        .alias("tie_term"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    n = na + nb
+    ua = F.col("ra") - na * (na + F.lit(1.0)) / F.lit(2.0)
+    ub = na * nb - ua
+    var_u = (
+        na
+        * nb
+        / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("tie_term") / (n * (n - F.lit(1.0))))
+    )
+    return agg.select(
+        "na",
+        "nb",
+        ua.alias("u_a"),
+        ub.alias("u_b"),
+        ((ua - na * nb / F.lit(2.0)) / F.sqrt(var_u)).alias("z_stat"),
+        (F.lit(1.0) - F.lit(2.0) * ub / (na * nb)).alias("rank_biserial"),
+    )
+
+
+Q282_SQL = f"""
+WITH ev AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN ('{MW_A}', '{MW_B}')
+),
+dv AS (
+  SELECT value,
+         CAST(coalesce(sum(CASE WHEN event_type = '{MW_A}' THEN 1 END), 0)
+              AS BIGINT) AS ca,
+         CAST(coalesce(sum(CASE WHEN event_type = '{MW_B}' THEN 1 END), 0)
+              AS BIGINT) AS cb
+  FROM ev GROUP BY value
+),
+ranked AS (
+  SELECT ca, cb, ca + cb AS t,
+         CAST(coalesce(sum(ca + cb) OVER (
+           ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS before
+  FROM dv
+),
+agg AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na,
+         CAST(sum(cb) AS BIGINT) AS nb,
+         sum(CAST(ca AS DOUBLE)
+             * (CAST(before AS DOUBLE) + (CAST(t AS DOUBLE) + 1.0) / 2.0))
+           AS ra,
+         CAST(sum(t * t * t - t) AS DOUBLE) AS tie_term
+  FROM ranked
+)
+SELECT na, nb,
+       ra - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0 AS u_a,
+       CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+         - (ra - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0) AS u_b,
+       ((ra - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0)
+        - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+         / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+                   - tie_term / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                                 * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)
+                                    - 1.0)))) AS z_stat,
+       1.0 - 2.0
+         * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+            - (ra - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0))
+         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS rank_biserial
+FROM agg
+"""
+
+
 QUERIES = {
     "q93_gopher_quality": q93_gopher_quality,
     "q265_filter_waterfall": q265_filter_waterfall,
@@ -2724,6 +2970,8 @@ QUERIES = {
     "q276_kanon_audit": q276_kanon_audit,
     "q277_higher_moments": q277_higher_moments,
     "q278_anova_oneway": q278_anova_oneway,
+    "q281_tukey_contrasts": q281_tukey_contrasts,
+    "q282_mann_whitney": q282_mann_whitney,
     "q94_source_cap": q94_source_cap,
     "q95_lang_kl_divergence": q95_lang_kl_divergence,
     "q96_event_funnel": q96_event_funnel,
@@ -2762,6 +3010,8 @@ ORACLE = {
     "q276_kanon_audit": Q276_SQL,
     "q277_higher_moments": Q277_SQL,
     "q278_anova_oneway": Q278_SQL,
+    "q281_tukey_contrasts": Q281_SQL,
+    "q282_mann_whitney": Q282_SQL,
     "q94_source_cap": Q94_SQL,
     "q95_lang_kl_divergence": Q95_SQL,
     "q96_event_funnel": Q96_SQL,

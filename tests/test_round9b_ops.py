@@ -675,3 +675,94 @@ def test_q280_holt_matches_reference_fold(spark, sf_dir_t2):
         assert r.trend == pytest.approx(tr, rel=1e-12)
         assert r.fc_1d == pytest.approx(lvl + tr, rel=1e-12)
         assert r.fc_7d == pytest.approx(lvl + 7 * tr, rel=1e-12)
+
+
+# --------------------------------------------------------------------------
+# q281 Tukey contrasts — numpy recompute
+# --------------------------------------------------------------------------
+def test_q281_contrasts_match_numpy(spark, sf_dir_t2):
+    got = quality.q281_tukey_contrasts(spark, sf_dir_t2).toPandas()
+    ev = _events_pdf(spark, sf_dir_t2)
+    types = sorted(ev["event_type"].unique())
+    groups = {t: ev.loc[ev["event_type"] == t, "value"].to_numpy() for t in types}
+    n, k = len(ev), len(types)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups.values())
+    msw = ssw / (n - k)
+    assert len(got) == k * (k - 1) // 2
+    for r in got.itertuples():
+        ga, gb = groups[r.type_a], groups[r.type_b]
+        assert r.na == len(ga) and r.nb == len(gb)
+        assert r.mean_diff == pytest.approx(ga.mean() - gb.mean(), rel=1e-9)
+        se = math.sqrt(msw * (1 / len(ga) + 1 / len(gb)))
+        assert r.se == pytest.approx(se, rel=1e-9)
+        assert r.t_stat == pytest.approx((ga.mean() - gb.mean()) / se, rel=1e-9)
+
+
+# --------------------------------------------------------------------------
+# q282 Mann-Whitney — numpy recompute with tie handling
+# --------------------------------------------------------------------------
+def test_q282_mann_whitney_matches_numpy(spark, sf_dir_t2):
+    got = quality.q282_mann_whitney(spark, sf_dir_t2).toPandas().iloc[0]
+    ev = _events_pdf(spark, sf_dir_t2)
+    a = ev.loc[ev["event_type"] == quality.MW_A, "value"].to_numpy()
+    b = ev.loc[ev["event_type"] == quality.MW_B, "value"].to_numpy()
+    combined = np.concatenate([a, b])
+    order = pd.Series(combined).rank(method="average").to_numpy()
+    ra = order[: len(a)].sum()
+    ua = ra - len(a) * (len(a) + 1) / 2
+    ub = len(a) * len(b) - ua
+    n = len(a) + len(b)
+    _, t_counts = np.unique(combined, return_counts=True)
+    tie = (t_counts.astype(float) ** 3 - t_counts).sum()
+    var_u = len(a) * len(b) / 12 * ((n + 1) - tie / (n * (n - 1)))
+    assert got["na"] == len(a) and got["nb"] == len(b)
+    assert got["u_a"] == pytest.approx(ua, rel=1e-12)
+    assert got["u_b"] == pytest.approx(ub, rel=1e-12)
+    assert got["z_stat"] == pytest.approx(
+        (ua - len(a) * len(b) / 2) / math.sqrt(var_u), rel=1e-9
+    )
+    assert got["rank_biserial"] == pytest.approx(
+        1 - 2 * ub / (len(a) * len(b)), rel=1e-9
+    )
+
+
+# --------------------------------------------------------------------------
+# q283 SNM — pandas recompute + decay property
+# --------------------------------------------------------------------------
+def test_q283_snm_matches_pandas(spark, sf_dir_t2):
+    import re as _re
+
+    from generative_ai_vector_db_spark.operators import dedup
+
+    got = dedup.q283_snm_dedup(spark, sf_dir_t2).toPandas()
+    docs = load(spark, sf_dir_t2, "documents").toPandas()
+    docs["canon"] = (
+        docs["text"]
+        .str.lower()
+        .map(lambda t: _re.sub(r"[^a-z0-9]+", " ", t).strip())
+    )
+    docs = docs.sort_values(["canon", "doc_id"]).reset_index(drop=True)
+
+    def sh(c):
+        w = c.split(" ")
+        return set(
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        ) if len(w) >= 3 else set()
+
+    shs = docs["canon"].map(sh).tolist()
+    for r in got.itertuples():
+        o = r.sort_offset
+        n_cand = len(docs) - o
+        matches = 0
+        for i in range(n_cand):
+            sa, sb = shs[i], shs[i + o]
+            u = len(sa | sb)
+            if u > 0 and len(sa & sb) / u >= dedup.SNM_JACCARD:
+                matches += 1
+        assert r.n_candidates == n_cand
+        assert r.n_matches == matches
+    # SNM decay: offset-1 catches the sorted-adjacent duplicates; far
+    # offsets catch (almost) none
+    by = got.sort_values("sort_offset")
+    assert by["n_matches"].iloc[0] > 0
+    assert by["n_matches"].iloc[-1] <= by["n_matches"].iloc[0] // 4
