@@ -75,12 +75,12 @@ _QUERIES, _ORACLE = merge_registries(*_MODULES)
 # fresh grade), (b) ALL 37 remaining r4-graded oracle rows
 # (q112-q120 tier-2 spill + the q121-q151 tier-3 head) — exactly 50;
 # after this round no oracle-backed green predates r5. Immediately
-# past the window (the r10 window head, in grading order): the 24
-# late-round-9 operators q260-q283 (oracle-backed, locally verified
+# past the window (the r10 window head, in grading order): the 26
+# late-round-9 operators q260-q285 (oracle-backed, locally verified
 # at sf0.01 + sf0.1 but added after the 50 r9 slots were committed),
 # then q242/q245/q89, whose implementations also changed this round
 # but hold r8 grades and local sf0.01+sf0.1 re-verification
-# (verify_sf). r10 window math: 24 new + 3 re-grades + the 23 oldest
+# (verify_sf). r10 window math: 26 new + 3 re-grades + the 21 oldest
 # r5 rows = 50 (q256, touched this round by a result-neutral
 # localCheckpoint, is among the r5 rotation rows). Tier 3 = other
 # green queries in prior order (r5 rows first); tier 4 =
@@ -112,7 +112,7 @@ _PRIORITY = [
     "q274_mrr_eval", "q275_rule_confidence", "q276_kanon_audit",
     "q277_higher_moments", "q278_anova_oneway", "q279_theil_sen",
     "q280_holt_forecast", "q281_tukey_contrasts", "q282_mann_whitney",
-    "q283_snm_dedup",
+    "q283_snm_dedup", "q284_binary_hamming_topk", "q285_binary_recall_eval",
     "q242_shortest_paths", "q245_power_iteration", "q89_mmr_rerank",
     "q73_temporal_split", "q231_ohlc_bars", "q232_source_corr",
     "q233_range_frame_ma", "q234_mutual_info", "q235_mad_outliers",

@@ -1666,6 +1666,202 @@ ORDER BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# q284 — binary (1-bit) embedding retrieval: sign-quantize each 64-d
+# vector into TWO 32-bit halves packed in BIGINTs, rank the corpus by
+# Hamming distance to the query's code — the 32x-compression extreme
+# of the quantization ladder (q81 int8 = 4x, q175 PQ = 32x with
+# codebooks; binary codes need none and the distance is two XOR +
+# popcounts, the cheapest possible scan). Exact and fully
+# deterministic end to end: bits are float sign tests, packing is a
+# pinned acc*2+bit fold, distances are integers — no float policy
+# needed anywhere.
+# Scale shape: codes are built scan-side (one pass, 16 bytes/vector
+# crossing nothing); the query code broadcasts; top-k by (hamming,
+# vec_id) plans as TakeOrderedAndProject. At 100 TB this is the
+# first-stage filter in front of an exact re-rank (q285 measures how
+# good that filter is).
+# ---------------------------------------------------------------------------
+BINARY_Q_ID = 0
+_HALF = EMB_DIM // 2
+
+
+def _binary_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, hi, lo): sign codes packed as two 32-bit halves
+    (acc*2 + bit pinned fold; x >= 0 maps to 1)."""
+    arr = V.as_double(F.col("embedding"))
+
+    def pack(start: int) -> "F.Column":
+        return F.aggregate(
+            F.transform(
+                F.slice(arr, start, _HALF),
+                lambda x: (x >= 0).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, b: acc * 2 + b,
+        )
+
+    return emb.select(
+        "vec_id", pack(1).alias("hi"), pack(_HALF + 1).alias("lo")
+    )
+
+
+def q284_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = _binary_codes(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    q = codes.where(F.col("vec_id") == BINARY_Q_ID).select(
+        F.col("hi").alias("q_hi"), F.col("lo").alias("q_lo")
+    )
+    scored = (
+        codes.where(F.col("vec_id") != BINARY_Q_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                F.bit_count(F.col("hi").bitwiseXOR(F.col("q_hi")))
+                + F.bit_count(F.col("lo").bitwiseXOR(F.col("q_lo")))
+            ).cast("bigint").alias("hamming"),
+        )
+    )
+    w = Window.orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= K)
+        .orderBy("rn")
+    )
+
+
+_DUCK_PACK = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform({arr}, x -> CAST(x >= 0 AS BIGINT))),"
+    " (acc, b) -> acc * 2 + b)"
+)
+_DUCK_HI = _DUCK_PACK.format(
+    arr=f"[CAST(embedding[k] AS DOUBLE) for k in generate_series(1, {_HALF})]"
+)
+_DUCK_LO = _DUCK_PACK.format(
+    arr=(
+        f"[CAST(embedding[k] AS DOUBLE)"
+        f" for k in generate_series({_HALF + 1}, {EMB_DIM})]"
+    )
+)
+
+Q284_SQL = f"""
+WITH codes AS (
+  SELECT vec_id, {_DUCK_HI} AS hi, {_DUCK_LO} AS lo FROM embeddings
+),
+q AS (SELECT hi AS q_hi, lo AS q_lo FROM codes WHERE vec_id = {BINARY_Q_ID}),
+scored AS (
+  SELECT vec_id,
+         CAST(bit_count(xor(hi, q_hi)) + bit_count(xor(lo, q_lo))
+              AS BIGINT) AS hamming
+  FROM codes, q
+  WHERE vec_id != {BINARY_Q_ID}
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY hamming, vec_id) AS BIGINT) AS rn
+  FROM scored
+)
+SELECT vec_id, hamming, rn FROM ranked WHERE rn <= {K} ORDER BY rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# q285 — binary-retrieval recall eval: overlap of q284's Hamming
+# top-k with the exact-cosine top-k for the same query — the
+# cross-engine-graded answer to "how much retrieval quality does the
+# 32x binary compression cost" (the QUALITY.md recall floors answer
+# this for the rows-only ANN ops; binary codes are deterministic
+# enough to grade it through the driver). Exact ranking keys on both
+# sides: (hamming, vec_id) ints and (round(cos,4) DESC, vec_id) — the
+# q26 ranking convention.
+# Scale shape: two bounded top-k frames (TakeOrdered) joined on
+# vec_id; one corpus scan per ranking.
+# ---------------------------------------------------------------------------
+def q285_binary_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ham = q284_binary_hamming_topk(spark, sf_dir).select("vec_id")
+    qv = emb.where(F.col("vec_id") == BINARY_Q_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cos = (
+        emb.where(F.col("vec_id") != BINARY_Q_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    exact = (
+        cos.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= K)
+        .select("vec_id")
+    )
+    overlap = ham.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    return overlap.select(
+        F.lit(K).cast("bigint").alias("k"),
+        "n_common",
+        (F.col("n_common") / F.lit(float(K))).alias("recall"),
+    )
+
+
+_DUCK_QDOT = (
+    "list_sum([ CAST(q.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)"
+    f" for k in generate_series(1, {EMB_DIM}) ])"
+)
+_DUCK_QNORM = (
+    "sqrt(list_sum([ CAST(q.embedding[k] AS DOUBLE)"
+    " * CAST(q.embedding[k] AS DOUBLE)"
+    f" for k in generate_series(1, {EMB_DIM}) ]))"
+)
+_DUCK_BNORM = (
+    "sqrt(list_sum([ CAST(b.embedding[k] AS DOUBLE)"
+    " * CAST(b.embedding[k] AS DOUBLE)"
+    f" for k in generate_series(1, {EMB_DIM}) ]))"
+)
+
+Q285_SQL = f"""
+WITH codes AS (
+  SELECT vec_id, {_DUCK_HI} AS hi, {_DUCK_LO} AS lo FROM embeddings
+),
+qc AS (SELECT hi AS q_hi, lo AS q_lo FROM codes WHERE vec_id = {BINARY_Q_ID}),
+ham AS (
+  SELECT vec_id
+  FROM (
+    SELECT vec_id,
+           row_number() OVER (
+             ORDER BY bit_count(xor(hi, q_hi)) + bit_count(xor(lo, q_lo)),
+                      vec_id) AS rn
+    FROM codes, qc
+    WHERE vec_id != {BINARY_Q_ID}
+  ) WHERE rn <= {K}
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {BINARY_Q_ID}),
+exact AS (
+  SELECT vec_id
+  FROM (
+    SELECT b.vec_id,
+           row_number() OVER (
+             ORDER BY round({_DUCK_QDOT} / ({_DUCK_QNORM} * {_DUCK_BNORM}), 4)
+                        DESC,
+                      b.vec_id) AS rn
+    FROM embeddings b, q
+    WHERE b.vec_id != {BINARY_Q_ID}
+  ) WHERE rn <= {K}
+)
+SELECT CAST({K} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_common,
+       count(*) / CAST({K} AS DOUBLE) AS recall
+FROM ham JOIN exact USING (vec_id)
+"""
+
+
 QUERIES = {
     "q25_knn_l2": q25_knn_l2,
     "q26_knn_cosine": q26_knn_cosine,
@@ -1685,6 +1881,8 @@ QUERIES = {
     "q245_power_iteration": q245_power_iteration,
     "q263_spectral_gap": q263_spectral_gap,
     "q272_centroid_silhouette": q272_centroid_silhouette,
+    "q284_binary_hamming_topk": q284_binary_hamming_topk,
+    "q285_binary_recall_eval": q285_binary_recall_eval,
     "q255_effective_rank": q255_effective_rank,
 }
 
@@ -1706,5 +1904,7 @@ ORACLE = {
     "q245_power_iteration": Q245_SQL,
     "q263_spectral_gap": Q263_SQL,
     "q272_centroid_silhouette": Q272_SQL,
+    "q284_binary_hamming_topk": Q284_SQL,
+    "q285_binary_recall_eval": Q285_SQL,
     "q255_effective_rank": Q255_SQL,
 }

@@ -766,3 +766,80 @@ def test_q283_snm_matches_pandas(spark, sf_dir_t2):
     by = got.sort_values("sort_offset")
     assert by["n_matches"].iloc[0] > 0
     assert by["n_matches"].iloc[-1] <= by["n_matches"].iloc[0] // 4
+
+
+# --------------------------------------------------------------------------
+# q284/q285 binary codes — numpy recompute + planted-cluster recall
+# --------------------------------------------------------------------------
+def _pack_bits(x):
+    hi = 0
+    for v in x[:32]:
+        hi = hi * 2 + (1 if v >= 0 else 0)
+    lo = 0
+    for v in x[32:]:
+        lo = lo * 2 + (1 if v >= 0 else 0)
+    return hi, lo
+
+
+def test_q284_hamming_matches_numpy(spark, sf_dir_t2):
+    import pyarrow.parquet as pq
+
+    got = vector.q284_binary_hamming_topk(spark, sf_dir_t2).toPandas()
+    emb = pq.read_table(
+        os.path.join(sf_dir_t2, "embeddings.parquet")
+    ).to_pandas()
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    codes = {i: _pack_bits(x) for i, x in zip(ids, X)}
+    qh, ql = codes[vector.BINARY_Q_ID]
+    dists = sorted(
+        (bin(h ^ qh).count("1") + bin(lo ^ ql).count("1"), int(i))
+        for i, (h, lo) in codes.items()
+        if i != vector.BINARY_Q_ID
+    )
+    want = dists[: vector.K]
+    assert list(zip(got["hamming"], got["vec_id"])) == want
+    assert list(got["rn"]) == list(range(1, vector.K + 1))
+
+
+def test_q285_planted_clusters_high_recall(spark):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(85)
+    rows, vid = [], 0
+    for c in range(10):
+        center = rng.normal(0, 1, 64)
+        center /= np.linalg.norm(center)
+        for _ in range(20):
+            v = center + 0.1 * rng.normal(0, 1, 64)
+            v /= np.linalg.norm(v)
+            rows.append((vid, v.astype("float32").tolist(), c))
+            vid += 1
+    d = tempfile.mkdtemp(prefix="r9_bin_")
+    schema = pa.schema(
+        [
+            pa.field("vec_id", pa.int64()),
+            pa.field("embedding", pa.list_(pa.float32())),
+            pa.field("label", pa.int32()),
+        ]
+    )
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    try:
+        r = vector.q285_binary_recall_eval(spark, d).toPandas().iloc[0]
+        # query (vec 0) lives in cluster 0; sign codes identify the
+        # right CLUSTER almost perfectly but cannot fine-rank inside it
+        # (1-bit codes carry no within-cluster angle resolution — this
+        # is why binary retrieval is a first-stage filter ahead of an
+        # exact re-rank, the q284 header's framing). Planted measured
+        # recall 0.69 vs ~0.3 on the isotropic fixture.
+        assert r["recall"] >= 0.6
+        top = vector.q284_binary_hamming_topk(spark, d).toPandas()
+        in_cluster = (top["vec_id"] < 20).sum()  # cluster 0 = vec 0..19
+        assert in_cluster >= 10
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
