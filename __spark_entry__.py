@@ -34,6 +34,7 @@ from generative_ai_vector_db_spark.operators import (  # noqa: E402
     retrieval,
     scale,
     sql_surface,
+    stats,
     store,
     temporal,
     text,
@@ -60,6 +61,7 @@ _MODULES = [
     rag,
     retrieval,
     scale,
+    stats,
     temporal,
     sql_surface,
     streaming_jobs,
@@ -101,6 +103,8 @@ _PRIORITY = [
     "q239_rfm_segmentation", "q242_shortest_paths", "q245_power_iteration",
     "q89_mmr_rerank",
     # --- round-10 additions slot here (listed as they are built) ---
+    "q286_roc_curve", "q287_calibration_bins", "q288_kendall_tau",
+    "q289_kruskal_wallis", "q290_brown_forsythe", "q291_spearman_rho",
     # --- r4-stale filler: first 8 grade if <8 round-10 ops above ---
     "q112_tpch_q7_shape", "q113_tpch_q11_shape",
     "q114_tpch_q15_shape", "q115_tpch_q2_shape", "q116_tpch_q19_shape",

@@ -1,0 +1,577 @@
+"""Distributed statistics & model-eval operators (round 10, q286-q291).
+
+Extensions beyond the reference surface (which delegates all analytics;
+SURVEY.md §2.C): the evaluation/statistics tier a training-data
+pipeline runs next to curation — ROC/calibration for quality-classifier
+gates, rank correlations for metric-agreement audits, nonparametric
+group tests for source-mix drift. Everything is pure DataFrame
+built-ins, single-pass where the math allows, and every global
+rank/quantile runs on the DISTINCT-VALUE domain (the q228/q282 shape:
+per-value counts + one prefix-sum window over |distinct values| rows),
+never a row-level global sort — at 100 TB the value domain (2-dp
+prices, char counts) is orders of magnitude smaller than the row count,
+so the single-partition window is metadata-scale by construction.
+
+Cross-engine parity rules (FIXTURES.md): BIGINT casts for integer
+outputs, explicit DOUBLE casts before division, identical arithmetic
+order on both sides, and rank statistics derived from integer
+prefix-sums (exact) rather than engine rank() internals where the
+domain is continuous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+# ROC/calibration label convention: 'purchase' events are the positive
+# class, 'view' the negative, score = the event value. (q282 Mann-
+# Whitney uses click-vs-purchase — disjoint pair, no dupe.)
+ROC_POS, ROC_NEG = "purchase", "view"
+
+
+# ---------------------------------------------------------------------------
+# q286 ROC curve at exact decile thresholds.
+# Scale: one groupBy(value) (shuffle on the 2-dp value domain), one
+# prefix window over distinct values, broadcast 9-row decile frame
+# joined by integer inequality — tp/fp at each threshold fall out of
+# the SAME prefix sums (total - strictly-before), no per-threshold
+# rescan. At 100 TB the only row-scale op is the first groupBy.
+# ---------------------------------------------------------------------------
+def q286_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin(ROC_POS, ROC_NEG)
+    )
+    dv = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == ROC_POS).cast("bigint"))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum((F.col("event_type") == ROC_NEG).cast("bigint"))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    pre = dv.select(
+        "value",
+        "ca",
+        "cb",
+        F.coalesce(F.sum("ca").over(w), F.lit(0)).cast("bigint").alias("ba"),
+        F.coalesce(F.sum("cb").over(w), F.lit(0)).cast("bigint").alias("bb"),
+    )
+    tot = ev.agg(
+        F.sum((F.col("event_type") == ROC_POS).cast("bigint"))
+        .cast("bigint")
+        .alias("na"),
+        F.sum((F.col("event_type") == ROC_NEG).cast("bigint"))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    pre = pre.crossJoin(F.broadcast(tot))  # 1-row totals
+    deciles = spark.range(1, 10).select(F.col("id").cast("bigint").alias("decile"))
+    # threshold_i = smallest distinct value whose inclusive cumulative
+    # count reaches i/10 of N: i*N <= cum*10 AND i*N > before*10 —
+    # exact BIGINT arithmetic on both engines.
+    cum = (F.col("ba") + F.col("bb") + F.col("ca") + F.col("cb")).cast("bigint")
+    before = (F.col("ba") + F.col("bb")).cast("bigint")
+    n_all = (F.col("na") + F.col("nb")).cast("bigint")
+    hit = pre.join(
+        F.broadcast(deciles),
+        (F.col("decile") * n_all <= cum * 10)
+        & (F.col("decile") * n_all > before * 10),
+    )
+    tp = (F.col("na") - F.col("ba")).cast("bigint")
+    fp = (F.col("nb") - F.col("bb")).cast("bigint")
+    return (
+        hit.select(
+            "decile",
+            F.col("value").alias("threshold"),
+            tp.alias("tp"),
+            fp.alias("fp"),
+            (tp.cast("double") / F.col("na").cast("double")).alias("tpr"),
+            (fp.cast("double") / F.col("nb").cast("double")).alias("fpr"),
+            (
+                tp.cast("double") / (tp + fp).cast("double")
+            ).alias("precision"),
+        )
+        .orderBy("decile")
+    )
+
+
+Q286_SQL = f"""
+WITH ev AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN ('{ROC_POS}', '{ROC_NEG}')
+),
+dv AS (
+  SELECT value,
+         CAST(coalesce(sum(CASE WHEN event_type = '{ROC_POS}' THEN 1 END), 0)
+              AS BIGINT) AS ca,
+         CAST(coalesce(sum(CASE WHEN event_type = '{ROC_NEG}' THEN 1 END), 0)
+              AS BIGINT) AS cb
+  FROM ev GROUP BY value
+),
+pre AS (
+  SELECT value, ca, cb,
+         CAST(coalesce(sum(ca) OVER (
+           ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS ba,
+         CAST(coalesce(sum(cb) OVER (
+           ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS bb
+  FROM dv
+),
+tot AS (
+  SELECT CAST(coalesce(sum(CASE WHEN event_type = '{ROC_POS}' THEN 1 END), 0)
+              AS BIGINT) AS na,
+         CAST(coalesce(sum(CASE WHEN event_type = '{ROC_NEG}' THEN 1 END), 0)
+              AS BIGINT) AS nb
+  FROM ev
+),
+deciles AS (SELECT CAST(range AS BIGINT) AS decile FROM range(1, 10))
+SELECT decile,
+       value AS threshold,
+       CAST(na - ba AS BIGINT) AS tp,
+       CAST(nb - bb AS BIGINT) AS fp,
+       CAST(na - ba AS DOUBLE) / CAST(na AS DOUBLE) AS tpr,
+       CAST(nb - bb AS DOUBLE) / CAST(nb AS DOUBLE) AS fpr,
+       CAST(na - ba AS DOUBLE) / CAST((na - ba) + (nb - bb) AS DOUBLE)
+         AS precision
+FROM pre, tot, deciles
+WHERE decile * (na + nb) <= (ba + bb + ca + cb) * 10
+  AND decile * (na + nb) > (ba + bb) * 10
+ORDER BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# q287 calibration bins + Brier decomposition inputs.
+# Pseudo-probability p = value / max(value) (min-max calibration of the
+# raw score); 10 equal-width bins. One agg for the max (broadcast
+# 1-row), one groupBy(bin) — two row-scale passes, both map-side
+# combinable. ECE weight = n_bin/N emitted per bin so the scalar ECE
+# is a trivial client-side sum.
+# ---------------------------------------------------------------------------
+def q287_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin(ROC_POS, ROC_NEG)
+    )
+    mx = ev.agg(F.max("value").alias("mxv"), F.count("*").alias("n_all"))
+    ev = ev.crossJoin(F.broadcast(mx))
+    p = F.col("value").cast("double") / F.col("mxv").cast("double")
+    y = (F.col("event_type") == ROC_POS).cast("double")
+    binc = F.least(F.floor(p * 10).cast("bigint"), F.lit(9).cast("bigint"))
+    binned = ev.select(
+        binc.alias("bin"), p.alias("p"), y.alias("y"), "n_all"
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.avg("p").alias("mean_p"),
+            F.avg("y").alias("frac_pos"),
+            F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y")))
+            .alias("brier"),
+            (
+                F.count("*").cast("double")
+                * F.abs(F.avg("p") - F.avg("y"))
+                / F.first("n_all").cast("double")
+            ).alias("ece_part"),
+        )
+        .orderBy("bin")
+    )
+
+
+Q287_SQL = f"""
+WITH ev AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN ('{ROC_POS}', '{ROC_NEG}')
+),
+mx AS (SELECT max(value) AS mxv, count(*) AS n_all FROM ev),
+binned AS (
+  SELECT least(CAST(floor(CAST(value AS DOUBLE) / CAST(mxv AS DOUBLE) * 10)
+                    AS BIGINT), 9) AS bin,
+         CAST(value AS DOUBLE) / CAST(mxv AS DOUBLE) AS p,
+         CASE WHEN event_type = '{ROC_POS}' THEN 1.0 ELSE 0.0 END AS y,
+         n_all
+  FROM ev, mx
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       avg(p) AS mean_p,
+       avg(y) AS frac_pos,
+       avg((p - y) * (p - y)) AS brier,
+       CAST(count(*) AS DOUBLE) * abs(avg(p) - avg(y))
+         / CAST(any_value(n_all) AS DOUBLE) AS ece_part
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# q288 Kendall tau-b per source (metric-agreement audit: do char count
+# and whitespace token count rank documents the same way?).
+# Concordant/discordant via a WITHIN-SOURCE pair self-join (i<j) —
+# bounded-block quadratic, the documented q215/q27 shape: per-source
+# block sizes are capped by the corpus sharding design (|block| ~ 250
+# at sf0.1); at 100 TB the audit runs per source-shard sample, never a
+# global cross of the corpus. Tie counts come from per-value groupBys
+# (linear). tau-b denominator uses exact BIGINT pair counts.
+# ---------------------------------------------------------------------------
+def q288_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("y"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    dx = F.col("a.x") - F.col("b.x")
+    dy = F.col("a.y") - F.col("b.y")
+    cd = pairs.groupBy(F.col("a.source").alias("source")).agg(
+        F.sum(((dx > 0) & (dy > 0) | (dx < 0) & (dy < 0)).cast("bigint"))
+        .cast("bigint")
+        .alias("concordant"),
+        F.sum(((dx > 0) & (dy < 0) | (dx < 0) & (dy > 0)).cast("bigint"))
+        .cast("bigint")
+        .alias("discordant"),
+    )
+    n_g = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    tx = (
+        docs.groupBy("source", "x")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) / 2)
+            .cast("bigint")
+            .alias("n1")
+        )
+    )
+    ty = (
+        docs.groupBy("source", "y")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) / 2)
+            .cast("bigint")
+            .alias("n2")
+        )
+    )
+    joined = cd.join(n_g, "source").join(tx, "source").join(ty, "source")
+    n0 = (F.col("n") * (F.col("n") - 1) / 2).cast("bigint")
+    tau = (F.col("concordant") - F.col("discordant")).cast("double") / F.sqrt(
+        (n0 - F.col("n1")).cast("double") * (n0 - F.col("n2")).cast("double")
+    )
+    return joined.select(
+        "source", "n", "concordant", "discordant", tau.alias("tau_b")
+    ).orderBy("source")
+
+
+Q288_SQL = """
+WITH d AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS x,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+  FROM documents
+),
+cd AS (
+  SELECT a.source,
+         CAST(coalesce(sum(CASE WHEN (a.x > b.x AND a.y > b.y)
+                                  OR (a.x < b.x AND a.y < b.y)
+                           THEN 1 END), 0) AS BIGINT) AS concordant,
+         CAST(coalesce(sum(CASE WHEN (a.x > b.x AND a.y < b.y)
+                                  OR (a.x < b.x AND a.y > b.y)
+                           THEN 1 END), 0) AS BIGINT) AS discordant
+  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.source
+),
+ng AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY source),
+tx AS (
+  SELECT source, CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n1
+  FROM (SELECT source, x, CAST(count(*) AS BIGINT) AS t
+        FROM d GROUP BY source, x)
+  GROUP BY source
+),
+ty AS (
+  SELECT source, CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n2
+  FROM (SELECT source, y, CAST(count(*) AS BIGINT) AS t
+        FROM d GROUP BY source, y)
+  GROUP BY source
+)
+SELECT cd.source, n, concordant, discordant,
+       CAST(concordant - discordant AS DOUBLE)
+         / sqrt(CAST(CAST(n * (n - 1) / 2 AS BIGINT) - n1 AS DOUBLE)
+                * CAST(CAST(n * (n - 1) / 2 AS BIGINT) - n2 AS DOUBLE))
+         AS tau_b
+FROM cd JOIN ng ON cd.source = ng.source
+        JOIN tx ON cd.source = tx.source
+        JOIN ty ON cd.source = ty.source
+ORDER BY cd.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q289 Kruskal-Wallis H across all five event types (nonparametric
+# one-way ANOVA sibling of q278; rank analogue of the source-mix drift
+# gate). Ranks on the distinct-value domain: per-value totals -> one
+# prefix window -> average ranks; per-(value,group) counts join the
+# rank table on value. Tie-corrected H. Single row out.
+# ---------------------------------------------------------------------------
+def q289_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    vg = ev.groupBy("value", "event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    dv = vg.groupBy("value").agg(F.sum("c").cast("bigint").alias("t"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = dv.select(
+        "value",
+        "t",
+        (
+            F.coalesce(F.sum("t").over(w), F.lit(0)).cast("double")
+            + (F.col("t").cast("double") + F.lit(1.0)) / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+    grp = (
+        vg.join(ranked, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.sum(F.col("c").cast("double") * F.col("avg_rank")).alias("r_g"),
+        )
+    )
+    tie = ranked.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("double")
+        .alias("tie_term")
+    )
+    agg = grp.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.col("r_g") * F.col("r_g") / F.col("n_g").cast("double"))
+        .alias("rr"),
+    ).crossJoin(F.broadcast(tie))
+    nd = F.col("n").cast("double")
+    h = (
+        F.lit(12.0) / (nd * (nd + 1.0)) * F.col("rr")
+        - F.lit(3.0) * (nd + 1.0)
+    )
+    corr = F.lit(1.0) - F.col("tie_term") / (nd * nd * nd - nd)
+    return agg.select(
+        "n",
+        (F.col("k") - 1).cast("bigint").alias("df"),
+        h.alias("h_stat"),
+        (h / corr).alias("h_corrected"),
+    )
+
+
+Q289_SQL = """
+WITH vg AS (
+  SELECT value, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY value, event_type
+),
+dv AS (SELECT value, CAST(sum(c) AS BIGINT) AS t FROM vg GROUP BY value),
+ranked AS (
+  SELECT value, t,
+         CAST(coalesce(sum(t) OVER (
+           ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS DOUBLE) + (CAST(t AS DOUBLE) + 1.0) / 2.0 AS avg_rank
+  FROM dv
+),
+grp AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS n_g,
+         sum(CAST(c AS DOUBLE) * avg_rank) AS r_g
+  FROM vg JOIN ranked USING (value)
+  GROUP BY event_type
+),
+tie AS (
+  SELECT CAST(sum(t * t * t - t) AS DOUBLE) AS tie_term FROM ranked
+),
+agg AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         sum(r_g * r_g / CAST(n_g AS DOUBLE)) AS rr
+  FROM grp
+)
+SELECT n,
+       CAST(k - 1 AS BIGINT) AS df,
+       12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * rr
+         - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h_stat,
+       (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * rr
+         - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+         / (1.0 - tie_term / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                              * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+         AS h_corrected
+FROM agg, tie
+"""
+
+
+# ---------------------------------------------------------------------------
+# q290 Brown-Forsythe (median-based Levene) variance-equality test on
+# value across event types — the robust precondition check for q278's
+# ANOVA. Exact per-group medians (Spark `median` == DuckDB `median`,
+# both interpolate the even-count midpoint in double), broadcast back
+# (5 rows), then one-way ANOVA on |x - median_g| via single-pass
+# per-group co-moments. Two row-scale passes total.
+# ---------------------------------------------------------------------------
+def q290_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("value").cast("double") - F.col("med")).alias("z"),
+    )
+    g = z.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("z").alias("s_g"),
+        F.sum(F.col("z") * F.col("z")).alias("ss_g"),
+    )
+    agg = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("s_g").alias("s"),
+        F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g").cast("double"))
+        .alias("sb"),
+        F.sum("ss_g").alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    ssb = F.col("sb") - F.col("s") * F.col("s") / nd
+    ssw = F.col("ss") - F.col("sb")
+    df1 = (F.col("k") - 1).cast("bigint")
+    df2 = (F.col("n") - F.col("k")).cast("bigint")
+    return agg.select(
+        df1.alias("df1"),
+        df2.alias("df2"),
+        (
+            (ssb / df1.cast("double")) / (ssw / df2.cast("double"))
+        ).alias("f_stat"),
+    )
+
+
+Q290_SQL = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+),
+z AS (
+  SELECT e.event_type, abs(CAST(e.value AS DOUBLE) - m.med) AS z
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+         sum(z) AS s_g, sum(z * z) AS ss_g
+  FROM z GROUP BY event_type
+),
+agg AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         sum(s_g) AS s,
+         sum(s_g * s_g / CAST(n_g AS DOUBLE)) AS sb,
+         sum(ss_g) AS ss
+  FROM g
+)
+SELECT CAST(k - 1 AS BIGINT) AS df1,
+       CAST(n - k AS BIGINT) AS df2,
+       ((sb - s * s / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+         / ((ss - sb) / CAST(n - k AS DOUBLE)) AS f_stat
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# q291 Spearman rank correlation per source between char count and
+# whitespace token count. Average ranks via rank() + (ties-1)/2 inside
+# per-source windows (partitioned — no global sort), then the explicit
+# Pearson sum formula on the ranks (identical arithmetic both engines;
+# no reliance on engine corr() internals).
+# ---------------------------------------------------------------------------
+def q291_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("double").alias("x"),
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("y"),
+    )
+    wx = Window.partitionBy("source").orderBy("x")
+    wy = Window.partitionBy("source").orderBy("y")
+    tx = Window.partitionBy("source", "x")
+    ty = Window.partitionBy("source", "y")
+    ranked = docs.select(
+        "source",
+        (
+            F.rank().over(wx).cast("double")
+            + (F.count("*").over(tx).cast("double") - 1.0) / 2.0
+        ).alias("rx"),
+        (
+            F.rank().over(wy).cast("double")
+            + (F.count("*").over(ty).cast("double") - 1.0) / 2.0
+        ).alias("ry"),
+    )
+    g = ranked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return g.select("source", "n", (num / den).alias("rho")).orderBy("source")
+
+
+Q291_SQL = """
+WITH d AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS x,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS y
+  FROM documents
+),
+ranked AS (
+  SELECT source,
+         CAST(rank() OVER (PARTITION BY source ORDER BY x) AS DOUBLE)
+           + (CAST(count(*) OVER (PARTITION BY source, x) AS DOUBLE) - 1.0)
+             / 2.0 AS rx,
+         CAST(rank() OVER (PARTITION BY source ORDER BY y) AS DOUBLE)
+           + (CAST(count(*) OVER (PARTITION BY source, y) AS DOUBLE) - 1.0)
+             / 2.0 AS ry
+  FROM d
+),
+g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         sum(rx) AS sx, sum(ry) AS sy, sum(rx * ry) AS sxy,
+         sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+  FROM ranked GROUP BY source
+)
+SELECT source, n,
+       (CAST(n AS DOUBLE) * sxy - sx * sy)
+         / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                * (CAST(n AS DOUBLE) * syy - sy * sy)) AS rho
+FROM g
+ORDER BY source
+"""
+
+
+QUERIES = {
+    "q286_roc_curve": q286_roc_curve,
+    "q287_calibration_bins": q287_calibration_bins,
+    "q288_kendall_tau": q288_kendall_tau,
+    "q289_kruskal_wallis": q289_kruskal_wallis,
+    "q290_brown_forsythe": q290_brown_forsythe,
+    "q291_spearman_rho": q291_spearman_rho,
+}
+
+ORACLE: dict[str, str] = {
+    "q286_roc_curve": Q286_SQL,
+    "q287_calibration_bins": Q287_SQL,
+    "q288_kendall_tau": Q288_SQL,
+    "q289_kruskal_wallis": Q289_SQL,
+    "q290_brown_forsythe": Q290_SQL,
+    "q291_spearman_rho": Q291_SQL,
+}

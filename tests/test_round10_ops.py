@@ -1,0 +1,183 @@
+"""Round-10 stats/eval operators q286-q291: independent pandas/numpy
+reference recomputations (rank statistics with scipy-free average
+ranks) plus the structural invariants the oracle hash checks weakly
+(ROC monotonicity, calibration bin partition, tau-b bounds)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from generative_ai_vector_db_spark.operators import stats
+from generative_ai_vector_db_spark.tables import load
+
+
+def _events_pdf(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .toPandas()
+    )
+
+
+def _docs_pdf(spark, sf_dir):
+    df = (
+        load(spark, sf_dir, "documents")
+        .select("source", "doc_id", "n_chars", "text")
+        .toPandas()
+    )
+    df["y"] = df["text"].str.split(" ").map(len)
+    return df
+
+
+# --------------------------------------------------------------------------
+# q286 ROC curve at exact deciles
+# --------------------------------------------------------------------------
+def test_q286_roc_matches_reference(spark, sf_dir_t2):
+    got = stats.q286_roc_curve(spark, sf_dir_t2).toPandas()
+    ev = _events_pdf(spark, sf_dir_t2)
+    ev = ev[ev["event_type"].isin([stats.ROC_POS, stats.ROC_NEG])]
+    vals = np.sort(ev["value"].to_numpy())
+    n = len(vals)
+    na = int((ev["event_type"] == stats.ROC_POS).sum())
+    nb = n - na
+    assert list(got["decile"]) == list(range(1, 10))
+    for r in got.itertuples():
+        # threshold = smallest distinct value with cum count >= i*N/10
+        thr = vals[int(np.ceil(r.decile * n / 10.0)) - 1]
+        # that index may sit inside a tie run; threshold is that value
+        assert r.threshold == pytest.approx(thr)
+        tp = int(((ev["event_type"] == stats.ROC_POS)
+                  & (ev["value"] >= r.threshold)).sum())
+        fp = int(((ev["event_type"] == stats.ROC_NEG)
+                  & (ev["value"] >= r.threshold)).sum())
+        assert (r.tp, r.fp) == (tp, fp)
+        assert r.tpr == pytest.approx(tp / na)
+        assert r.fpr == pytest.approx(fp / nb)
+        assert r.precision == pytest.approx(tp / (tp + fp))
+    # raising the threshold can only shrink both rates
+    assert (got["tpr"].diff().dropna() <= 1e-12).all()
+    assert (got["fpr"].diff().dropna() <= 1e-12).all()
+
+
+# --------------------------------------------------------------------------
+# q287 calibration bins
+# --------------------------------------------------------------------------
+def test_q287_calibration_matches_reference(spark, sf_dir_t2):
+    got = stats.q287_calibration_bins(spark, sf_dir_t2).toPandas()
+    ev = _events_pdf(spark, sf_dir_t2)
+    ev = ev[ev["event_type"].isin([stats.ROC_POS, stats.ROC_NEG])].copy()
+    p = ev["value"].to_numpy() / ev["value"].max()
+    y = (ev["event_type"] == stats.ROC_POS).to_numpy().astype(float)
+    b = np.minimum((p * 10).astype(int), 9)
+    assert int(got["n"].sum()) == len(ev)
+    for r in got.itertuples():
+        m = b == r.bin
+        assert r.n == int(m.sum())
+        assert r.mean_p == pytest.approx(p[m].mean(), rel=1e-12)
+        assert r.frac_pos == pytest.approx(y[m].mean(), rel=1e-12)
+        assert r.brier == pytest.approx(((p[m] - y[m]) ** 2).mean(), rel=1e-12)
+        assert r.ece_part == pytest.approx(
+            m.sum() / len(ev) * abs(p[m].mean() - y[m].mean()), rel=1e-10
+        )
+
+
+# --------------------------------------------------------------------------
+# q288 Kendall tau-b per source — O(n^2) numpy reference
+# --------------------------------------------------------------------------
+def test_q288_kendall_matches_bruteforce(spark, sf_dir_t2):
+    got = stats.q288_kendall_tau(spark, sf_dir_t2).toPandas()
+    docs = _docs_pdf(spark, sf_dir_t2)
+    assert set(got["source"]) == set(docs["source"])
+    for r in got.itertuples():
+        g = docs[docs["source"] == r.source]
+        x = g["n_chars"].to_numpy()
+        y = g["y"].to_numpy()
+        n = len(g)
+        dx = np.sign(x[:, None] - x[None, :])
+        dy = np.sign(y[:, None] - y[None, :])
+        iu = np.triu_indices(n, 1)
+        prod = dx[iu] * dy[iu]
+        c, d = int((prod > 0).sum()), int((prod < 0).sum())
+        assert (r.concordant, r.discordant) == (c, d)
+        n0 = n * (n - 1) // 2
+        n1 = sum(t * (t - 1) // 2 for t in pd.Series(x).value_counts())
+        n2 = sum(t * (t - 1) // 2 for t in pd.Series(y).value_counts())
+        assert r.tau_b == pytest.approx(
+            (c - d) / np.sqrt((n0 - n1) * (n0 - n2)), rel=1e-12
+        )
+        assert -1.0 <= r.tau_b <= 1.0
+
+
+# --------------------------------------------------------------------------
+# q289 Kruskal-Wallis — pandas average-rank reference
+# --------------------------------------------------------------------------
+def test_q289_kruskal_matches_reference(spark, sf_dir_t2):
+    got = stats.q289_kruskal_wallis(spark, sf_dir_t2).toPandas().iloc[0]
+    ev = (
+        load(spark, sf_dir_t2, "events")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    ranks = ev["value"].rank(method="average")
+    n = len(ev)
+    rr = sum(
+        ranks[ev["event_type"] == g].sum() ** 2
+        / (ev["event_type"] == g).sum()
+        for g in ev["event_type"].unique()
+    )
+    h = 12.0 / (n * (n + 1)) * rr - 3 * (n + 1)
+    t = ev["value"].value_counts().to_numpy().astype(float)
+    corr = 1.0 - (t**3 - t).sum() / (n**3 - n)
+    assert got["n"] == n
+    assert got["df"] == ev["event_type"].nunique() - 1
+    assert got["h_stat"] == pytest.approx(h, rel=1e-9)
+    assert got["h_corrected"] == pytest.approx(h / corr, rel=1e-9)
+
+
+# --------------------------------------------------------------------------
+# q290 Brown-Forsythe — pandas reference
+# --------------------------------------------------------------------------
+def test_q290_brown_forsythe_matches_reference(spark, sf_dir_t2):
+    got = stats.q290_brown_forsythe(spark, sf_dir_t2).toPandas().iloc[0]
+    ev = (
+        load(spark, sf_dir_t2, "events")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    med = ev.groupby("event_type")["value"].median()
+    z = (ev["value"] - ev["event_type"].map(med)).abs()
+    grand = z.mean()
+    k = ev["event_type"].nunique()
+    n = len(ev)
+    ssb = sum(
+        (z[ev["event_type"] == g].mean() - grand) ** 2
+        * (ev["event_type"] == g).sum()
+        for g in ev["event_type"].unique()
+    )
+    ssw = sum(
+        ((z[ev["event_type"] == g] - z[ev["event_type"] == g].mean()) ** 2).sum()
+        for g in ev["event_type"].unique()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (got["df1"], got["df2"]) == (k - 1, n - k)
+    assert got["f_stat"] == pytest.approx(f, rel=1e-9)
+
+
+# --------------------------------------------------------------------------
+# q291 Spearman rho — pandas rank + corr reference
+# --------------------------------------------------------------------------
+def test_q291_spearman_matches_pandas(spark, sf_dir_t2):
+    got = stats.q291_spearman_rho(spark, sf_dir_t2).toPandas()
+    docs = _docs_pdf(spark, sf_dir_t2)
+    for r in got.itertuples():
+        g = docs[docs["source"] == r.source]
+        rho = (
+            g["n_chars"]
+            .rank(method="average")
+            .corr(g["y"].rank(method="average"))
+        )
+        assert r.n == len(g)
+        assert r.rho == pytest.approx(rho, rel=1e-9)
+        assert -1.0 <= r.rho <= 1.0
