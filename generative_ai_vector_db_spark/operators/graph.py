@@ -30,7 +30,7 @@ not re-joined per round.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
@@ -602,12 +602,326 @@ ORDER BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-10 graph tier: the co-PURCHASE graph (parts sharing >= MIN_W
+# distinct orders). The co-visitation graph above is near-complete by
+# construction (every user shares hourly buckets; median degree ~105
+# of 150 nodes), so cohesion/link-prediction on it is degenerate; the
+# weight-thresholded co-purchase graph is sparse (median degree ~3),
+# the realistic regime for k-core and neighborhood link prediction.
+# Pair build: per-order part list self-joined WITHIN the order key —
+# quadratic only in order size (bounded ~7 by the TPC-H shape), one
+# shuffle on l_orderkey, then a pair-count threshold. At 100 TB the
+# basket-size bound keeps the pair explosion linear in lineitem rows.
+# ---------------------------------------------------------------------------
+COPURCHASE_MIN_W = 2
+KCORE_K = 3
+# 16 rounds: the fixture worst case converges in 10 (sf0.01); the
+# Spark loop short-circuits at the fixpoint and the MATERIALIZED
+# oracle unroll is linear in rounds, so the margin is cheap. Peeling
+# is monotone, so extra rounds past convergence are no-ops.
+KCORE_ROUNDS = 16
+LPA_ROUNDS = 4
+AA_SCALE = 1_000_000_000_000  # Adamic-Adar micro-units (1e12 = 1.0)
+
+
+def copurchase_edges_cte(min_w: int = COPURCHASE_MIN_W) -> str:
+    """The ONE SQL definition of the thresholded co-purchase edge list
+    (embedded by Q292/Q293/Q294 so operator and oracle cannot drift)."""
+    return f"""li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+wpairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(count(*) AS BIGINT) AS w
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+p2 AS (SELECT pa, pb FROM wpairs WHERE w >= {min_w}),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM p2
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM p2
+)"""
+
+
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, min_w: int = COPURCHASE_MIN_W
+) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    p2 = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .where(F.col("w") >= min_w)
+        .select("pa", "pb")
+    )
+    return p2.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).union(p2.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+
+
+# ---------------------------------------------------------------------------
+# q292 — k-core decomposition (k=3) by iterative peeling: drop nodes
+# with degree < k, recompute, repeat. The operator is defined as
+# KCORE_ROUNDS peel rounds; peeling is monotone (each round only
+# removes), so once a round removes nothing every later round is a
+# no-op — the Spark loop short-circuits on a stable edge count, which
+# is result-identical to running all rounds, and the oracle unrolls
+# the full fixed count. Integer-only state: hash-exact.
+# Scale: each round is one groupBy(degree) + one semi-join filter on a
+# SHRINKING edge list, localCheckpoint per round (plan does not nest).
+# ---------------------------------------------------------------------------
+def q292_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership + within-core degree for the co-purchase
+    graph. Core analytics triage "structurally dense" product groups
+    (recommender seed sets, bundle detection)."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    prev = edges.count()
+    for _ in range(KCORE_ROUNDS):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("dg"))
+        # semi-joins, no broadcast hint: the survivor node set scales
+        # with the graph, so AQE picks the strategy per round
+        keep = deg.where(F.col("dg") >= KCORE_K).select("src")
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        cur = edges.count()
+        if cur == prev:
+            break
+        prev = cur
+    return (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+        .select(F.col("src").cast("bigint").alias("node"), "core_deg")
+        .orderBy("node")
+    )
+
+
+def _kcore_sql() -> str:
+    # Every stage is MATERIALIZED: stage i+1 references stage i three
+    # times (via the degree filter), so default CTE inlining would
+    # expand the base scan 3^R times — materialization keeps the
+    # oracle linear, mirroring the Spark loop's localCheckpoint.
+    stages = []
+    for i in range(KCORE_ROUNDS):
+        p = f"e{i}" if i else "e0"
+        stages.append(
+            f"""d{i} AS (SELECT src, count(*) AS dg FROM {p} GROUP BY src),
+k{i} AS MATERIALIZED (SELECT src FROM d{i} WHERE dg >= {KCORE_K}),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {p} e
+  JOIN k{i} a ON e.src = a.src JOIN k{i} b ON e.dst = b.src
+)"""
+        )
+    last = f"e{KCORE_ROUNDS}"
+    body = ",\n".join(stages)
+    return f"""WITH {copurchase_edges_cte()},
+e0 AS MATERIALIZED (SELECT src, dst FROM edges),
+{body}
+SELECT CAST(src AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS core_deg
+FROM {last}
+GROUP BY src
+ORDER BY node
+"""
+
+
+Q292_SQL = _kcore_sql()
+
+
+# ---------------------------------------------------------------------------
+# q293 — neighborhood link prediction: for non-adjacent part pairs at
+# distance 2, common-neighbor count, Jaccard overlap, and the
+# Resource-Allocation index (Zhou/Lü/Zhang 2009): Σ 1/deg(z) over
+# common neighbors z. RA is summed in BIGINT micro-units
+# (floor(1e12 / deg_z) per common neighbor — IEEE division + floor is
+# bit-determined, unlike ln(), whose libm-vs-JVM last-ulp differences
+# could flip a floor): integer summation is order-independent, so the
+# score (and the top-30 cut it ranks) is bit-exact on both engines and
+# under any partitioning (the q193 micro-unit discipline).
+# Scale: the wedge join (z's neighbor pairs) is Σ deg(z)^2, bounded by
+# the threshold-sparse degree profile; candidates are deduped to
+# (a, b) once, the known-edge anti-join uses the edge list itself, and
+# the final top-30 is a TakeOrdered, never a global sort.
+# ---------------------------------------------------------------------------
+LINKPRED_TOP = 30
+
+
+def q293_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
+    # wedge: z adjacent to both a and b, a < b
+    e1 = edges.select(F.col("src").alias("z"), F.col("dst").alias("u_a"))
+    e2 = edges.select(F.col("src").alias("z"), F.col("dst").alias("u_b"))
+    wedges = e1.join(e2, "z").where(F.col("u_a") < F.col("u_b"))
+    cand = (
+        wedges.join(
+            deg.select(F.col("src").alias("z"), F.col("dg").alias("dgz")), "z"
+        )
+        .groupBy("u_a", "u_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum(
+                F.floor(F.lit(float(AA_SCALE)) / F.col("dgz").cast("double"))
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("ra_micro"),
+        )
+    )
+    known = edges.select(
+        F.col("src").alias("u_a"), F.col("dst").alias("u_b")
+    )
+    cand = cand.join(known, ["u_a", "u_b"], "left_anti")
+    da = deg.select(F.col("src").alias("u_a"), F.col("dg").alias("da"))
+    db = deg.select(F.col("src").alias("u_b"), F.col("dg").alias("db"))
+    return (
+        cand.join(da, "u_a")
+        .join(db, "u_b")
+        .select(
+            F.col("u_a").cast("bigint").alias("part_a"),
+            F.col("u_b").cast("bigint").alias("part_b"),
+            "cn",
+            (
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn")).cast("double")
+            ).alias("jaccard"),
+            "ra_micro",
+        )
+        .orderBy(F.desc("ra_micro"), "part_a", "part_b")
+        .limit(LINKPRED_TOP)
+    )
+
+
+Q293_SQL = f"""
+WITH {copurchase_edges_cte()},
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg FROM edges GROUP BY src),
+wedges AS (
+  SELECT e1.dst AS u_a, e2.dst AS u_b, e1.src AS z
+  FROM edges e1 JOIN edges e2 ON e1.src = e2.src
+  WHERE e1.dst < e2.dst
+),
+cand AS (
+  SELECT u_a, u_b, CAST(count(*) AS BIGINT) AS cn,
+         CAST(sum(CAST(floor({AA_SCALE}.0 / CAST(d.dg AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS ra_micro
+  FROM wedges w JOIN deg d ON w.z = d.src
+  GROUP BY u_a, u_b
+),
+new_pairs AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN edges e ON c.u_a = e.src AND c.u_b = e.dst
+  WHERE e.src IS NULL
+)
+SELECT CAST(n.u_a AS BIGINT) AS part_a,
+       CAST(n.u_b AS BIGINT) AS part_b,
+       cn,
+       CAST(cn AS DOUBLE) / CAST(a.dg + b.dg - cn AS DOUBLE) AS jaccard,
+       ra_micro
+FROM new_pairs n JOIN deg a ON n.u_a = a.src JOIN deg b ON n.u_b = b.src
+ORDER BY ra_micro DESC, part_a, part_b
+LIMIT {LINKPRED_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q294 — synchronous majority label propagation (community detection),
+# LPA_ROUNDS rounds: every node simultaneously adopts the most frequent
+# label among its neighbors, ties to the smallest label. All state is
+# integer labels with a deterministic tie-break, so the fixed-round
+# result is exact on both engines (no convergence/oscillation
+# ambiguity: the operator is DEFINED as R synchronous rounds).
+# Scale: one shuffle per round (edges join labels on src, re-aggregate
+# on dst), labels re-materialized per round with localCheckpoint.
+# ---------------------------------------------------------------------------
+def q294_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(LPA_ROUNDS):
+        nb = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node2").orderBy(F.desc("c"), F.asc("label"))
+        labels = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("node2").alias("node"), "label")
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("community_size"))
+        .select(F.col("label").cast("bigint").alias("community"), "community_size")
+        .where(F.col("community_size") >= 2)
+        .orderBy(F.desc("community_size"), "community")
+    )
+
+
+def _lpa_sql() -> str:
+    stages = []
+    for i in range(LPA_ROUNDS):
+        p = f"l{i}" if i else "l0"
+        stages.append(
+            f"""nb{i} AS (
+  SELECT e.dst AS node, l.label, count(*) AS c
+  FROM e0 e JOIN {p} l ON e.src = l.node
+  GROUP BY e.dst, l.label
+),
+l{i + 1} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM nb{i}
+  ) WHERE rn = 1
+)"""
+        )
+    body = ",\n".join(stages)
+    return f"""WITH {copurchase_edges_cte()},
+e0 AS MATERIALIZED (SELECT src, dst FROM edges),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e0),
+{body}
+SELECT CAST(label AS BIGINT) AS community,
+       CAST(count(*) AS BIGINT) AS community_size
+FROM l{LPA_ROUNDS}
+GROUP BY label
+HAVING count(*) >= 2
+ORDER BY community_size DESC, community
+"""
+
+
+Q294_SQL = _lpa_sql()
+
+
 QUERIES = {
     "q193_graph_pagerank": q193_graph_pagerank,
     "q210_triangle_count": q210_triangle_count,
     "q211_personalized_pagerank": q211_personalized_pagerank,
     "q229_graph_profile": q229_graph_profile,
     "q242_shortest_paths": q242_shortest_paths,
+    "q292_kcore": q292_kcore,
+    "q293_link_prediction": q293_link_prediction,
+    "q294_label_propagation": q294_label_propagation,
 }
 
 ORACLE = {
@@ -616,4 +930,7 @@ ORACLE = {
     "q211_personalized_pagerank": Q211_SQL,
     "q229_graph_profile": Q229_SQL,
     "q242_shortest_paths": Q242_SQL,
+    "q292_kcore": Q292_SQL,
+    "q293_link_prediction": Q293_SQL,
+    "q294_label_propagation": Q294_SQL,
 }

@@ -181,3 +181,89 @@ def test_q291_spearman_matches_pandas(spark, sf_dir_t2):
         assert r.n == len(g)
         assert r.rho == pytest.approx(rho, rel=1e-9)
         assert -1.0 <= r.rho <= 1.0
+
+
+# --------------------------------------------------------------------------
+# q292-q294 graph tier — networkx-free brute-force references on the
+# thresholded co-purchase graph
+# --------------------------------------------------------------------------
+def _copurchase_edges_pdf(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators.graph import _copurchase_edges
+
+    return _copurchase_edges(spark, sf_dir).toPandas()
+
+
+def test_q292_kcore_is_fixpoint_and_exact(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import graph
+
+    got = graph.q292_kcore(spark, sf_dir_t2).toPandas()
+    ed = _copurchase_edges_pdf(spark, sf_dir_t2)
+    adj = {}
+    for s, d in zip(ed["src"], ed["dst"]):
+        adj.setdefault(s, set()).add(d)
+    # peel to the TRUE fixpoint
+    nodes = set(adj)
+    while True:
+        drop = {v for v in nodes if len(adj[v] & nodes) < graph.KCORE_K}
+        if not drop:
+            break
+        nodes -= drop
+    want = sorted(nodes)
+    assert list(got["node"]) == want
+    for r in got.itertuples():
+        assert r.core_deg == len(adj[r.node] & nodes)
+        assert r.core_deg >= graph.KCORE_K
+
+
+def test_q293_link_prediction_scores(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import graph
+
+    got = graph.q293_link_prediction(spark, sf_dir_t2).toPandas()
+    ed = _copurchase_edges_pdf(spark, sf_dir_t2)
+    adj = {}
+    for s, d in zip(ed["src"], ed["dst"]):
+        adj.setdefault(s, set()).add(d)
+    assert len(got) == graph.LINKPRED_TOP
+    prev = None
+    for r in got.itertuples():
+        na, nb = adj[r.part_a], adj[r.part_b]
+        assert r.part_b not in na  # non-adjacent
+        common = na & nb
+        assert r.cn == len(common)
+        assert r.jaccard == pytest.approx(len(common) / len(na | nb))
+        ra = sum(graph.AA_SCALE // 1 and int(graph.AA_SCALE / len(adj[z])) for z in common)
+        # per-term floor(1e12/deg) recomputed exactly
+        ra = sum(int(np.floor(graph.AA_SCALE / len(adj[z]))) for z in common)
+        assert r.ra_micro == ra
+        key = (-r.ra_micro, r.part_a, r.part_b)
+        assert prev is None or key > prev
+        prev = key
+
+
+def test_q294_lpa_matches_sync_reference(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import graph
+
+    got = graph.q294_label_propagation(spark, sf_dir_t2).toPandas()
+    ed = _copurchase_edges_pdf(spark, sf_dir_t2)
+    adj = {}
+    for s, d in zip(ed["src"], ed["dst"]):
+        adj.setdefault(s, set()).add(d)
+    label = {v: v for v in adj}
+    for _ in range(graph.LPA_ROUNDS):
+        nxt = {}
+        for v in adj:
+            counts = {}
+            for u in adj[v]:
+                counts[label[u]] = counts.get(label[u], 0) + 1
+            nxt[v] = min(
+                (l for l in counts if counts[l] == max(counts.values())),
+            )
+        label = nxt
+    sizes = {}
+    for v, l in label.items():
+        sizes[l] = sizes.get(l, 0) + 1
+    want = sorted(
+        ((l, c) for l, c in sizes.items() if c >= 2),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert list(zip(got["community"], got["community_size"])) == want
