@@ -106,6 +106,8 @@ _PRIORITY = [
     "q286_roc_curve", "q287_calibration_bins", "q288_kendall_tau",
     "q289_kruskal_wallis", "q290_brown_forsythe", "q291_spearman_rho",
     "q292_kcore", "q293_link_prediction", "q294_label_propagation",
+    "q295_lexical_diversity", "q296_char_trigram_lm",
+    "q297_boilerplate_ngrams", "q298_budget_waterfill",
     # --- r4-stale filler: first 8 grade if <8 round-10 ops above ---
     "q112_tpch_q7_shape", "q113_tpch_q11_shape",
     "q114_tpch_q15_shape", "q115_tpch_q2_shape", "q116_tpch_q19_shape",

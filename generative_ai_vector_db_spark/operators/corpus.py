@@ -1454,7 +1454,211 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q297 — boilerplate n-gram mining (C4/RefinedWeb-style cleaning):
+# word 8-grams that recur across >= BOILER_MIN_DOCS DISTINCT documents
+# are boilerplate (headers, footers, navigation chrome, license
+# blurbs); report each source's boilerplate exposure — what fraction
+# of its shingle instances are corpus-frequent. Differs from q65
+# (train/eval contamination) and q120 (pairwise span reuse): this is
+# corpus-global frequent-shingle extraction, the removal LIST builder.
+# Scale: shingles dedup per doc (array_distinct), one groupBy(gram)
+# for doc frequency — the frequent set is tiny (it's the point), so
+# the exposure join broadcasts it back onto the shingle stream; the
+# stream itself shuffles only for the per-source aggregate.
+# ---------------------------------------------------------------------------
+BOILER_N = 8
+BOILER_MIN_DOCS = 3
+
+
+def q297_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.split(F.lower(F.col("text")), " ").alias("words"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(_word_ngrams(F.col("words"), BOILER_N)).alias("gram"),
+        )
+    )
+    freq = (
+        docs.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .where(F.col("df") >= BOILER_MIN_DOCS)
+    )
+    hit = docs.join(
+        F.broadcast(freq.select("gram", F.lit(1).alias("hot"))), "gram", "left"
+    )
+    return (
+        hit.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hot"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_boiler"),
+        )
+        .select(
+            "source",
+            "n_shingles",
+            "n_boiler",
+            (
+                F.col("n_boiler").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("boiler_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+Q297_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(words) - {BOILER_N - 1}, 0)),
+           i -> array_to_string(words[i:i+{BOILER_N - 1}], ' ')))) AS gram
+  FROM w
+),
+freq AS (
+  SELECT gram FROM g GROUP BY gram
+  HAVING count(*) >= {BOILER_MIN_DOCS}
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(coalesce(sum(CASE WHEN f.gram IS NOT NULL THEN 1 END), 0)
+            AS BIGINT) AS n_boiler,
+       CAST(coalesce(sum(CASE WHEN f.gram IS NOT NULL THEN 1 END), 0)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS boiler_frac
+FROM g LEFT JOIN freq f USING (gram)
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q298 — token-budget water-filling: allocate a global sampling budget
+# (WATERFILL_SHARE of corpus tokens) across sources so no source
+# exceeds its capacity and all uncapped sources get the same water
+# level L: Σ min(cap_i, L) = B. Classic cap-allocation solved exactly
+# in ONE window pass over the per-source aggregate (sort sources by
+# capacity, the pivot is the first row where the remaining budget
+# fits under the current capacity; 20 rows — metadata-scale, the
+# row-scale work is only the per-source token count). The allocation
+# plan feeds q80/q162-style mixture sampling with hard caps.
+# Token = whitespace token count (q39 convention).
+# ---------------------------------------------------------------------------
+WATERFILL_SHARE_NUM, WATERFILL_SHARE_DEN = 1, 2  # B = 1/2 of corpus tokens
+
+
+def q298_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    caps = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("tok").cast("bigint").alias("cap"))
+    )
+    tot = caps.agg(
+        F.sum("cap").cast("bigint").alias("_t"),
+        F.count(F.lit(1)).cast("bigint").alias("_k"),
+    )
+    w = Window.orderBy("cap", "source")
+    wpre = w.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = caps.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "cap",
+        F.coalesce(F.sum("cap").over(wpre), F.lit(0))
+        .cast("bigint")
+        .alias("below"),
+        (F.row_number().over(w) - 1).cast("bigint").alias("idx"),
+        "_t",
+        "_k",
+    )
+    budget = (
+        F.col("_t").cast("double")
+        * F.lit(float(WATERFILL_SHARE_NUM))
+        / F.lit(float(WATERFILL_SHARE_DEN))
+    )
+    remaining = F.col("_k") - F.col("idx")
+    # candidate level if every source from this row up is uncapped
+    lvl = (budget - F.col("below").cast("double")) / remaining.cast("double")
+    # rows BEFORE the pivot violate lvl <= cap (they are fully
+    # capped); every row from the pivot on is valid but later rows
+    # understate the level — the true level is the MAX valid candidate
+    cand = ranked.select(
+        "source", "cap", F.when(lvl <= F.col("cap").cast("double"), lvl).alias("lvl")
+    )
+    level = cand.agg(F.max("lvl").alias("level"))
+    return (
+        cand.crossJoin(F.broadcast(level))
+        .select(
+            "source",
+            "cap",
+            F.least(F.col("cap").cast("double"), F.col("level")).alias(
+                "allocation"
+            ),
+            (
+                F.least(F.col("cap").cast("double"), F.col("level"))
+                / F.col("cap").cast("double")
+            ).alias("fill_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+Q298_SQL = f"""
+WITH caps AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(cap) AS BIGINT) AS _t, CAST(count(*) AS BIGINT) AS _k
+  FROM caps
+),
+ranked AS (
+  SELECT source, cap,
+         CAST(coalesce(sum(cap) OVER (
+           ORDER BY cap, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS below,
+         CAST(row_number() OVER (ORDER BY cap, source) - 1 AS BIGINT) AS idx,
+         _t, _k
+  FROM caps, tot
+),
+cand AS (
+  SELECT source, cap,
+         CASE WHEN (CAST(_t AS DOUBLE) * {WATERFILL_SHARE_NUM}.0
+                    / {WATERFILL_SHARE_DEN}.0
+                    - CAST(below AS DOUBLE)) / CAST(_k - idx AS DOUBLE)
+                   <= CAST(cap AS DOUBLE)
+              THEN (CAST(_t AS DOUBLE) * {WATERFILL_SHARE_NUM}.0
+                    / {WATERFILL_SHARE_DEN}.0
+                    - CAST(below AS DOUBLE)) / CAST(_k - idx AS DOUBLE)
+         END AS lvl
+  FROM ranked
+),
+level AS (SELECT max(lvl) AS level FROM cand)
+SELECT source, cap,
+       least(CAST(cap AS DOUBLE), level) AS allocation,
+       least(CAST(cap AS DOUBLE), level) / CAST(cap AS DOUBLE) AS fill_frac
+FROM cand, level
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "q297_boilerplate_ngrams": q297_boilerplate_ngrams,
+    "q298_budget_waterfill": q298_budget_waterfill,
     "q79_token_packing": q79_token_packing,
     "q80_corpus_mixing": q80_corpus_mixing,
     "q81_embedding_quantize": q81_embedding_quantize,
@@ -1481,6 +1685,8 @@ ORACLE = {
     "q221_heavy_hitters": Q221_SQL,
     "q225_dataset_card": Q225_SQL,
     "q228_quantile_normalize": Q228_SQL,
+    "q297_boilerplate_ngrams": Q297_SQL,
+    "q298_budget_waterfill": Q298_SQL,
     "q79_token_packing": Q79_SQL,
     "q80_corpus_mixing": Q80_SQL,
     "q81_embedding_quantize": Q81_SQL,

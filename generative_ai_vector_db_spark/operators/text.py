@@ -1321,7 +1321,171 @@ LIMIT {BPE_TOP_PAIRS}
 """
 
 
+# ---------------------------------------------------------------------------
+# q295 — per-source lexical diversity: type-token ratio, hapax ratio,
+# and the Simpson repeat index over whitespace unigrams. Every output
+# is an exact integer ratio (no logs, no engine-math dependence —
+# entropy lives in q145): TTR = types/tokens, hapax = once-seen types
+# / types, simpson = Σ c(c-1) / (n(n-1)) (probability two random
+# tokens from the source are the same type). Curation use: sources
+# with collapsing TTR / high simpson are template farms.
+# Scale: one groupBy(source, token) then one groupBy(source) — both
+# map-side combinable; no windows, no broadcast of row-scale data.
+# ---------------------------------------------------------------------------
+def q295_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    per = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    agg = per.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("bigint")).cast("bigint").alias("n_hapax"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("rep_pairs"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        (F.col("n_types").cast("double") / nt).alias("ttr"),
+        (
+            F.col("n_hapax").cast("double") / F.col("n_types").cast("double")
+        ).alias("hapax_ratio"),
+        (F.col("rep_pairs").cast("double") / (nt * (nt - F.lit(1.0)))).alias(
+            "simpson"
+        ),
+    ).orderBy("source")
+
+
+Q295_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+per AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, w
+),
+agg AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0) AS BIGINT)
+           AS n_hapax,
+         CAST(sum(c * (c - 1)) AS BIGINT) AS rep_pairs
+  FROM per GROUP BY source
+)
+SELECT source, n_tokens, n_types,
+       CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+       CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_ratio,
+       CAST(rep_pairs AS DOUBLE)
+         / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0))
+         AS simpson
+FROM agg
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q296 — character-trigram LM outlier scoring (the fastText/CCNet-
+# style LM proxy, char-level so it is OOV-robust where q121's word
+# unigrams are not): train add-one-smoothed trigram logprobs on the
+# WHOLE corpus (one pass), score every document by its mean trigram
+# logprob, return the bottom-K outliers (mojibake, binary splatter,
+# wrong-language docs sink). Per-trigram logp is rounded to 8 dp at
+# the VOCAB level before the per-doc sum (the q208 discipline: makes
+# the summands identical decimals on both engines so summation-order
+# float drift cannot reach the 4-dp hash).
+# Scale: vocab agg is Heaps-law small -> broadcast join onto the
+# trigram stream; the stream itself shuffles once for the per-doc agg;
+# bottom-K is a TakeOrdered, no global sort.
+# ---------------------------------------------------------------------------
+TRIGRAM_BOTTOM_K = 20
+
+
+def q296_char_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("t")
+    )
+    tris = docs.where(F.length("t") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 2),
+                lambda i: F.col("t").substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    vocab = tris.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    consts = vocab.agg(
+        F.sum("c").cast("bigint").alias("_n"),
+        F.count(F.lit(1)).cast("bigint").alias("_v"),
+    )
+    scored = vocab.crossJoin(F.broadcast(consts)).select(
+        "g",
+        F.round(
+            F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("_n") + F.col("_v")).cast("double")
+            ),
+            8,
+        ).alias("logp"),
+    )
+    per_doc = (
+        tris.join(F.broadcast(scored), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            F.avg("logp").alias("avg_logp"),
+        )
+    )
+    # order on the 8-dp-rounded mean: identical documents sum the same
+    # decimal terms in different orders (1e-16 drift) — rounding makes
+    # boundary ties exact so doc_id breaks them identically on both
+    # engines.
+    return (
+        per_doc.select("doc_id", "n_trigrams", "avg_logp")
+        .orderBy(F.round(F.col("avg_logp"), 8), "doc_id")
+        .limit(TRIGRAM_BOTTOM_K)
+    )
+
+
+Q296_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE len(lower(text)) >= 3
+),
+tris AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                               i -> t[i:i+2])) AS g
+  FROM d
+),
+vocab AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM tris GROUP BY g),
+consts AS (
+  SELECT CAST(sum(c) AS BIGINT) AS _n, CAST(count(*) AS BIGINT) AS _v
+  FROM vocab
+),
+scored AS (
+  SELECT g,
+         round(ln(CAST(c + 1 AS DOUBLE) / CAST(_n + _v AS DOUBLE)), 8)
+           AS logp
+  FROM vocab, consts
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       avg(logp) AS avg_logp
+FROM tris JOIN scored USING (g)
+GROUP BY doc_id
+ORDER BY round(avg(logp), 8), doc_id
+LIMIT {TRIGRAM_BOTTOM_K}
+"""
+
+
 QUERIES = {
+    "q295_lexical_diversity": q295_lexical_diversity,
+    "q296_char_trigram_lm": q296_char_trigram_lm,
     "q37_lang_id": q37_lang_id,
     "q38_text_quality": q38_text_quality,
     "q39_token_count": q39_token_count,
@@ -1346,6 +1510,8 @@ QUERIES = {
 
 ORACLE = {
     "q37_lang_id": _q37_sql(),
+    "q295_lexical_diversity": Q295_SQL,
+    "q296_char_trigram_lm": Q296_SQL,
     "q38_text_quality": Q38_SQL,
     "q39_token_count": Q39_SQL,
     "q40_fingerprint": Q40_SQL,

@@ -267,3 +267,121 @@ def test_q294_lpa_matches_sync_reference(spark, sf_dir_t2):
         key=lambda t: (-t[1], t[0]),
     )
     assert list(zip(got["community"], got["community_size"])) == want
+
+
+# --------------------------------------------------------------------------
+# q295-q298 text/corpus pipeline tier
+# --------------------------------------------------------------------------
+def test_q295_lexical_diversity_reference(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import text as text_ops
+
+    got = text_ops.q295_lexical_diversity(spark, sf_dir_t2).toPandas()
+    docs = (
+        load(spark, sf_dir_t2, "documents")
+        .select("source", "text")
+        .toPandas()
+    )
+    for r in got.itertuples():
+        toks = []
+        for t in docs[docs["source"] == r.source]["text"]:
+            toks.extend(t.lower().split(" "))
+        vc = pd.Series(toks).value_counts()
+        n, types = len(toks), len(vc)
+        assert (r.n_tokens, r.n_types) == (n, types)
+        assert r.ttr == pytest.approx(types / n)
+        assert r.hapax_ratio == pytest.approx((vc == 1).sum() / types)
+        assert r.simpson == pytest.approx(
+            (vc * (vc - 1)).sum() / (n * (n - 1)), rel=1e-12
+        )
+
+
+def test_q296_char_trigram_lm_reference(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import text as text_ops
+
+    got = text_ops.q296_char_trigram_lm(spark, sf_dir_t2).toPandas()
+    docs = (
+        load(spark, sf_dir_t2, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    docs["t"] = docs["text"].str.lower()
+    docs = docs[docs["t"].str.len() >= 3]
+    from collections import Counter
+
+    counts = Counter()
+    tris = {}
+    for r in docs.itertuples():
+        g = [r.t[i : i + 3] for i in range(len(r.t) - 2)]
+        tris[r.doc_id] = g
+        counts.update(g)
+    n_tot, v = sum(counts.values()), len(counts)
+    logp = {g: round(np.log((c + 1) / (n_tot + v)), 8) for g, c in counts.items()}
+    assert len(got) == text_ops.TRIGRAM_BOTTOM_K
+    scores = {
+        d: float(np.mean([logp[g] for g in gs])) for d, gs in tris.items()
+    }
+    order = sorted(scores, key=lambda d: (round(scores[d], 8), d))
+    assert list(got["doc_id"]) == order[: text_ops.TRIGRAM_BOTTOM_K]
+    for r in got.itertuples():
+        assert r.n_trigrams == len(tris[r.doc_id])
+        assert r.avg_logp == pytest.approx(scores[r.doc_id], rel=1e-9)
+
+
+def test_q297_boilerplate_reference(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import corpus
+
+    got = corpus.q297_boilerplate_ngrams(spark, sf_dir_t2).toPandas()
+    docs = (
+        load(spark, sf_dir_t2, "documents")
+        .select("doc_id", "source", "text")
+        .toPandas()
+    )
+    from collections import Counter
+
+    n = corpus.BOILER_N
+    per_doc = {}
+    df = Counter()
+    for r in docs.itertuples():
+        ws = r.text.lower().split(" ")
+        grams = {
+            " ".join(ws[i : i + n]) for i in range(max(len(ws) - n + 1, 0))
+        }
+        per_doc[r.doc_id] = (r.source, grams)
+        df.update(grams)
+    hot = {g for g, c in df.items() if c >= corpus.BOILER_MIN_DOCS}
+    agg = {}
+    for src, grams in per_doc.values():
+        a = agg.setdefault(src, [0, 0])
+        a[0] += len(grams)
+        a[1] += len(grams & hot)
+    for r in got.itertuples():
+        tot, boil = agg[r.source]
+        assert (r.n_shingles, r.n_boiler) == (tot, boil)
+        assert r.boiler_frac == pytest.approx(boil / tot)
+
+
+def test_q298_waterfill_invariants_and_reference(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import corpus
+
+    got = corpus.q298_budget_waterfill(spark, sf_dir_t2).toPandas()
+    caps = got.set_index("source")["cap"]
+    budget = (
+        caps.sum()
+        * corpus.WATERFILL_SHARE_NUM
+        / corpus.WATERFILL_SHARE_DEN
+    )
+    # allocations respect caps and exhaust the budget
+    assert (got["allocation"] <= got["cap"] + 1e-9).all()
+    assert got["allocation"].sum() == pytest.approx(budget, rel=1e-12)
+    # bisection reference for the water level
+    lo, hi = 0.0, float(caps.max())
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if np.minimum(caps, mid).sum() < budget:
+            lo = mid
+        else:
+            hi = mid
+    level = (lo + hi) / 2
+    for r in got.itertuples():
+        assert r.allocation == pytest.approx(min(r.cap, level), rel=1e-9)
+        assert r.fill_frac == pytest.approx(min(r.cap, level) / r.cap, rel=1e-9)
