@@ -1090,7 +1090,108 @@ ORDER BY term
 """
 
 
+# ---------------------------------------------------------------------------
+# q300 — Mean-Average-Precision eval of the BM25 ranking: per query
+# term, AP = mean over relevant docs of precision@rank, with binary
+# relevance tf >= REL_TF (the "clearly on-topic" bar; q274's MRR uses
+# first-best, q267's NDCG uses graded gain — AP is the third standard
+# eval and weights the WHOLE relevant set by rank). Ranks and
+# cumulative-relevant counts are ints; each precision term is one IEEE
+# division; the per-term sum spans <= |matched docs| smallish terms —
+# inside the repo's float-sum policy for 4-dp-graded outputs.
+# Scale shape: reuses the q83 per-term frame; one rank window per
+# term, one per-term aggregate. Terms with no relevant docs emit NULL.
+# ---------------------------------------------------------------------------
+REL_TF = 2
+
+
+def q300_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = _bm25_per_term(spark, sf_dir).select(
+        "term", "doc_id", "tf", F.round("contrib", 4).alias("score")
+    )
+    w_sys = Window.partitionBy("term").orderBy(F.col("score").desc(), "doc_id")
+    rel = (F.col("tf") >= REL_TF).cast("bigint")
+    ranked = per.select(
+        "term",
+        rel.alias("rel"),
+        F.row_number().over(w_sys).alias("r_sys"),
+    )
+    w_cum = Window.partitionBy("term").orderBy("r_sys")
+    cum = ranked.select(
+        "term",
+        "rel",
+        "r_sys",
+        F.sum("rel").over(w_cum).alias("rel_cum"),
+    )
+    return (
+        cum.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.sum("rel").cast("bigint").alias("n_relevant"),
+            F.sum(
+                F.when(
+                    F.col("rel") == 1,
+                    F.col("rel_cum").cast("double")
+                    / F.col("r_sys").cast("double"),
+                )
+            ).alias("_psum"),
+        )
+        .select(
+            "term",
+            "n_matched",
+            "n_relevant",
+            F.when(
+                F.col("n_relevant") > 0,
+                F.col("_psum") / F.col("n_relevant").cast("double"),
+            ).alias("ap"),
+        )
+        .orderBy("term")
+    )
+
+
+Q300_SQL = f"""
+WITH {_BM25_CTE.split("per AS")[0]}per AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(ln(1.0 + (corpus.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * CAST(dl.dl AS DOUBLE)
+              / (CAST(corpus.total_len AS DOUBLE)
+                 / CAST(corpus.n_docs AS DOUBLE)))), 4)
+           AS score
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corpus
+),
+ranked AS (
+  SELECT term,
+         CAST(tf >= {REL_TF} AS BIGINT) AS rel,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY score DESC, doc_id) AS r_sys
+  FROM per
+),
+cum AS (
+  SELECT term, rel, r_sys,
+         sum(rel) OVER (PARTITION BY term ORDER BY r_sys) AS rel_cum
+  FROM ranked
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(sum(rel) AS BIGINT) AS n_relevant,
+       CASE WHEN sum(rel) > 0
+            THEN sum(CASE WHEN rel = 1
+                          THEN CAST(rel_cum AS DOUBLE)
+                               / CAST(r_sys AS DOUBLE) END)
+                 / CAST(sum(rel) AS DOUBLE)
+       END AS ap
+FROM cum
+GROUP BY term
+ORDER BY term
+"""
+
+
 QUERIES = {
+    "q300_map_eval": q300_map_eval,
     "q83_bm25_topk": q83_bm25_topk,
     "q84_hybrid_rrf": q84_hybrid_rrf,
     "q86_tfidf_keywords": q86_tfidf_keywords,
@@ -1106,6 +1207,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q300_map_eval": Q300_SQL,
     "q83_bm25_topk": Q83_SQL,
     "q84_hybrid_rrf": Q84_SQL,
     "q86_tfidf_keywords": Q86_SQL,

@@ -417,7 +417,106 @@ ORDER BY a.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q301 — time-travel reads: reconstruct the q248 CDC store state AS OF
+# three snapshot cutoffs (day 7/14/21 after the log's first day,
+# data-derived — no fixture-scale literals) in ONE pass: the change
+# log joins a broadcast 3-row snapshot frame, rows after the cutoff
+# are dropped per snapshot, and the per-(snapshot, key) latest-op
+# window resolves each key's state at that instant (Delta/Iceberg
+# "VERSION AS OF" semantics over an event-shaped log). Audit output
+# per snapshot: live keys, tombstoned keys, live-value total.
+# Scale: one shuffle on (snapshot, user) serves the window and the
+# final per-snapshot rollup; the 3x log fan-out is the price of
+# single-pass multi-snapshot audits (vs 3 scans) and shrinks to the
+# snapshot count, not data size.
+# ---------------------------------------------------------------------------
+SNAPSHOT_DAYS = (7, 14, 21)
+
+
+def q301_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    start = ev.agg(F.date_trunc("day", F.min("ts")).alias("day0"))
+    snaps = (
+        spark.range(1, len(SNAPSHOT_DAYS) + 1)
+        .select((F.col("id") * 7).cast("bigint").alias("snap_day"))
+        .crossJoin(F.broadcast(start))
+        .select(
+            "snap_day",
+            F.timestamp_add("DAY", F.col("snap_day").cast("int"), F.col("day0")).alias(
+                "cutoff"
+            ),
+        )
+    )
+    tagged = (
+        ev.crossJoin(F.broadcast(snaps))
+        .where(F.col("ts") < F.col("cutoff"))
+        .withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+    )
+    w = Window.partitionBy("snap_day", "user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = tagged.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return (
+        last.groupBy("snap_day")
+        .agg(
+            F.sum((F.col("op") == "U").cast("bigint"))
+            .cast("bigint")
+            .alias("n_live"),
+            F.sum((F.col("op") == "D").cast("bigint"))
+            .cast("bigint")
+            .alias("n_tombstoned"),
+            F.round(
+                F.sum(F.when(F.col("op") == "U", F.col("value"))), 4
+            ).alias("live_value_sum"),
+        )
+        .orderBy("snap_day")
+    )
+
+
+Q301_SQL = """
+WITH start AS (SELECT date_trunc('day', min(ts)) AS day0 FROM events),
+snaps AS (
+  SELECT CAST(i * 7 AS BIGINT) AS snap_day,
+         day0 + (i * 7) * INTERVAL 1 DAY AS cutoff
+  FROM range(1, 4) t(i), start
+),
+tagged AS (
+  SELECT s.snap_day, e.user_id, e.ts, e.event_id, e.value,
+         CASE WHEN e.event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events e, snaps s
+  WHERE e.ts < s.cutoff
+),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY snap_day, user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM tagged
+  ) WHERE rn = 1
+)
+SELECT snap_day,
+       CAST(coalesce(sum(CASE WHEN op = 'U' THEN 1 END), 0) AS BIGINT)
+         AS n_live,
+       CAST(coalesce(sum(CASE WHEN op = 'D' THEN 1 END), 0) AS BIGINT)
+         AS n_tombstoned,
+       round(sum(CASE WHEN op = 'U' THEN value END), 4) AS live_value_sum
+FROM last
+GROUP BY snap_day
+ORDER BY snap_day
+"""
+
+
 QUERIES = {
+    "q301_snapshot_as_of": q301_snapshot_as_of,
     "q52_delete_by_source": q52_delete_by_source,
     "q123_store_upsert": q123_store_upsert,
     "q176_snapshot_diff": q176_snapshot_diff,
@@ -426,6 +525,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q301_snapshot_as_of": Q301_SQL,
     "q52_delete_by_source": Q52_SQL,
     "q123_store_upsert": Q123_SQL,
     "q176_snapshot_diff": Q176_SQL,

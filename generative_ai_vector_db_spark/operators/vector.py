@@ -1862,7 +1862,141 @@ FROM ham JOIN exact USING (vec_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# q299 — int8 scalar-quantized prefilter + exact re-rank: the standard
+# two-stage retrieval deployment (4x-compressed codes scan the corpus,
+# exact cosine re-ranks a small candidate pool). Per-vector symmetric
+# quantization c_i = floor(x_i * 127/max|x| + 0.5) — floor(+0.5) is
+# pinned explicitly so engine ROUND half-way conventions never enter;
+# candidate scores are INTEGER dot products rescaled once (exact
+# BIGINT sum, one IEEE multiply/divide → bit-identical both engines).
+# Top-CAND candidates by (approx DESC, vec_id), then the q26 exact
+# ranking key (round(cos,4) DESC, vec_id) for the final K.
+# Scale: the int8 scan is the cheap full pass (codes are 64 B/vector
+# vs 512 B raw), candidates are a K-bounded frame, the exact re-rank
+# touches only CAND rows. Companion recall floor: q285 measures the
+# 1-bit variant; the int8 pool is strictly richer.
+# ---------------------------------------------------------------------------
+INT8_CAND = 4 * K
+
+
+def _int8_codes(emb: DataFrame) -> DataFrame:
+    arr = V.as_double(F.col("embedding"))
+    mx = F.array_max(F.transform(arr, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / F.nullif(mx, F.lit(0.0))
+    codes = F.transform(
+        arr,
+        lambda x: F.coalesce(
+            F.floor(x * scale + F.lit(0.5)), F.lit(0)
+        ).cast("bigint"),
+    )
+    return emb.select(
+        "vec_id", codes.alias("code"), F.coalesce(mx, F.lit(0.0)).alias("mx")
+    )
+
+
+def q299_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codes = _int8_codes(emb)
+    qc = codes.where(F.col("vec_id") == BINARY_Q_ID).select(
+        F.col("code").alias("q_code"), F.col("mx").alias("q_mx")
+    )
+    int_dot = F.aggregate(
+        F.zip_with(F.col("code"), F.col("q_code"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    approx = (
+        codes.where(F.col("vec_id") != BINARY_Q_ID)
+        .crossJoin(F.broadcast(qc))
+        .select(
+            "vec_id",
+            (
+                int_dot.cast("double")
+                * F.col("mx")
+                * F.col("q_mx")
+                / F.lit(127.0 * 127.0)
+            ).alias("approx_dot"),
+        )
+    )
+    w_pre = Window.orderBy(F.col("approx_dot").desc(), "vec_id")
+    cand = (
+        approx.withColumn("prn", F.row_number().over(w_pre))
+        .where(F.col("prn") <= INT8_CAND)
+        .select("vec_id", "approx_dot")
+    )
+    qv = emb.where(F.col("vec_id") == BINARY_Q_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    exact = (
+        cand.join(emb, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round("approx_dot", 4).alias("approx_dot"),
+            F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w_fin = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        exact.withColumn("rn", F.row_number().over(w_fin).cast("bigint"))
+        .where(F.col("rn") <= K)
+        .orderBy("rn")
+    )
+
+
+_DUCK_I8 = (
+    "[CAST(floor(CAST({e}.embedding[k] AS DOUBLE) * 127.0"
+    " / list_max(list_transform({e}.embedding,"
+    " x -> abs(CAST(x AS DOUBLE)))) + 0.5) AS BIGINT)"
+    f" for k in generate_series(1, {EMB_DIM})]"
+)
+_DUCK_MX = (
+    "list_max(list_transform({e}.embedding, x -> abs(CAST(x AS DOUBLE))))"
+)
+
+Q299_SQL = f"""
+WITH codes AS (
+  SELECT vec_id, {_DUCK_I8.format(e='embeddings')} AS code,
+         {_DUCK_MX.format(e='embeddings')} AS mx
+  FROM embeddings
+),
+qc AS (SELECT code AS q_code, mx AS q_mx FROM codes
+       WHERE vec_id = {BINARY_Q_ID}),
+approx AS (
+  SELECT vec_id,
+         CAST(list_sum([code[k] * q_code[k]
+                        for k in generate_series(1, {EMB_DIM})]) AS DOUBLE)
+           * mx * q_mx / {127.0 * 127.0} AS approx_dot
+  FROM codes, qc
+  WHERE vec_id != {BINARY_Q_ID}
+),
+cand AS (
+  SELECT vec_id, approx_dot
+  FROM (SELECT *, row_number() OVER (ORDER BY approx_dot DESC, vec_id) AS prn
+        FROM approx)
+  WHERE prn <= {INT8_CAND}
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {BINARY_Q_ID})
+SELECT vec_id, approx_dot, cos_sim, rn
+FROM (
+  SELECT c.vec_id,
+         round(c.approx_dot, 4) AS approx_dot,
+         round({_DUCK_QDOT} / ({_DUCK_QNORM} * {_DUCK_BNORM}), 4) AS cos_sim,
+         CAST(row_number() OVER (
+           ORDER BY round({_DUCK_QDOT} / ({_DUCK_QNORM} * {_DUCK_BNORM}), 4)
+                      DESC,
+                    c.vec_id) AS BIGINT) AS rn
+  FROM cand c JOIN embeddings b ON c.vec_id = b.vec_id, q
+) WHERE rn <= {K}
+ORDER BY rn
+"""
+
+
 QUERIES = {
+    "q299_int8_rerank": q299_int8_rerank,
     "q25_knn_l2": q25_knn_l2,
     "q26_knn_cosine": q26_knn_cosine,
     "q27_similarity_join": q27_similarity_join,
@@ -1887,6 +2021,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q299_int8_rerank": Q299_SQL,
     "q25_knn_l2": Q25_SQL,
     "q26_knn_cosine": Q26_SQL,
     "q27_similarity_join": Q27_SQL,

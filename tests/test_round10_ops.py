@@ -385,3 +385,92 @@ def test_q298_waterfill_invariants_and_reference(spark, sf_dir_t2):
     for r in got.itertuples():
         assert r.allocation == pytest.approx(min(r.cap, level), rel=1e-9)
         assert r.fill_frac == pytest.approx(min(r.cap, level) / r.cap, rel=1e-9)
+
+
+# --------------------------------------------------------------------------
+# q299-q301 retrieval/store tier
+# --------------------------------------------------------------------------
+def test_q299_int8_rerank_reference_and_recall(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import vector
+
+    got = vector.q299_int8_rerank(spark, sf_dir_t2).toPandas()
+    emb = (
+        load(spark, sf_dir_t2, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    M = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    qi = int(np.where(ids == vector.BINARY_Q_ID)[0][0])
+    # int8 codes reference
+    mx = np.abs(M).max(axis=1)
+    codes = np.floor(M * (127.0 / mx)[:, None] + 0.5).astype(np.int64)
+    approx = codes @ codes[qi] * (mx * mx[qi]) / (127.0 * 127.0)
+    mask = ids != vector.BINARY_Q_ID
+    order = sorted(
+        np.where(mask)[0], key=lambda i: (-approx[i], ids[i])
+    )[: vector.INT8_CAND]
+    cand = {ids[i] for i in order}
+    assert set(got["vec_id"]).issubset(cand)
+    # exact cosine over candidates
+    qv = M[qi]
+    cos = M @ qv / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv))
+    pick = sorted(order, key=lambda i: (-round(cos[i], 4), ids[i]))[: vector.K]
+    assert list(got["vec_id"]) == [ids[i] for i in pick]
+    # recall vs global exact top-k (quality floor, recorded in QUALITY.md)
+    exact = sorted(
+        np.where(mask)[0], key=lambda i: (-round(cos[i], 4), ids[i])
+    )[: vector.K]
+    recall = len(set(got["vec_id"]) & {ids[i] for i in exact}) / vector.K
+    assert recall >= 0.9
+
+
+def test_q300_map_eval_reference(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import retrieval
+
+    got = retrieval.q300_map_eval(spark, sf_dir_t2).toPandas()
+    per = retrieval._bm25_per_term(spark, sf_dir_t2).toPandas()
+    per["score"] = per["contrib"].round(4)
+    for r in got.itertuples():
+        g = per[per["term"] == r.term].sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        )
+        rel = (g["tf"] >= retrieval.REL_TF).to_numpy()
+        assert r.n_matched == len(g)
+        assert r.n_relevant == int(rel.sum())
+        if rel.sum() == 0:
+            assert pd.isna(r.ap)
+            continue
+        cum = np.cumsum(rel)
+        ranks = np.arange(1, len(g) + 1)
+        ap = (cum[rel] / ranks[rel]).mean()
+        assert r.ap == pytest.approx(ap, rel=1e-12)
+        assert 0.0 < r.ap <= 1.0
+
+
+def test_q301_snapshot_monotone_and_reference(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import store
+
+    got = store.q301_snapshot_as_of(spark, sf_dir_t2).toPandas()
+    ev = (
+        load(spark, sf_dir_t2, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .toPandas()
+    )
+    day0 = ev["ts"].min().normalize()
+    assert list(got["snap_day"]) == list(store.SNAPSHOT_DAYS)
+    for r in got.itertuples():
+        cutoff = day0 + pd.Timedelta(days=int(r.snap_day))
+        sub = ev[ev["ts"] < cutoff].sort_values(
+            ["user_id", "ts", "event_id"]
+        )
+        last = sub.groupby("user_id").tail(1)
+        live = last[last["event_type"] != "error"]
+        assert r.n_live == len(live)
+        assert r.n_tombstoned == (last["event_type"] == "error").sum()
+        assert r.live_value_sum == pytest.approx(
+            round(live["value"].sum(), 4), abs=1e-6
+        )
+    # keys seen can only grow with the cutoff
+    seen = got["n_live"] + got["n_tombstoned"]
+    assert (seen.diff().dropna() >= 0).all()
