@@ -1044,7 +1044,270 @@ ORDER BY sort_offset
 """
 
 
+# ---------------------------------------------------------------------------
+# q302 — ENGINE-PORTABLE MinHash-LSH near-dup join. q44/q51 key their
+# signatures off Spark's xxhash64 (no DuckDB twin -> rows-only checks
+# with planted-corpus recall evidence); this variant derives every
+# hash from explicit portable integer arithmetic (the q40 rolling-
+# polynomial / functions.hashing discipline), so the FULL pipeline —
+# shingle hashing, 16 permutations, 4x4 banding, candidate join, exact
+# Jaccard verify — is replicated in ANSI SQL and hash-graded by the
+# driver. The dedup family's oracle-backed anchor.
+#
+# Hash chain (all mod the Mersenne prime 2^31-1; every product fits
+# int64: a_i * x <= 2^62, acc * FP_MULT <= 2.1e15):
+#   word_hash  = ((len*31 + cp_first)*31 + cp_mid)*31 + cp_last) % P
+#                (constant-time per word — a per-char fold measured
+#                 10.2 s/500 docs in interpreted HOF eval vs ~0.5 s
+#                 for this; single-word collisions are tolerable
+#                 because a SHINGLE collision needs all 8 consecutive
+#                 word hashes to collide)
+#   shingle    = fold over 8 words (acc*FP_MULT + word_hash) % P
+#   perm_i     = (A_i * shingle + B_i) % P,  sig_i = min over shingles
+#   band_k     = fold over sigs[4k..4k+3] (acc*FP_MULT + sig) % P
+# Verify = EXACT Jaccard over the shingle-HASH sets (declared operator
+# semantics: Jaccard of 8-gram fingerprints, not raw strings).
+# Scale: identical shape to q44 (explode bands -> shuffle on band key
+# -> within-bucket pairs -> id-only candidates -> exact verify joins
+# shingle sets back by doc id). Buckets above LSH_BUCKET_CAP docs are
+# dropped as degenerate (boilerplate-only shingle sets), the q177 cap
+# discipline.
+# ---------------------------------------------------------------------------
+PMH_PERMS = 16
+PMH_BANDS = 4
+PMH_ROWS = PMH_PERMS // PMH_BANDS
+PMH_SHINGLE_W = 8
+PMH_JMIN = 0.5
+PMH_BUCKET_CAP = 50
+PMH_P = 2147483647  # Mersenne 2^31-1 (functions.hashing.HASH_MOD)
+PMH_MULT = 1000003  # q40 FP_MULT
+PMH_A = [(2654435761 + 977 * i) % PMH_P for i in range(PMH_PERMS)]
+PMH_B = [(2246822519 + 131071 * i) % PMH_P for i in range(PMH_PERMS)]
+
+
+def _pmh_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles): distinct portable shingle hashes per doc.
+    Arrays materialized per stage (see PERF NOTE above)."""
+    # constant-time word feature (header note); empty words (split
+    # artifacts) pin to 0 on both engines. repartition BEFORE the hash
+    # stage: the work is CPU-bound and embarrassingly parallel, but a
+    # small fixture parquet arrives as ONE split — at 100 TB the input
+    # splits provide this parallelism for free.
+    sc = docs.sparkSession.sparkContext
+    whs = docs.repartition(sc.defaultParallelism, "doc_id").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("words")
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(words, w -> CASE WHEN length(w) > 0 THEN "
+            "CAST((((length(w) * 31 + ascii(substring(w, 1, 1))) * 31 "
+            " + ascii(substring(w, CAST((length(w) + 1) div 2 AS INT), 1)))"
+            " * 31 + ascii(substring(w, length(w), 1)))"
+            f" % {PMH_P} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        ).alias("whs"),
+    )
+    n = PMH_SHINGLE_W
+    sh = F.when(
+        F.size("whs") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("whs") - n),
+                lambda j: F.aggregate(
+                    F.slice(F.col("whs"), j + 1, n),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: (acc * PMH_MULT + x) % PMH_P,
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return whs.select("doc_id", sh.alias("shingles")).where(
+        F.size("shingles") > 0
+    )
+
+
+def q302_portable_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shingled = _pmh_shingles(docs).localCheckpoint()
+    def _perm(i: int):
+        a, b = PMH_A[i], PMH_B[i]
+        return F.array_min(
+            F.transform(
+                F.col("shingles"), lambda x: (F.lit(a) * x + F.lit(b)) % PMH_P
+            )
+        )
+
+    sigs = shingled.select(
+        "doc_id",
+        F.array(*[_perm(i) for i in range(PMH_PERMS)]).alias("sigs"),
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sigs",
+        F.posexplode(
+            F.array(
+                *[
+                    F.aggregate(
+                        F.slice(F.col("sigs"), k * PMH_ROWS + 1, PMH_ROWS),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: (acc * PMH_MULT + x) % PMH_P,
+                    )
+                    for k in range(PMH_BANDS)
+                ]
+            )
+        ).alias("band", "key"),
+    ).select("doc_id", "band", "key")
+    sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
+    kept = bands.join(
+        sizes.where(F.col("_n") <= PMH_BUCKET_CAP).select("band", "key"),
+        ["band", "key"],
+    )
+    a = kept.select("band", "key", F.col("doc_id").alias("doc_a"))
+    b = kept.select("band", "key", F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact verify: shingle sets joined back by id (candidates are few)
+    ex = shingled.select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    na = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.size("shingles").alias("n_a")
+    )
+    nb = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.size("shingles").alias("n_b")
+    )
+    common = (
+        cand.join(ex.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(ex.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sig_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sigs").alias("sa"))
+    sig_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sigs").alias("sb"))
+    jac = (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("sa"), F.col("sb"), lambda x, y: x == y
+                        ),
+                        lambda t: t,
+                    )
+                ).cast("double")
+                / F.lit(float(PMH_PERMS))
+            ).alias("est_jaccard"),
+        )
+    )
+    return (
+        jac.where(F.col("jaccard") >= PMH_JMIN)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _pmh_sql() -> str:
+    perms = ", ".join(
+        f"list_min(list_transform(shingles, x -> ({a} * x + {b}) % {PMH_P}))"
+        for a, b in zip(PMH_A, PMH_B)
+    )
+    bandkeys = ", ".join(
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"sigs[{k * PMH_ROWS + 1}:{k * PMH_ROWS + PMH_ROWS}]), "
+        f"(acc, x) -> (acc * {PMH_MULT} + x) % {PMH_P})"
+        for k in range(PMH_BANDS)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+),
+wh AS (
+  SELECT doc_id,
+         list_transform(words, w -> CASE WHEN length(w) > 0 THEN
+           CAST((((length(w) * 31 + ascii(w[1:1])) * 31
+                  + ascii(w[(length(w) + 1) // 2 : (length(w) + 1) // 2]))
+                 * 31 + ascii(w[length(w):length(w)]))
+                % {PMH_P} AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END) AS whs
+  FROM w
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(whs) - {PMH_SHINGLE_W - 1}),
+           j -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  whs[j:j+{PMH_SHINGLE_W - 1}]),
+                  (acc, x) -> (acc * {PMH_MULT} + x) % {PMH_P}))) AS shingles
+  FROM wh
+  WHERE len(whs) >= {PMH_SHINGLE_W}
+),
+shn AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+sigs AS (
+  SELECT doc_id, shingles, [{perms}] AS sigs FROM shn
+),
+bands AS (
+  SELECT doc_id, unnest([{bandkeys}]) AS key,
+         unnest(generate_series(0, {PMH_BANDS - 1})) AS band
+  FROM sigs
+),
+kept AS (
+  SELECT b.* FROM bands b
+  JOIN (SELECT band, key FROM bands GROUP BY band, key
+        HAVING count(*) <= {PMH_BUCKET_CAP}) s USING (band, key)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b USING (band, key)
+  WHERE a.doc_id < b.doc_id
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shn),
+common AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN ex ea ON ea.doc_id = c.doc_a
+  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(n_common AS DOUBLE)
+         / CAST(len(sa.shingles) + len(sb.shingles) - n_common AS DOUBLE)
+         AS jaccard,
+       CAST(len(list_filter([sga.sigs[i] = sgb.sigs[i]
+                             for i in generate_series(1, {PMH_PERMS})],
+                            t -> t)) AS DOUBLE) / {PMH_PERMS}.0
+         AS est_jaccard
+FROM common c
+JOIN shn sa ON sa.doc_id = c.doc_a
+JOIN shn sb ON sb.doc_id = c.doc_b
+JOIN sigs sga ON sga.doc_id = c.doc_a
+JOIN sigs sgb ON sgb.doc_id = c.doc_b
+WHERE CAST(n_common AS DOUBLE)
+        / CAST(len(sa.shingles) + len(sb.shingles) - n_common AS DOUBLE)
+      >= {PMH_JMIN}
+ORDER BY doc_a, doc_b
+"""
+
+
+Q302_SQL = _pmh_sql()
+
+
 QUERIES = {
+    "q302_portable_minhash": q302_portable_minhash,
     "q44_minhash_neardup": q44_minhash_neardup,
     "q45_simhash_neardup": q45_simhash_neardup,
     "q76_dedup_clusters": q76_dedup_clusters,
@@ -1058,6 +1321,7 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "q302_portable_minhash": Q302_SQL,
     "q223_fuzzy_survivorship": Q223_SQL,
     "q253_canonical_dedup": Q253_SQL,
     "q283_snm_dedup": Q283_SQL,

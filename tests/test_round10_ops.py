@@ -474,3 +474,78 @@ def test_q301_snapshot_monotone_and_reference(spark, sf_dir_t2):
     # keys seen can only grow with the cutoff
     seen = got["n_live"] + got["n_tombstoned"]
     assert (seen.diff().dropna() >= 0).all()
+
+
+# --------------------------------------------------------------------------
+# q302 portable MinHash — full-pipeline Python reference (independent
+# reimplementation of the hash chain + banding + verify)
+# --------------------------------------------------------------------------
+def test_q302_portable_minhash_full_reference(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import dedup
+
+    got = dedup.q302_portable_minhash(spark, sf_dir_t2).toPandas()
+    docs = (
+        load(spark, sf_dir_t2, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    P, M, W = dedup.PMH_P, dedup.PMH_MULT, dedup.PMH_SHINGLE_W
+
+    def wh(w):
+        if not w:
+            return 0
+        mid = (len(w) + 1) // 2
+        return (
+            ((len(w) * 31 + ord(w[0])) * 31 + ord(w[mid - 1])) * 31
+            + ord(w[-1])
+        ) % P
+
+    shingles = {}
+    for r in docs.itertuples():
+        ws = [wh(w) for w in r.text.lower().split(" ")]
+        if len(ws) < W:
+            continue
+        ss = set()
+        for j in range(len(ws) - W + 1):
+            acc = 0
+            for x in ws[j : j + W]:
+                acc = (acc * M + x) % P
+            ss.add(acc)
+        if ss:
+            shingles[r.doc_id] = ss
+    sigs = {
+        d: [
+            min((a * x + b) % P for x in ss)
+            for a, b in zip(dedup.PMH_A, dedup.PMH_B)
+        ]
+        for d, ss in shingles.items()
+    }
+    buckets = {}
+    for d, sg in sigs.items():
+        for k in range(dedup.PMH_BANDS):
+            acc = 0
+            for x in sg[k * dedup.PMH_ROWS : (k + 1) * dedup.PMH_ROWS]:
+                acc = (acc * M + x) % P
+            buckets.setdefault((k, acc), []).append(d)
+    cand = set()
+    for (k, key), ds in buckets.items():
+        if len(ds) > dedup.PMH_BUCKET_CAP:
+            continue
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cand.add((ds[i], ds[j]))
+    rows = []
+    for a, b in sorted(cand):
+        inter = len(shingles[a] & shingles[b])
+        jac = inter / (len(shingles[a]) + len(shingles[b]) - inter)
+        if jac >= dedup.PMH_JMIN:
+            est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / len(sigs[a])
+            rows.append((a, b, jac, est))
+    assert [
+        (r.doc_a, r.doc_b) for r in got.itertuples()
+    ] == [(a, b) for a, b, _, _ in rows]
+    for r, (_, _, jac, est) in zip(got.itertuples(), rows):
+        assert r.jaccard == pytest.approx(jac, rel=1e-12)
+        assert r.est_jaccard == pytest.approx(est, rel=1e-12)
+    assert len(got) > 0  # fixture contains real near-dups
