@@ -575,3 +575,210 @@ ORACLE: dict[str, str] = {
     "q290_brown_forsythe": Q290_SQL,
     "q291_spearman_rho": Q291_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# q305 — deterministic Poisson bootstrap CI for the per-type mean
+# value: BOOT_B resamples, each event's multiplicity in resample r
+# drawn as Poisson(1) via fixed CDF thresholds over the PORTABLE
+# uniform mix of (event_id, r) (functions/hashing.py — both engines
+# compute the identical integer, so the "random" multiplicities are
+# bit-identical; the Poisson bootstrap is the standard distributed
+# variant because it needs no global resample index). Per-(type, r)
+# weighted means are rounded to 8 dp before ranking (identical decimal
+# summands -> rank ties resolve identically), then the 2.5%/97.5%
+# empirical quantiles come from a row_number over the B=BOOT_B rows
+# per type — a bounded window (B rows/group), never a row-scale sort.
+# Scale: the only row-scale work is one groupBy((type, r)) over the
+# B-fanned event stream — map-side combinable; B is the knob.
+# ---------------------------------------------------------------------------
+from ..functions.hashing import HASH_MOD, mix_duck, mix_spark
+
+BOOT_B = 200
+# P(X<=k) for Poisson(1), k=0..3 (fixed 9-dp decimals; >3 -> 4)
+_POIS = (0.367879441, 0.735758882, 0.919698603, 0.980988245)
+_LO_RANK = 5  # ceil(0.025 * 200)
+_HI_RANK = 196  # floor(0.975 * 200) + 1
+
+
+def q305_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    reps = spark.range(0, BOOT_B).select(F.col("id").cast("bigint").alias("r"))
+    u_expr = mix_spark(f"event_id * {BOOT_B} + r")
+    fanned = ev.crossJoin(F.broadcast(reps)).withColumn(
+        "u", F.expr(u_expr).cast("double") / F.lit(float(HASH_MOD))
+    )
+    m = (
+        F.when(F.col("u") < _POIS[0], 0)
+        .when(F.col("u") < _POIS[1], 1)
+        .when(F.col("u") < _POIS[2], 2)
+        .when(F.col("u") < _POIS[3], 3)
+        .otherwise(4)
+        .cast("bigint")
+    )
+    per = (
+        fanned.withColumn("m", m)
+        .groupBy("event_type", "r")
+        .agg(
+            F.round(
+                F.sum(F.col("m").cast("double") * F.col("value"))
+                / F.sum("m").cast("double"),
+                8,
+            ).alias("bmean")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("bmean", "r")
+    ranked = per.withColumn("rk", F.row_number().over(w))
+    base = ev.groupBy("event_type").agg(F.avg("value").alias("mean_value"))
+    ci = (
+        ranked.groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("rk") == _LO_RANK, F.col("bmean"))).alias(
+                "ci_lo"
+            ),
+            F.min(F.when(F.col("rk") == _HI_RANK, F.col("bmean"))).alias(
+                "ci_hi"
+            ),
+        )
+    )
+    return (
+        base.join(ci, "event_type")
+        .select("event_type", "mean_value", "ci_lo", "ci_hi")
+        .orderBy("event_type")
+    )
+
+
+_Q305_U = mix_duck(f"event_id * {BOOT_B} + r")
+
+Q305_SQL = f"""
+WITH fanned AS (
+  SELECT event_type, value, r,
+         CAST({_Q305_U} AS DOUBLE) / {HASH_MOD}.0 AS u
+  FROM events, (SELECT CAST(range AS BIGINT) AS r FROM range(0, {BOOT_B})) t
+),
+per AS (
+  SELECT event_type, r,
+         round(sum(CAST(CASE WHEN u < {_POIS[0]} THEN 0
+                             WHEN u < {_POIS[1]} THEN 1
+                             WHEN u < {_POIS[2]} THEN 2
+                             WHEN u < {_POIS[3]} THEN 3
+                             ELSE 4 END AS DOUBLE) * value)
+               / sum(CAST(CASE WHEN u < {_POIS[0]} THEN 0
+                               WHEN u < {_POIS[1]} THEN 1
+                               WHEN u < {_POIS[2]} THEN 2
+                               WHEN u < {_POIS[3]} THEN 3
+                               ELSE 4 END AS DOUBLE)), 8) AS bmean
+  FROM fanned
+  GROUP BY event_type, r
+),
+ranked AS (
+  SELECT event_type, bmean,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY bmean, r) AS rk
+  FROM per
+),
+base AS (
+  SELECT event_type, avg(value) AS mean_value FROM events GROUP BY event_type
+)
+SELECT b.event_type, b.mean_value,
+       min(CASE WHEN rk = {_LO_RANK} THEN bmean END) AS ci_lo,
+       min(CASE WHEN rk = {_HI_RANK} THEN bmean END) AS ci_hi
+FROM base b JOIN ranked r ON b.event_type = r.event_type
+GROUP BY b.event_type, b.mean_value
+ORDER BY b.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q306 — Welch's unequal-variance t-test between the ROC pair's value
+# distributions (completes the repo's two-sample family: q282 is the
+# rank test, q281 assumes pooled variance, q278/q289 are k-sample).
+# Single-pass co-moments per group; Welch-Satterthwaite df. One
+# row-scale aggregate, 1-row output.
+# ---------------------------------------------------------------------------
+def q306_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin(ROC_POS, ROC_NEG)
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    a = (F.col("event_type") == ROC_POS).cast("int")
+    agg = g.agg(
+        F.sum(F.col("n") * a).cast("bigint").alias("na"),
+        F.sum(F.col("s") * a).alias("sa"),
+        F.sum(F.col("ss") * a).alias("ssa"),
+        F.sum(F.col("n") * (1 - a)).cast("bigint").alias("nb"),
+        F.sum(F.col("s") * (1 - a)).alias("sb"),
+        F.sum(F.col("ss") * (1 - a)).alias("ssb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma = F.col("sa") / na
+    mb = F.col("sb") / nb
+    va = (F.col("ssa") - F.col("sa") * F.col("sa") / na) / (na - 1.0)
+    vb = (F.col("ssb") - F.col("sb") * F.col("sb") / nb) / (nb - 1.0)
+    sea, seb = va / na, vb / nb
+    t = (ma - mb) / F.sqrt(sea + seb)
+    df = (sea + seb) * (sea + seb) / (
+        sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)
+    )
+    return agg.select(
+        "na",
+        "nb",
+        (ma - mb).alias("mean_diff"),
+        t.alias("t_stat"),
+        df.alias("welch_df"),
+    )
+
+
+Q306_SQL = f"""
+WITH g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(value) AS s, sum(value * value) AS ss
+  FROM events WHERE event_type IN ('{ROC_POS}', '{ROC_NEG}')
+  GROUP BY event_type
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN event_type = '{ROC_POS}' THEN n END) AS BIGINT)
+           AS na,
+         sum(CASE WHEN event_type = '{ROC_POS}' THEN s END) AS sa,
+         sum(CASE WHEN event_type = '{ROC_POS}' THEN ss END) AS ssa,
+         CAST(sum(CASE WHEN event_type = '{ROC_NEG}' THEN n END) AS BIGINT)
+           AS nb,
+         sum(CASE WHEN event_type = '{ROC_NEG}' THEN s END) AS sb,
+         sum(CASE WHEN event_type = '{ROC_NEG}' THEN ss END) AS ssb
+  FROM g
+)
+SELECT na, nb,
+       sa / na - sb / nb AS mean_diff,
+       (sa / na - sb / nb)
+         / sqrt(((ssa - sa * sa / na) / (na - 1.0)) / na
+                + ((ssb - sb * sb / nb) / (nb - 1.0)) / nb) AS t_stat,
+       (((ssa - sa * sa / na) / (na - 1.0)) / na
+        + ((ssb - sb * sb / nb) / (nb - 1.0)) / nb)
+       * (((ssa - sa * sa / na) / (na - 1.0)) / na
+          + ((ssb - sb * sb / nb) / (nb - 1.0)) / nb)
+       / ((((ssa - sa * sa / na) / (na - 1.0)) / na)
+            * (((ssa - sa * sa / na) / (na - 1.0)) / na) / (na - 1.0)
+          + (((ssb - sb * sb / nb) / (nb - 1.0)) / nb)
+            * (((ssb - sb * sb / nb) / (nb - 1.0)) / nb) / (nb - 1.0))
+         AS welch_df
+FROM agg
+"""
+
+
+QUERIES.update(
+    {
+        "q305_poisson_bootstrap": q305_poisson_bootstrap,
+        "q306_welch_ttest": q306_welch_ttest,
+    }
+)
+
+ORACLE.update(
+    {
+        "q305_poisson_bootstrap": Q305_SQL,
+        "q306_welch_ttest": Q306_SQL,
+    }
+)

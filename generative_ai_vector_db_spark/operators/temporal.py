@@ -3205,7 +3205,92 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q303 — sequential pattern mining (window co-occurrence): for every
+# ordered event-type pair (a -> b), how often does a user perform b
+# within SEQ_WINDOW of a (NOT necessarily adjacent — q156's Markov
+# counts see only consecutive pairs; funnels with interleaved noise
+# need the windowed count). Support = share of all users exhibiting
+# the pattern. Plan: per-user time-bounded self-join — shuffle once on
+# user_id, quadratic only within a (user, window) span (fixture ~67
+# events/user; at 100 TB pre-bucket by (user, hour) so the join is
+# range-local per bucket pair), then a 25-row aggregate.
+# Strict ordering ties: (ts, event_id) lexicographic, so self-pairs
+# and simultaneous events resolve identically on both engines.
+# ---------------------------------------------------------------------------
+SEQ_WINDOW_MIN = 60  # minutes
+
+
+def q303_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    total_users = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("_u")
+    )
+    a = ev.select(
+        "user_id",
+        F.col("ts").alias("t1"),
+        F.col("event_id").alias("e1"),
+        F.col("event_type").alias("from_type"),
+    )
+    b = ev.select(
+        "user_id",
+        F.col("ts").alias("t2"),
+        F.col("event_id").alias("e2"),
+        F.col("event_type").alias("to_type"),
+    )
+    pairs = a.join(b, "user_id").where(
+        (
+            (F.col("t2") > F.col("t1"))
+            | ((F.col("t2") == F.col("t1")) & (F.col("e2") > F.col("e1")))
+        )
+        & (
+            F.col("t2")
+            <= F.col("t1") + F.expr(f"INTERVAL {SEQ_WINDOW_MIN} MINUTES")
+        )
+    )
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .crossJoin(F.broadcast(total_users))
+        .select(
+            "from_type",
+            "to_type",
+            "n_occurrences",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("_u").cast("double")).alias(
+                "support"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+Q303_SQL = f"""
+WITH tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS _u FROM events),
+pairs AS (
+  SELECT a.user_id, a.event_type AS from_type, b.event_type AS to_type
+  FROM events a JOIN events b ON a.user_id = b.user_id
+  WHERE (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+    AND b.ts <= a.ts + INTERVAL {SEQ_WINDOW_MIN} MINUTE
+)
+SELECT from_type, to_type,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT user_id) AS DOUBLE) / CAST(_u AS DOUBLE)
+         AS support
+FROM pairs, tot
+GROUP BY from_type, to_type, _u
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
+    "q303_seq_patterns": q303_seq_patterns,
     "q58_asof_join": q58_asof_join,
     "q254_survival_retention": q254_survival_retention,
     "q256_acf": q256_acf,
@@ -3250,6 +3335,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q303_seq_patterns": Q303_SQL,
     "q216_rolling_distinct": Q216_SQL,
     "q222_interval_union": Q222_SQL,
     "q73_temporal_split": Q73_SQL,

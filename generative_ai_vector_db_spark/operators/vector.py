@@ -1995,7 +1995,107 @@ ORDER BY rn
 """
 
 
+# ---------------------------------------------------------------------------
+# q304 — retrieval-set diversity audit: the exact-cosine top-K for the
+# standard query (q26 ranking key) scored for REDUNDANCY — mean and
+# max pairwise cosine within the result set and the share of pairs
+# above a near-dup bar. The eval side of q89's MMR: if this says the
+# plain top-K is redundant, MMR re-ranking has headroom. Pairwise
+# cosines use the pinned-fold dot (functions/vectors.py policy).
+# Scale: the K-row result frame is broadcast against itself — K(K-1)/2
+# pairs, metadata-scale regardless of corpus size; corpus is touched
+# once by the top-K scan.
+# ---------------------------------------------------------------------------
+DIVERSITY_DUP_BAR = 0.9
+
+
+def q304_result_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = emb.where(F.col("vec_id") == BINARY_Q_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cos = (
+        emb.where(F.col("vec_id") != BINARY_Q_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    topk = (
+        cos.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= K)
+        .select("vec_id", "embedding")
+    )
+    a = topk.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    b = topk.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("va") < F.col("vb")).select(
+        F.round(V.cosine(F.col("ea"), F.col("eb")), 4).alias("pc")
+    )
+    return pairs.agg(
+        F.lit(K).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.avg("pc").alias("mean_pairwise_cos"),
+        F.max("pc").alias("max_pairwise_cos"),
+        (
+            F.sum((F.col("pc") >= DIVERSITY_DUP_BAR).cast("bigint")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("redundant_share"),
+    )
+
+
+_DUCK_PAIR_COS = (
+    "round(list_sum([ CAST(a.embedding[k] AS DOUBLE)"
+    " * CAST(b.embedding[k] AS DOUBLE)"
+    f" for k in generate_series(1, {EMB_DIM}) ])"
+    " / (sqrt(list_sum([ CAST(a.embedding[k] AS DOUBLE)"
+    " * CAST(a.embedding[k] AS DOUBLE)"
+    f" for k in generate_series(1, {EMB_DIM}) ]))"
+    " * sqrt(list_sum([ CAST(b.embedding[k] AS DOUBLE)"
+    " * CAST(b.embedding[k] AS DOUBLE)"
+    f" for k in generate_series(1, {EMB_DIM}) ]))), 4)"
+)
+
+Q304_SQL = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {BINARY_Q_ID}),
+topk AS (
+  SELECT vec_id, embedding
+  FROM (
+    SELECT b.vec_id, b.embedding,
+           row_number() OVER (
+             ORDER BY round({_DUCK_QDOT} / ({_DUCK_QNORM} * {_DUCK_BNORM}), 4)
+                        DESC,
+                      b.vec_id) AS rn
+    FROM embeddings b, q
+    WHERE b.vec_id != {BINARY_Q_ID}
+  ) WHERE rn <= {K}
+),
+pairs AS (
+  SELECT {_DUCK_PAIR_COS} AS pc
+  FROM topk a JOIN topk b ON a.vec_id < b.vec_id
+)
+SELECT CAST({K} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       avg(pc) AS mean_pairwise_cos,
+       max(pc) AS max_pairwise_cos,
+       CAST(coalesce(sum(CASE WHEN pc >= {DIVERSITY_DUP_BAR} THEN 1 END), 0)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS redundant_share
+FROM pairs
+"""
+
+
 QUERIES = {
+    "q304_result_diversity": q304_result_diversity,
     "q299_int8_rerank": q299_int8_rerank,
     "q25_knn_l2": q25_knn_l2,
     "q26_knn_cosine": q26_knn_cosine,
@@ -2022,6 +2122,7 @@ QUERIES = {
 
 ORACLE = {
     "q299_int8_rerank": Q299_SQL,
+    "q304_result_diversity": Q304_SQL,
     "q25_knn_l2": Q25_SQL,
     "q26_knn_cosine": Q26_SQL,
     "q27_similarity_join": Q27_SQL,

@@ -549,3 +549,107 @@ def test_q302_portable_minhash_full_reference(spark, sf_dir_t2):
         assert r.jaccard == pytest.approx(jac, rel=1e-12)
         assert r.est_jaccard == pytest.approx(est, rel=1e-12)
     assert len(got) > 0  # fixture contains real near-dups
+
+
+# --------------------------------------------------------------------------
+# q303-q306
+# --------------------------------------------------------------------------
+def test_q303_seq_patterns_reference(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import temporal
+
+    got = temporal.q303_seq_patterns(spark, sf_dir_t2).toPandas()
+    ev = (
+        load(spark, sf_dir_t2, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+    )
+    win = pd.Timedelta(minutes=temporal.SEQ_WINDOW_MIN)
+    occ, users = {}, {}
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        for i in range(len(g)):
+            for j in range(len(g)):
+                if (g.ts[j], g.event_id[j]) <= (g.ts[i], g.event_id[i]):
+                    continue
+                if g.ts[j] > g.ts[i] + win:
+                    continue
+                key = (g.event_type[i], g.event_type[j])
+                occ[key] = occ.get(key, 0) + 1
+                users.setdefault(key, set()).add(g.user_id[i])
+    n_users = ev["user_id"].nunique()
+    for r in got.itertuples():
+        key = (r.from_type, r.to_type)
+        assert r.n_occurrences == occ[key]
+        assert r.n_users == len(users[key])
+        assert r.support == pytest.approx(len(users[key]) / n_users)
+    assert len(got) == len(occ)
+
+
+def test_q304_diversity_reference(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import vector
+
+    got = vector.q304_result_diversity(spark, sf_dir_t2).toPandas().iloc[0]
+    emb = (
+        load(spark, sf_dir_t2, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    M = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    qi = int(np.where(ids == vector.BINARY_Q_ID)[0][0])
+    qv = M[qi]
+    cos = M @ qv / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv))
+    mask = ids != vector.BINARY_Q_ID
+    top = sorted(
+        np.where(mask)[0], key=lambda i: (-round(cos[i], 4), ids[i])
+    )[: vector.K]
+    pcs = []
+    for x in range(len(top)):
+        for y in range(x + 1, len(top)):
+            i, j = top[x], top[y]
+            pcs.append(
+                round(
+                    M[i] @ M[j]
+                    / (np.linalg.norm(M[i]) * np.linalg.norm(M[j])),
+                    4,
+                )
+            )
+    assert got["n_pairs"] == len(pcs) == vector.K * (vector.K - 1) // 2
+    assert got["mean_pairwise_cos"] == pytest.approx(np.mean(pcs), abs=1e-9)
+    assert got["max_pairwise_cos"] == pytest.approx(max(pcs), abs=1e-9)
+    assert got["redundant_share"] == pytest.approx(
+        np.mean([p >= vector.DIVERSITY_DUP_BAR for p in pcs]), abs=1e-12
+    )
+
+
+def test_q305_bootstrap_brackets_mean(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import stats as st
+
+    got = st.q305_poisson_bootstrap(spark, sf_dir_t2).toPandas()
+    assert len(got) == 5
+    for r in got.itertuples():
+        assert r.ci_lo <= r.ci_hi
+        # a 95% bootstrap CI of the mean must bracket the sample mean
+        # for these near-symmetric fixtures
+        assert r.ci_lo <= r.mean_value <= r.ci_hi
+        # CI width sane: well under half the mean at n~2000
+        assert (r.ci_hi - r.ci_lo) < r.mean_value
+
+
+def test_q306_welch_reference(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import stats as st
+
+    got = st.q306_welch_ttest(spark, sf_dir_t2).toPandas().iloc[0]
+    ev = _events_pdf(spark, sf_dir_t2)
+    a = ev[ev["event_type"] == st.ROC_POS]["value"].to_numpy()
+    b = ev[ev["event_type"] == st.ROC_NEG]["value"].to_numpy()
+    sea = a.var(ddof=1) / len(a)
+    seb = b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(sea + seb)
+    df = (sea + seb) ** 2 / (
+        sea**2 / (len(a) - 1) + seb**2 / (len(b) - 1)
+    )
+    assert (got["na"], got["nb"]) == (len(a), len(b))
+    assert got["mean_diff"] == pytest.approx(a.mean() - b.mean(), rel=1e-9)
+    assert got["t_stat"] == pytest.approx(t, rel=1e-9)
+    assert got["welch_df"] == pytest.approx(df, rel=1e-9)
