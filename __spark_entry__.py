@@ -111,6 +111,7 @@ _PRIORITY = [
     "q299_int8_rerank", "q300_map_eval", "q301_snapshot_as_of",
     "q302_portable_minhash", "q303_seq_patterns", "q304_result_diversity",
     "q305_poisson_bootstrap", "q306_welch_ttest",
+    "q307_blocking_advisor", "q308_batch_knn",
     # --- r4-stale filler: first 8 grade if <8 round-10 ops above ---
     "q112_tpch_q7_shape", "q113_tpch_q11_shape",
     "q114_tpch_q15_shape", "q115_tpch_q2_shape", "q116_tpch_q19_shape",

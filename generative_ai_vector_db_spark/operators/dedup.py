@@ -1319,8 +1319,180 @@ ORDER BY doc_a, doc_b
 Q302_SQL = _pmh_sql()
 
 
+# ---------------------------------------------------------------------------
+# q307 — blocking-strategy advisor: before running any pairwise dedup
+# at 100 TB you pick a blocking key; this op SCORES three cheap
+# candidate schemes against the NEAR-DUP ground truth q302's verified
+# pipeline produces (Jaccard >= 0.5 pairs) — candidate-pair volume
+# (computed from block-size counts as Σ c(c-1)/2, never materializing
+# pairs), truth recall (do true near-dup pairs share a block?), and
+# all-pairs reduction. The q230 LSH advisor tunes banding; this
+# compares key FAMILIES against what the full pipeline actually finds.
+# Scale: per scheme one groupBy(key) for sizes; the truth set is the
+# (small) q302 output joined back to keys by doc id.
+# ---------------------------------------------------------------------------
+BLOCK_LEN_BAND = 20
+
+
+def q307_blocking_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.expr(f"n_chars div {BLOCK_LEN_BAND}")
+        .cast("bigint")
+        .cast("string")
+        .alias("len_band"),
+        F.split(F.lower(F.col("text")), " ").getItem(0).alias("first_token"),
+        F.substring(F.lower(F.col("text")), 1, 4).alias("prefix4"),
+    )
+    truth_pairs = q302_portable_minhash(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    truth = truth_pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs")
+    )
+    ka = keyed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("len_band").alias("la"),
+        F.col("first_token").alias("fa"),
+        F.col("prefix4").alias("pa"),
+    )
+    kb = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("len_band").alias("lb"),
+        F.col("first_token").alias("fb"),
+        F.col("prefix4").alias("pb"),
+    )
+    dup_pairs = truth_pairs.join(ka, "doc_a").join(kb, "doc_b")
+    covered = dup_pairs.agg(
+        F.coalesce(
+            F.sum((F.col("la") == F.col("lb")).cast("bigint")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("len_band"),
+        F.coalesce(
+            F.sum((F.col("fa") == F.col("fb")).cast("bigint")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("first_token"),
+        F.coalesce(
+            F.sum((F.col("pa") == F.col("pb")).cast("bigint")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("prefix4"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    def scheme(col: str):
+        sizes = keyed.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return sizes.agg(
+            F.lit(col).alias("scheme"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(F.col("c") * (F.col("c") - 1) / 2)
+            .cast("bigint")
+            .alias("n_cand_pairs"),
+        )
+
+    per = (
+        scheme("len_band")
+        .unionByName(scheme("first_token"))
+        .unionByName(scheme("prefix4"))
+    )
+    cov_long = covered.selectExpr(
+        "stack(3, 'len_band', len_band, 'first_token', first_token, "
+        "'prefix4', prefix4) AS (scheme, n_covered)"
+    )
+    return (
+        per.join(cov_long, "scheme")
+        .crossJoin(F.broadcast(truth))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "scheme",
+            "n_blocks",
+            "n_cand_pairs",
+            "n_dup_pairs",
+            F.col("n_covered").cast("bigint").alias("n_covered"),
+            (
+                F.col("n_covered").cast("double")
+                / F.col("n_dup_pairs").cast("double")
+            ).alias("recall"),
+            (
+                F.lit(1.0)
+                - F.col("n_cand_pairs").cast("double")
+                / (F.col("n") * (F.col("n") - 1) / 2).cast("double")
+            ).alias("reduction"),
+        )
+        .orderBy("scheme")
+    )
+
+
+Q307_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(n_chars // {BLOCK_LEN_BAND} AS VARCHAR) AS len_band,
+         string_split(lower(text), ' ')[1] AS first_token,
+         substring(lower(text), 1, 4) AS prefix4
+  FROM documents
+),
+truth_pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({Q302_SQL}) q302
+),
+truth AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs FROM truth_pairs
+),
+dup_pairs AS (
+  SELECT a.len_band = b.len_band AS same_len,
+         a.first_token = b.first_token AS same_ft,
+         a.prefix4 = b.prefix4 AS same_p4
+  FROM truth_pairs t
+  JOIN keyed a ON a.doc_id = t.doc_a
+  JOIN keyed b ON b.doc_id = t.doc_b
+),
+covered AS (
+  SELECT CAST(coalesce(sum(CASE WHEN same_len THEN 1 END), 0) AS BIGINT)
+           AS len_band,
+         CAST(coalesce(sum(CASE WHEN same_ft THEN 1 END), 0) AS BIGINT)
+           AS first_token,
+         CAST(coalesce(sum(CASE WHEN same_p4 THEN 1 END), 0) AS BIGINT)
+           AS prefix4
+  FROM dup_pairs
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM keyed),
+per AS (
+  SELECT 'len_band' AS scheme, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_cand_pairs
+  FROM (SELECT count(*) AS c FROM keyed GROUP BY len_band)
+  UNION ALL
+  SELECT 'first_token', CAST(count(*) AS BIGINT),
+         CAST(sum(c * (c - 1) / 2) AS BIGINT)
+  FROM (SELECT count(*) AS c FROM keyed GROUP BY first_token)
+  UNION ALL
+  SELECT 'prefix4', CAST(count(*) AS BIGINT),
+         CAST(sum(c * (c - 1) / 2) AS BIGINT)
+  FROM (SELECT count(*) AS c FROM keyed GROUP BY prefix4)
+),
+cov_long AS (
+  SELECT 'len_band' AS scheme, len_band AS n_covered FROM covered
+  UNION ALL SELECT 'first_token', first_token FROM covered
+  UNION ALL SELECT 'prefix4', prefix4 FROM covered
+)
+SELECT p.scheme, p.n_blocks, p.n_cand_pairs, t.n_dup_pairs,
+       CAST(c.n_covered AS BIGINT) AS n_covered,
+       CAST(c.n_covered AS DOUBLE) / CAST(t.n_dup_pairs AS DOUBLE)
+         AS recall,
+       1.0 - CAST(p.n_cand_pairs AS DOUBLE)
+             / CAST(CAST(n.n * (n.n - 1) / 2 AS BIGINT) AS DOUBLE)
+         AS reduction
+FROM per p JOIN cov_long c ON p.scheme = c.scheme, truth t, nd n
+ORDER BY p.scheme
+"""
+
+
 QUERIES = {
     "q302_portable_minhash": q302_portable_minhash,
+    "q307_blocking_advisor": q307_blocking_advisor,
     "q44_minhash_neardup": q44_minhash_neardup,
     "q45_simhash_neardup": q45_simhash_neardup,
     "q76_dedup_clusters": q76_dedup_clusters,
@@ -1335,6 +1507,7 @@ QUERIES = {
 
 ORACLE: dict[str, str] = {
     "q302_portable_minhash": Q302_SQL,
+    "q307_blocking_advisor": Q307_SQL,
     "q223_fuzzy_survivorship": Q223_SQL,
     "q253_canonical_dedup": Q253_SQL,
     "q283_snm_dedup": Q283_SQL,

@@ -2094,8 +2094,84 @@ FROM pairs
 """
 
 
+# ---------------------------------------------------------------------------
+# q308 — BATCHED multi-query kNN: Q query vectors answered in ONE
+# corpus scan (broadcast the query frame, score every (query, corpus)
+# pair, per-query WindowGroupLimit top-K) — the serving-side shape
+# that actually runs at scale: per-query scans (q25/q26) cost Q corpus
+# passes, the batch costs one. Query ids are data-derived (lowest
+# BATCH_Q vec_ids); self-matches excluded; the q26 exact ranking key
+# per query partition.
+# Scale: corpus scans once; the window is PARTITIONED by query (no
+# single-partition sort); output is Q*K rows.
+# ---------------------------------------------------------------------------
+BATCH_Q = 5
+
+
+def q308_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(BATCH_Q)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(queries)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "vec_id",
+            F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= K)
+        .orderBy("query_id", "rn")
+    )
+
+
+Q308_SQL = f"""
+WITH queries AS (
+  SELECT vec_id AS query_id, embedding AS q_embedding
+  FROM embeddings ORDER BY vec_id LIMIT {BATCH_Q}
+),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         round(list_sum([ CAST(q.q_embedding[k] AS DOUBLE)
+                          * CAST(b.embedding[k] AS DOUBLE)
+                          for k in generate_series(1, {EMB_DIM}) ])
+               / (sqrt(list_sum([ CAST(q.q_embedding[k] AS DOUBLE)
+                                  * CAST(q.q_embedding[k] AS DOUBLE)
+                                  for k in generate_series(1, {EMB_DIM}) ]))
+                  * sqrt(list_sum([ CAST(b.embedding[k] AS DOUBLE)
+                                    * CAST(b.embedding[k] AS DOUBLE)
+                                    for k in generate_series(1, {EMB_DIM}) ]))),
+               4) AS cos_sim
+  FROM embeddings b, queries q
+  WHERE b.vec_id != q.query_id
+)
+SELECT query_id, vec_id, cos_sim, rn
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, vec_id)
+                 AS BIGINT) AS rn
+  FROM scored
+) WHERE rn <= {K}
+ORDER BY query_id, rn
+"""
+
+
 QUERIES = {
     "q304_result_diversity": q304_result_diversity,
+    "q308_batch_knn": q308_batch_knn,
     "q299_int8_rerank": q299_int8_rerank,
     "q25_knn_l2": q25_knn_l2,
     "q26_knn_cosine": q26_knn_cosine,
@@ -2123,6 +2199,7 @@ QUERIES = {
 ORACLE = {
     "q299_int8_rerank": Q299_SQL,
     "q304_result_diversity": Q304_SQL,
+    "q308_batch_knn": Q308_SQL,
     "q25_knn_l2": Q25_SQL,
     "q26_knn_cosine": Q26_SQL,
     "q27_similarity_join": Q27_SQL,

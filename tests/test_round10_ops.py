@@ -653,3 +653,68 @@ def test_q306_welch_reference(spark, sf_dir_t2):
     assert got["mean_diff"] == pytest.approx(a.mean() - b.mean(), rel=1e-9)
     assert got["t_stat"] == pytest.approx(t, rel=1e-9)
     assert got["welch_df"] == pytest.approx(df, rel=1e-9)
+
+
+# --------------------------------------------------------------------------
+# q307/q308
+# --------------------------------------------------------------------------
+def test_q307_blocking_advisor_reference(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import dedup
+
+    got = dedup.q307_blocking_advisor(spark, sf_dir_t2).toPandas()
+    docs = (
+        load(spark, sf_dir_t2, "documents")
+        .select("doc_id", "text", "n_chars")
+        .toPandas()
+    )
+    truth = dedup.q302_portable_minhash(spark, sf_dir_t2).toPandas()
+    keys = {}
+    for r in docs.itertuples():
+        t = r.text.lower()
+        keys[r.doc_id] = {
+            "len_band": str(r.n_chars // dedup.BLOCK_LEN_BAND),
+            "first_token": t.split(" ")[0],
+            "prefix4": t[:4],
+        }
+    n = len(docs)
+    allp = n * (n - 1) // 2
+    for r in got.itertuples():
+        vc = pd.Series(
+            [keys[d][r.scheme] for d in docs["doc_id"]]
+        ).value_counts()
+        assert r.n_blocks == len(vc)
+        assert r.n_cand_pairs == int((vc * (vc - 1) // 2).sum())
+        cov = sum(
+            keys[a][r.scheme] == keys[b][r.scheme]
+            for a, b in zip(truth["doc_a"], truth["doc_b"])
+        )
+        assert r.n_covered == cov
+        assert r.n_dup_pairs == len(truth)
+        assert r.recall == pytest.approx(cov / len(truth))
+        assert r.reduction == pytest.approx(1 - r.n_cand_pairs / allp)
+
+
+def test_q308_batch_knn_matches_per_query(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import vector
+
+    got = vector.q308_batch_knn(spark, sf_dir_t2).toPandas()
+    emb = (
+        load(spark, sf_dir_t2, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    M = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    norms = np.linalg.norm(M, axis=1)
+    qids = np.sort(ids)[: vector.BATCH_Q]
+    assert sorted(got["query_id"].unique()) == list(qids)
+    for q in qids:
+        qi = int(np.where(ids == q)[0][0])
+        cos = M @ M[qi] / (norms * norms[qi])
+        mask = ids != q
+        want = sorted(
+            np.where(mask)[0], key=lambda i: (-round(cos[i], 4), ids[i])
+        )[: vector.K]
+        sub = got[got["query_id"] == q].sort_values("rn")
+        assert list(sub["vec_id"]) == [ids[i] for i in want]
+        assert len(sub) == vector.K
