@@ -89,6 +89,13 @@ HEADLINE = [
     "q236_inverted_index",
     "q242_shortest_paths",
     "q245_power_iteration",
+    # round-10 heavy operators (added r10, same forward-band protocol):
+    # iterative peel, Arrow-hash + LSH join, time-bounded self-join,
+    # and the B=200 bootstrap fan-out — the four new heavy shapes
+    "q292_kcore",
+    "q302_portable_minhash",
+    "q303_seq_patterns",
+    "q305_poisson_bootstrap",
 ]
 
 

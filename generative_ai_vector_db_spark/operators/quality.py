@@ -2963,7 +2963,123 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# q310 — IPF raking (iterative proportional fitting) of the
+# lang x source document contingency table to UNIFORM lang and source
+# margins — the survey-weighting / dataset-rebalancing primitive
+# (compute per-cell sampling weights so every language and every
+# source carries equal mass). IPF_ITERS row+column scaling rounds,
+# weights rounded to 8 dp after EVERY scaling step so both engines
+# iterate identical decimals (the q208/q305 discipline — margin sums
+# then differ only below the rounding grain).
+# Scale: the contingency build is the ONE row-scale pass; all IPF
+# arithmetic lives on the <= |langs|*|sources| cell frame (bounded
+# metadata), Spark loop over a localCheckpoint'd tiny frame, oracle
+# unrolled with MATERIALIZED CTEs.
+# ---------------------------------------------------------------------------
+IPF_ITERS = 3
+
+
+def q310_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .withColumn("w", F.col("n_docs").cast("double"))
+        .localCheckpoint()
+    )
+    tot = cells.agg(
+        F.sum("n_docs").cast("double").alias("_n"),
+        F.countDistinct("lang").cast("double").alias("_r"),
+        F.countDistinct("source").cast("double").alias("_c"),
+    )
+    cells = cells.crossJoin(F.broadcast(tot))
+    for _ in range(IPF_ITERS):
+        rsum = cells.groupBy("lang").agg(F.sum("w").alias("_rs"))
+        cells = (
+            cells.join(rsum, "lang")
+            .withColumn(
+                "w",
+                F.round(
+                    F.col("w") * (F.col("_n") / F.col("_r")) / F.col("_rs"), 8
+                ),
+            )
+            .drop("_rs")
+        )
+        csum = cells.groupBy("source").agg(F.sum("w").alias("_cs"))
+        cells = (
+            cells.join(csum, "source")
+            .withColumn(
+                "w",
+                F.round(
+                    F.col("w") * (F.col("_n") / F.col("_c")) / F.col("_cs"), 8
+                ),
+            )
+            .drop("_cs")
+            .localCheckpoint()
+        )
+    return cells.select(
+        "lang",
+        "source",
+        "n_docs",
+        F.col("w").alias("raked_mass"),
+        F.round(F.col("w") / F.col("n_docs").cast("double"), 6).alias(
+            "weight_per_doc"
+        ),
+    ).orderBy("lang", "source")
+
+
+def _ipf_sql() -> str:
+    stages = []
+    prev = "c0"
+    for i in range(IPF_ITERS):
+        stages.append(f"""r{i} AS (
+  SELECT lang, sum(w) AS _rs FROM {prev} GROUP BY lang
+),
+cr{i} AS MATERIALIZED (
+  SELECT c.lang, c.source, c.n_docs, c._n, c._r, c._c,
+         round(c.w * (c._n / c._r) / r._rs, 8) AS w
+  FROM {prev} c JOIN r{i} r USING (lang)
+),
+s{i} AS (
+  SELECT source, sum(w) AS _cs FROM cr{i} GROUP BY source
+),
+c{i + 1} AS MATERIALIZED (
+  SELECT c.lang, c.source, c.n_docs, c._n, c._r, c._c,
+         round(c.w * (c._n / c._c) / s._cs, 8) AS w
+  FROM cr{i} c JOIN s{i} s USING (source)
+)""")
+        prev = f"c{i + 1}"
+    body = ",\n".join(stages)
+    return f"""
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang, source
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS DOUBLE) AS _n,
+         CAST(count(DISTINCT lang) AS DOUBLE) AS _r,
+         CAST(count(DISTINCT source) AS DOUBLE) AS _c
+  FROM cells
+),
+c0 AS MATERIALIZED (
+  SELECT lang, source, n_docs, _n, _r, _c, CAST(n_docs AS DOUBLE) AS w
+  FROM cells, tot
+),
+{body}
+SELECT lang, source, n_docs,
+       w AS raked_mass,
+       round(w / CAST(n_docs AS DOUBLE), 6) AS weight_per_doc
+FROM {prev}
+ORDER BY lang, source
+"""
+
+
+Q310_SQL = _ipf_sql()
+
+
 QUERIES = {
+    "q310_ipf_raking": q310_ipf_raking,
     "q93_gopher_quality": q93_gopher_quality,
     "q265_filter_waterfall": q265_filter_waterfall,
     "q266_psi_drift": q266_psi_drift,
@@ -3004,6 +3120,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q310_ipf_raking": Q310_SQL,
     "q93_gopher_quality": Q93_SQL,
     "q265_filter_waterfall": Q265_SQL,
     "q266_psi_drift": Q266_SQL,

@@ -3289,8 +3289,117 @@ ORDER BY from_type, to_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q309 — position-based (U-shaped) multi-touch attribution: for each
+# purchase, the user's non-purchase events in the preceding 7 days
+# form the journey; credit 40% to the first touch, 40% to the last,
+# 20% split across the middles (100% / 50-50 for 1- and 2-touch
+# journeys). The multi-touch companion to q180's last-touch and
+# q124's stream-join attribution. All credits are exact rationals
+# from integer positions — no model state.
+# Plan: purchases range-join their trailing window on user_id (one
+# shuffle; span-bounded per user-week), ONE window pass per journey
+# for position + size, then a 4-row channel rollup.
+# ---------------------------------------------------------------------------
+ATTRIB_WINDOW_DAYS = 7
+
+
+def q309_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    touch = ev.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+    )
+    j = pur.join(touch, "user_id").where(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW_DAYS} DAYS")
+        )
+    )
+    w = Window.partitionBy("user_id", "p_id").orderBy("t_ts", "t_id")
+    wall = Window.partitionBy("user_id", "p_id")
+    pos = j.select(
+        "channel",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when(F.col("rn") == 1, F.lit(0.4))
+        .when(F.col("rn") == F.col("n"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2).cast("double"))
+    )
+    tot = pos.agg(F.count(F.lit(1)).cast("bigint").alias("_t"))
+    return (
+        pos.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum(credit).alias("credit"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_touches",
+            F.round("credit", 4).alias("credit"),
+            (F.col("n_touches").cast("double") / F.col("_t").cast("double")).alias(
+                "touch_share"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+Q309_SQL = f"""
+WITH pur AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+  WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, ts AS t_ts, event_id AS t_id, event_type AS channel
+  FROM events WHERE event_type != 'purchase'
+),
+j AS (
+  SELECT p.user_id, p.p_id, t.channel, t.t_ts, t.t_id
+  FROM pur p JOIN touch t ON p.user_id = t.user_id
+  WHERE t.t_ts < p.p_ts
+    AND t.t_ts >= p.p_ts - INTERVAL {ATTRIB_WINDOW_DAYS} DAY
+),
+pos AS (
+  SELECT channel,
+         row_number() OVER (PARTITION BY user_id, p_id
+                            ORDER BY t_ts, t_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, p_id) AS n
+  FROM j
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS _t FROM pos)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       round(sum(CASE WHEN n = 1 THEN 1.0
+                      WHEN n = 2 THEN 0.5
+                      WHEN rn = 1 THEN 0.4
+                      WHEN rn = n THEN 0.4
+                      ELSE 0.2 / CAST(n - 2 AS DOUBLE) END), 4) AS credit,
+       CAST(count(*) AS DOUBLE) / CAST(_t AS DOUBLE) AS touch_share
+FROM pos, tot
+GROUP BY channel, _t
+ORDER BY channel
+"""
+
+
 QUERIES = {
     "q303_seq_patterns": q303_seq_patterns,
+    "q309_position_attribution": q309_position_attribution,
     "q58_asof_join": q58_asof_join,
     "q254_survival_retention": q254_survival_retention,
     "q256_acf": q256_acf,
@@ -3336,6 +3445,7 @@ QUERIES = {
 
 ORACLE = {
     "q303_seq_patterns": Q303_SQL,
+    "q309_position_attribution": Q309_SQL,
     "q216_rolling_distinct": Q216_SQL,
     "q222_interval_union": Q222_SQL,
     "q73_temporal_split": Q73_SQL,

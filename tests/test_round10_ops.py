@@ -718,3 +718,76 @@ def test_q308_batch_knn_matches_per_query(spark, sf_dir_t2):
         sub = got[got["query_id"] == q].sort_values("rn")
         assert list(sub["vec_id"]) == [ids[i] for i in want]
         assert len(sub) == vector.K
+
+
+# --------------------------------------------------------------------------
+# q309/q310
+# --------------------------------------------------------------------------
+def test_q309_attribution_reference(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import temporal
+
+    got = temporal.q309_position_attribution(spark, sf_dir_t2).toPandas()
+    ev = (
+        load(spark, sf_dir_t2, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+    )
+    win = pd.Timedelta(days=temporal.ATTRIB_WINDOW_DAYS)
+    credit, touches = {}, {}
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        purchases = g[g["event_type"] == "purchase"]
+        others = g[g["event_type"] != "purchase"]
+        for p in purchases.itertuples():
+            j = others[
+                (others["ts"] < p.ts) & (others["ts"] >= p.ts - win)
+            ].sort_values(["ts", "event_id"])
+            n = len(j)
+            for i, t in enumerate(j.itertuples(), 1):
+                touches[t.event_type] = touches.get(t.event_type, 0) + 1
+                if n == 1:
+                    c = 1.0
+                elif n == 2:
+                    c = 0.5
+                elif i in (1, n):
+                    c = 0.4
+                else:
+                    c = 0.2 / (n - 2)
+                credit[t.event_type] = credit.get(t.event_type, 0.0) + c
+    total = sum(touches.values())
+    for r in got.itertuples():
+        assert r.n_touches == touches[r.channel]
+        assert r.credit == pytest.approx(round(credit[r.channel], 4), abs=1e-6)
+        assert r.touch_share == pytest.approx(touches[r.channel] / total)
+    # total credit equals the number of attributed journeys
+    n_journeys = 0
+    for _, g in ev.groupby("user_id"):
+        others = g[g["event_type"] != "purchase"]
+        for p in g[g["event_type"] == "purchase"].itertuples():
+            if len(
+                others[(others["ts"] < p.ts) & (others["ts"] >= p.ts - win)]
+            ):
+                n_journeys += 1
+    assert got["credit"].sum() == pytest.approx(n_journeys, abs=1e-2)
+
+
+def test_q310_ipf_margins_converge(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import quality
+
+    got = quality.q310_ipf_raking(spark, sf_dir_t2).toPandas()
+    n = got["n_docs"].sum()
+    r = got["lang"].nunique()
+    c = got["source"].nunique()
+    # column margins exact after the final column scaling
+    col = got.groupby("source")["raked_mass"].sum()
+    assert np.allclose(col, n / c, rtol=1e-6)
+    # row margins near-uniform after 3 rounds (IPF converges fast)
+    row = got.groupby("lang")["raked_mass"].sum()
+    assert np.allclose(row, n / r, rtol=0.05)
+    # mass conserved and weights positive
+    assert got["raked_mass"].sum() == pytest.approx(n, rel=1e-6)
+    assert (got["raked_mass"] > 0).all()
+    assert (
+        got["weight_per_doc"]
+        == (got["raked_mass"] / got["n_docs"]).round(6)
+    ).all()
