@@ -60,13 +60,12 @@ def q286_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("ca").over(w), F.lit(0)).cast("bigint").alias("ba"),
         F.coalesce(F.sum("cb").over(w), F.lit(0)).cast("bigint").alias("bb"),
     )
-    tot = ev.agg(
-        F.sum((F.col("event_type") == ROC_POS).cast("bigint"))
-        .cast("bigint")
-        .alias("na"),
-        F.sum((F.col("event_type") == ROC_NEG).cast("bigint"))
-        .cast("bigint")
-        .alias("nb"),
+    # totals from the DISTINCT-VALUE frame, not a second row-scale
+    # pass — the events parquet is scanned once per dv reference
+    # (2 subplans), never once per output column
+    tot = dv.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
     )
     pre = pre.crossJoin(F.broadcast(tot))  # 1-row totals
     deciles = spark.range(1, 10).select(F.col("id").cast("bigint").alias("decile"))
@@ -123,11 +122,8 @@ pre AS (
   FROM dv
 ),
 tot AS (
-  SELECT CAST(coalesce(sum(CASE WHEN event_type = '{ROC_POS}' THEN 1 END), 0)
-              AS BIGINT) AS na,
-         CAST(coalesce(sum(CASE WHEN event_type = '{ROC_NEG}' THEN 1 END), 0)
-              AS BIGINT) AS nb
-  FROM ev
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM dv
 ),
 deciles AS (SELECT CAST(range AS BIGINT) AS decile FROM range(1, 10))
 SELECT decile,

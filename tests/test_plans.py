@@ -995,3 +995,83 @@ def test_q264_single_scan_per_table(spark, sf_dir):
     # section — count the numbered detail entries only.
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# round-10 heavy shapes
+# ---------------------------------------------------------------------------
+def test_q286_roc_single_rowscale_pass(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import stats
+
+    plan = plan_of(stats.q286_roc_curve(spark, sf_dir))
+    # the 9-row decile frame joins by inequality as a broadcast NLJ —
+    # never a shuffled cartesian
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # events parquet is scanned at most twice (the dv subtree is
+    # referenced by the prefix pass and the totals), never
+    # per-threshold; formatted explain prints each scan node twice
+    # (tree + detail section), hence <= 4 matches = 2 scans
+    assert plan.count("Scan parquet") <= 4, plan
+
+
+def test_q297_boilerplate_frequent_set_broadcast(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import corpus
+
+    plan = plan_of(corpus.q297_boilerplate_ngrams(spark, sf_dir))
+    # the hot-gram set joins the shingle stream as a broadcast, and
+    # the per-source rollup is the only row-scale exchange after it
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q302_no_global_window_and_arrow_stage(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import dedup
+    from generative_ai_vector_db_spark.tables import load
+
+    # the hash chain runs as ONE Arrow python stage (checked on the
+    # pre-checkpoint frame — localCheckpoint erases it from the final
+    # plan by design)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = plan_of(dedup._pmh_shingle_sigs(docs))
+    assert "MapInPandas" in stage, stage
+    # candidate generation and verify are hash joins — no
+    # single-partition window anywhere in the full pipeline
+    plan = plan_of(dedup.q302_portable_minhash(spark, sf_dir))
+    assert "windowspecdefinition()" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q303_single_user_shuffle_pair_join(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import temporal
+
+    plan = plan_of(temporal.q303_seq_patterns(spark, sf_dir))
+    # the self-join co-locates on user_id (equi-join with the time
+    # bound as residual condition), never a cartesian
+    assert "CartesianProduct" not in plan, plan
+    assert "user_id" in plan
+
+
+def test_q305_bootstrap_fanout_is_broadcast(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import stats
+
+    plan = plan_of(stats.q305_poisson_bootstrap(spark, sf_dir))
+    # the B-row replicate frame broadcasts onto the event stream; the
+    # resample means come from ONE hash aggregate over (type, r)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q308_batch_knn_partitioned_window(spark, sf_dir):
+    import re
+
+    from generative_ai_vector_db_spark.operators import vector as vec
+
+    plan = plan_of(vec.q308_batch_knn(spark, sf_dir))
+    # per-query top-k: every windowspec partitions by query_id, and
+    # WindowGroupLimit prunes before the final sort
+    specs = re.findall(r"windowspecdefinition\(([^,]+)", plan)
+    assert specs and all("query_id" in s for s in specs), specs
+    assert "WindowGroupLimit" in plan, plan
+    # query frame broadcast: corpus scanned once for all queries
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
