@@ -78,13 +78,16 @@ _QUERIES, _ORACLE = merge_registries(*_MODULES)
 # (q239 quartile rewrite, q242 frontier BFS, q245 scan-side gram,
 # q89 raw-score tie-break) is driver-ungraded — 42 queries. Round-10
 # window: those 42 first (late-r9 q260-q285, then q248-q259, then the
-# four re-grades), then new round-10 operators (so up to 8 of them
-# grade this round; the rest hold local verify_sf evidence until r11),
-# then the r4-stale rows (q112-q151 block) as filler. Tier 3 = other
-# green queries in prior order (r5 rows first); tier 4 =
-# rows-only-by-design, never in a graded slot. All 42 backlog rows
+# four re-grades), then the 25 new round-10 operators q286-q310 (the
+# first 8, q286-q293, land in this round's 50 slots; q294-q310 head
+# the r11 window with local verify_sf evidence at sf0.001+sf0.01+sf0.1
+# until then), then the r4-stale rows (q112-q151 block) as filler.
+# Tier 3 = other green queries in prior order (r5 rows first); tier 4
+# = rows-only-by-design, never in a graded slot. All 42 backlog rows
 # were locally verified green at sf0.01 AND sf0.1 (verify_sf) and
-# through tools/driver_sim.py in round 9.
+# through tools/driver_sim.py in round 9 AND re-run 50/50 green
+# through driver_sim at round-10 start and again after the q286-q293
+# additions.
 _PRIORITY = [
     "q260_ewma_smoothing", "q261_cohort_ltv",
     "q262_session_threshold_advisor", "q263_spectral_gap",
