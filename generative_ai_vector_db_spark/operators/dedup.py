@@ -1490,9 +1490,71 @@ ORDER BY p.scheme
 """
 
 
+# ---------------------------------------------------------------------------
+# q311 — cross-source syndication matrix: q302's verified near-dup
+# pairs joined to each document's source, rolled up per (source,
+# source) cell — "which sources republish each other" (wire-copy /
+# mirror detection, the input to per-source dedup budgets). Cells are
+# canonicalized (least/greatest) so A-B and B-A collapse.
+# Scale: the truth set is small by construction; two id-keyed joins +
+# one bounded rollup on top of the q302 pipeline.
+# ---------------------------------------------------------------------------
+def q311_syndication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q302_portable_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    sb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    tot = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("_t"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source_x",
+            "source_y",
+            "n_pairs",
+            (F.col("n_pairs").cast("double") / F.col("_t").cast("double")).alias(
+                "pair_share"
+            ),
+            (F.col("source_x") == F.col("source_y")).alias("within_source"),
+        )
+        .orderBy(F.desc("n_pairs"), "source_x", "source_y")
+    )
+
+
+Q311_SQL = f"""
+WITH truth_pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({Q302_SQL}) q302
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS _t FROM truth_pairs)
+SELECT least(sa.source, sb.source) AS source_x,
+       greatest(sa.source, sb.source) AS source_y,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) AS DOUBLE) / CAST(_t AS DOUBLE) AS pair_share,
+       least(sa.source, sb.source) = greatest(sa.source, sb.source)
+         AS within_source
+FROM truth_pairs t
+JOIN documents sa ON sa.doc_id = t.doc_a
+JOIN documents sb ON sb.doc_id = t.doc_b, tot
+GROUP BY source_x, source_y, _t
+ORDER BY n_pairs DESC, source_x, source_y
+"""
+
+
 QUERIES = {
     "q302_portable_minhash": q302_portable_minhash,
     "q307_blocking_advisor": q307_blocking_advisor,
+    "q311_syndication_matrix": q311_syndication_matrix,
     "q44_minhash_neardup": q44_minhash_neardup,
     "q45_simhash_neardup": q45_simhash_neardup,
     "q76_dedup_clusters": q76_dedup_clusters,
@@ -1508,6 +1570,7 @@ QUERIES = {
 ORACLE: dict[str, str] = {
     "q302_portable_minhash": Q302_SQL,
     "q307_blocking_advisor": Q307_SQL,
+    "q311_syndication_matrix": Q311_SQL,
     "q223_fuzzy_survivorship": Q223_SQL,
     "q253_canonical_dedup": Q253_SQL,
     "q283_snm_dedup": Q283_SQL,

@@ -913,8 +913,132 @@ ORDER BY community_size DESC, community
 Q294_SQL = _lpa_sql()
 
 
+# ---------------------------------------------------------------------------
+# q312 — HITS hubs & authorities on the supplier -> part bipartite
+# supply graph (distinct (s_suppkey, l_partkey) pairs from lineitem):
+# authority(part) = Σ hub(supplier) over its suppliers, hub(supplier)
+# = Σ authority(part) over its parts, renormalized to HITS_SCALE
+# total mass each half-round. All state is BIGINT micro-units with
+# integer renormalization (x * SCALE div Σx) — the q193 discipline:
+# bit-exact on both engines, partitioning-independent. Top-20
+# authorities out. Ranks the "most structurally central" parts —
+# candidate seeds for assortment/recommendation.
+# Scale: each half-round is one shuffle (edges ⋈ scores on one side,
+# re-agg on the other); the renorm total is a broadcast 1-row agg;
+# localCheckpoint per round; oracle unrolled.
+# ---------------------------------------------------------------------------
+HITS_SCALE = 100_000_000
+HITS_ITERS = 3
+HITS_TOP = 20
+
+
+def q312_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ed = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    hubs = (
+        ed.select("s")
+        .distinct()
+        .select("s", F.lit(1).cast("bigint").alias("h"))
+        .localCheckpoint()
+    )
+    auth = None
+    for _ in range(HITS_ITERS):
+        araw = (
+            ed.join(hubs, "s")
+            .groupBy("p")
+            .agg(F.sum("h").cast("bigint").alias("ar"))
+        )
+        atot = araw.agg(F.sum("ar").cast("bigint").alias("_t"))
+        auth = (
+            araw.crossJoin(F.broadcast(atot))
+            .select(
+                "p",
+                F.expr(f"ar * {HITS_SCALE} div _t").cast("bigint").alias("a"),
+            )
+            .localCheckpoint()
+        )
+        hraw = (
+            ed.join(auth, "p")
+            .groupBy("s")
+            .agg(F.sum("a").cast("bigint").alias("hr"))
+        )
+        htot = hraw.agg(F.sum("hr").cast("bigint").alias("_t"))
+        hubs = (
+            hraw.crossJoin(F.broadcast(htot))
+            .select(
+                "s",
+                F.expr(f"hr * {HITS_SCALE} div _t").cast("bigint").alias("h"),
+            )
+            .localCheckpoint()
+        )
+    deg = ed.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("n_suppliers"))
+    return (
+        auth.join(deg, "p")
+        .select(
+            F.col("p").cast("bigint").alias("partkey"),
+            F.col("a").alias("authority_units"),
+            "n_suppliers",
+        )
+        .orderBy(F.desc("authority_units"), "partkey")
+        .limit(HITS_TOP)
+    )
+
+
+def _hits_sql() -> str:
+    stages = []
+    prev_h = "h0"
+    for i in range(HITS_ITERS):
+        stages.append(
+            f"""ar{i} AS (
+  SELECT e.p, CAST(sum(h.h) AS BIGINT) AS ar
+  FROM ed e JOIN {prev_h} h USING (s) GROUP BY e.p
+),
+a{i} AS MATERIALIZED (
+  SELECT p, CAST(ar * {HITS_SCALE} // (SELECT sum(ar) FROM ar{i}) AS BIGINT)
+           AS a
+  FROM ar{i}
+),
+hr{i} AS (
+  SELECT e.s, CAST(sum(a.a) AS BIGINT) AS hr
+  FROM ed e JOIN a{i} a USING (p) GROUP BY e.s
+),
+h{i + 1} AS MATERIALIZED (
+  SELECT s, CAST(hr * {HITS_SCALE} // (SELECT sum(hr) FROM hr{i}) AS BIGINT)
+           AS h
+  FROM hr{i}
+)"""
+        )
+        prev_h = f"h{i + 1}"
+    body = ",\n".join(stages)
+    last_a = f"a{HITS_ITERS - 1}"
+    return f"""
+WITH ed AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+h0 AS (SELECT DISTINCT s, CAST(1 AS BIGINT) AS h FROM ed),
+{body},
+deg AS (SELECT p, CAST(count(*) AS BIGINT) AS n_suppliers FROM ed GROUP BY p)
+SELECT CAST(a.p AS BIGINT) AS partkey,
+       a.a AS authority_units,
+       d.n_suppliers
+FROM {last_a} a JOIN deg d USING (p)
+ORDER BY authority_units DESC, partkey
+LIMIT {HITS_TOP}
+"""
+
+
+Q312_SQL = _hits_sql()
+
+
 QUERIES = {
     "q193_graph_pagerank": q193_graph_pagerank,
+    "q312_hits_bipartite": q312_hits_bipartite,
     "q210_triangle_count": q210_triangle_count,
     "q211_personalized_pagerank": q211_personalized_pagerank,
     "q229_graph_profile": q229_graph_profile,
@@ -926,6 +1050,7 @@ QUERIES = {
 
 ORACLE = {
     "q193_graph_pagerank": Q193_SQL,
+    "q312_hits_bipartite": Q312_SQL,
     "q210_triangle_count": Q210_SQL,
     "q211_personalized_pagerank": Q211_SQL,
     "q229_graph_profile": Q229_SQL,

@@ -791,3 +791,57 @@ def test_q310_ipf_margins_converge(spark, sf_dir_t2):
         got["weight_per_doc"]
         == (got["raked_mass"] / got["n_docs"]).round(6)
     ).all()
+
+
+# --------------------------------------------------------------------------
+# q311/q312
+# --------------------------------------------------------------------------
+def test_q311_syndication_consistent_with_q302(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import dedup
+
+    got = dedup.q311_syndication_matrix(spark, sf_dir_t2).toPandas()
+    pairs = dedup.q302_portable_minhash(spark, sf_dir_t2).toPandas()
+    src = (
+        load(spark, sf_dir_t2, "documents")
+        .select("doc_id", "source")
+        .toPandas()
+        .set_index("doc_id")["source"]
+    )
+    cells = {}
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        key = tuple(sorted((src[a], src[b])))
+        cells[key] = cells.get(key, 0) + 1
+    assert int(got["n_pairs"].sum()) == len(pairs)
+    for r in got.itertuples():
+        assert r.n_pairs == cells[(r.source_x, r.source_y)]
+        assert r.within_source == (r.source_x == r.source_y)
+        assert r.pair_share == pytest.approx(r.n_pairs / len(pairs))
+
+
+def test_q312_hits_reference(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import graph
+
+    got = graph.q312_hits_bipartite(spark, sf_dir_t2).toPandas()
+    ed = (
+        load(spark, sf_dir_t2, "lineitem")
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    sup_parts, part_sups = {}, {}
+    for s, p in zip(ed["l_suppkey"], ed["l_partkey"]):
+        sup_parts.setdefault(s, []).append(p)
+        part_sups.setdefault(p, []).append(s)
+    h = {s: 1 for s in sup_parts}
+    a = None
+    for _ in range(graph.HITS_ITERS):
+        ar = {p: sum(h[s] for s in ss) for p, ss in part_sups.items()}
+        t = sum(ar.values())
+        a = {p: v * graph.HITS_SCALE // t for p, v in ar.items()}
+        hr = {s: sum(a[p] for p in ps) for s, ps in sup_parts.items()}
+        t = sum(hr.values())
+        h = {s: v * graph.HITS_SCALE // t for s, v in hr.items()}
+    want = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[: graph.HITS_TOP]
+    assert [(r.partkey, r.authority_units) for r in got.itertuples()] == want
+    for r in got.itertuples():
+        assert r.n_suppliers == len(part_sups[r.partkey])
