@@ -1551,10 +1551,103 @@ ORDER BY n_pairs DESC, source_x, source_y
 """
 
 
+# ---------------------------------------------------------------------------
+# q314 — near-dup cluster rollup: connected components over q302's
+# verified pair set (min-label propagation to fixpoint — the pair
+# graph is the SMALL verified output, so rounds are few and cheap),
+# then the cluster-size histogram and the removable-doc count
+# (size - 1 per cluster, keep-lowest-id survivorship). Completes the
+# dedup story: pairs (q302) -> sources (q311) -> clusters + savings.
+# Oracle: recursive-CTE transitive min-label on the same pair set.
+# ---------------------------------------------------------------------------
+CLUSTER_ROUNDS = 8
+
+
+def q314_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q302_portable_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(CLUSTER_ROUNDS):
+        nb_min = (
+            edges.join(labels, edges.doc_a == labels.node)
+            .groupBy(F.col("doc_b").alias("node2"))
+            .agg(F.min("label").alias("nb_label"))
+        )
+        nxt = (
+            labels.join(nb_min, labels.node == nb_min.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .take(1)
+        )
+        labels = nxt
+        if not changed:
+            break
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    return (
+        sizes.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum(F.col("size") - 1).cast("bigint").alias("docs_removable"),
+        )
+        .orderBy("size")
+    )
+
+
+Q314_SQL = f"""
+WITH RECURSIVE truth_pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({Q302_SQL}) q302
+),
+cedges AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM truth_pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM truth_pairs
+),
+reach(node, label) AS (
+  SELECT DISTINCT doc_a, doc_a FROM cedges
+  UNION
+  SELECT e.doc_b, r.label
+  FROM reach r JOIN cedges e ON e.doc_a = r.node
+  WHERE r.label < e.doc_b
+),
+comp AS (
+  SELECT node, min(label) AS label FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS size FROM comp GROUP BY label
+)
+SELECT size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(size - 1) AS BIGINT) AS docs_removable
+FROM sizes
+GROUP BY size
+ORDER BY size
+"""
+
+
 QUERIES = {
     "q302_portable_minhash": q302_portable_minhash,
     "q307_blocking_advisor": q307_blocking_advisor,
     "q311_syndication_matrix": q311_syndication_matrix,
+    "q314_dup_cluster_stats": q314_dup_cluster_stats,
     "q44_minhash_neardup": q44_minhash_neardup,
     "q45_simhash_neardup": q45_simhash_neardup,
     "q76_dedup_clusters": q76_dedup_clusters,
@@ -1571,6 +1664,7 @@ ORACLE: dict[str, str] = {
     "q302_portable_minhash": Q302_SQL,
     "q307_blocking_advisor": Q307_SQL,
     "q311_syndication_matrix": Q311_SQL,
+    "q314_dup_cluster_stats": Q314_SQL,
     "q223_fuzzy_survivorship": Q223_SQL,
     "q253_canonical_dedup": Q253_SQL,
     "q283_snm_dedup": Q283_SQL,

@@ -3397,9 +3397,115 @@ ORDER BY channel
 """
 
 
+# ---------------------------------------------------------------------------
+# q313 — forecast holdout evaluation: hold out each event type's LAST
+# day of daily value sums and score three baseline forecasters on it —
+# naive (last training day), seasonal-naive (same weekday last week),
+# drift (last + (last-first)/(n-1)). The eval harness q280's Holt
+# forecasts plug into; a Holt model that cannot beat these baselines
+# is not a model. Errors are |pred - actual| exact-ish doubles (daily
+# sums of 2-dp values; one subtraction/division per forecaster).
+# Scale: ONE (type, day) row-scale reduce, checkpointed (q256
+# discipline); all train/test logic on the bounded daily frame.
+# ---------------------------------------------------------------------------
+def q313_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.to_date("ts").alias("d")
+        )
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    wall = Window.partitionBy("event_type")
+    seq = daily.select(
+        "event_type",
+        "d",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    test = seq.where(F.col("rn") == F.col("n")).select(
+        "event_type",
+        F.col("d").alias("test_day"),
+        F.col("v").alias("actual"),
+        (F.col("n") - 1).alias("n_train"),
+    )
+    train = seq.where(F.col("rn") < F.col("n"))
+    feats = train.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.col("n") - 1, F.col("v"))).alias(
+            "last_v"
+        ),
+        F.max(F.when(F.col("rn") == 1, F.col("v"))).alias("first_v"),
+        F.max(F.when(F.col("rn") == F.col("n") - 7, F.col("v"))).alias(
+            "snaive_v"
+        ),
+        F.max(F.col("n") - 1).alias("m"),
+    )
+    j = test.join(feats, "event_type")
+    drift = F.col("last_v") + (F.col("last_v") - F.col("first_v")) / (
+        F.col("m") - 1
+    ).cast("double")
+    return j.select(
+        "event_type",
+        F.date_format("test_day", "yyyy-MM-dd").alias("test_day"),
+        "actual",
+        F.col("last_v").alias("naive_pred"),
+        F.col("snaive_v").alias("snaive_pred"),
+        F.round(drift, 4).alias("drift_pred"),
+        F.round(F.abs(F.col("actual") - F.col("last_v")), 4).alias(
+            "naive_abs_err"
+        ),
+        F.round(F.abs(F.col("actual") - F.col("snaive_v")), 4).alias(
+            "snaive_abs_err"
+        ),
+        F.round(F.abs(F.col("actual") - drift), 4).alias("drift_abs_err"),
+    ).orderBy("event_type")
+
+
+Q313_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, round(sum(value), 4) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+seq AS (
+  SELECT event_type, d, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+test AS (
+  SELECT event_type, d AS test_day, v AS actual, n - 1 AS n_train
+  FROM seq WHERE rn = n
+),
+feats AS (
+  SELECT event_type,
+         max(CASE WHEN rn = n - 1 THEN v END) AS last_v,
+         max(CASE WHEN rn = 1 THEN v END) AS first_v,
+         max(CASE WHEN rn = n - 7 THEN v END) AS snaive_v,
+         max(n - 1) AS m
+  FROM seq WHERE rn < n GROUP BY event_type
+)
+SELECT t.event_type, strftime(t.test_day, '%Y-%m-%d') AS test_day, t.actual,
+       f.last_v AS naive_pred,
+       f.snaive_v AS snaive_pred,
+       round(f.last_v + (f.last_v - f.first_v) / CAST(f.m - 1 AS DOUBLE), 4)
+         AS drift_pred,
+       round(abs(t.actual - f.last_v), 4) AS naive_abs_err,
+       round(abs(t.actual - f.snaive_v), 4) AS snaive_abs_err,
+       round(abs(t.actual - (f.last_v + (f.last_v - f.first_v)
+                             / CAST(f.m - 1 AS DOUBLE))), 4)
+         AS drift_abs_err
+FROM test t JOIN feats f USING (event_type)
+ORDER BY t.event_type
+"""
+
+
 QUERIES = {
     "q303_seq_patterns": q303_seq_patterns,
     "q309_position_attribution": q309_position_attribution,
+    "q313_forecast_eval": q313_forecast_eval,
     "q58_asof_join": q58_asof_join,
     "q254_survival_retention": q254_survival_retention,
     "q256_acf": q256_acf,
@@ -3446,6 +3552,7 @@ QUERIES = {
 ORACLE = {
     "q303_seq_patterns": Q303_SQL,
     "q309_position_attribution": Q309_SQL,
+    "q313_forecast_eval": Q313_SQL,
     "q216_rolling_distinct": Q216_SQL,
     "q222_interval_union": Q222_SQL,
     "q73_temporal_split": Q73_SQL,

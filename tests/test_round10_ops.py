@@ -845,3 +845,68 @@ def test_q312_hits_reference(spark, sf_dir_t2):
     assert [(r.partkey, r.authority_units) for r in got.itertuples()] == want
     for r in got.itertuples():
         assert r.n_suppliers == len(part_sups[r.partkey])
+
+
+# --------------------------------------------------------------------------
+# q313/q314
+# --------------------------------------------------------------------------
+def test_q313_forecast_eval_reference(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import temporal
+
+    got = temporal.q313_forecast_eval(spark, sf_dir_t2).toPandas()
+    ev = (
+        load(spark, sf_dir_t2, "events")
+        .select("ts", "event_type", "value")
+        .toPandas()
+    )
+    ev["d"] = ev["ts"].dt.date
+    for r in got.itertuples():
+        s = (
+            ev[ev["event_type"] == r.event_type]
+            .groupby("d")["value"]
+            .sum()
+            .round(4)
+            .sort_index()
+        )
+        assert r.test_day == s.index[-1].isoformat()
+        assert r.actual == pytest.approx(s.iloc[-1])
+        train = s.iloc[:-1]
+        assert r.naive_pred == pytest.approx(train.iloc[-1])
+        assert r.snaive_pred == pytest.approx(train.iloc[-7])
+        drift = train.iloc[-1] + (train.iloc[-1] - train.iloc[0]) / (
+            len(train) - 1
+        )
+        assert r.drift_pred == pytest.approx(round(drift, 4), abs=1e-6)
+        assert r.naive_abs_err == pytest.approx(
+            round(abs(s.iloc[-1] - train.iloc[-1]), 4), abs=1e-6
+        )
+
+
+def test_q314_clusters_partition_pair_nodes(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import dedup
+
+    got = dedup.q314_dup_cluster_stats(spark, sf_dir_t2).toPandas()
+    pairs = dedup.q302_portable_minhash(spark, sf_dir_t2).toPandas()
+    # union-find reference
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from collections import Counter
+
+    sizes = Counter(Counter(find(x) for x in parent).values())
+    want = sorted(
+        (s, c, (s - 1) * c) for s, c in sizes.items()
+    )
+    assert [
+        (r.size, r.n_clusters, r.docs_removable) for r in got.itertuples()
+    ] == want
