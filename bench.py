@@ -44,6 +44,7 @@ from generative_ai_vector_db_spark.operators import (  # noqa: E402
     relational,
     retrieval,
     scale,
+    stats,
     store,
     temporal,
     text,
@@ -114,7 +115,7 @@ def main() -> None:
     queries, _ = merge_registries(
         relational, vector, chunker, corpus, graph, ingest, text, dedup,
         multimodal, pandas_udfs, mllib_index, store, rag, retrieval, scale,
-        temporal, streaming_jobs,
+        stats, temporal, streaming_jobs,
     )
 
     def run(name: str) -> float:
