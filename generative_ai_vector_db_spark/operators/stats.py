@@ -216,6 +216,9 @@ ORDER BY bin
 # global cross of the corpus. Tie counts come from per-value groupBys
 # (linear). tau-b denominator uses exact BIGINT pair counts.
 # ---------------------------------------------------------------------------
+KENDALL_BLOCK_CAP = 5000  # pairs-per-source = cap^2/2; sample past it
+
+
 def q288_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "source",
@@ -223,6 +226,21 @@ def q288_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("x"),
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("y"),
     )
+    # in-plan scale guard (the q221 discipline): the within-source
+    # pair join is quadratic in the largest source block. The cap
+    # keeps that bounded-by-declaration — a skewed-source corpus
+    # fails LOUDLY at execution instead of silently going quadratic;
+    # the documented 100 TB remedy is per-source systematic sampling
+    # down to the cap (q60's shape) before the pair join.
+    guard = docs.groupBy("source").agg(F.count(F.lit(1)).alias("_g")).agg(
+        F.max("_g").alias("_gmax")
+    )
+    docs = docs.crossJoin(F.broadcast(guard)).where(
+        F.assert_true(
+            F.col("_gmax") <= KENDALL_BLOCK_CAP,
+            F.lit("q288: source block exceeds pair-join cap — sample first"),
+        ).isNull()
+    ).drop("_gmax")
     a, b = docs.alias("a"), docs.alias("b")
     pairs = a.join(
         b,
