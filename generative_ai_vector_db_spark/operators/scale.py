@@ -1612,7 +1612,84 @@ ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# q315 — cache-capacity advisor: static-LFU hit-rate curve for a part
+# cache in front of the lineitem access stream. For capacities C in
+# CACHE_SIZES, "cache the top-C most-accessed parts" yields hit rate =
+# share of accesses landing in that set — the capacity-planning curve
+# (where it flattens is the budget answer). Deterministic top-C ties:
+# (access count DESC, partkey). Complements q209 (tuning advisor) and
+# q264 (bloom advisor) in the planning family.
+# Scale: ONE row-scale frequency groupBy; ranking and the curve live
+# on the distinct-part domain (bounded); capacities join broadcast.
+# ---------------------------------------------------------------------------
+CACHE_SIZES = (100, 500, 1000, 2000)
+
+
+def q315_cache_hit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    acc = load(spark, sf_dir, "lineitem").select("l_partkey")
+    freq = acc.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.orderBy(F.col("n").desc(), "l_partkey")
+    ranked = freq.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    tot = freq.agg(
+        F.sum("n").cast("bigint").alias("_t"),
+        F.count(F.lit(1)).cast("bigint").alias("_parts"),
+    )
+    sizes = spark.createDataFrame(
+        [(int(c),) for c in CACHE_SIZES], "cache_size bigint"
+    )
+    hits = (
+        ranked.crossJoin(F.broadcast(sizes))
+        .where(F.col("rk") <= F.col("cache_size"))
+        .groupBy("cache_size")
+        .agg(F.sum("n").cast("bigint").alias("n_hits"))
+    )
+    return (
+        hits.crossJoin(F.broadcast(tot))
+        .select(
+            "cache_size",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("_t").cast("double")).alias(
+                "hit_rate"
+            ),
+            F.col("_parts").alias("n_distinct_parts"),
+        )
+        .orderBy("cache_size")
+    )
+
+
+_CACHE_VALUES = ", ".join(f"({c})" for c in CACHE_SIZES)
+
+Q315_SQL = f"""
+WITH freq AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT l_partkey, n,
+         CAST(row_number() OVER (ORDER BY n DESC, l_partkey) AS BIGINT) AS rk
+  FROM freq
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS _t, CAST(count(*) AS BIGINT) AS _parts
+  FROM freq
+),
+sizes(cache_size) AS (VALUES {_CACHE_VALUES})
+SELECT CAST(cache_size AS BIGINT) AS cache_size,
+       CAST(sum(n) AS BIGINT) AS n_hits,
+       CAST(sum(n) AS DOUBLE) / CAST(_t AS DOUBLE) AS hit_rate,
+       _parts AS n_distinct_parts
+FROM ranked, sizes, tot
+WHERE rk <= cache_size
+GROUP BY cache_size, _t, _parts
+ORDER BY cache_size
+"""
+
+
 QUERIES = {
+    "q315_cache_hit_curve": q315_cache_hit_curve,
     "q56_salted_agg": q56_salted_agg,
     "q128_zorder_stats": q128_zorder_stats,
     "q138_skew_profile": q138_skew_profile,
@@ -1633,6 +1710,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q315_cache_hit_curve": Q315_SQL,
     "q217_bucketed_join": Q217_SQL,
     "q227_schema_drift": Q227_SQL,
     "q56_salted_agg": Q56_SQL,

@@ -796,3 +796,93 @@ ORACLE.update(
         "q306_welch_ttest": Q306_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# q316 — two-sample Cramér–von Mises statistic between the ROC pair's
+# value distributions: T = (n*m)/(n+m)^2 * Σ_z t_z (F_n(z) − G_m(z))²
+# over the combined sample (distinct values weighted by multiplicity).
+# CvM weighs the WHOLE CDF gap where KS (q220) sees only the max —
+# the round's third distribution-drift lens. Exact integer prefix
+# sums on the distinct-value domain; one division per term at output.
+# ---------------------------------------------------------------------------
+def q316_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin(ROC_POS, ROC_NEG)
+    )
+    dv = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == ROC_POS).cast("bigint"))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum((F.col("event_type") == ROC_NEG).cast("bigint"))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dv.select(
+        (F.col("ca") + F.col("cb")).alias("t"),
+        F.sum("ca").over(w).cast("bigint").alias("fa"),
+        F.sum("cb").over(w).cast("bigint").alias("fb"),
+    )
+    tot = dv.agg(
+        F.sum("ca").cast("bigint").alias("n"),
+        F.sum("cb").cast("bigint").alias("m"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    gap = (
+        F.col("fa").cast("double") / F.col("n").cast("double")
+        - F.col("fb").cast("double") / F.col("m").cast("double")
+    )
+    agg = j.agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        F.sum(F.col("t").cast("double") * gap * gap).alias("_s"),
+    )
+    nm = F.col("n").cast("double") * F.col("m").cast("double")
+    nn = (F.col("n") + F.col("m")).cast("double")
+    return agg.select(
+        "n", "m", (nm / (nn * nn) * F.col("_s")).alias("t_stat")
+    )
+
+
+Q316_SQL = f"""
+WITH ev AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN ('{ROC_POS}', '{ROC_NEG}')
+),
+dv AS (
+  SELECT value,
+         CAST(coalesce(sum(CASE WHEN event_type = '{ROC_POS}' THEN 1 END), 0)
+              AS BIGINT) AS ca,
+         CAST(coalesce(sum(CASE WHEN event_type = '{ROC_NEG}' THEN 1 END), 0)
+              AS BIGINT) AS cb
+  FROM ev GROUP BY value
+),
+cum AS (
+  SELECT ca + cb AS t,
+         CAST(sum(ca) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fa,
+         CAST(sum(cb) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fb
+  FROM dv
+),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n, CAST(sum(cb) AS BIGINT) AS m FROM dv
+)
+SELECT n, m,
+       CAST(n AS DOUBLE) * CAST(m AS DOUBLE)
+         / (CAST(n + m AS DOUBLE) * CAST(n + m AS DOUBLE))
+         * sum(CAST(t AS DOUBLE)
+               * (CAST(fa AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(fb AS DOUBLE) / CAST(m AS DOUBLE))
+               * (CAST(fa AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(fb AS DOUBLE) / CAST(m AS DOUBLE))) AS t_stat
+FROM cum, tot
+GROUP BY n, m
+"""
+
+
+QUERIES.update({"q316_cvm_test": q316_cvm_test})
+ORACLE.update({"q316_cvm_test": Q316_SQL})

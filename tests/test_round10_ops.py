@@ -910,3 +910,42 @@ def test_q314_clusters_partition_pair_nodes(spark, sf_dir_t2):
     assert [
         (r.size, r.n_clusters, r.docs_removable) for r in got.itertuples()
     ] == want
+
+
+# --------------------------------------------------------------------------
+# q315/q316
+# --------------------------------------------------------------------------
+def test_q315_cache_curve_reference(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import scale
+
+    got = scale.q315_cache_hit_curve(spark, sf_dir_t2).toPandas()
+    li = load(spark, sf_dir_t2, "lineitem").select("l_partkey").toPandas()
+    vc = li["l_partkey"].value_counts()
+    order = sorted(vc.index, key=lambda k: (-vc[k], k))
+    total = len(li)
+    assert list(got["cache_size"]) == sorted(scale.CACHE_SIZES)
+    prev = 0.0
+    for r in got.itertuples():
+        hits = sum(vc[k] for k in order[: r.cache_size])
+        assert r.n_hits == hits
+        assert r.hit_rate == pytest.approx(hits / total)
+        assert r.n_distinct_parts == len(vc)
+        assert r.hit_rate >= prev  # curve is monotone in capacity
+        prev = r.hit_rate
+
+
+def test_q316_cvm_reference(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import stats as st
+
+    got = st.q316_cvm_test(spark, sf_dir_t2).toPandas().iloc[0]
+    ev = _events_pdf(spark, sf_dir_t2)
+    a = np.sort(ev[ev["event_type"] == st.ROC_POS]["value"].to_numpy())
+    b = np.sort(ev[ev["event_type"] == st.ROC_NEG]["value"].to_numpy())
+    n, m = len(a), len(b)
+    z = np.concatenate([a, b])
+    fa = np.searchsorted(a, z, side="right") / n
+    fb = np.searchsorted(b, z, side="right") / m
+    t = n * m / (n + m) ** 2 * ((fa - fb) ** 2).sum()
+    assert (got["n"], got["m"]) == (n, m)
+    assert got["t_stat"] == pytest.approx(t, rel=1e-9)
+    assert got["t_stat"] >= 0
