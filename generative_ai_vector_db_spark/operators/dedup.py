@@ -1643,11 +1643,209 @@ ORDER BY size
 """
 
 
+# ---------------------------------------------------------------------------
+# q317 — Fellegi–Sunter record-linkage weights: for four comparison
+# fields (lang, exact length, first token, 4-char prefix) estimate
+# m_k = P(field agrees | duplicate)   from q302's verified truth pairs
+# u_k = P(field agrees | non-dup)     from a DETERMINISTIC random pair
+#       sample (docs grouped into portable-mix buckets of ~2*FS_BUCKET
+#       docs; within-bucket pairs are an unbiased pair sample because
+#       the bucketing is hash-random; truth pairs anti-joined out)
+# and emit the classic agreement/disagreement log-weights
+# ln(m/u) / ln((1-m)/(1-u)) — what a linkage scorer adds per matching
+# field. The probabilistic-linkage layer over q307's deterministic
+# blocking comparison.
+# Scale: the u-sample is |docs| * FS_BUCKET pairs (linear, bucket-
+# bounded); truth pairs are small; one 4-row output.
+# ---------------------------------------------------------------------------
+FS_BUCKETS_DIV = 25  # target bucket size ~ |docs| / (|docs|/25) = 25
+
+
+def _fs_fields(docs: DataFrame) -> DataFrame:
+    t = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("f_lang"),
+        F.col("n_chars").cast("bigint").alias("f_len"),
+        F.split(t, " ").getItem(0).alias("f_tok"),
+        F.substring(t, 1, 4).alias("f_pre"),
+    )
+
+
+def q317_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import mix_spark
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    fields = _fs_fields(docs).localCheckpoint()
+    truth = q302_portable_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    fa = fields.select(*[F.col(c).alias(c + "_a") for c in fields.columns])
+    fb = fields.select(*[F.col(c).alias(c + "_b") for c in fields.columns])
+
+    def agree_flags(df):
+        return df.select(
+            (F.col("f_lang_a") == F.col("f_lang_b")).cast("bigint").alias("lang"),
+            (F.col("f_len_a") == F.col("f_len_b")).cast("bigint").alias("len"),
+            (F.col("f_tok_a") == F.col("f_tok_b")).cast("bigint").alias("tok"),
+            (F.col("f_pre_a") == F.col("f_pre_b")).cast("bigint").alias("pre"),
+        )
+
+    m_pairs = agree_flags(
+        truth.join(fa, truth.doc_a == fa.doc_id_a).join(
+            fb, truth.doc_b == fb.doc_id_b
+        )
+    )
+    n_docs = docs.count()
+    n_buckets = max(n_docs // FS_BUCKETS_DIV, 1)
+    bucketed = fields.withColumn(
+        "bkt", F.expr(mix_spark("doc_id")) % F.lit(n_buckets)
+    )
+    ba = bucketed.select(
+        F.col("bkt"), *[F.col(c).alias(c + "_a") for c in fields.columns]
+    )
+    bb = bucketed.select(
+        F.col("bkt"), *[F.col(c).alias(c + "_b") for c in fields.columns]
+    )
+    sample = (
+        ba.join(bb, "bkt")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .join(
+            truth,
+            (F.col("doc_id_a") == truth.doc_a)
+            & (F.col("doc_id_b") == truth.doc_b),
+            "left_anti",
+        )
+    )
+    u_pairs = agree_flags(sample)
+
+    def rates(df, label):
+        # add-half smoothing: keeps m/u strictly inside (0, 1) so the
+        # log-weights are finite even when a field agrees on every
+        # (or no) pair — identical arithmetic in the oracle
+        n = F.count(F.lit(1))
+        return df.agg(
+            F.lit(label).alias("_side"),
+            n.cast("bigint").alias("n_pairs"),
+            *[
+                (
+                    (F.sum(c) + F.lit(0.5)) / (n.cast("double") + F.lit(1.0))
+                ).alias(c)
+                for c in ("lang", "len", "tok", "pre")
+            ],
+        )
+
+    m_r = rates(m_pairs, "m")
+    u_r = rates(u_pairs, "u")
+    wide = m_r.select(
+        F.col("n_pairs").alias("n_dup_pairs"),
+        *[F.col(c).alias("m_" + c) for c in ("lang", "len", "tok", "pre")],
+    ).crossJoin(
+        F.broadcast(
+            u_r.select(
+                F.col("n_pairs").alias("n_sample_pairs"),
+                *[F.col(c).alias("u_" + c) for c in ("lang", "len", "tok", "pre")],
+            )
+        )
+    )
+    rows = []
+    for c in ("lang", "len", "tok", "pre"):
+        m, u = F.col("m_" + c), F.col("u_" + c)
+        rows.append(
+            F.struct(
+                F.lit(c).alias("field"),
+                "n_dup_pairs",
+                "n_sample_pairs",
+                m.alias("m"),
+                u.alias("u"),
+                F.round(F.log(m / u), 8).alias("w_agree"),
+                F.round(F.log((1 - m) / (1 - u)), 8).alias("w_disagree"),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("field")
+    )
+
+
+def _fs_sql() -> str:
+    from ..functions.hashing import mix_duck
+
+    flds = ("lang", "len", "tok", "pre")
+    m_cols = ", ".join(
+        f"(sum(a_{c}) + 0.5) / (CAST(count(*) AS DOUBLE) + 1.0) AS m_{c}"
+        for c in flds
+    )
+    u_cols = ", ".join(
+        f"(sum(a_{c}) + 0.5) / (CAST(count(*) AS DOUBLE) + 1.0) AS u_{c}"
+        for c in flds
+    )
+    branches = "\n  UNION ALL\n".join(
+        f"""  SELECT '{c}' AS field, n_dup_pairs, n_sample_pairs,
+         m_{c} AS m, u_{c} AS u,
+         round(ln(m_{c} / u_{c}), 8) AS w_agree,
+         round(ln((1 - m_{c}) / (1 - u_{c})), 8) AS w_disagree
+  FROM wide"""
+        for c in flds
+    )
+    return f"""
+WITH fields AS MATERIALIZED (
+  SELECT doc_id, lang AS f_lang, CAST(n_chars AS BIGINT) AS f_len,
+         string_split(lower(text), ' ')[1] AS f_tok,
+         substring(lower(text), 1, 4) AS f_pre
+  FROM documents
+),
+nb AS (SELECT greatest(count(*) // {FS_BUCKETS_DIV}, 1) AS n_buckets
+       FROM fields),
+truth_pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({{q302}}) q302
+),
+m_pairs AS (
+  SELECT CAST(a.f_lang = b.f_lang AS BIGINT) AS a_lang,
+         CAST(a.f_len = b.f_len AS BIGINT) AS a_len,
+         CAST(a.f_tok = b.f_tok AS BIGINT) AS a_tok,
+         CAST(a.f_pre = b.f_pre AS BIGINT) AS a_pre
+  FROM truth_pairs t
+  JOIN fields a ON a.doc_id = t.doc_a
+  JOIN fields b ON b.doc_id = t.doc_b
+),
+bucketed AS MATERIALIZED (
+  SELECT f.*, ({mix_duck("doc_id")}) % (SELECT n_buckets FROM nb) AS bkt
+  FROM fields f
+),
+u_pairs AS (
+  SELECT CAST(a.f_lang = b.f_lang AS BIGINT) AS a_lang,
+         CAST(a.f_len = b.f_len AS BIGINT) AS a_len,
+         CAST(a.f_tok = b.f_tok AS BIGINT) AS a_tok,
+         CAST(a.f_pre = b.f_pre AS BIGINT) AS a_pre
+  FROM bucketed a JOIN bucketed b
+    ON a.bkt = b.bkt AND a.doc_id < b.doc_id
+  LEFT JOIN truth_pairs t
+    ON t.doc_a = a.doc_id AND t.doc_b = b.doc_id
+  WHERE t.doc_a IS NULL
+),
+m_r AS (SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs, {m_cols}
+        FROM m_pairs),
+u_r AS (SELECT CAST(count(*) AS BIGINT) AS n_sample_pairs, {u_cols}
+        FROM u_pairs),
+wide AS (SELECT * FROM m_r, u_r)
+SELECT * FROM (
+{branches}
+)
+ORDER BY field
+"""
+
+
+Q317_SQL = _fs_sql().format(q302=Q302_SQL)
+
+
 QUERIES = {
     "q302_portable_minhash": q302_portable_minhash,
     "q307_blocking_advisor": q307_blocking_advisor,
     "q311_syndication_matrix": q311_syndication_matrix,
     "q314_dup_cluster_stats": q314_dup_cluster_stats,
+    "q317_fellegi_sunter": q317_fellegi_sunter,
     "q44_minhash_neardup": q44_minhash_neardup,
     "q45_simhash_neardup": q45_simhash_neardup,
     "q76_dedup_clusters": q76_dedup_clusters,
@@ -1665,6 +1863,7 @@ ORACLE: dict[str, str] = {
     "q307_blocking_advisor": Q307_SQL,
     "q311_syndication_matrix": Q311_SQL,
     "q314_dup_cluster_stats": Q314_SQL,
+    "q317_fellegi_sunter": Q317_SQL,
     "q223_fuzzy_survivorship": Q223_SQL,
     "q253_canonical_dedup": Q253_SQL,
     "q283_snm_dedup": Q283_SQL,

@@ -3502,10 +3502,114 @@ ORDER BY t.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q318 — top-k popularity drift: the revenue top-20 parts of the first
+# half of the observed shipdate range vs the second half — overlap
+# count, Jaccard, and each half's churn-in list size. The "is last
+# month's hot set still hot" stability readout behind cache sizing
+# (q315) and curriculum refresh cadence. Revenue per (half, part) is
+# rounded to 4 dp BEFORE ranking: the addends are exactly-4-dp
+# decimals (2-dp price x 4-dp discount factor), so fp summation drift
+# (~1e-10) can never move a 4-dp rounding — ranks are cross-engine
+# exact with the partkey tie-break.
+# Scale: one (half, part) row-scale agg; two WindowGroupLimit top-20
+# frames; the compare is a 40-row join.
+# ---------------------------------------------------------------------------
+TOPK_DRIFT_K = 20
+
+
+def q318_topk_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    rng = li.agg(
+        F.min("l_shipdate").alias("d0"), F.max("l_shipdate").alias("d1")
+    )
+    half = li.crossJoin(F.broadcast(rng)).select(
+        "l_partkey",
+        "rev",
+        F.when(
+            F.datediff("l_shipdate", "d0") * 2
+            <= F.datediff("d1", "d0"),
+            F.lit("h1"),
+        )
+        .otherwise(F.lit("h2"))
+        .alias("half"),
+    )
+    per = half.groupBy("half", "l_partkey").agg(
+        F.round(F.sum("rev"), 4).alias("rev")
+    )
+    w = Window.partitionBy("half").orderBy(F.col("rev").desc(), "l_partkey")
+    topk = per.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= TOPK_DRIFT_K
+    )
+    h1 = topk.where(F.col("half") == "h1").select(
+        F.col("l_partkey").alias("pk")
+    )
+    h2 = topk.where(F.col("half") == "h2").select(
+        F.col("l_partkey").alias("pk")
+    )
+    common = h1.join(h2, "pk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    k = TOPK_DRIFT_K
+    return common.select(
+        F.lit(k).cast("bigint").alias("k"),
+        "n_common",
+        (
+            F.col("n_common").cast("double")
+            / (F.lit(2 * k) - F.col("n_common")).cast("double")
+        ).alias("jaccard"),
+        (F.lit(k) - F.col("n_common")).cast("bigint").alias("churned"),
+    )
+
+
+Q318_SQL = f"""
+WITH li AS (
+  SELECT l_partkey, l_shipdate,
+         l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem
+),
+rng AS (SELECT min(l_shipdate) AS d0, max(l_shipdate) AS d1 FROM li),
+half AS (
+  SELECT l_partkey, rev,
+         CASE WHEN date_diff('day', d0, l_shipdate) * 2
+                   <= date_diff('day', d0, d1)
+              THEN 'h1' ELSE 'h2' END AS half
+  FROM li, rng
+),
+per AS (
+  SELECT half, l_partkey, round(sum(rev), 4) AS rev
+  FROM half GROUP BY half, l_partkey
+),
+topk AS (
+  SELECT half, l_partkey
+  FROM (SELECT *, row_number() OVER (PARTITION BY half
+                                     ORDER BY rev DESC, l_partkey) AS rk
+        FROM per)
+  WHERE rk <= {TOPK_DRIFT_K}
+),
+common AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_common
+  FROM topk a JOIN topk b
+    ON a.l_partkey = b.l_partkey AND a.half = 'h1' AND b.half = 'h2'
+)
+SELECT CAST({TOPK_DRIFT_K} AS BIGINT) AS k,
+       n_common,
+       CAST(n_common AS DOUBLE)
+         / CAST({2 * TOPK_DRIFT_K} - n_common AS DOUBLE) AS jaccard,
+       CAST({TOPK_DRIFT_K} - n_common AS BIGINT) AS churned
+FROM common
+"""
+
+
 QUERIES = {
     "q303_seq_patterns": q303_seq_patterns,
     "q309_position_attribution": q309_position_attribution,
     "q313_forecast_eval": q313_forecast_eval,
+    "q318_topk_drift": q318_topk_drift,
     "q58_asof_join": q58_asof_join,
     "q254_survival_retention": q254_survival_retention,
     "q256_acf": q256_acf,
@@ -3553,6 +3657,7 @@ ORACLE = {
     "q303_seq_patterns": Q303_SQL,
     "q309_position_attribution": Q309_SQL,
     "q313_forecast_eval": Q313_SQL,
+    "q318_topk_drift": Q318_SQL,
     "q216_rolling_distinct": Q216_SQL,
     "q222_interval_union": Q222_SQL,
     "q73_temporal_split": Q73_SQL,

@@ -949,3 +949,57 @@ def test_q316_cvm_reference(spark, sf_dir_t2):
     assert (got["n"], got["m"]) == (n, m)
     assert got["t_stat"] == pytest.approx(t, rel=1e-9)
     assert got["t_stat"] >= 0
+
+
+# --------------------------------------------------------------------------
+# q317/q318
+# --------------------------------------------------------------------------
+def test_q317_fellegi_sunter_properties(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import dedup
+
+    got = dedup.q317_fellegi_sunter(spark, sf_dir_t2).toPandas()
+    assert sorted(got["field"]) == ["lang", "len", "pre", "tok"]
+    for r in got.itertuples():
+        assert 0.0 < r.m < 1.0 and 0.0 < r.u < 1.0
+        assert r.w_agree == pytest.approx(round(np.log(r.m / r.u), 8), abs=1e-6)
+        assert r.w_disagree == pytest.approx(
+            round(np.log((1 - r.m) / (1 - r.u)), 8), abs=1e-6
+        )
+        if r.field in ("len", "tok", "pre"):
+            # content-derived fields: near-dups agree more than random
+            # pairs, so agreement adds evidence and disagreement
+            # subtracts it. (The lang LABEL is the interesting negative
+            # result: this corpus's near-dups are cross-language
+            # template copies, so lang agreement carries ~zero lift —
+            # m ~ u — exactly what an FS calibration is FOR.)
+            assert r.m > r.u
+            assert r.w_agree > 0 > r.w_disagree
+    # the sample is the unbiased side: n_sample >> n_dup
+    assert (got["n_sample_pairs"] > got["n_dup_pairs"] * 10).all()
+
+
+def test_q318_topk_drift_reference(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import temporal
+
+    got = temporal.q318_topk_drift(spark, sf_dir_t2).toPandas().iloc[0]
+    li = (
+        load(spark, sf_dir_t2, "lineitem")
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .toPandas()
+    )
+    li["rev"] = li["l_extendedprice"] * (1 - li["l_discount"])
+    d0, d1 = li["l_shipdate"].min(), li["l_shipdate"].max()
+    li["half"] = np.where(
+        (li["l_shipdate"] - d0).dt.days * 2 <= (d1 - d0).days, "h1", "h2"
+    )
+    tops = {}
+    for h, g in li.groupby("half"):
+        rev = g.groupby("l_partkey")["rev"].sum().round(4)
+        order = sorted(rev.index, key=lambda k: (-rev[k], k))
+        tops[h] = set(order[: temporal.TOPK_DRIFT_K])
+    common = len(tops["h1"] & tops["h2"])
+    assert got["n_common"] == common
+    assert got["jaccard"] == pytest.approx(
+        common / (2 * temporal.TOPK_DRIFT_K - common)
+    )
+    assert got["churned"] == temporal.TOPK_DRIFT_K - common
