@@ -119,7 +119,7 @@ _PRIORITY = [
     "q311_syndication_matrix", "q312_hits_bipartite",
     "q313_forecast_eval", "q314_dup_cluster_stats",
     "q315_cache_hit_curve", "q316_cvm_test",
-    "q317_fellegi_sunter", "q318_topk_drift",
+    "q317_fellegi_sunter", "q318_topk_drift", "q319_portable_simhash",
     # --- r4-stale filler: first 8 grade if <8 round-10 ops above ---
     "q112_tpch_q7_shape", "q113_tpch_q11_shape",
     "q114_tpch_q15_shape", "q115_tpch_q2_shape", "q116_tpch_q19_shape",

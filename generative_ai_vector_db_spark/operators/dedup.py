@@ -1840,12 +1840,187 @@ ORDER BY field
 Q317_SQL = _fs_sql().format(q302=Q302_SQL)
 
 
+# ---------------------------------------------------------------------------
+# q319 — ENGINE-PORTABLE SimHash near-dup pairs: q45's pigeonhole
+# structure (band the signature, candidates share a band, verify exact
+# Hamming) rebuilt on the q302 portable word hash so the WHOLE
+# pipeline is int64 arithmetic with an ANSI-SQL twin — the second
+# rows-only dedup family to gain a hash-graded sibling. 28-bit
+# signature: bit j = sign of Σ_words (2*bit_j(word_hash) − 1); bands =
+# 4 x 7 bits, so any pair within Hamming distance 3 shares at least
+# one intact band (pigeonhole-EXACT for d <= 3, like q45). Verify =
+# bit_count(xor) <= SIMHASH_D on candidates.
+# Signature width: 56 bits from TWO portable lanes — lane 1 = bits of
+# the word hash, lane 2 = bits of (wh * KNUTH) % P (independent mix,
+# still int64-exact). A 28-bit single-lane prototype admitted ~2.7k
+# hamming<=3 pairs on 500 docs (random collisions — short docs give
+# simhash few votes); at 56 bits the d<=3 ball is ~2^-56 * C(56,<=3)
+# of the space and survivors are genuine near-dups.
+# Scale: one explode + ONE 56-conditional-sum aggregate per doc (pure
+# JVM codegen, no HOF interpretation), band join with the q302 bucket
+# cap, integer-only end to end.
+# ---------------------------------------------------------------------------
+SIMHASH_BITS = 56
+SIMHASH_LANE = 28
+SIMHASH_BANDS = 8
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_D = 3
+SIMHASH_K2 = 2654435761  # lane-2 multiplier (wh < 2^31 -> product < 2^63)
+
+
+def q319_portable_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN length(w) > 0 THEN "
+            "CAST((((length(w) * 31 + ascii(substring(w, 1, 1))) * 31 "
+            " + ascii(substring(w, CAST((length(w) + 1) div 2 AS INT), 1)))"
+            " * 31 + ascii(substring(w, length(w), 1)))"
+            f" % {PMH_P} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("wh"),
+    )
+    words = words.withColumn(
+        "wh2", (F.col("wh") * F.lit(SIMHASH_K2)) % F.lit(PMH_P)
+    )
+
+    def _vote(j: int):
+        src = F.col("wh") if j < SIMHASH_LANE else F.col("wh2")
+        return F.sum(
+            F.shiftright(src, j % SIMHASH_LANE).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"v{j}")
+
+    votes = words.groupBy("doc_id").agg(
+        *[_vote(j) for j in range(SIMHASH_BITS)]
+    )
+    sig = votes.select(
+        "doc_id",
+        sum(
+            F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(SIMHASH_BITS)
+        )
+        .cast("bigint")
+        .alias("sig"),
+    ).localCheckpoint()
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), k * SIMHASH_BAND_BITS)
+                    .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                    .cast("bigint")
+                    for k in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "key"),
+    ).select("doc_id", "band", "key")
+    sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
+    kept = bands.join(
+        sizes.where(F.col("_n") <= PMH_BUCKET_CAP).select("band", "key"),
+        ["band", "key"],
+    )
+    a = kept.select("band", "key", F.col("doc_id").alias("doc_a"))
+    b = kept.select("band", "key", F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= SIMHASH_D)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_sql() -> str:
+    vote_cols = ", ".join(
+        f"sum((({'wh' if j < SIMHASH_LANE else 'wh2'}"
+        f" >> {j % SIMHASH_LANE}) & 1) * 2 - 1) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN v{j} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    band_exprs = ", ".join(
+        f"(sig >> {k * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1}"
+        for k in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+),
+wh0 AS (
+  SELECT doc_id,
+         CASE WHEN length(word) > 0 THEN
+           CAST((((length(word) * 31 + ascii(word[1:1])) * 31
+                  + ascii(word[(length(word) + 1) // 2
+                               : (length(word) + 1) // 2]))
+                 * 31 + ascii(word[length(word):length(word)]))
+                % {PMH_P} AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS wh
+  FROM w
+),
+wh AS (SELECT doc_id, wh, (wh * {SIMHASH_K2}) % {PMH_P} AS wh2 FROM wh0),
+votes AS (SELECT doc_id, {vote_cols} FROM wh GROUP BY doc_id),
+sig AS MATERIALIZED (
+  SELECT doc_id, CAST({sig_expr} AS BIGINT) AS sig FROM votes
+),
+bands AS (
+  SELECT doc_id,
+         unnest([{band_exprs}]) AS key,
+         unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS band
+  FROM sig
+),
+kept AS (
+  SELECT b.* FROM bands b
+  JOIN (SELECT band, key FROM bands GROUP BY band, key
+        HAVING count(*) <= {PMH_BUCKET_CAP}) s USING (band, key)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b USING (band, key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.sig, sb.sig)) <= {SIMHASH_D}
+ORDER BY doc_a, doc_b
+"""
+
+
+Q319_SQL = _simhash_sql()
+
+
 QUERIES = {
     "q302_portable_minhash": q302_portable_minhash,
     "q307_blocking_advisor": q307_blocking_advisor,
     "q311_syndication_matrix": q311_syndication_matrix,
     "q314_dup_cluster_stats": q314_dup_cluster_stats,
     "q317_fellegi_sunter": q317_fellegi_sunter,
+    "q319_portable_simhash": q319_portable_simhash,
     "q44_minhash_neardup": q44_minhash_neardup,
     "q45_simhash_neardup": q45_simhash_neardup,
     "q76_dedup_clusters": q76_dedup_clusters,
@@ -1864,6 +2039,7 @@ ORACLE: dict[str, str] = {
     "q311_syndication_matrix": Q311_SQL,
     "q314_dup_cluster_stats": Q314_SQL,
     "q317_fellegi_sunter": Q317_SQL,
+    "q319_portable_simhash": Q319_SQL,
     "q223_fuzzy_survivorship": Q223_SQL,
     "q253_canonical_dedup": Q253_SQL,
     "q283_snm_dedup": Q283_SQL,

@@ -1003,3 +1003,83 @@ def test_q318_topk_drift_reference(spark, sf_dir_t2):
         common / (2 * temporal.TOPK_DRIFT_K - common)
     )
     assert got["churned"] == temporal.TOPK_DRIFT_K - common
+
+
+# --------------------------------------------------------------------------
+# q319 portable SimHash — full-pipeline Python reference
+# --------------------------------------------------------------------------
+def test_q319_portable_simhash_full_reference(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import dedup
+
+    got = dedup.q319_portable_simhash(spark, sf_dir_t2).toPandas()
+    docs = (
+        load(spark, sf_dir_t2, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    P, L = dedup.PMH_P, dedup.SIMHASH_LANE
+
+    def wh(w):
+        if not w:
+            return 0
+        mid = (len(w) + 1) // 2
+        return (
+            ((len(w) * 31 + ord(w[0])) * 31 + ord(w[mid - 1])) * 31
+            + ord(w[-1])
+        ) % P
+
+    sigs = {}
+    for r in docs.itertuples():
+        hs = [wh(w) for w in r.text.lower().split(" ")]
+        votes = [0] * dedup.SIMHASH_BITS
+        for h in hs:
+            h2 = (h * dedup.SIMHASH_K2) % P
+            for j in range(dedup.SIMHASH_BITS):
+                src = h if j < L else h2
+                votes[j] += ((src >> (j % L)) & 1) * 2 - 1
+        sigs[r.doc_id] = sum(
+            1 << j for j in range(dedup.SIMHASH_BITS) if votes[j] >= 0
+        )
+    mask = (1 << dedup.SIMHASH_BAND_BITS) - 1
+    buckets = {}
+    for d, s in sigs.items():
+        for k in range(dedup.SIMHASH_BANDS):
+            buckets.setdefault(
+                (k, (s >> (k * dedup.SIMHASH_BAND_BITS)) & mask), []
+            ).append(d)
+    cand = set()
+    for ds in buckets.values():
+        if len(ds) > dedup.PMH_BUCKET_CAP:
+            continue
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cand.add((ds[i], ds[j]))
+    want = sorted(
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in cand
+        if bin(sigs[a] ^ sigs[b]).count("1") <= dedup.SIMHASH_D
+    )
+    assert [
+        (r.doc_a, r.doc_b, r.hamming) for r in got.itertuples()
+    ] == want
+    # pigeonhole completeness: EVERY pair with hamming <= D whose
+    # bands all fit under the cap is found — check against brute force
+    keys = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(keys)
+        for b in keys[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= dedup.SIMHASH_D
+    }
+    found = {(r.doc_a, r.doc_b) for r in got.itertuples()}
+    # pairs missing can only be cap-dropped buckets
+    assert found <= brute
+    assert len(brute - found) == 0 or all(
+        any(
+            len(buckets.get((k, (sigs[a] >> (k * dedup.SIMHASH_BAND_BITS)) & mask), []))
+            > dedup.PMH_BUCKET_CAP
+            for k in range(dedup.SIMHASH_BANDS)
+        )
+        for a, b in brute - found
+    )
