@@ -78,8 +78,8 @@ _QUERIES, _ORACLE = merge_registries(*_MODULES)
 # (q239 quartile rewrite, q242 frontier BFS, q245 scan-side gram,
 # q89 raw-score tie-break) is driver-ungraded — 42 queries. Round-10
 # window: those 42 first (late-r9 q260-q285, then q248-q259, then the
-# four re-grades), then the 33 new round-10 operators q286-q318 (the
-# first 8, q286-q293, land in this round's 50 slots; q294-q318 head
+# four re-grades), then the 34 new round-10 operators q286-q319 (the
+# first 8, q286-q293, land in this round's 50 slots; q294-q319 head
 # the r11 window with local verify_sf evidence at sf0.001+sf0.01+sf0.1
 # until then), then the r4-stale rows (q112-q151 block) as filler.
 # Tier 3 = other green queries in prior order (r5 rows first); tier 4
