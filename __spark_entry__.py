@@ -71,44 +71,25 @@ _MODULES = [
 _QUERIES, _ORACLE = merge_registries(*_MODULES)
 
 # Registry ordering: the driver's correctness pass covers the FIRST 50
-# entries, so ordering is evidence placement. Round-9's driver grading
-# artifacts (CORRECTNESS_r09) never landed in-repo, so at round-10
-# start EVERY round-9 addition (q248-q285, 38 oracle-backed ops) plus
-# the four round-9 implementation changes holding stale grades
-# (q239 quartile rewrite, q242 frontier BFS, q245 scan-side gram,
-# q89 raw-score tie-break) is driver-ungraded — 42 queries. Round-10
-# window: those 42 first (late-r9 q260-q285, then q248-q259, then the
-# four re-grades), then the 34 new round-10 operators q286-q319 (the
-# first 8, q286-q293, land in this round's 50 slots; q294-q319 head
-# the r11 window with local verify_sf evidence at sf0.001+sf0.01+sf0.1
-# until then), then the r4-stale rows (q112-q151 block) as filler.
-# Tier 3 = other green queries in prior order (r5 rows first); tier 4
-# = rows-only-by-design, never in a graded slot. All 42 backlog rows
-# were locally verified green at sf0.01 AND sf0.1 (verify_sf) and
-# through tools/driver_sim.py in round 9 AND re-run 50/50 green
-# through driver_sim at round-10 start and again after the q286-q293
-# additions.
+# entries, so ordering is evidence placement. Round-10's driver window
+# (CORRECTNESS_r10) graded q239/q242/q245/q89 + q248-q293: 50/50
+# hash-green. That leaves q294-q319 (26 oracle-backed round-10 ops,
+# judge-verified green at sf0.01+sf0.1 in the r10 VERDICT but never
+# driver-graded) as the mandatory head of the round-11 window — per
+# VERDICT.md "Next round" #6. Round-11 additions are unlisted, so
+# _ordered() auto-sorts them ahead of this list (they are by
+# definition unverified); with the 26-entry head that leaves up to 24
+# slots for new r11 operators in the 50-query window. After the head:
+# the r4/r5-stale green rows as filler (oldest grades first), then the
+# freshly-r10-graded rows at the back of the green tier, then
+# rows-only-by-design (never in a graded slot). q303 changed this
+# round (in-plan scale guard) but its output is guard-transparent;
+# q299/q314/q319 changes are oracle-side or comment-only. All of
+# q294-q319 re-verified green locally via tools/verify_sf.py at
+# sf0.001+sf0.01+sf0.1 after this round's edits.
 _PRIORITY = [
-    "q260_ewma_smoothing", "q261_cohort_ltv",
-    "q262_session_threshold_advisor", "q263_spectral_gap",
-    "q264_bloom_join_advisor", "q265_filter_waterfall", "q266_psi_drift",
-    "q267_ndcg_eval", "q268_stats_histogram", "q269_hourweek_fingerprint",
-    "q270_stream_dedup_profile", "q271_lead_lag_xcorr",
-    "q272_centroid_silhouette", "q273_seasonal_decompose",
-    "q274_mrr_eval", "q275_rule_confidence", "q276_kanon_audit",
-    "q277_higher_moments", "q278_anova_oneway", "q279_theil_sen",
-    "q280_holt_forecast", "q281_tukey_contrasts", "q282_mann_whitney",
-    "q283_snm_dedup", "q284_binary_hamming_topk", "q285_binary_recall_eval",
-    "q248_cdc_apply", "q249_ab_lift", "q250_gini_concentration",
-    "q251_prune_advisor", "q252_readability", "q253_canonical_dedup",
-    "q254_survival_retention", "q255_effective_rank", "q256_acf",
-    "q257_change_point", "q258_bpe_pair_stats", "q259_fill_latency",
-    "q239_rfm_segmentation", "q242_shortest_paths", "q245_power_iteration",
-    "q89_mmr_rerank",
-    # --- round-10 additions slot here (listed as they are built) ---
-    "q286_roc_curve", "q287_calibration_bins", "q288_kendall_tau",
-    "q289_kruskal_wallis", "q290_brown_forsythe", "q291_spearman_rho",
-    "q292_kcore", "q293_link_prediction", "q294_label_propagation",
+    # --- round-11 head: judge-verified, never driver-graded ---
+    "q294_label_propagation",
     "q295_lexical_diversity", "q296_char_trigram_lm",
     "q297_boilerplate_ngrams", "q298_budget_waterfill",
     "q299_int8_rerank", "q300_map_eval", "q301_snapshot_as_of",
@@ -120,7 +101,7 @@ _PRIORITY = [
     "q313_forecast_eval", "q314_dup_cluster_stats",
     "q315_cache_hit_curve", "q316_cvm_test",
     "q317_fellegi_sunter", "q318_topk_drift", "q319_portable_simhash",
-    # --- r4-stale filler: first 8 grade if <8 round-10 ops above ---
+    # --- r4-stale filler: grades rotate oldest-first ---
     "q112_tpch_q7_shape", "q113_tpch_q11_shape",
     "q114_tpch_q15_shape", "q115_tpch_q2_shape", "q116_tpch_q19_shape",
     "q117_tpch_q21_shape", "q118_tpch_q22_shape", "q119_ngram_decontam",
@@ -201,6 +182,28 @@ _PRIORITY = [
     "q194_range_partition_plan", "q195_session_paths",
     "q196_weighted_length_quartiles", "q197_vector_integrity",
     "q198_purge_audit", "q199_rate_limit", "q50_ingest_pipeline",
+    # --- freshly r10-graded (CORRECTNESS_r10 50/50): back of the
+    #     green tier until their grades go stale ---
+    "q260_ewma_smoothing", "q261_cohort_ltv",
+    "q262_session_threshold_advisor", "q263_spectral_gap",
+    "q264_bloom_join_advisor", "q265_filter_waterfall", "q266_psi_drift",
+    "q267_ndcg_eval", "q268_stats_histogram", "q269_hourweek_fingerprint",
+    "q270_stream_dedup_profile", "q271_lead_lag_xcorr",
+    "q272_centroid_silhouette", "q273_seasonal_decompose",
+    "q274_mrr_eval", "q275_rule_confidence", "q276_kanon_audit",
+    "q277_higher_moments", "q278_anova_oneway", "q279_theil_sen",
+    "q280_holt_forecast", "q281_tukey_contrasts", "q282_mann_whitney",
+    "q283_snm_dedup", "q284_binary_hamming_topk", "q285_binary_recall_eval",
+    "q248_cdc_apply", "q249_ab_lift", "q250_gini_concentration",
+    "q251_prune_advisor", "q252_readability", "q253_canonical_dedup",
+    "q254_survival_retention", "q255_effective_rank", "q256_acf",
+    "q257_change_point", "q258_bpe_pair_stats", "q259_fill_latency",
+    "q239_rfm_segmentation", "q242_shortest_paths", "q245_power_iteration",
+    "q89_mmr_rerank",
+    "q286_roc_curve", "q287_calibration_bins", "q288_kendall_tau",
+    "q289_kruskal_wallis", "q290_brown_forsythe", "q291_spearman_rho",
+    "q292_kcore", "q293_link_prediction",
+    # --- rows-only-by-design tier ---
     "q05_approx_count_distinct", "q61_approx_quantiles", "q46_ann_lsh_topk",
     "q48_chunk_recursive", "q44_minhash_neardup", "q45_simhash_neardup",
     "q47_ann_brp_lsh", "q49_ann_ivf", "q51_minhash_lsh_simjoin",

@@ -1558,9 +1558,11 @@ ORDER BY n_pairs DESC, source_x, source_y
 # then the cluster-size histogram and the removable-doc count
 # (size - 1 per cluster, keep-lowest-id survivorship). Completes the
 # dedup story: pairs (q302) -> sources (q311) -> clusters + savings.
-# Oracle: recursive-CTE transitive min-label on the same pair set.
+# Oracle: recursive-CTE transitive min-label on the same pair set —
+# the EXACT closure, so the Spark side must reach the fixpoint or
+# fail loudly (never exit unconverged with split clusters).
 # ---------------------------------------------------------------------------
-CLUSTER_ROUNDS = 8
+CLUSTER_ROUNDS = 16
 
 
 def q314_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1574,6 +1576,7 @@ def q314_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(CLUSTER_ROUNDS):
         nb_min = (
             edges.join(labels, edges.doc_a == labels.node)
@@ -1598,7 +1601,19 @@ def q314_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = nxt
         if not changed:
+            converged = True
             break
+    if not converged:
+        # The oracle computes the exact transitive closure; an
+        # unconverged propagation would silently split clusters with
+        # diameter > CLUSTER_ROUNDS (plausible in boilerplate-heavy
+        # corpora). Fail loudly instead — same discipline as q288's
+        # assert_true cap.
+        raise RuntimeError(
+            f"q314: min-label propagation did not converge within "
+            f"{CLUSTER_ROUNDS} rounds (pair-graph diameter too large); "
+            f"raise CLUSTER_ROUNDS or switch to pointer-doubling"
+        )
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("size")
     )
@@ -1845,10 +1860,13 @@ Q317_SQL = _fs_sql().format(q302=Q302_SQL)
 # structure (band the signature, candidates share a band, verify exact
 # Hamming) rebuilt on the q302 portable word hash so the WHOLE
 # pipeline is int64 arithmetic with an ANSI-SQL twin — the second
-# rows-only dedup family to gain a hash-graded sibling. 28-bit
+# rows-only dedup family to gain a hash-graded sibling. 56-bit
 # signature: bit j = sign of Σ_words (2*bit_j(word_hash) − 1); bands =
-# 4 x 7 bits, so any pair within Hamming distance 3 shares at least
-# one intact band (pigeonhole-EXACT for d <= 3, like q45). Verify =
+# 8 x 7 bits, so any pair within Hamming distance 3 shares at least
+# one intact band — pigeonhole-exact for d <= 3 UP TO the
+# PMH_BUCKET_CAP drop (a true d<=3 pair whose intact bands all land
+# in oversized buckets is discarded on BOTH engines, so oracle parity
+# holds; see q321's cap-hit counter for observability). Verify =
 # bit_count(xor) <= SIMHASH_D on candidates.
 # Signature width: 56 bits from TWO portable lanes — lane 1 = bits of
 # the word hash, lane 2 = bits of (wh * KNUTH) % P (independent mix,

@@ -3217,14 +3217,32 @@ ORDER BY event_type
 # range-local per bucket pair), then a 25-row aggregate.
 # Strict ordering ties: (ts, event_id) lexicographic, so self-pairs
 # and simultaneous events resolve identically on both engines.
+# In-plan scale guard (q221/q288 discipline): the join is quadratic
+# in the largest user block, so a broadcast assert_true caps the max
+# per-user event count — a whale user fails LOUDLY instead of
+# silently going quadratic; the 100 TB remedy is the documented
+# (user, hour-bucket) range-local join.
 # ---------------------------------------------------------------------------
 SEQ_WINDOW_MIN = 60  # minutes
+SEQ_USER_CAP = 100_000  # max events per user before the pair join degenerates
 
 
 def q303_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
+    guard = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("_g")).agg(
+        F.max("_g").alias("_gmax")
+    )
+    ev = ev.crossJoin(F.broadcast(guard)).where(
+        F.assert_true(
+            F.col("_gmax") <= SEQ_USER_CAP,
+            F.lit(
+                "q303: user event block exceeds pair-join cap — "
+                "use the (user, hour-bucket) range-local rewrite"
+            ),
+        ).isNull()
+    ).drop("_gmax")
     total_users = ev.agg(
         F.countDistinct("user_id").cast("bigint").alias("_u")
     )

@@ -1947,14 +1947,18 @@ def q299_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# nullif/coalesce mirror the Spark-side zero-max guard
+# (_int8_codes: scale null -> codes 0, mx -> 0) so an all-zero
+# embedding quantizes identically in both engines.
 _DUCK_I8 = (
-    "[CAST(floor(CAST({e}.embedding[k] AS DOUBLE) * 127.0"
-    " / list_max(list_transform({e}.embedding,"
-    " x -> abs(CAST(x AS DOUBLE)))) + 0.5) AS BIGINT)"
+    "[coalesce(CAST(floor(CAST({e}.embedding[k] AS DOUBLE) * 127.0"
+    " / nullif(list_max(list_transform({e}.embedding,"
+    " x -> abs(CAST(x AS DOUBLE)))), 0.0) + 0.5) AS BIGINT), 0)"
     f" for k in generate_series(1, {EMB_DIM})]"
 )
 _DUCK_MX = (
-    "list_max(list_transform({e}.embedding, x -> abs(CAST(x AS DOUBLE))))"
+    "coalesce(nullif(list_max(list_transform({e}.embedding,"
+    " x -> abs(CAST(x AS DOUBLE)))), 0.0), 0.0)"
 )
 
 Q299_SQL = f"""
@@ -2169,7 +2173,265 @@ ORDER BY query_id, rn
 """
 
 
+# ---------------------------------------------------------------------------
+# q320 — ENGINE-PORTABLE hyperplane-LSH ANN top-k: the ANN family's
+# first hash-graded member (q46's multiprobe structure rebuilt on the
+# q302/q284 portable-integer playbook). The reference's core operation
+# is ANN retrieval (hnswlib, app.py:73-76; k=13 at app.py:409); q46
+# proves the Spark plan shape but its buckets come from seeded Spark
+# rand(), so only this integer-exact variant can be graded through a
+# second engine.
+# Pipeline: (1) int8-quantize each vector (q299's exact BIGINT codes,
+# zero-max-guarded); (2) ANN_TABLES=2 independent tables of
+# ANN_PLANES=8 signed hyperplanes whose ±1 components are pinned
+# Python-LCG constants embedded verbatim in BOTH the Spark plan and
+# the SQL twin — plane dot products are pure int64 sums, so each
+# 8-bit sign bucket is bit-identical across engines; (3) per table,
+# multiprobe the query's bucket plus every Hamming-1 and Hamming-2
+# neighbor (1+8+28 = 37 probes), candidates = union over tables;
+# (4) exact cosine re-rank with the q26 ranking key
+# (round(cos,4) DESC, vec_id).
+# Scale shape: codes+buckets are scan-side projections (one pass,
+# nothing shuffles); the probe list is a 74-row broadcast; candidates
+# are ~2 * |corpus| * 37/2^8 ≈ 30% of the corpus at 8 planes — at
+# 100 TB raise ANN_PLANES with log2(corpus) so bucket occupancy stays
+# constant and the probed fraction shrinks exponentially, trading
+# recall back via more tables (the L/b Pareto, q46's sweep). Measured
+# (QUALITY.md): planted-cluster recall@13 = 1.000 at 32% scan — the
+# best Pareto point in the ANN family table — and fixture recall 0.77
+# at 30% scan, ABOVE the isotropic recall≈scan bound because int8
+# sign buckets correlate with cosine direction. q321 grades the
+# fixture recall of THIS configuration cross-engine.
+# ---------------------------------------------------------------------------
+ANN_PLANES = 8
+ANN_TABLES = 2
+ANN_PROBE_FLIPS = (
+    [0]
+    + [1 << p for p in range(ANN_PLANES)]
+    + [
+        (1 << a) | (1 << b)
+        for a in range(ANN_PLANES)
+        for b in range(a + 1, ANN_PLANES)
+    ]
+)
+
+
+def _ann_sign_matrices() -> list[list[list[int]]]:
+    """ANN_TABLES matrices of ANN_PLANES x EMB_DIM ±1 hyperplane
+    components from one continuous pinned 64-bit LCG stream — plain
+    Python ints, embedded as literals in both engines (no
+    cross-engine RNG contract needed)."""
+    s = 0x5DEECE66D
+    tables = []
+    for _ in range(ANN_TABLES):
+        mat = []
+        for _ in range(ANN_PLANES):
+            row = []
+            for _ in range(EMB_DIM):
+                s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+                row.append(1 if (s >> 63) & 1 else -1)
+            mat.append(row)
+        tables.append(mat)
+    return tables
+
+
+def _hyperplane_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, tbl, bucket): one 8-bit portable sign bucket per
+    (vector, table) over int8 codes — long form, 2 rows/vector."""
+    codes = _int8_codes(emb).select("vec_id", "code")
+    tables = _ann_sign_matrices()
+
+    def plane_dot(row: list[int]):
+        signs = F.array(*[F.lit(s).cast("bigint") for s in row])
+        return F.aggregate(
+            F.zip_with(F.col("code"), signs, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    def table_bucket(mat: list[list[int]]):
+        bucket = None
+        for p in range(ANN_PLANES):
+            bit = F.when(plane_dot(mat[p]) >= 0, F.lit(1 << p)).otherwise(
+                F.lit(0)
+            )
+            bucket = bit if bucket is None else bucket + bit
+        return bucket.cast("bigint")
+
+    return codes.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[table_bucket(m) for m in tables])
+        ).alias("tbl", "bucket"),
+    )
+
+
+def q320_portable_hyperplane_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucketed = _hyperplane_buckets(emb)
+    probes = (
+        bucketed.where(F.col("vec_id") == BINARY_Q_ID)
+        .select(
+            "tbl",
+            F.explode(
+                F.array(
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(f))
+                        for f in ANN_PROBE_FLIPS
+                    ]
+                )
+            ).alias("probe"),
+        )
+    )
+    cand = (
+        bucketed.where(F.col("vec_id") != BINARY_Q_ID)
+        .join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("probe"))
+            & (bucketed["tbl"] == probes["tbl"]),
+        )
+        .select("vec_id")
+        .dropDuplicates(["vec_id"])
+    )
+    qv = emb.where(F.col("vec_id") == BINARY_Q_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        cand.join(emb, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= K)
+        .orderBy("rn")
+    )
+
+
+def _duck_bucket_expr(mat: list[list[int]]) -> str:
+    parts = []
+    for p, row in enumerate(mat):
+        signs = "[" + ", ".join(str(s) for s in row) + "]"
+        parts.append(
+            f"CASE WHEN list_sum([code[k] * ({signs}[k])"
+            f" for k in generate_series(1, {EMB_DIM})]) >= 0"
+            f" THEN {1 << p} ELSE 0 END"
+        )
+    return " + ".join(parts)
+
+
+def _duck_bucketed_cte() -> str:
+    tables = _ann_sign_matrices()
+    selects = [
+        f"SELECT vec_id, {t} AS tbl,"
+        f" CAST({_duck_bucket_expr(mat)} AS BIGINT) AS bucket FROM codes"
+        for t, mat in enumerate(tables)
+    ]
+    return "\n  UNION ALL\n  ".join(selects)
+
+
+_DUCK_PROBE_FLIPS = ", ".join(str(f) for f in ANN_PROBE_FLIPS)
+
+Q320_CTES = f"""
+codes AS (
+  SELECT vec_id, {_DUCK_I8.format(e='embeddings')} AS code FROM embeddings
+),
+bucketed AS (
+  {_duck_bucketed_cte()}
+),
+probes AS (
+  SELECT tbl, xor(bucket, f.flip) AS probe
+  FROM bucketed, (SELECT unnest([{_DUCK_PROBE_FLIPS}]) AS flip) f
+  WHERE vec_id = {BINARY_Q_ID}
+),
+cand AS (
+  SELECT DISTINCT c.vec_id
+  FROM bucketed c
+  JOIN probes p ON c.tbl = p.tbl AND c.bucket = p.probe
+  WHERE c.vec_id != {BINARY_Q_ID}
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {BINARY_Q_ID}),
+ann AS (
+  SELECT vec_id, cos_sim,
+         CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+              AS BIGINT) AS rn
+  FROM (
+    SELECT c.vec_id,
+           round({_DUCK_QDOT} / ({_DUCK_QNORM} * {_DUCK_BNORM}), 4)
+             AS cos_sim
+    FROM cand c
+    JOIN embeddings b ON b.vec_id = c.vec_id, q
+  )
+)"""
+
+Q320_SQL = f"""
+WITH {Q320_CTES}
+SELECT vec_id, cos_sim, rn FROM ann WHERE rn <= {K} ORDER BY rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# q321 — hyperplane-ANN recall eval, cross-engine graded: overlap of
+# q320's multiprobe top-k with the exact-cosine top-k for the same
+# query (q285's pattern for the binary-code family). Both engines
+# compute identical integer buckets, identical candidate sets, and
+# identical round-4 rankings, so the recall NUMBER itself is
+# hash-graded — the "rows-only recall floor" the other ANN ops carry
+# in QUALITY.md becomes a driver-verified fact for this one.
+# Scale shape: two bounded top-k frames joined on vec_id.
+# ---------------------------------------------------------------------------
+def q321_hyperplane_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ann = q320_portable_hyperplane_ann(spark, sf_dir).select("vec_id")
+    qv = emb.where(F.col("vec_id") == BINARY_Q_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    w = Window.orderBy(F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).desc(), F.col("vec_id"))
+    exact = (
+        emb.where(F.col("vec_id") != BINARY_Q_ID)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= K)
+        .select("vec_id")
+    )
+    return ann.join(exact, "vec_id").agg(
+        F.lit(K).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        (F.count(F.lit(1)) / F.lit(float(K))).alias("recall"),
+    )
+
+
+Q321_SQL = f"""
+WITH {Q320_CTES},
+exact AS (
+  SELECT vec_id
+  FROM (
+    SELECT b.vec_id,
+           row_number() OVER (
+             ORDER BY round({_DUCK_QDOT} / ({_DUCK_QNORM} * {_DUCK_BNORM}), 4)
+                        DESC,
+                      b.vec_id) AS rn
+    FROM embeddings b, q
+    WHERE b.vec_id != {BINARY_Q_ID}
+  ) WHERE rn <= {K}
+)
+SELECT CAST({K} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_common,
+       CAST(count(*) AS DOUBLE) / {float(K)} AS recall
+FROM (SELECT vec_id FROM ann WHERE rn <= {K}) a
+JOIN exact USING (vec_id)
+"""
+
+
 QUERIES = {
+    "q320_portable_hyperplane_ann": q320_portable_hyperplane_ann,
+    "q321_hyperplane_recall_eval": q321_hyperplane_recall_eval,
     "q304_result_diversity": q304_result_diversity,
     "q308_batch_knn": q308_batch_knn,
     "q299_int8_rerank": q299_int8_rerank,
@@ -2197,6 +2459,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q320_portable_hyperplane_ann": Q320_SQL,
+    "q321_hyperplane_recall_eval": Q321_SQL,
     "q299_int8_rerank": Q299_SQL,
     "q304_result_diversity": Q304_SQL,
     "q308_batch_knn": Q308_SQL,
