@@ -123,10 +123,25 @@ def main() -> None:
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
+    # Calibration probe (VERDICT r10 #4): a fixed, data-independent
+    # CPU-bound job runs before every rep; its wall time moves with
+    # host contention, not with repo code, so the recorded JSON
+    # self-labels contended reps — BENCH_r10's 39.4 s headline was a
+    # contention artifact distinguishable only via BASELINE.md prose.
+    # A rep is flagged when its probe exceeds 1.5x the session's best
+    # probe; `contended` is true when any KEPT rep is flagged.
+    def probe() -> float:
+        t0 = time.time()
+        spark.range(0, 30_000_000, 1, 32).selectExpr(
+            "sum(id * 2654435761 % 1000003) AS s"
+        ).write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
     # warmup pass over the FULL set (not recorded): JVM/JIT/codegen,
     # parquet footer caches, and the one-time ANN index fits all land
     # here, so the recorded reps measure steady state and spread_pct
     # reflects genuine run-to-run variance rather than cold-start decay.
+    probe()  # discard: JVM/codegen first-touch
     warmup = {name: run(name) for name in HEADLINE}
 
     # Trim policy (documented in BASELINE.md): run 4 reps, DROP the
@@ -137,13 +152,20 @@ def main() -> None:
     # able to drag the median. All raw rep totals are still reported.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
     per_rep: list[dict[str, float]] = []
+    probe_times: list[float] = []
     for _ in range(reps):
+        probe_times.append(round(probe(), 3))
         per_rep.append({name: run(name) for name in HEADLINE})
 
     rep_totals = [round(sum(r.values()), 3) for r in per_rep]
     kept = list(per_rep)
     if len(kept) >= 3:
         kept.remove(max(kept, key=lambda r: sum(r.values())))
+    probe_best = min(probe_times)
+    contended_reps = [
+        i for i, p in enumerate(probe_times) if p > 1.5 * probe_best
+    ]
+    kept_idx = [i for i, r in enumerate(per_rep) if r in kept]
     times = {
         name: round(statistics.median(r[name] for r in kept), 3)
         for name in HEADLINE
@@ -164,6 +186,9 @@ def main() -> None:
         "spread_pct": round(100.0 * (hi - lo) / lo, 1) if lo else 0.0,
         "raw_spread_pct": round(100.0 * (rhi - rlo) / rlo, 1) if rlo else 0.0,
         "warmup_total": round(sum(warmup.values()), 3),
+        "probe_times": probe_times,
+        "contended_reps": contended_reps,
+        "contended": bool(set(contended_reps) & set(kept_idx)),
     }
     print(json.dumps(out))
     spark.stop()

@@ -1150,13 +1150,13 @@ def _pmh_shingle_sigs(docs: DataFrame) -> DataFrame:
     )
 
 
-def q302_portable_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    shingled = _pmh_shingle_sigs(docs).localCheckpoint()
-    sigs = shingled.select("doc_id", "sigs")
-    bands = sigs.select(
+def _pmh_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, key): the PMH_BANDS banded LSH index rows — the
+    shared Spark-side twin of the ``bands`` CTE in _pmh_base_ctes().
+    q302 self-joins it; q322 probes it incrementally; q323/q324 audit
+    its bucket occupancy."""
+    return sigs.select(
         "doc_id",
-        "sigs",
         F.posexplode(
             F.array(
                 *[
@@ -1170,11 +1170,24 @@ def q302_portable_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "key"),
     ).select("doc_id", "band", "key")
+
+
+def _pmh_kept_bands(bands: DataFrame) -> DataFrame:
+    """Band rows surviving the PMH_BUCKET_CAP drop (both engines apply
+    the same cap, so oracle parity holds; q324 grades what was
+    dropped)."""
     sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
-    kept = bands.join(
+    return bands.join(
         sizes.where(F.col("_n") <= PMH_BUCKET_CAP).select("band", "key"),
         ["band", "key"],
     )
+
+
+def q302_portable_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shingled = _pmh_shingle_sigs(docs).localCheckpoint()
+    sigs = shingled.select("doc_id", "sigs")
+    kept = _pmh_kept_bands(_pmh_bands(sigs))
     a = kept.select("band", "key", F.col("doc_id").alias("doc_a"))
     b = kept.select("band", "key", F.col("doc_id").alias("doc_b"))
     cand = (
@@ -1234,7 +1247,11 @@ def q302_portable_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pmh_sql() -> str:
+def _pmh_base_ctes() -> str:
+    """Shared DuckDB CTE prefix (w -> wh -> sh -> shn -> sigs ->
+    bands) for every query that rides the q302 portable-MinHash chain
+    (q302, q307/q311/q314/q317 via Q302_SQL, q322, q323) — one text,
+    no drift."""
     perms = ", ".join(
         f"list_min(list_transform(shingles, x -> ({a} * x + {b}) % {PMH_P}))"
         for a, b in zip(PMH_A, PMH_B)
@@ -1245,8 +1262,7 @@ def _pmh_sql() -> str:
         f"(acc, x) -> (acc * {PMH_MULT} + x) % {PMH_P})"
         for k in range(PMH_BANDS)
     )
-    return f"""
-WITH w AS (
+    return f"""w AS (
   SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
 ),
 wh AS (
@@ -1277,7 +1293,12 @@ bands AS (
   SELECT doc_id, unnest([{bandkeys}]) AS key,
          unnest(generate_series(0, {PMH_BANDS - 1})) AS band
   FROM sigs
-),
+)"""
+
+
+def _pmh_sql() -> str:
+    return f"""
+WITH {_pmh_base_ctes()},
 kept AS (
   SELECT b.* FROM bands b
   JOIN (SELECT band, key FROM bands GROUP BY band, key
@@ -1317,6 +1338,366 @@ ORDER BY doc_a, doc_b
 
 
 Q302_SQL = _pmh_sql()
+
+
+# ---------------------------------------------------------------------------
+# q322 — INCREMENTAL near-dup against the store: q186's production
+# R11 shape (classify an incoming batch as dup_of_store /
+# dup_in_batch / novel) upgraded from exact-fingerprint equality to
+# q302's verified near-dup semantics. The batch (doc_id % 10 == 7,
+# q186's residue split) probes the persisted band/bucket LSH index of
+# the store — at 100 TB the nightly ingest never rescans the corpus:
+# the index rows are (doc_id, band, key) int64 triples and the exact
+# verify joins the shingle index by candidate id only, so probe cost
+# is O(|batch| * bands + |candidates|), independent of corpus size.
+# tests/test_round11_ops.py persists the store-side index + shingle
+# columns through operators/store.py and re-runs the probe path
+# against the parquet roundtrip, asserting identical classification.
+# Tie-break/classification: dup_of_store wins over dup_in_batch
+# (store is canonical); dup_of = min matching store doc id, else min
+# EARLIER batch doc id (first-occurrence-wins, q186's rule). Batch
+# docs too short to shingle (< W words) can never near-dup -> novel.
+# The PMH_BUCKET_CAP drop applies to combined bucket occupancy on
+# both engines (same rule as q302, so oracle parity holds; q324
+# grades the drop volume).
+# ---------------------------------------------------------------------------
+def _incremental_classify(
+    batch_docs: DataFrame, bands: DataFrame, shingled: DataFrame
+) -> DataFrame:
+    """The q322 probe path, factored so tests can feed the STORE side
+    from a parquet-persisted index (operators/store.py roundtrip)
+    instead of recomputing it — the claim "the nightly batch probes
+    the index, never the corpus" is exercised literally.
+
+    batch_docs: (doc_id) — every incoming doc, shingleable or not.
+    bands:      (doc_id, band, key) — store index rows ∪ batch rows.
+    shingled:   (doc_id, shingles) — shingle index for exact verify.
+    """
+    is_batch = F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_RESIDUE
+    kept = _pmh_kept_bands(bands)
+    kb = kept.where(is_batch)
+    ks = kept.where(~is_batch)
+    probe = kb.select("band", "key", F.col("doc_id").alias("doc"))
+    store_cand = (
+        probe.join(
+            ks.select("band", "key", F.col("doc_id").alias("dup")),
+            ["band", "key"],
+        )
+        .select("doc", "dup")
+        .distinct()
+    )
+    batch_cand = (
+        probe.join(
+            kb.select("band", "key", F.col("doc_id").alias("dup")),
+            ["band", "key"],
+        )
+        .where(F.col("dup") < F.col("doc"))
+        .select("doc", "dup")
+        .distinct()
+    )
+    cand = store_cand.unionByName(batch_cand)
+    ex = shingled.select("doc_id", F.explode("shingles").alias("s"))
+    common = (
+        cand.join(ex.select(F.col("doc_id").alias("doc"), "s"), "doc")
+        .join(ex.select(F.col("doc_id").alias("dup"), "s"), ["dup", "s"])
+        .groupBy("doc", "dup")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    nsz = shingled.select("doc_id", F.size("shingles").alias("nsh"))
+    verified = (
+        common.join(
+            nsz.select(F.col("doc_id").alias("doc"), F.col("nsh").alias("n_a")),
+            "doc",
+        )
+        .join(
+            nsz.select(F.col("doc_id").alias("dup"), F.col("nsh").alias("n_b")),
+            "dup",
+        )
+        .where(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            >= F.lit(PMH_JMIN)
+        )
+    )
+    from_store = F.col("dup") % INCR_BATCH_MOD != INCR_BATCH_RESIDUE
+    agg = verified.groupBy("doc").agg(
+        F.min(F.when(from_store, F.col("dup"))).alias("store_min"),
+        F.min(F.when(~from_store, F.col("dup"))).alias("batch_min"),
+        F.sum(F.when(from_store, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ns"),
+        F.sum(F.when(~from_store, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    status = (
+        F.when(F.col("store_min").isNotNull(), F.lit("dup_of_store"))
+        .when(F.col("batch_min").isNotNull(), F.lit("dup_in_batch"))
+        .otherwise(F.lit("novel"))
+    )
+    return (
+        batch_docs.join(agg, batch_docs["doc_id"] == agg["doc"], "left")
+        .select(
+            "doc_id",
+            status.alias("status"),
+            F.coalesce("store_min", "batch_min")
+            .cast("bigint")
+            .alias("dup_of"),
+            F.coalesce("ns", F.lit(0)).cast("bigint").alias("n_store_matches"),
+            F.coalesce("nb", F.lit(0)).cast("bigint").alias("n_batch_matches"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q322_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    is_batch = F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_RESIDUE
+    shingled = _pmh_shingle_sigs(docs).localCheckpoint()
+    bands = _pmh_bands(shingled.select("doc_id", "sigs"))
+    return _incremental_classify(
+        docs.where(is_batch).select("doc_id"),
+        bands,
+        shingled.select("doc_id", "shingles"),
+    )
+
+
+Q322_SQL = f"""
+WITH {_pmh_base_ctes()},
+kept AS (
+  SELECT b.* FROM bands b
+  JOIN (SELECT band, key FROM bands GROUP BY band, key
+        HAVING count(*) <= {PMH_BUCKET_CAP}) s USING (band, key)
+),
+kb AS (SELECT * FROM kept WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_RESIDUE}),
+ks AS (SELECT * FROM kept WHERE doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_RESIDUE}),
+cand AS (
+  SELECT DISTINCT b.doc_id AS doc, s.doc_id AS dup
+  FROM kb b JOIN ks s USING (band, key)
+  UNION
+  SELECT DISTINCT l.doc_id AS doc, e.doc_id AS dup
+  FROM kb l JOIN kb e USING (band, key)
+  WHERE e.doc_id < l.doc_id
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shn),
+common AS (
+  SELECT c.doc, c.dup, CAST(count(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN ex ea ON ea.doc_id = c.doc
+  JOIN ex eb ON eb.doc_id = c.dup AND eb.s = ea.s
+  GROUP BY c.doc, c.dup
+),
+verified AS (
+  SELECT c.doc, c.dup FROM common c
+  JOIN shn sa ON sa.doc_id = c.doc
+  JOIN shn sb ON sb.doc_id = c.dup
+  WHERE CAST(n_common AS DOUBLE)
+          / CAST(len(sa.shingles) + len(sb.shingles) - n_common AS DOUBLE)
+        >= {PMH_JMIN}
+),
+agg AS (
+  SELECT doc,
+         min(CASE WHEN dup % {INCR_BATCH_MOD} <> {INCR_BATCH_RESIDUE}
+                  THEN dup END) AS store_min,
+         min(CASE WHEN dup % {INCR_BATCH_MOD} = {INCR_BATCH_RESIDUE}
+                  THEN dup END) AS batch_min,
+         count(CASE WHEN dup % {INCR_BATCH_MOD} <> {INCR_BATCH_RESIDUE}
+                    THEN 1 END) AS ns,
+         count(CASE WHEN dup % {INCR_BATCH_MOD} = {INCR_BATCH_RESIDUE}
+                    THEN 1 END) AS nb
+  FROM verified GROUP BY doc
+)
+SELECT d.doc_id,
+       CASE WHEN a.store_min IS NOT NULL THEN 'dup_of_store'
+            WHEN a.batch_min IS NOT NULL THEN 'dup_in_batch'
+            ELSE 'novel' END AS status,
+       CAST(coalesce(a.store_min, a.batch_min) AS BIGINT) AS dup_of,
+       CAST(coalesce(a.ns, 0) AS BIGINT) AS n_store_matches,
+       CAST(coalesce(a.nb, 0) AS BIGINT) AS n_batch_matches
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_RESIDUE}) d
+LEFT JOIN agg a ON a.doc = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q323 — band-index growth readout for the q322 absorb step: after the
+# batch is classified, its band rows are appended to the persisted LSH
+# index; this op grades, per band, what that append does to the index
+# — buckets before, brand-new buckets, grown buckets, max occupancy
+# before/after, and how many buckets the append pushes past
+# PMH_BUCKET_CAP (each of those silently widens the q302/q322
+# candidate drop, so over_cap_after is the number the index compactor
+# alarms on). Scale: ONE groupBy(band, key) with conditional partial
+# sums (map-side combine), then a PMH_BANDS-row rollup; nothing else
+# shuffles, no pairs materialize.
+# ---------------------------------------------------------------------------
+def q323_band_index_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shingled = _pmh_shingle_sigs(docs)
+    bands = _pmh_bands(shingled.select("doc_id", "sigs"))
+    is_batch = F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_RESIDUE
+    per_bucket = bands.groupBy("band", "key").agg(
+        F.sum(F.when(~is_batch, 1).otherwise(0)).alias("n_store"),
+        F.sum(F.when(is_batch, 1).otherwise(0)).alias("n_batch"),
+    )
+    return (
+        per_bucket.groupBy("band")
+        .agg(
+            F.sum(F.when(F.col("n_store") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("buckets_before"),
+            F.sum(
+                F.when((F.col("n_store") == 0) & (F.col("n_batch") > 0), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("new_buckets"),
+            F.sum(
+                F.when((F.col("n_store") > 0) & (F.col("n_batch") > 0), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("grown_buckets"),
+            F.max("n_store").cast("bigint").alias("max_size_before"),
+            F.max(F.col("n_store") + F.col("n_batch"))
+            .cast("bigint")
+            .alias("max_size_after"),
+            F.sum(
+                F.when(
+                    F.col("n_store") + F.col("n_batch") > PMH_BUCKET_CAP, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("over_cap_after"),
+        )
+        .orderBy("band")
+    )
+
+
+Q323_SQL = f"""
+WITH {_pmh_base_ctes()},
+per_bucket AS (
+  SELECT band, key,
+         count(CASE WHEN doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_RESIDUE}
+                    THEN 1 END) AS n_store,
+         count(CASE WHEN doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_RESIDUE}
+                    THEN 1 END) AS n_batch
+  FROM bands GROUP BY band, key
+)
+SELECT band,
+       CAST(count(CASE WHEN n_store > 0 THEN 1 END) AS BIGINT)
+         AS buckets_before,
+       CAST(count(CASE WHEN n_store = 0 AND n_batch > 0 THEN 1 END) AS BIGINT)
+         AS new_buckets,
+       CAST(count(CASE WHEN n_store > 0 AND n_batch > 0 THEN 1 END) AS BIGINT)
+         AS grown_buckets,
+       CAST(max(n_store) AS BIGINT) AS max_size_before,
+       CAST(max(n_store + n_batch) AS BIGINT) AS max_size_after,
+       CAST(count(CASE WHEN n_store + n_batch > {PMH_BUCKET_CAP} THEN 1 END)
+            AS BIGINT) AS over_cap_after
+FROM per_bucket GROUP BY band ORDER BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# q324 — bucket-cap audit: the observability row VERDICT r10 flagged
+# as missing ("silent candidate drop is declared semantics but
+# unobservable"). For BOTH banded LSH families — q302's MinHash bands
+# and q319's SimHash bands — grade exactly what the PMH_BUCKET_CAP
+# drop removes: over-cap buckets, band rows discarded with them, docs
+# whose EVERY band landed in an over-cap bucket (those can never be
+# candidates — the true recall hole), and the max bucket size (how far
+# past the cap the worst key is). One run of this after each corpus
+# build is the "is the cap still sane here" gate; a boilerplate-heavy
+# corpus shows up as docs_all_dropped > 0 long before recall decays.
+# Scale: per family one groupBy(band, key) size agg + one per-doc
+# min/max rollup; no pair or candidate materialization anywhere.
+# ---------------------------------------------------------------------------
+def _cap_audit(bands: DataFrame, family: str) -> DataFrame:
+    sizes = bands.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    bucket_stats = sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.when(F.col("_n") > PMH_BUCKET_CAP, 1).otherwise(0))
+        .cast("bigint")
+        .alias("over_cap_buckets"),
+        F.sum(F.when(F.col("_n") > PMH_BUCKET_CAP, F.col("_n")).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_band_rows"),
+        F.max("_n").cast("bigint").alias("max_bucket_size"),
+    )
+    per_doc = (
+        bands.join(sizes, ["band", "key"])
+        .groupBy("doc_id")
+        .agg(F.min("_n").alias("_best"))
+    )
+    doc_stats = per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("_best") > PMH_BUCKET_CAP, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_all_dropped"),
+    )
+    return bucket_stats.crossJoin(doc_stats).select(
+        F.lit(family).alias("family"),
+        "n_docs",
+        "n_buckets",
+        "over_cap_buckets",
+        "dropped_band_rows",
+        "docs_all_dropped",
+        "max_bucket_size",
+    )
+
+
+def q324_bucket_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mh = _pmh_bands(
+        _pmh_shingle_sigs(docs).select("doc_id", "sigs")
+    )
+    sh = _simhash_bands(_simhash_sigs(docs))
+    return (
+        _cap_audit(mh, "minhash")
+        .unionByName(_cap_audit(sh, "simhash"))
+        .orderBy("family")
+    )
+
+
+def _cap_audit_sql(family: str, with_body: str) -> str:
+    """One family's audit as a standalone parenthesized subquery (its
+    own WITH scope, so the two families' identically-named CTEs never
+    collide in the UNION ALL)."""
+    return f"""(
+  WITH {with_body},
+  sizes AS (
+    SELECT band, key, count(*) AS n FROM bands GROUP BY band, key
+  ),
+  bucket_stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(count(CASE WHEN n > {PMH_BUCKET_CAP} THEN 1 END) AS BIGINT)
+             AS over_cap_buckets,
+           CAST(coalesce(sum(CASE WHEN n > {PMH_BUCKET_CAP} THEN n END), 0)
+                AS BIGINT) AS dropped_band_rows,
+           CAST(max(n) AS BIGINT) AS max_bucket_size
+    FROM sizes
+  ),
+  doc_stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN best > {PMH_BUCKET_CAP} THEN 1 END) AS BIGINT)
+             AS docs_all_dropped
+    FROM (SELECT b.doc_id, min(s.n) AS best
+          FROM bands b JOIN sizes s USING (band, key)
+          GROUP BY b.doc_id)
+  )
+  SELECT '{family}' AS family, n_docs, n_buckets, over_cap_buckets,
+         dropped_band_rows, docs_all_dropped, max_bucket_size
+  FROM bucket_stats, doc_stats
+)"""
+
+
+# Q324_SQL is assembled after _simhash_sql() is defined (end of the
+# q319 section below) — it reuses that chain's CTE text verbatim.
 
 
 # ---------------------------------------------------------------------------
@@ -1674,6 +2055,7 @@ ORDER BY size
 # bounded); truth pairs are small; one 4-row output.
 # ---------------------------------------------------------------------------
 FS_BUCKETS_DIV = 25  # target bucket size ~ |docs| / (|docs|/25) = 25
+FS_BUCKET_CAP = FS_BUCKETS_DIV * 20  # loud guard: 20x the target size
 
 
 def _fs_fields(docs: DataFrame) -> DataFrame:
@@ -1711,10 +2093,38 @@ def q317_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             fb, truth.doc_b == fb.doc_id_b
         )
     )
-    n_docs = docs.count()
-    n_buckets = max(n_docs // FS_BUCKETS_DIV, 1)
-    bucketed = fields.withColumn(
-        "bkt", F.expr(mix_spark("doc_id")) % F.lit(n_buckets)
+    # plan-side sizing (VERDICT r10 #8 — no driver-side count()):
+    # n_buckets = max(|fields| // FS_BUCKETS_DIV, 1) as a 1-row
+    # broadcast, identical to the oracle's nb CTE. The realized max
+    # bucket size then gets a q221-style loud guard: if the doc_id mix
+    # ever degenerated, the u-sample pair join would silently go
+    # quadratic — fail instead.
+    nb = fields.agg(
+        F.greatest(
+            F.floor(F.count(F.lit(1)) / F.lit(FS_BUCKETS_DIV)).cast("bigint"),
+            F.lit(1).cast("bigint"),
+        ).alias("_nb")
+    )
+    bucketed = (
+        fields.crossJoin(F.broadcast(nb))
+        .withColumn("bkt", F.expr(mix_spark("doc_id")) % F.col("_nb"))
+        .drop("_nb")
+    )
+    guard = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("_g")).agg(
+        F.max("_g").alias("_gmax")
+    )
+    bucketed = (
+        bucketed.crossJoin(F.broadcast(guard))
+        .where(
+            F.assert_true(
+                F.col("_gmax") <= FS_BUCKET_CAP,
+                F.lit(
+                    "q317: hash bucket exceeds FS_BUCKET_CAP — "
+                    "doc_id mix degenerated; resize before the pair join"
+                ),
+            ).isNull()
+        )
+        .drop("_gmax")
     )
     ba = bucketed.select(
         F.col("bkt"), *[F.col(c).alias(c + "_a") for c in fields.columns]
@@ -1886,8 +2296,9 @@ SIMHASH_D = 3
 SIMHASH_K2 = 2654435761  # lane-2 multiplier (wh < 2^31 -> product < 2^63)
 
 
-def q319_portable_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+def _simhash_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig): the 56-bit two-lane portable SimHash signature —
+    q319's pair join and q324's cap audit both ride this."""
     words = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
@@ -1915,7 +2326,7 @@ def q319_portable_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes = words.groupBy("doc_id").agg(
         *[_vote(j) for j in range(SIMHASH_BITS)]
     )
-    sig = votes.select(
+    return votes.select(
         "doc_id",
         sum(
             F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
@@ -1923,8 +2334,13 @@ def q319_portable_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("sig"),
-    ).localCheckpoint()
-    bands = sig.select(
+    )
+
+
+def _simhash_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, key): 8 x 7-bit band rows of the q319 signature
+    (the Spark twin of _simhash_sql's ``bands`` CTE)."""
+    return sig.select(
         "doc_id",
         "sig",
         F.posexplode(
@@ -1938,11 +2354,12 @@ def q319_portable_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "key"),
     ).select("doc_id", "band", "key")
-    sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
-    kept = bands.join(
-        sizes.where(F.col("_n") <= PMH_BUCKET_CAP).select("band", "key"),
-        ["band", "key"],
-    )
+
+
+def q319_portable_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = _simhash_sigs(docs).localCheckpoint()
+    kept = _pmh_kept_bands(_simhash_bands(sig))
     a = kept.select("band", "key", F.col("doc_id").alias("doc_a"))
     b = kept.select("band", "key", F.col("doc_id").alias("doc_b"))
     cand = (
@@ -2032,6 +2449,22 @@ ORDER BY doc_a, doc_b
 Q319_SQL = _simhash_sql()
 
 
+def _simhash_band_ctes() -> str:
+    """The q319 CTE chain up to ``bands`` (w -> wh0 -> wh -> votes ->
+    sig -> bands), reused verbatim by q324's simhash audit arm."""
+    head = Q319_SQL.split("\nkept AS (", 1)[0]
+    return head.replace("\nWITH ", "", 1).rstrip().rstrip(",")
+
+
+Q324_SQL = f"""
+SELECT * FROM (
+  SELECT * FROM {_cap_audit_sql("minhash", _pmh_base_ctes())}
+  UNION ALL
+  SELECT * FROM {_cap_audit_sql("simhash", _simhash_band_ctes())}
+) ORDER BY family
+"""
+
+
 QUERIES = {
     "q302_portable_minhash": q302_portable_minhash,
     "q307_blocking_advisor": q307_blocking_advisor,
@@ -2039,6 +2472,9 @@ QUERIES = {
     "q314_dup_cluster_stats": q314_dup_cluster_stats,
     "q317_fellegi_sunter": q317_fellegi_sunter,
     "q319_portable_simhash": q319_portable_simhash,
+    "q322_incremental_neardup": q322_incremental_neardup,
+    "q323_band_index_growth": q323_band_index_growth,
+    "q324_bucket_cap_audit": q324_bucket_cap_audit,
     "q44_minhash_neardup": q44_minhash_neardup,
     "q45_simhash_neardup": q45_simhash_neardup,
     "q76_dedup_clusters": q76_dedup_clusters,
@@ -2058,6 +2494,9 @@ ORACLE: dict[str, str] = {
     "q314_dup_cluster_stats": Q314_SQL,
     "q317_fellegi_sunter": Q317_SQL,
     "q319_portable_simhash": Q319_SQL,
+    "q322_incremental_neardup": Q322_SQL,
+    "q323_band_index_growth": Q323_SQL,
+    "q324_bucket_cap_audit": Q324_SQL,
     "q223_fuzzy_survivorship": Q223_SQL,
     "q253_canonical_dedup": Q253_SQL,
     "q283_snm_dedup": Q283_SQL,

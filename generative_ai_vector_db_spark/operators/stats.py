@@ -215,8 +215,18 @@ ORDER BY bin
 # at sf0.1); at 100 TB the audit runs per source-shard sample, never a
 # global cross of the corpus. Tie counts come from per-value groupBys
 # (linear). tau-b denominator uses exact BIGINT pair counts.
+#
+# Oversize sources degrade GRACEFULLY (VERDICT r10 #3): any source
+# block larger than KENDALL_BLOCK_CAP is deterministically
+# systematic-sampled down to <= cap docs (q60's every-k-th-by-key-rank
+# shape, k = ceil(n/cap)) BEFORE the pair join, so a skewed corpus
+# yields a sampled tau-b instead of an error or a silent quadratic.
+# The sampling rule is mirrored in the SQL twin (oracle parity holds
+# on oversize corpora too); on the fixtures k == 1 everywhere, so the
+# sampled plan is byte-identical to the exact one. The output column
+# ``n`` is the SAMPLED block size by declaration.
 # ---------------------------------------------------------------------------
-KENDALL_BLOCK_CAP = 5000  # pairs-per-source = cap^2/2; sample past it
+KENDALL_BLOCK_CAP = 5000  # pairs-per-source <= cap^2/2; sample past it
 
 
 def q288_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,21 +236,20 @@ def q288_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("x"),
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("y"),
     )
-    # in-plan scale guard (the q221 discipline): the within-source
-    # pair join is quadratic in the largest source block. The cap
-    # keeps that bounded-by-declaration — a skewed-source corpus
-    # fails LOUDLY at execution instead of silently going quadratic;
-    # the documented 100 TB remedy is per-source systematic sampling
-    # down to the cap (q60's shape) before the pair join.
-    guard = docs.groupBy("source").agg(F.count(F.lit(1)).alias("_g")).agg(
-        F.max("_g").alias("_gmax")
+    w_src = Window.partitionBy("source")
+    w_ord = Window.partitionBy("source").orderBy("doc_id")
+    stride = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.ceil(
+            F.count(F.lit(1)).over(w_src)
+            / F.lit(float(KENDALL_BLOCK_CAP))
+        ).cast("bigint"),
     )
-    docs = docs.crossJoin(F.broadcast(guard)).where(
-        F.assert_true(
-            F.col("_gmax") <= KENDALL_BLOCK_CAP,
-            F.lit("q288: source block exceeds pair-join cap — sample first"),
-        ).isNull()
-    ).drop("_gmax")
+    docs = (
+        docs.withColumn("_keep", (F.row_number().over(w_ord) - 1) % stride)
+        .where(F.col("_keep") == 0)
+        .drop("_keep")
+    )
     a, b = docs.alias("a"), docs.alias("b")
     pairs = a.join(
         b,
@@ -288,11 +297,20 @@ def q288_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
-Q288_SQL = """
-WITH d AS (
+Q288_SQL = f"""
+WITH d0 AS (
   SELECT source, doc_id, CAST(n_chars AS BIGINT) AS x,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS y
   FROM documents
+),
+d AS (
+  SELECT source, doc_id, x, y FROM (
+    SELECT d0.*,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+           count(*) OVER (PARTITION BY source) AS nsrc
+    FROM d0)
+  WHERE (rn - 1) % greatest(1, CAST(ceil(CAST(nsrc AS DOUBLE)
+                                         / {KENDALL_BLOCK_CAP}) AS BIGINT)) = 0
 ),
 cd AS (
   SELECT a.source,

@@ -2429,7 +2429,228 @@ JOIN exact USING (vec_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# q325 — ENGINE-PORTABLE IVF ANN top-k: the ANN family's second
+# hash-graded INDEX STRUCTURE (q320 = hyperplane-LSH hash buckets;
+# this = inverted-file cells — the q49/q175 production shape made
+# cross-engine exact). Pivots are IVF_CELLS pinned ±1 vectors from a
+# fresh LCG stream; cell assignment = argmax of the int64 code·pivot
+# dot with first-index tie-break, so every engine computes identical
+# cells from identical integer arithmetic. Probe = the IVF_NPROBE
+# cells closest to the query (qdot DESC, cell ASC), exact round-4
+# cosine re-rank on the float embeddings, k = 13 (app.py:409).
+# Scale shape: assignment is a scan-side projection of 16 integer
+# dots (one pass, no shuffle); the probe list is a 4-row broadcast;
+# candidates ~ nprobe/cells of the corpus. At 100 TB the pivots come
+# from MLlib KMeans (q49) and cells scale ~sqrt(N); THIS op pins them
+# so a second engine can grade candidate generation — same playbook
+# that took MinHash from rows-only (q44) to hash-graded (q302).
+# Measured (QUALITY.md): fixture recall@13 0.62 at 25% scan; planted
+# corpus 1.000. q326 grades the recall number cross-engine.
+# ---------------------------------------------------------------------------
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def _ivf_pivots() -> list[list[int]]:
+    """IVF_CELLS x EMB_DIM pinned ±1 pivot vectors from one continuous
+    LCG stream (seed differs from _ann_sign_matrices, so the two
+    portable indexes are independent)."""
+    s = 0x2545F4914F6CDD1D % (1 << 64)
+    out = []
+    for _ in range(IVF_CELLS):
+        row = []
+        for _ in range(EMB_DIM):
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(1 if (s >> 63) & 1 else -1)
+        out.append(row)
+    return out
+
+
+def _ivf_dots(code_col):
+    """Array of IVF_CELLS int64 dot products code·pivot."""
+    pivots = _ivf_pivots()
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    code_col,
+                    F.array(*[F.lit(s).cast("bigint") for s in row]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            for row in pivots
+        ]
+    )
+
+
+def _ivf_assign(emb: DataFrame) -> DataFrame:
+    """(vec_id, cell): argmax-dot cell with first-index tie-break
+    (array_position returns the FIRST occurrence — both engines)."""
+    codes = _int8_codes(emb).select("vec_id", "code")
+    dots = _ivf_dots(F.col("code"))
+    return codes.select(
+        "vec_id",
+        (F.array_position(dots, F.array_max(dots)) - 1)
+        .cast("bigint")
+        .alias("cell"),
+    )
+
+
+def q325_portable_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = _ivf_assign(emb)
+    qdots = (
+        _int8_codes(emb.where(F.col("vec_id") == BINARY_Q_ID))
+        .select(
+            F.posexplode(_ivf_dots(F.col("code"))).alias("cell", "qdot")
+        )
+    )
+    w = Window.orderBy(F.col("qdot").desc(), "cell")
+    probed = (
+        qdots.withColumn("pr", F.row_number().over(w))
+        .where(F.col("pr") <= IVF_NPROBE)
+        .select(F.col("cell").cast("bigint").alias("cell"))
+    )
+    cand = (
+        assigned.where(F.col("vec_id") != BINARY_Q_ID)
+        .join(F.broadcast(probed), "cell")
+        .select("vec_id")
+    )
+    qv = emb.where(F.col("vec_id") == BINARY_Q_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        cand.join(emb, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wr = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rn") <= K)
+        .orderBy("rn")
+    )
+
+
+def _duck_ivf_dots() -> str:
+    """DuckDB list of the IVF_CELLS integer dot products."""
+    parts = []
+    for row in _ivf_pivots():
+        signs = "[" + ", ".join(str(s) for s in row) + "]"
+        parts.append(
+            f"list_sum([code[k] * ({signs}[k])"
+            f" for k in generate_series(1, {EMB_DIM})])"
+        )
+    return "[" + ", ".join(parts) + "]"
+
+
+Q325_CTES = f"""
+codes AS (
+  SELECT vec_id, {_DUCK_I8.format(e='embeddings')} AS code FROM embeddings
+),
+dots AS (
+  SELECT vec_id, {_duck_ivf_dots()} AS ds FROM codes
+),
+assigned AS (
+  SELECT vec_id, CAST(list_position(ds, list_max(ds)) - 1 AS BIGINT) AS cell
+  FROM dots
+),
+probed AS (
+  SELECT CAST(cell AS BIGINT) AS cell FROM (
+    SELECT u.cell, u.qdot,
+           row_number() OVER (ORDER BY u.qdot DESC, u.cell) AS pr
+    FROM (SELECT unnest(generate_series(0, {IVF_CELLS - 1})) AS cell,
+                 unnest(ds) AS qdot
+          FROM dots WHERE vec_id = {BINARY_Q_ID}) u
+  ) WHERE pr <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT a.vec_id FROM assigned a JOIN probed USING (cell)
+  WHERE a.vec_id != {BINARY_Q_ID}
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {BINARY_Q_ID}),
+ann AS (
+  SELECT vec_id, cos_sim,
+         CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+              AS BIGINT) AS rn
+  FROM (
+    SELECT c.vec_id,
+           round({_DUCK_QDOT} / ({_DUCK_QNORM} * {_DUCK_BNORM}), 4)
+             AS cos_sim
+    FROM cand c
+    JOIN embeddings b ON b.vec_id = c.vec_id, q
+  )
+)"""
+
+Q325_SQL = f"""
+WITH {Q325_CTES}
+SELECT vec_id, cos_sim, rn FROM ann WHERE rn <= {K} ORDER BY rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# q326 — IVF-ANN recall eval, cross-engine graded (q321's pattern for
+# the q325 index): overlap of the IVF top-13 with the exact-cosine
+# top-13 — the recall of the SECOND portable index structure becomes a
+# driver-verified number instead of a QUALITY.md self-claim.
+# ---------------------------------------------------------------------------
+def q326_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ann = q325_portable_ivf_ann(spark, sf_dir).select("vec_id")
+    qv = emb.where(F.col("vec_id") == BINARY_Q_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    w = Window.orderBy(
+        F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).desc(),
+        F.col("vec_id"),
+    )
+    exact = (
+        emb.where(F.col("vec_id") != BINARY_Q_ID)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= K)
+        .select("vec_id")
+    )
+    return ann.join(exact, "vec_id").agg(
+        F.lit(K).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        (F.count(F.lit(1)) / F.lit(float(K))).alias("recall"),
+    )
+
+
+Q326_SQL = f"""
+WITH {Q325_CTES},
+exact AS (
+  SELECT vec_id
+  FROM (
+    SELECT b.vec_id,
+           row_number() OVER (
+             ORDER BY round({_DUCK_QDOT} / ({_DUCK_QNORM} * {_DUCK_BNORM}), 4)
+                        DESC,
+                      b.vec_id) AS rn
+    FROM embeddings b, q
+    WHERE b.vec_id != {BINARY_Q_ID}
+  ) WHERE rn <= {K}
+)
+SELECT CAST({K} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_common,
+       CAST(count(*) AS DOUBLE) / {float(K)} AS recall
+FROM (SELECT vec_id FROM ann WHERE rn <= {K}) a
+JOIN exact USING (vec_id)
+"""
+
+
 QUERIES = {
+    "q325_portable_ivf_ann": q325_portable_ivf_ann,
+    "q326_ivf_recall_eval": q326_ivf_recall_eval,
     "q320_portable_hyperplane_ann": q320_portable_hyperplane_ann,
     "q321_hyperplane_recall_eval": q321_hyperplane_recall_eval,
     "q304_result_diversity": q304_result_diversity,
@@ -2461,6 +2682,8 @@ QUERIES = {
 ORACLE = {
     "q320_portable_hyperplane_ann": Q320_SQL,
     "q321_hyperplane_recall_eval": Q321_SQL,
+    "q325_portable_ivf_ann": Q325_SQL,
+    "q326_ivf_recall_eval": Q326_SQL,
     "q299_int8_rerank": Q299_SQL,
     "q304_result_diversity": Q304_SQL,
     "q308_batch_knn": Q308_SQL,

@@ -1,7 +1,9 @@
 """Round-11 operators: portable hyperplane-LSH ANN (q320/q321),
-incremental near-dup vs the store (q322), LSH cap audit (q323) —
-independent numpy reference recomputations and the quality floors the
-oracle hash checks weakly (planted-corpus recall, probe completeness).
+incremental near-dup vs the persisted store index (q322), band-index
+growth (q323), bucket-cap audit (q324) — independent numpy/pandas
+reference recomputations and the quality floors the oracle hash
+checks weakly (planted-corpus recall, probe completeness, store
+parquet roundtrip).
 """
 
 from __future__ import annotations
@@ -13,8 +15,9 @@ import tempfile
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
-from generative_ai_vector_db_spark.operators import vector
+from generative_ai_vector_db_spark.operators import dedup, store, vector
 from generative_ai_vector_db_spark.sources.synthetic import (
     planted_cluster_frame,
     write_planted_embeddings,
@@ -126,3 +129,218 @@ def test_q321_recall_matches_independent_overlap(spark, sf_dir_t2):
     n_common = len(exact & {ids[i] for i in ann})
     assert int(got["n_common"].iloc[0]) == n_common
     assert got["recall"].iloc[0] == pytest.approx(n_common / vector.K)
+
+# --------------------------------------------------------------------------
+# q322 incremental near-dup vs the persisted store index
+# --------------------------------------------------------------------------
+def test_q322_probe_against_persisted_index_matches_inline(spark, sf_dir_t2):
+    """The production claim: the batch probes a parquet-PERSISTED
+    store index (band rows + shingle index), never the store corpus.
+    Persist the store side through operators/store.py, rebuild only
+    the batch side, and assert the classification is identical to the
+    inline run."""
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir_t2, "documents.parquet"))
+        .select("doc_id", "text")
+    )
+    is_batch = (
+        F.col("doc_id") % dedup.INCR_BATCH_MOD == dedup.INCR_BATCH_RESIDUE
+    )
+    shingled = dedup._pmh_shingle_sigs(docs).localCheckpoint()
+    bands = dedup._pmh_bands(shingled.select("doc_id", "sigs"))
+    d = tempfile.mkdtemp(prefix="incr_idx_")
+    try:
+        # nightly build persists ONLY the store-side index artifacts
+        store.append_vectors(bands.where(~is_batch), os.path.join(d, "bands"))
+        store.append_vectors(
+            shingled.where(~is_batch).select("doc_id", "shingles"),
+            os.path.join(d, "shingles"),
+        )
+        store_bands = store.open_store(spark, os.path.join(d, "bands"))
+        store_shingles = store.open_store(spark, os.path.join(d, "shingles"))
+        batch_bands = bands.where(is_batch)
+        batch_shingles = shingled.where(is_batch).select("doc_id", "shingles")
+        probed = dedup._incremental_classify(
+            docs.where(is_batch).select("doc_id"),
+            store_bands.unionByName(batch_bands),
+            store_shingles.unionByName(batch_shingles),
+        ).toPandas()
+        inline = dedup.q322_incremental_neardup(spark, sf_dir_t2).toPandas()
+        pd.testing.assert_frame_equal(probed, inline)
+        # and the run is non-trivial: every class appears
+        assert set(inline["status"]) == {"dup_of_store", "dup_in_batch", "novel"}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_q322_classification_invariants(spark, sf_dir_t2):
+    got = dedup.q322_incremental_neardup(spark, sf_dir_t2).toPandas()
+    res = dedup.INCR_BATCH_RESIDUE
+    mod = dedup.INCR_BATCH_MOD
+    assert (got["doc_id"] % mod == res).all()
+    novel = got[got["status"] == "novel"]
+    assert novel["dup_of"].isna().all()
+    assert (novel["n_store_matches"] == 0).all()
+    assert (novel["n_batch_matches"] == 0).all()
+    dos = got[got["status"] == "dup_of_store"]
+    assert (dos["dup_of"] % mod != res).all()
+    assert (dos["n_store_matches"] > 0).all()
+    dib = got[got["status"] == "dup_in_batch"]
+    assert (dib["dup_of"] % mod == res).all()
+    assert (dib["dup_of"] < dib["doc_id"]).all()
+    assert (dib["n_store_matches"] == 0).all()
+
+
+def test_q322_agrees_with_q302_truth(spark, sf_dir_t2):
+    """Near-dup pairs q302 finds that straddle the batch/store split
+    must be classified dup_* by q322 (same bands, same cap, same
+    verify threshold)."""
+    pairs = dedup.q302_portable_minhash(spark, sf_dir_t2).toPandas()
+    got = dedup.q322_incremental_neardup(spark, sf_dir_t2).toPandas()
+    res, mod = dedup.INCR_BATCH_RESIDUE, dedup.INCR_BATCH_MOD
+    dup_ids = set(got[got["status"] != "novel"]["doc_id"])
+    for _, r in pairs.iterrows():
+        a, b = int(r["doc_a"]), int(r["doc_b"])
+        for probe, other in ((a, b), (b, a)):
+            if probe % mod != res:
+                continue  # probe not in the batch
+            if other % mod == res and other > probe:
+                continue  # first-occurrence-wins: the LATER doc dups
+            assert probe in dup_ids, (probe, other)
+
+
+# --------------------------------------------------------------------------
+# q323 band-index growth / q324 bucket-cap audit
+# --------------------------------------------------------------------------
+def test_q323_matches_pandas_recount(spark, sf_dir_t2):
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir_t2, "documents.parquet"))
+        .select("doc_id", "text")
+    )
+    bands = dedup._pmh_bands(
+        dedup._pmh_shingle_sigs(docs).select("doc_id", "sigs")
+    ).toPandas()
+    bands["is_batch"] = (
+        bands["doc_id"] % dedup.INCR_BATCH_MOD == dedup.INCR_BATCH_RESIDUE
+    )
+    per = (
+        bands.groupby(["band", "key"])
+        .agg(
+            n_store=("is_batch", lambda s: int((~s).sum())),
+            n_batch=("is_batch", "sum"),
+        )
+        .reset_index()
+    )
+    got = dedup.q323_band_index_growth(spark, sf_dir_t2).toPandas()
+    for _, row in got.iterrows():
+        p = per[per["band"] == row["band"]]
+        assert row["buckets_before"] == int((p["n_store"] > 0).sum())
+        assert row["new_buckets"] == int(
+            ((p["n_store"] == 0) & (p["n_batch"] > 0)).sum()
+        )
+        assert row["grown_buckets"] == int(
+            ((p["n_store"] > 0) & (p["n_batch"] > 0)).sum()
+        )
+        assert row["max_size_before"] == int(p["n_store"].max())
+        assert row["max_size_after"] == int((p["n_store"] + p["n_batch"]).max())
+        assert row["over_cap_after"] == int(
+            ((p["n_store"] + p["n_batch"]) > dedup.PMH_BUCKET_CAP).sum()
+        )
+    assert len(got) == dedup.PMH_BANDS
+
+
+def test_q324_audit_equals_kept_bands_complement(spark, sf_dir_t2):
+    """The observability contract: dropped_band_rows is EXACTLY the
+    complement of _pmh_kept_bands, and docs_all_dropped is exactly the
+    docs missing from the kept set — the audit sees what the cap
+    silently removes from q302/q319 candidate generation."""
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir_t2, "documents.parquet"))
+        .select("doc_id", "text")
+    )
+    got = (
+        dedup.q324_bucket_cap_audit(spark, sf_dir_t2)
+        .toPandas()
+        .set_index("family")
+    )
+    for family, bands in (
+        ("minhash", dedup._pmh_bands(
+            dedup._pmh_shingle_sigs(docs).select("doc_id", "sigs"))),
+        ("simhash", dedup._simhash_bands(dedup._simhash_sigs(docs))),
+    ):
+        bands = bands.localCheckpoint()
+        total_rows = bands.count()
+        total_docs = bands.select("doc_id").distinct().count()
+        kept = dedup._pmh_kept_bands(bands).localCheckpoint()
+        kept_rows = kept.count()
+        kept_docs = kept.select("doc_id").distinct().count()
+        row = got.loc[family]
+        assert row["dropped_band_rows"] == total_rows - kept_rows
+        assert row["docs_all_dropped"] == total_docs - kept_docs
+        assert row["n_docs"] == total_docs
+        assert row["max_bucket_size"] >= 1
+
+
+# --------------------------------------------------------------------------
+# q288 graceful degradation past KENDALL_BLOCK_CAP (VERDICT r10 #3)
+# --------------------------------------------------------------------------
+def test_q288_oversize_source_samples_instead_of_erroring(spark):
+    """A source block larger than the cap no longer asserts — it is
+    systematic-sampled to <= cap docs, and the SQL twin mirrors the
+    sampling rule, so Spark and DuckDB stay row-identical on the
+    oversize corpus too."""
+    import duckdb
+
+    from generative_ai_vector_db_spark.operators import stats
+
+    cap = stats.KENDALL_BLOCK_CAP
+    n_big = cap + 201  # k = 2 -> ceil(n/2) kept
+    rng = np.random.RandomState(7)
+    big = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_big, dtype=np.int64),
+            "source": "big",
+            "n_chars": rng.randint(50, 5000, n_big).astype(np.int64),
+        }
+    )
+    small = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_big, n_big + 10, dtype=np.int64),
+            "source": "small",
+            "n_chars": rng.randint(50, 5000, 10).astype(np.int64),
+        }
+    )
+    pdf = pd.concat([big, small], ignore_index=True)
+    pdf["text"] = [
+        " ".join(["w"] * int(k)) for k in rng.randint(1, 60, len(pdf))
+    ]
+    d = tempfile.mkdtemp(prefix="kendall_big_")
+    try:
+        pdf.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+        got = (
+            stats.q288_kendall_tau(spark, d)
+            .toPandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        # sampled, not errored: big block reduced below the cap
+        n_kept = int(got.set_index("source").loc["big", "n"])
+        assert n_kept == (n_big + 1) // 2
+        assert int(got.set_index("source").loc["small", "n"]) == 10
+        # cross-engine parity on the SAMPLED path
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{os.path.join(d, 'documents.parquet')}'"
+        )
+        want = (
+            con.sql(stats.Q288_SQL)
+            .df()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        for c in ("n", "concordant", "discordant"):
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+        assert np.allclose(got["tau_b"], want["tau_b"], atol=5e-5)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
