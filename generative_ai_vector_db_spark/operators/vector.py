@@ -2445,8 +2445,14 @@ JOIN exact USING (vec_id)
 # from MLlib KMeans (q49) and cells scale ~sqrt(N); THIS op pins them
 # so a second engine can grade candidate generation — same playbook
 # that took MinHash from rows-only (q44) to hash-graded (q302).
-# Measured (QUALITY.md): fixture recall@13 0.62 at 25% scan; planted
-# corpus 1.000. q326 grades the recall number cross-engine.
+# Measured (QUALITY.md): fixture recall@13 0.692 at 28% scan (sf0.01)
+# / 0.462 at 25% scan (sf0.1) — above the isotropic recall~scan bound
+# but below q320 (data-blind ±1 pivots tile the sphere more coarsely
+# than 2x8 hyperplane bits; trained-KMeans pivots close that gap at
+# scale). Planted corpus 12/13 = 0.923 at 32% scan (one cluster
+# member straddles a cell boundary; nprobe=6 recovers it at 44% scan
+# — the classic IVF nprobe/recall dial, swept in the numpy test).
+# q326 grades the recall number cross-engine.
 # ---------------------------------------------------------------------------
 IVF_CELLS = 16
 IVF_NPROBE = 4

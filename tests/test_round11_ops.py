@@ -344,3 +344,110 @@ def test_q288_oversize_source_samples_instead_of_erroring(spark):
         assert np.allclose(got["tau_b"], want["tau_b"], atol=5e-5)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q325 portable IVF ANN / q326 recall eval
+# --------------------------------------------------------------------------
+def _numpy_cells(X: np.ndarray) -> np.ndarray:
+    """Independent recomputation of the argmax-dot cell assignment."""
+    mx = np.abs(X).max(axis=1, keepdims=True)
+    safe = np.where(mx == 0, 1.0, mx)
+    C = np.where(mx == 0, 0.0, np.floor(X * 127.0 / safe + 0.5))
+    P = np.array(vector._ivf_pivots())
+    dots = C @ P.T
+    return dots.argmax(axis=1)  # numpy argmax = first max, same tie-break
+
+
+def test_q325_cells_match_numpy_reference(spark, sf_dir_t2):
+    emb = (
+        spark.read.parquet(os.path.join(sf_dir_t2, "embeddings.parquet"))
+        .select("vec_id", "embedding")
+    )
+    got = (
+        vector._ivf_assign(emb)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pdf = (
+        pd.read_parquet(os.path.join(sf_dir_t2, "embeddings.parquet"))
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.stack(pdf["embedding"].to_numpy()).astype(float)
+    assert (got["cell"].to_numpy() == _numpy_cells(X)).all()
+    # cells are actually load-balancing (no degenerate single cell)
+    assert got["cell"].nunique() > vector.IVF_CELLS // 2
+
+
+def test_q325_planted_recall(spark):
+    """Planted-cluster corpus: 12/13 of the cluster lands in probed
+    cells at nprobe=4 (one member straddles a cell boundary; the numpy
+    sweep shows nprobe=6 recovers it at 44% scan) — the QUALITY.md
+    floor for the portable-IVF config."""
+    d = tempfile.mkdtemp(prefix="plant325_")
+    try:
+        write_planted_embeddings(d)
+        got = vector.q325_portable_ivf_ann(spark, d).toPandas()
+        pdf = planted_cluster_frame()
+        X = np.stack(pdf["embedding"].to_numpy()).astype(float)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = Xn @ Xn[0]
+        sims[0] = -2
+        order = sorted(
+            range(len(sims)), key=lambda i: (-round(sims[i], 4), i)
+        )[: vector.K]
+        recall = len(set(order) & set(got["vec_id"])) / vector.K
+        assert recall >= 12 / 13, recall
+        cells = _numpy_cells(X)
+        qc = cells[0]
+        dots = np.floor(
+            X * 127.0 / np.abs(X).max(axis=1, keepdims=True) + 0.5
+        ) @ np.array(vector._ivf_pivots()).T
+        probe_order = sorted(
+            range(vector.IVF_CELLS), key=lambda c: (-dots[0][c], c)
+        )[: vector.IVF_NPROBE]
+        assert qc in probe_order
+        scanned = np.isin(cells[1:], probe_order).mean()
+        assert scanned < 0.6
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_q326_recall_matches_independent_overlap(spark, sf_dir_t2):
+    got = vector.q326_ivf_recall_eval(spark, sf_dir_t2).toPandas()
+    pdf = (
+        pd.read_parquet(os.path.join(sf_dir_t2, "embeddings.parquet"))
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.stack(pdf["embedding"].to_numpy()).astype(float)
+    ids = pdf["vec_id"].to_numpy()
+    qi = int(np.where(ids == vector.BINARY_Q_ID)[0][0])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ Xn[qi]
+    sims[qi] = -2
+    order = sorted(
+        range(len(sims)), key=lambda i: (-round(sims[i], 4), ids[i])
+    )[: vector.K]
+    exact = set(ids[order])
+    cells = _numpy_cells(X)
+    mx = np.abs(X).max(axis=1, keepdims=True)
+    dots = np.floor(X * 127.0 / np.where(mx == 0, 1, mx) + 0.5) @ np.array(
+        vector._ivf_pivots()
+    ).T
+    probe_order = sorted(
+        range(vector.IVF_CELLS), key=lambda c: (-dots[qi][c], c)
+    )[: vector.IVF_NPROBE]
+    cand_idx = [
+        i
+        for i in range(len(ids))
+        if cells[i] in probe_order and ids[i] != vector.BINARY_Q_ID
+    ]
+    ann = sorted(
+        cand_idx, key=lambda i: (-round(sims[i], 4), ids[i])
+    )[: vector.K]
+    n_common = len(exact & {ids[i] for i in ann})
+    assert int(got["n_common"].iloc[0]) == n_common
+    assert got["recall"].iloc[0] == pytest.approx(n_common / vector.K)
