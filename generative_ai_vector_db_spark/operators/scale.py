@@ -1688,7 +1688,478 @@ ORDER BY cache_size
 """
 
 
+# ---------------------------------------------------------------------------
+# q327 — ENGINE-PORTABLE HyperLogLog: the q05 approx-distinct family's
+# first hash-graded member (q302's playbook applied to SKETCHES — the
+# pinned two-lane mix replaces the engine RNG/hash, so the register
+# state and therefore the ESTIMATE are bit-identical across engines).
+# Flajolet et al.'s HLL with m=256 registers over the 31-bit portable
+# hash AVALANCHED through the 3-round xor-shift finalizer
+# (functions/hashing.py — the linear mix alone is lattice-structured
+# on sequential ids and biased HLL +81%; the finalizer brings max
+# |rel err| to 5% across all nine domain x SF combinations, within
+# the 1.04/sqrt(256) = 6.5% standard error). bucket = h % 256, rho =
+# leading-zero rank of the remaining 23-bit field (1..23, 24 for
+# zero), register = max rho. The harmonic sum is kept EXACT in int64
+# (Σ 2^(24-M_j) plus 2^24 per empty register) so the only double ops
+# are one division + the linear-counting branch, identical both
+# engines. Audits three id domains.
+# Scale: per domain ONE groupBy(bucket) max — 256-row state, the
+# textbook mergeable-sketch shape (partial maxes combine map-side;
+# register arrays from shards union by max at 100 TB).
+# ---------------------------------------------------------------------------
+HLL_M = 256
+HLL_WBITS = 23  # HASH_MOD // 256 < 2^23
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+HLL_NUM = HLL_ALPHA * (HLL_M * HLL_M) * float(1 << (HLL_WBITS + 1))
+HLL_DOMAINS = [
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("events.user_id", "events", "user_id"),
+]
+
+
+def _hll_rho_spark():
+    rho = None
+    for i in range(HLL_WBITS):
+        cond = F.col("w") >= (1 << (HLL_WBITS - 1 - i))
+        rho = F.when(cond, i + 1) if rho is None else rho.when(cond, i + 1)
+    return rho.otherwise(HLL_WBITS + 1)
+
+
+def _hll_rho_duck() -> str:
+    whens = " ".join(
+        f"WHEN w >= {1 << (HLL_WBITS - 1 - i)} THEN {i + 1}"
+        for i in range(HLL_WBITS)
+    )
+    return f"CASE {whens} ELSE {HLL_WBITS + 1} END"
+
+
+def q327_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import avalanche_spark
+
+    outs = []
+    for label, table, key in HLL_DOMAINS:
+        df = load(spark, sf_dir, table).select(key)
+        keyed = df.select(
+            F.expr(avalanche_spark(key)).alias("h")
+        ).select(
+            (F.col("h") % HLL_M).alias("b"),
+            F.expr(f"h div {HLL_M}").alias("w"),
+        )
+        regs = keyed.withColumn("rho", _hll_rho_spark()).groupBy("b").agg(
+            F.max("rho").alias("mr")
+        )
+        st = regs.agg(
+            F.sum(
+                F.expr(
+                    "shiftleft(cast(1 as bigint),"
+                    f" cast({HLL_WBITS + 1} - mr as int))"
+                )
+            ).alias("s"),
+            F.count(F.lit(1)).alias("v"),
+        )
+        z = F.lit(HLL_M) - F.col("v")
+        raw = F.lit(HLL_NUM) / (
+            F.col("s") + z * F.lit(1 << (HLL_WBITS + 1))
+        ).cast("double")
+        est = F.when(
+            (raw <= F.lit(2.5 * HLL_M)) & (z > 0),
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / z.cast("double")),
+        ).otherwise(raw)
+        exact = df.agg(
+            F.countDistinct(key).cast("bigint").alias("exact_distinct")
+        )
+        outs.append(
+            st.crossJoin(exact).select(
+                F.lit(label).alias("domain"),
+                "exact_distinct",
+                F.round(est, 4).alias("hll_est"),
+                F.round(
+                    (est - F.col("exact_distinct"))
+                    / F.col("exact_distinct").cast("double"),
+                    4,
+                ).alias("rel_err"),
+                F.col("v").cast("bigint").alias("registers_used"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("domain")
+
+
+def _hll_sql_one(label: str, table: str, key: str) -> str:
+    from ..functions.hashing import avalanche_duck
+
+    w_full = 1 << (HLL_WBITS + 1)
+    return f"""(
+  WITH keyed AS (
+    SELECT h % {HLL_M} AS b, h // {HLL_M} AS w
+    FROM (SELECT {avalanche_duck(key)} AS h FROM {table})
+  ),
+  regs AS (SELECT b, max({_hll_rho_duck()}) AS mr FROM keyed GROUP BY b),
+  st AS (
+    SELECT sum(CAST(1 AS BIGINT) << ({HLL_WBITS + 1} - mr)) AS s,
+           count(*) AS v
+    FROM regs
+  ),
+  ex AS (SELECT CAST(count(DISTINCT {key}) AS BIGINT) AS exact_distinct
+         FROM {table}),
+  est AS (
+    SELECT v,
+           CASE WHEN raw <= {2.5 * HLL_M} AND ({HLL_M} - v) > 0
+                THEN {float(HLL_M)!r}
+                     * ln({float(HLL_M)!r} / CAST({HLL_M} - v AS DOUBLE))
+                ELSE raw END AS e
+    FROM (SELECT v, {HLL_NUM!r}
+                    / CAST(s + ({HLL_M} - v) * {w_full} AS DOUBLE) AS raw
+          FROM st)
+  )
+  SELECT '{label}' AS domain, exact_distinct,
+         round(e, 4) AS hll_est,
+         round((e - exact_distinct) / CAST(exact_distinct AS DOUBLE), 4)
+           AS rel_err,
+         CAST(v AS BIGINT) AS registers_used
+  FROM est, ex
+)"""
+
+
+Q327_SQL = (
+    "SELECT * FROM (\n"
+    + "\n  UNION ALL\n".join(
+        f"  SELECT * FROM {_hll_sql_one(lbl, t, k)}"
+        for lbl, t, k in HLL_DOMAINS
+    )
+    + "\n) ORDER BY domain"
+)
+
+
+# ---------------------------------------------------------------------------
+# q328 — ENGINE-PORTABLE Count-Min sketch: heavy-hitter count
+# estimation with d=4 pinned salted hash rows x W=512 cells, graded by
+# probing the exact top-10 part keys — overcount = est - exact is the
+# collision mass the sketch adds, and it is NON-NEGATIVE by
+# construction (a free sanity invariant the test asserts). Everything
+# is int64: counters, probes, estimates — both engines hash-identical.
+# Scale: the counter build is ONE groupBy over d*N exploded rows into
+# a d x W = 2048-cell state (partial counts combine map-side —
+# mergeable like q327); the probe side touches d rows per probed key.
+# At 100 TB this replaces exact per-key counts wherever only the heavy
+# tail matters (q221's heavy-hitters without the full shuffle).
+# ---------------------------------------------------------------------------
+CM_ROWS = 4
+CM_WIDTH = 512
+CM_SALT = 104729  # prime row salt; mix_core + 3*salt << 2^63 (no wrap)
+CM_TOPK = 10
+
+
+def _cm_cells_spark(key: str):
+    from ..functions.hashing import HASH_MOD, mix_core_spark
+
+    core = mix_core_spark(key)
+    return F.array(
+        *[
+            F.expr(f"(({core} + {i * CM_SALT}) % {HASH_MOD}) % {CM_WIDTH}")
+            for i in range(CM_ROWS)
+        ]
+    )
+
+
+def q328_portable_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    cells = li.select(
+        F.posexplode(_cm_cells_spark("l_partkey")).alias("r", "cell")
+    )
+    counters = cells.groupBy("r", "cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    exact = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    w = Window.orderBy(F.col("exact_cnt").desc(), "l_partkey")
+    top = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= CM_TOPK)
+        .drop("rn")
+    )
+    probe = top.select(
+        "l_partkey",
+        "exact_cnt",
+        F.posexplode(_cm_cells_spark("l_partkey")).alias("r", "cell"),
+    )
+    est = (
+        probe.join(counters, ["r", "cell"])
+        .groupBy("l_partkey", "exact_cnt")
+        .agg(F.min("c").alias("cm_est"))
+    )
+    return est.select(
+        "l_partkey",
+        "exact_cnt",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_cnt")).alias("overcount"),
+    ).orderBy(F.col("exact_cnt").desc(), "l_partkey")
+
+
+def _cm_cells_duck(key: str) -> str:
+    from ..functions.hashing import HASH_MOD, mix_core_duck
+
+    core = mix_core_duck(key)
+    return (
+        "["
+        + ", ".join(
+            f"(({core} + {i * CM_SALT}) % {HASH_MOD}) % {CM_WIDTH}"
+            for i in range(CM_ROWS)
+        )
+        + "]"
+    )
+
+
+Q328_SQL = f"""
+WITH cells AS (
+  SELECT unnest(generate_series(0, {CM_ROWS - 1})) AS r,
+         unnest({_cm_cells_duck("l_partkey")}) AS cell
+  FROM lineitem
+),
+counters AS (
+  SELECT r, cell, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY r, cell
+),
+exact AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM lineitem GROUP BY l_partkey
+),
+top AS (
+  SELECT l_partkey, exact_cnt FROM (
+    SELECT *, row_number() OVER (ORDER BY exact_cnt DESC, l_partkey) AS rn
+    FROM exact
+  ) WHERE rn <= {CM_TOPK}
+),
+probe AS (
+  SELECT l_partkey, exact_cnt,
+         unnest(generate_series(0, {CM_ROWS - 1})) AS r,
+         unnest({_cm_cells_duck("l_partkey")}) AS cell
+  FROM top
+)
+SELECT p.l_partkey, p.exact_cnt, min(c.c) AS cm_est,
+       min(c.c) - p.exact_cnt AS overcount
+FROM probe p JOIN counters c USING (r, cell)
+GROUP BY p.l_partkey, p.exact_cnt
+ORDER BY p.exact_cnt DESC, p.l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q329 — ENGINE-PORTABLE Bloom filter, SIMULATED (q264 is the analytic
+# advisor; this op actually builds the filter and measures it): k=3
+# pinned salted positions over m=8192 bits, built from the even-order
+# half's custkeys, probed with the odd-order half's. Membership is
+# all-k-positions-set; exact membership via semi-join grades the
+# false-positive count, next to the (1-e^-kn/m)^k-style theoretical
+# rate computed from the REALIZED load (bits_set/m)^k. No false
+# negatives by construction (test-asserted invariant).
+# Scale: the "bit array" is a distinct-position relation (8192-row
+# cap), the probe is a position semi-join — the runtime-filter shape
+# Spark's own bloom pushdown uses, made engine-portable and auditable.
+# ---------------------------------------------------------------------------
+BLOOM_BITS = 8192
+BLOOM_K = 3
+
+
+def _bloom_pos_spark(key: str):
+    from ..functions.hashing import HASH_MOD, mix_core_spark
+
+    core = mix_core_spark(key)
+    return F.array(
+        *[
+            F.expr(f"(({core} + {i * CM_SALT}) % {HASH_MOD}) % {BLOOM_BITS}")
+            for i in range(BLOOM_K)
+        ]
+    )
+
+
+def q329_portable_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    build = (
+        orders.where(F.col("o_orderkey") % 2 == 0)
+        .select("o_custkey")
+        .distinct()
+        .localCheckpoint()
+    )
+    probe = (
+        orders.where(F.col("o_orderkey") % 2 == 1)
+        .select("o_custkey")
+        .distinct()
+        .localCheckpoint()
+    )
+    bits = (
+        build.select(F.explode(_bloom_pos_spark("o_custkey")).alias("pos"))
+        .distinct()
+    )
+    probed = (
+        probe.select(
+            "o_custkey", F.explode(_bloom_pos_spark("o_custkey")).alias("pos")
+        )
+        .join(bits.withColumn("_hit", F.lit(1)), "pos", "left")
+        .groupBy("o_custkey")
+        .agg((F.sum(F.coalesce(F.col("_hit"), F.lit(0))) == BLOOM_K).alias("pos_all"))
+    )
+    member = probe.join(build.withColumn("_m", F.lit(1)), "o_custkey", "left")
+    counts = (
+        probed.join(member, "o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probe"),
+            F.sum(F.col("pos_all").cast("bigint"))
+            .cast("bigint")
+            .alias("bloom_positive"),
+            F.sum(F.coalesce(F.col("_m"), F.lit(0)))
+            .cast("bigint")
+            .alias("true_member"),
+            F.sum(
+                (F.col("pos_all") & F.col("_m").isNull()).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("false_positive"),
+        )
+    )
+    nb = build.agg(F.count(F.lit(1)).cast("bigint").alias("n_build"))
+    bs = bits.agg(F.count(F.lit(1)).cast("bigint").alias("bits_set"))
+    return counts.crossJoin(nb).crossJoin(bs).select(
+        F.lit(BLOOM_BITS).cast("bigint").alias("m_bits"),
+        F.lit(BLOOM_K).cast("bigint").alias("k"),
+        "n_build",
+        "n_probe",
+        "bits_set",
+        "bloom_positive",
+        "true_member",
+        "false_positive",
+        F.round(
+            F.col("false_positive")
+            / (F.col("n_probe") - F.col("true_member")).cast("double"),
+            4,
+        ).alias("fp_rate"),
+        F.round(
+            F.pow(F.col("bits_set").cast("double") / F.lit(float(BLOOM_BITS)),
+                  F.lit(float(BLOOM_K))),
+            4,
+        ).alias("theoretical_fpr"),
+    )
+
+
+def _bloom_pos_duck(key: str) -> str:
+    from ..functions.hashing import HASH_MOD, mix_core_duck
+
+    core = mix_core_duck(key)
+    return (
+        "["
+        + ", ".join(
+            f"(({core} + {i * CM_SALT}) % {HASH_MOD}) % {BLOOM_BITS}"
+            for i in range(BLOOM_K)
+        )
+        + "]"
+    )
+
+
+Q329_SQL = f"""
+WITH build AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+),
+probe AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 1
+),
+bits AS (
+  SELECT DISTINCT unnest({_bloom_pos_duck("o_custkey")}) AS pos FROM build
+),
+probed AS (
+  SELECT pp.o_custkey,
+         count(b.pos) = {BLOOM_K} AS pos_all
+  FROM (SELECT o_custkey, unnest({_bloom_pos_duck("o_custkey")}) AS pos
+        FROM probe) pp
+  LEFT JOIN bits b ON b.pos = pp.pos
+  GROUP BY pp.o_custkey
+),
+member AS (
+  SELECT p.o_custkey, bu.o_custkey IS NOT NULL AS is_member
+  FROM probe p LEFT JOIN build bu USING (o_custkey)
+),
+counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_probe,
+         CAST(count(CASE WHEN pos_all THEN 1 END) AS BIGINT)
+           AS bloom_positive,
+         CAST(count(CASE WHEN is_member THEN 1 END) AS BIGINT)
+           AS true_member,
+         CAST(count(CASE WHEN pos_all AND NOT is_member THEN 1 END)
+              AS BIGINT) AS false_positive
+  FROM probed JOIN member USING (o_custkey)
+)
+SELECT CAST({BLOOM_BITS} AS BIGINT) AS m_bits,
+       CAST({BLOOM_K} AS BIGINT) AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM build) AS n_build,
+       n_probe,
+       (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
+       bloom_positive, true_member, false_positive,
+       round(CAST(false_positive AS DOUBLE)
+             / CAST(n_probe - true_member AS DOUBLE), 4) AS fp_rate,
+       round(pow((SELECT count(*) FROM bits) / {float(BLOOM_BITS)!r},
+                 {float(BLOOM_K)!r}), 4) AS theoretical_fpr
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
+# q330 — deterministic hash-priority stratified sample: per source,
+# the SAMPLE_N docs with the smallest portable-mix priority (doc_id
+# tie-break) — uniform-without-replacement sampling that is
+# reproducible across engines, retries, AND corpus growth (a doc keeps
+# its priority forever, so yesterday's sample is a subset of today's
+# restricted to surviving docs — the property rand()-based sampling
+# cannot give a 100 TB pipeline). q60 is the systematic every-k-th
+# variant; this is the priority-sample variant (Efraimidis-Spirakis
+# with uniform weights, made integer-exact).
+# Scale: one WindowGroupLimit per source — the top-k frame never
+# materializes more than SAMPLE_N rows per group past the scan.
+# ---------------------------------------------------------------------------
+SAMPLE_N = 20
+
+
+def q330_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import mix_spark
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    pri = F.expr(mix_spark("doc_id"))
+    w = Window.partitionBy("source").orderBy(pri.asc(), F.col("doc_id"))
+    return (
+        docs.withColumn("priority", pri.cast("bigint"))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= SAMPLE_N)
+        .select("source", "rn", "doc_id", "priority")
+        .orderBy("source", "rn")
+    )
+
+
+def _q330_sql() -> str:
+    from ..functions.hashing import mix_duck
+
+    return f"""
+SELECT source, rn, doc_id, priority FROM (
+  SELECT source, doc_id,
+         CAST({mix_duck("doc_id")} AS BIGINT) AS priority,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY {mix_duck("doc_id")}, doc_id) AS BIGINT) AS rn
+  FROM documents
+) WHERE rn <= {SAMPLE_N}
+ORDER BY source, rn
+"""
+
+
+Q330_SQL = _q330_sql()
+
+
 QUERIES = {
+    "q327_portable_hll": q327_portable_hll,
+    "q328_portable_countmin": q328_portable_countmin,
+    "q329_portable_bloom": q329_portable_bloom,
+    "q330_priority_sample": q330_priority_sample,
     "q315_cache_hit_curve": q315_cache_hit_curve,
     "q56_salted_agg": q56_salted_agg,
     "q128_zorder_stats": q128_zorder_stats,
@@ -1710,6 +2181,10 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q327_portable_hll": Q327_SQL,
+    "q328_portable_countmin": Q328_SQL,
+    "q329_portable_bloom": Q329_SQL,
+    "q330_priority_sample": Q330_SQL,
     "q315_cache_hit_curve": Q315_SQL,
     "q217_bucketed_join": Q217_SQL,
     "q227_schema_drift": Q227_SQL,

@@ -451,3 +451,118 @@ def test_q326_recall_matches_independent_overlap(spark, sf_dir_t2):
     n_common = len(exact & {ids[i] for i in ann})
     assert int(got["n_common"].iloc[0]) == n_common
     assert got["recall"].iloc[0] == pytest.approx(n_common / vector.K)
+
+
+# --------------------------------------------------------------------------
+# q327-q330 portable sketches (HLL / Count-Min / Bloom / priority sample)
+# --------------------------------------------------------------------------
+def _mix_np(ids: np.ndarray) -> np.ndarray:
+    from generative_ai_vector_db_spark.functions import hashing as H
+
+    ids = ids.astype(np.int64)
+    core = (ids % H.PORTABLE_ID_MOD) * H.KNUTH1 + (
+        (ids // H.PORTABLE_ID_MOD) % H.PORTABLE_ID_MOD
+    ) * H.KNUTH2
+    return core % H.HASH_MOD
+
+
+def _avalanche_np(ids: np.ndarray) -> np.ndarray:
+    from generative_ai_vector_db_spark.functions import hashing as H
+
+    h = _mix_np(ids)
+    for s, k in zip(H.AVA_SHIFTS, H.AVA_MULTS):
+        h = ((h ^ (h >> s)) * k) % H.HASH_MOD
+    return h ^ (h >> 16)
+
+
+def test_q327_hll_matches_numpy_and_error_bound(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import scale
+
+    got = (
+        scale.q327_portable_hll(spark, sf_dir_t2).toPandas().set_index("domain")
+    )
+    for label, table, key in scale.HLL_DOMAINS:
+        pdf = pd.read_parquet(os.path.join(sf_dir_t2, f"{table}.parquet"))
+        h = _avalanche_np(pdf[key].to_numpy())
+        b, w = h % scale.HLL_M, h // scale.HLL_M
+        wb = scale.HLL_WBITS
+        rho = np.where(w == 0, wb + 1, wb - np.floor(np.log2(np.maximum(w, 1))))
+        regs = pd.DataFrame({"b": b, "rho": rho}).groupby("b")["rho"].max()
+        s = int(sum(1 << int(wb + 1 - r) for r in regs))
+        z = scale.HLL_M - len(regs)
+        raw = scale.HLL_NUM / float(s + z * (1 << (wb + 1)))
+        est = (
+            scale.HLL_M * np.log(scale.HLL_M / z)
+            if (raw <= 2.5 * scale.HLL_M and z > 0)
+            else raw
+        )
+        row = got.loc[label]
+        assert row["hll_est"] == pytest.approx(est, abs=1e-3), label
+        exact = pdf[key].nunique()
+        assert row["exact_distinct"] == exact
+        # HLL standard error at m=256 is 1.04/16 = 6.5%; allow 3 sigma
+        assert abs(row["rel_err"]) < 0.20, (label, row["rel_err"])
+        assert row["registers_used"] <= scale.HLL_M
+
+
+def test_q328_countmin_invariants_and_recount(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import scale
+
+    got = scale.q328_portable_countmin(spark, sf_dir_t2).toPandas()
+    assert len(got) == scale.CM_TOPK
+    assert (got["overcount"] >= 0).all()  # CM never undercounts
+    assert (got["cm_est"] == got["exact_cnt"] + got["overcount"]).all()
+    # independent recount for the heaviest key
+    pdf = pd.read_parquet(os.path.join(sf_dir_t2, "lineitem.parquet"))
+    keys = pdf["l_partkey"].to_numpy()
+    from generative_ai_vector_db_spark.functions import hashing as H
+
+    core = (keys.astype(np.int64) % H.PORTABLE_ID_MOD) * H.KNUTH1 + (
+        (keys.astype(np.int64) // H.PORTABLE_ID_MOD) % H.PORTABLE_ID_MOD
+    ) * H.KNUTH2
+    top = got.iloc[0]
+    tk = int(top["l_partkey"])
+    ests = []
+    for i in range(scale.CM_ROWS):
+        cells = ((core + i * scale.CM_SALT) % H.HASH_MOD) % scale.CM_WIDTH
+        tcore = (tk % H.PORTABLE_ID_MOD) * H.KNUTH1 + (
+            (tk // H.PORTABLE_ID_MOD) % H.PORTABLE_ID_MOD
+        ) * H.KNUTH2
+        tcell = ((tcore + i * scale.CM_SALT) % H.HASH_MOD) % scale.CM_WIDTH
+        ests.append(int((cells == tcell).sum()))
+    assert int(top["cm_est"]) == min(ests)
+    assert int(top["exact_cnt"]) == int((keys == tk).sum())
+
+
+def test_q329_bloom_no_false_negatives(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import scale
+
+    got = scale.q329_portable_bloom(spark, sf_dir_t2).toPandas().iloc[0]
+    # every true member passes the filter (no false negatives)
+    assert got["bloom_positive"] == got["true_member"] + got["false_positive"]
+    assert got["bits_set"] <= scale.BLOOM_BITS
+    assert 0 <= got["fp_rate"] <= 1
+    # realized fp rate within 4x of the load-based expectation
+    # (small-sample wobble), and the filter is actually selective
+    assert got["fp_rate"] <= max(4 * got["theoretical_fpr"], 0.05)
+    assert got["false_positive"] < got["n_probe"] - got["true_member"]
+
+
+def test_q330_priority_sample_reproducible_and_uniformish(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import scale
+
+    got = scale.q330_priority_sample(spark, sf_dir_t2).toPandas()
+    pdf = pd.read_parquet(os.path.join(sf_dir_t2, "documents.parquet"))
+    pdf["priority"] = _mix_np(pdf["doc_id"].to_numpy())
+    for src, g in got.groupby("source"):
+        ref = (
+            pdf[pdf["source"] == src]
+            .sort_values(["priority", "doc_id"])
+            .head(scale.SAMPLE_N)
+        )
+        assert list(g.sort_values("rn")["doc_id"]) == list(ref["doc_id"]), src
+    # per-source sample size == min(SAMPLE_N, group size)
+    sizes = pdf.groupby("source").size()
+    want = sizes.clip(upper=scale.SAMPLE_N).sort_index()
+    have = got.groupby("source").size().sort_index()
+    assert (want == have).all()
