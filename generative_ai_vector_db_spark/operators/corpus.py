@@ -1656,7 +1656,79 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# q332 — temperature-scaled mixture weights (the multilingual-LM
+# sampling rule: w_s ∝ tokens_s^τ, τ = 0.7): per source — raw token
+# share, temperature share, and the epoch multiplier temp/raw (how
+# many times a low-resource source is over-sampled relative to
+# proportional). q80 mixes by GIVEN weights and q162 schedules a GIVEN
+# budget; this op COMPUTES the weights those two consume — the third
+# piece of the mixing pipeline. Up-sampled sources (mult > 1) are the
+# dedup-sensitivity set: over-sampling amplifies any dup they contain
+# (cross-ref q183's dup-rate curve).
+# Scale: one narrow agg per source (map-side partial sums); the share
+# normalization is a 1-row broadcast. pow(x, 0.7) only on the
+# |S|-row aggregate, never per document.
+# ---------------------------------------------------------------------------
+MIX_TAU = 0.7
+
+
+def q332_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("double").alias("tot"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_TAU))).alias(
+            "tot_t"
+        ),
+    )
+    raw = F.col("n_tokens") / F.col("tot")
+    temp = F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_TAU)) / F.col(
+        "tot_t"
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(raw, 4).alias("raw_share"),
+            F.round(temp, 4).alias("temp_share"),
+            F.round(temp / raw, 4).alias("epoch_mult"),
+        )
+        .orderBy("source")
+    )
+
+
+Q332_SQL = f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+         sum(pow(CAST(n_tokens AS DOUBLE), {MIX_TAU})) AS tot_t
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / tot, 4) AS raw_share,
+       round(pow(CAST(n_tokens AS DOUBLE), {MIX_TAU}) / tot_t, 4)
+         AS temp_share,
+       round((pow(CAST(n_tokens AS DOUBLE), {MIX_TAU}) / tot_t)
+             / (n_tokens / tot), 4) AS epoch_mult
+FROM per, tot
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "q332_temperature_mixture": q332_temperature_mixture,
     "q297_boilerplate_ngrams": q297_boilerplate_ngrams,
     "q298_budget_waterfill": q298_budget_waterfill,
     "q79_token_packing": q79_token_packing,
@@ -1682,6 +1754,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q332_temperature_mixture": Q332_SQL,
     "q221_heavy_hitters": Q221_SQL,
     "q225_dataset_card": Q225_SQL,
     "q228_quantile_normalize": Q228_SQL,

@@ -1036,7 +1036,63 @@ LIMIT {HITS_TOP}
 Q312_SQL = _hits_sql()
 
 
+# ---------------------------------------------------------------------------
+# q333 — degree assortativity of the co-visitation graph: Pearson
+# correlation of endpoint degrees over the (symmetrized) directed edge
+# list — Newman's r. Positive = hubs attach to hubs (social shape),
+# negative = hub-and-spoke (infrastructure shape); q229's profile
+# reports the degree DISTRIBUTION, this reports how degrees WIRE — the
+# one-number readout that decides whether q292-style k-core peeling or
+# q211-style hub personalization is the right decomposition.
+# Scale: degrees are one groupBy over edges; the corr is a single agg
+# over the edge list with both endpoint degrees joined in (two
+# broadcast-able joins against the |V|-row degree table).
+# ---------------------------------------------------------------------------
+def q333_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _covisit_edges(spark, sf_dir).localCheckpoint()
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    ds = deg.select(F.col("src").alias("s"), F.col("deg").alias("deg_src"))
+    dd = deg.select(F.col("src").alias("d"), F.col("deg").alias("deg_dst"))
+    joined = edges.join(ds, edges.src == ds.s).join(dd, edges.dst == dd.d)
+    return joined.agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+        F.countDistinct(edges.src).cast("bigint").alias("n_nodes"),
+        F.round(
+            F.corr(
+                F.col("deg_src").cast("double"), F.col("deg_dst").cast("double")
+            ),
+            4,
+        ).alias("assortativity"),
+    )
+
+
+Q333_SQL = f"""
+WITH {covisit_kept_cte()},
+pairs AS (
+  SELECT DISTINCT a.user_id AS u_a, b.user_id AS u_b
+  FROM kept a JOIN kept b USING (bucket)
+  WHERE a.user_id < b.user_id
+),
+edges AS (
+  SELECT u_a AS src, u_b AS dst FROM pairs
+  UNION ALL
+  SELECT u_b AS src, u_a AS dst FROM pairs
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src)
+SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT e.src) AS BIGINT) AS n_nodes,
+       round(corr(CAST(ds.deg AS DOUBLE), CAST(dd.deg AS DOUBLE)), 4)
+         AS assortativity
+FROM edges e
+JOIN deg ds ON ds.src = e.src
+JOIN deg dd ON dd.src = e.dst
+"""
+
+
 QUERIES = {
+    "q333_degree_assortativity": q333_degree_assortativity,
     "q193_graph_pagerank": q193_graph_pagerank,
     "q312_hits_bipartite": q312_hits_bipartite,
     "q210_triangle_count": q210_triangle_count,
@@ -1049,6 +1105,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q333_degree_assortativity": Q333_SQL,
     "q193_graph_pagerank": Q193_SQL,
     "q312_hits_bipartite": Q312_SQL,
     "q210_triangle_count": Q210_SQL,

@@ -904,3 +904,74 @@ GROUP BY n, m
 
 QUERIES.update({"q316_cvm_test": q316_cvm_test})
 ORACLE.update({"q316_cvm_test": Q316_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q334 — Neyman optimal sampling allocation: split a fixed audit
+# budget of SAMPLE_BUDGET draws across sources proportionally to
+# N_h * s_h (stratum size x stddev of n_chars) — the variance-minimal
+# design for estimating the corpus mean. Output compares the Neyman
+# share against proportional allocation (the delta column is the
+# budget a proportional design wastes on low-variance strata). q288
+# audits metric agreement per source; this decides how much LOOKING
+# each source deserves. Companion to q330 (which draws a sample;
+# this sizes one) and q332 (mixture weights for training; this is
+# the audit-side allocation).
+# Scale: one stddev_samp agg per source + a 1-row broadcast total;
+# floor() on identical doubles both engines.
+# ---------------------------------------------------------------------------
+SAMPLE_BUDGET = 1000
+
+
+def q334_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("x")
+    )
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.stddev_samp("x").alias("sd"),
+    )
+    tot = per.agg(
+        F.sum(F.col("n_docs") * F.col("sd")).alias("tot_ns"),
+        F.sum("n_docs").cast("double").alias("tot_n"),
+    )
+    ney = (F.col("n_docs") * F.col("sd")) / F.col("tot_ns")
+    prop = F.col("n_docs") / F.col("tot_n")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("sd"), 4).alias("len_sd"),
+            F.round(ney, 4).alias("neyman_share"),
+            F.floor(ney * SAMPLE_BUDGET).cast("bigint").alias("neyman_n"),
+            F.round(ney - prop, 4).alias("delta_vs_proportional"),
+        )
+        .orderBy("source")
+    )
+
+
+Q334_SQL = f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         stddev_samp(CAST(n_chars AS DOUBLE)) AS sd
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT sum(n_docs * sd) AS tot_ns, CAST(sum(n_docs) AS DOUBLE) AS tot_n
+  FROM per
+)
+SELECT source, n_docs,
+       round(sd, 4) AS len_sd,
+       round(n_docs * sd / tot_ns, 4) AS neyman_share,
+       CAST(floor(n_docs * sd / tot_ns * {SAMPLE_BUDGET}) AS BIGINT)
+         AS neyman_n,
+       round(n_docs * sd / tot_ns - n_docs / tot_n, 4)
+         AS delta_vs_proportional
+FROM per, tot
+ORDER BY source
+"""
+
+
+QUERIES.update({"q334_neyman_allocation": q334_neyman_allocation})
+ORACLE.update({"q334_neyman_allocation": Q334_SQL})

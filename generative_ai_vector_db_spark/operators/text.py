@@ -1483,7 +1483,120 @@ LIMIT {TRIGRAM_BOTTOM_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# q331 — pairwise Jensen-Shannon divergence between source token
+# distributions (the symmetric, bounded [0, ln2] companion to q95's
+# per-language KL over lengths): restricted to the global top-50
+# vocabulary with add-half smoothing, so every distribution lives on
+# the SAME bounded support and the pair matrix is exact. The corpus-
+# mixing readout: which sources are interchangeable (low JSD) and
+# which contribute genuinely different text (high JSD) — the input a
+# q80/q162-style mixer needs before setting weights.
+# Scale: token counts are one groupBy; the vocab is a 50-row
+# broadcast; the pair computation is |S|^2 x 50 rows on the bounded
+# source dimension — never scans text twice.
+# ---------------------------------------------------------------------------
+JSD_VOCAB = 50
+JSD_SMOOTH = 0.5
+
+
+def q331_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(JSD_VOCAB)
+        .select("tok")
+    )
+    st = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sources = docs.select("source").distinct()
+    grid = sources.crossJoin(F.broadcast(vocab))
+    filled = grid.join(st, ["source", "tok"], "left").select(
+        "source", "tok", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    totals = filled.groupBy("source").agg(F.sum("c").alias("tot"))
+    probs = filled.join(totals, "source").select(
+        "source",
+        "tok",
+        (
+            (F.col("c") + F.lit(JSD_SMOOTH))
+            / (F.col("tot") + F.lit(JSD_SMOOTH * JSD_VOCAB)).cast("double")
+        ).alias("p"),
+    )
+    a = probs.select(
+        F.col("source").alias("src_a"), "tok", F.col("p").alias("pa")
+    )
+    b = probs.select(
+        F.col("source").alias("src_b"), "tok", F.col("p").alias("pb")
+    )
+    pair_terms = a.join(b, "tok").where(F.col("src_a") < F.col("src_b"))
+    m = (F.col("pa") + F.col("pb")) / 2
+    return (
+        pair_terms.groupBy("src_a", "src_b")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("pa") / 2 * F.log(F.col("pa") / m)
+                    + F.col("pb") / 2 * F.log(F.col("pb") / m)
+                ),
+                4,
+            ).alias("jsd")
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+Q331_SQL = f"""
+WITH toks AS (
+  SELECT source, tok
+  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents)
+  WHERE length(tok) > 0
+),
+vocab AS (
+  SELECT tok FROM toks GROUP BY tok
+  ORDER BY count(*) DESC, tok LIMIT {JSD_VOCAB}
+),
+st AS (
+  SELECT source, tok, count(*) AS c
+  FROM toks JOIN vocab USING (tok)
+  GROUP BY source, tok
+),
+grid AS (
+  SELECT s.source, v.tok
+  FROM (SELECT DISTINCT source FROM documents) s, vocab v
+),
+filled AS (
+  SELECT g.source, g.tok, coalesce(st.c, 0) AS c
+  FROM grid g LEFT JOIN st ON st.source = g.source AND st.tok = g.tok
+),
+totals AS (SELECT source, sum(c) AS tot FROM filled GROUP BY source),
+probs AS (
+  SELECT f.source, f.tok,
+         (f.c + {JSD_SMOOTH}) / CAST(t.tot + {JSD_SMOOTH * JSD_VOCAB}
+                                     AS DOUBLE) AS p
+  FROM filled f JOIN totals t USING (source)
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       round(sum(a.p / 2 * ln(a.p / ((a.p + b.p) / 2))
+                 + b.p / 2 * ln(b.p / ((a.p + b.p) / 2))), 4) AS jsd
+FROM probs a JOIN probs b ON a.tok = b.tok AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY src_a, src_b
+"""
+
+
 QUERIES = {
+    "q331_js_divergence": q331_js_divergence,
     "q295_lexical_diversity": q295_lexical_diversity,
     "q296_char_trigram_lm": q296_char_trigram_lm,
     "q37_lang_id": q37_lang_id,
@@ -1509,6 +1622,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q331_js_divergence": Q331_SQL,
     "q37_lang_id": _q37_sql(),
     "q295_lexical_diversity": Q295_SQL,
     "q296_char_trigram_lm": Q296_SQL,

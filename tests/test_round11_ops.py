@@ -566,3 +566,92 @@ def test_q330_priority_sample_reproducible_and_uniformish(spark, sf_dir_t2):
     want = sizes.clip(upper=scale.SAMPLE_N).sort_index()
     have = got.groupby("source").size().sort_index()
     assert (want == have).all()
+
+
+# --------------------------------------------------------------------------
+# q331-q334 (JSD, temperature mixture, assortativity, Neyman)
+# --------------------------------------------------------------------------
+def test_q331_jsd_matches_pandas_and_bounds(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import text as text_ops
+
+    got = text_ops.q331_js_divergence(spark, sf_dir_t2).toPandas()
+    assert (got["jsd"] >= 0).all()
+    assert (got["jsd"] <= np.log(2) + 1e-9).all()
+    pdf = pd.read_parquet(os.path.join(sf_dir_t2, "documents.parquet"))
+    srcs = sorted(pdf["source"].unique())
+    assert len(got) == len(srcs) * (len(srcs) - 1) // 2
+    # independent recomputation for the first pair
+    toks = pdf.assign(tok=pdf["text"].str.lower().str.split(" ")).explode(
+        "tok"
+    )
+    toks = toks[toks["tok"].str.len() > 0]
+    vc = toks.groupby("tok").size()
+    vocab = list(
+        vc.reset_index(name="n")
+        .sort_values(["n", "tok"], ascending=[False, True])
+        .head(text_ops.JSD_VOCAB)["tok"]
+    )
+    sm, V = text_ops.JSD_SMOOTH, text_ops.JSD_VOCAB
+    sa, sb = got.iloc[0]["src_a"], got.iloc[0]["src_b"]
+
+    def dist(src):
+        c = (
+            toks[(toks["source"] == src) & (toks["tok"].isin(vocab))]
+            .groupby("tok")
+            .size()
+            .reindex(vocab, fill_value=0)
+        )
+        return (c + sm) / (c.sum() + sm * V)
+
+    p, q = dist(sa).to_numpy(), dist(sb).to_numpy()
+    m = (p + q) / 2
+    want = 0.5 * (p * np.log(p / m)).sum() + 0.5 * (q * np.log(q / m)).sum()
+    assert got.iloc[0]["jsd"] == pytest.approx(want, abs=1e-3)
+
+
+def test_q332_temperature_mixture_properties(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import corpus
+
+    got = corpus.q332_temperature_mixture(spark, sf_dir_t2).toPandas()
+    assert got["raw_share"].sum() == pytest.approx(1.0, abs=0.01)
+    assert got["temp_share"].sum() == pytest.approx(1.0, abs=0.01)
+    # temperature flattens: smallest source gains, biggest loses
+    small = got.loc[got["n_tokens"].idxmin()]
+    big = got.loc[got["n_tokens"].idxmax()]
+    if small["n_tokens"] < big["n_tokens"]:
+        assert small["epoch_mult"] >= big["epoch_mult"]
+    # pandas recompute
+    t = got["n_tokens"].to_numpy(dtype=float)
+    want = t**corpus.MIX_TAU / (t**corpus.MIX_TAU).sum()
+    assert np.allclose(got["temp_share"], want, atol=5e-4)
+
+
+def test_q333_assortativity_matches_numpy(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import graph
+
+    got = graph.q333_degree_assortativity(spark, sf_dir_t2).toPandas().iloc[0]
+    edges = graph._covisit_edges(spark, sf_dir_t2).toPandas()
+    deg = edges.groupby("src").size()
+    x = deg.reindex(edges["src"]).to_numpy(dtype=float)
+    y = deg.reindex(edges["dst"]).to_numpy(dtype=float)
+    r = np.corrcoef(x, y)[0, 1]
+    assert got["assortativity"] == pytest.approx(r, abs=1e-3)
+    assert got["n_edges"] == len(edges) // 2
+    assert got["n_nodes"] == edges["src"].nunique()
+    assert -1 <= got["assortativity"] <= 1
+
+
+def test_q334_neyman_matches_pandas(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import stats
+
+    got = stats.q334_neyman_allocation(spark, sf_dir_t2).toPandas()
+    pdf = pd.read_parquet(os.path.join(sf_dir_t2, "documents.parquet"))
+    g = pdf.groupby("source")["n_chars"]
+    ns = g.size() * g.std(ddof=1)
+    share = (ns / ns.sum()).sort_index()
+    have = got.sort_values("source")
+    assert np.allclose(have["neyman_share"], share.to_numpy(), atol=5e-4)
+    assert (have["neyman_n"] <= stats.SAMPLE_BUDGET).all()
+    assert have["neyman_n"].sum() <= stats.SAMPLE_BUDGET
+    # deltas sum to ~0 (both share vectors are normalized)
+    assert have["delta_vs_proportional"].sum() == pytest.approx(0, abs=0.01)
