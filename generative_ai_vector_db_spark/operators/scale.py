@@ -2155,7 +2155,164 @@ ORDER BY source, rn
 Q330_SQL = _q330_sql()
 
 
+# ---------------------------------------------------------------------------
+# q336 — WEIGHTED deterministic priority sample (Efraimidis-Spirakis):
+# q330 samples uniformly; this samples documents proportionally to
+# LENGTH (n_chars) — the shape a token-budgeted eval set wants (a doc
+# twice as long is twice as likely to be drawn). key = ln(u) / w with
+# u = (mix(doc_id)+1) / (HASH_MOD+1) pinned per doc; the global top-N
+# by key DESC is a weighted sample without replacement, reproducible
+# across engines and retries. ln is monotone so the selection equals
+# the textbook u^(1/w) rule, computed overflow-free.
+# Scale: scan-side key projection + ONE TakeOrdered(N) — no shuffle
+# beyond the top-k reduction.
+# ---------------------------------------------------------------------------
+WSAMPLE_N = 50
+
+
+def q336_weighted_priority_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.hashing import HASH_MOD, mix_spark
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u = (F.expr(mix_spark("doc_id")) + 1).cast("double") / F.lit(
+        float(HASH_MOD + 1)
+    )
+    key = F.log(u) / F.col("n_chars").cast("double")
+    w = Window.orderBy(F.col("key").desc(), "doc_id")
+    return (
+        docs.withColumn("key", key)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= WSAMPLE_N)
+        .select(
+            "rn",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.round("key", 8).alias("priority"),
+        )
+        .orderBy("rn")
+    )
+
+
+def _q336_sql() -> str:
+    from ..functions.hashing import HASH_MOD, mix_duck
+
+    u = f"(({mix_duck('doc_id')}) + 1) / {float(HASH_MOD + 1)!r}"
+    return f"""
+SELECT rn, doc_id, n_chars, round(key, 8) AS priority FROM (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         ln({u}) / CAST(n_chars AS DOUBLE) AS key,
+         CAST(row_number() OVER (
+           ORDER BY ln({u}) / CAST(n_chars AS DOUBLE) DESC, doc_id)
+           AS BIGINT) AS rn
+  FROM documents
+) WHERE rn <= {WSAMPLE_N}
+ORDER BY rn
+"""
+
+
+Q336_SQL = _q336_sql()
+
+
+# ---------------------------------------------------------------------------
+# q337 — consistent-hashing rebalance audit: growing the store from 8
+# to 10 shards, what fraction of keys MOVE under (a) mod-N sharding
+# (theory: exactly 4/5 move — a key stays iff k%40 < 8) vs (b)
+# rendezvous/HRW hashing over the avalanched portable hash (theory:
+# only the 2/10 that the new shards win). The q187/q194 planners
+# pick layouts; this op grades the MIGRATION COST of changing one —
+# the number that decides whether a 100 TB store can ever re-shard.
+# Rendezvous owner = argmax over shards of avalanche(key*64 + shard)
+# (first-index tie-break), engine-identical integer argmax.
+# Scale: scan-side owner projections (8 + 10 + 10 hash evals per key,
+# all codegen), one global agg — no shuffle at all.
+# ---------------------------------------------------------------------------
+SHARDS_BEFORE = 8
+SHARDS_AFTER = 10
+
+
+def _rdv_owner_spark(n_shards: int):
+    from ..functions.hashing import avalanche_spark
+
+    hs = F.array(
+        *[
+            F.expr(avalanche_spark(f"(doc_id * 64 + {s})"))
+            for s in range(n_shards)
+        ]
+    )
+    return (F.array_position(hs, F.array_max(hs)) - 1).cast("bigint")
+
+
+def q337_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    flags = docs.select(
+        (F.col("doc_id") % SHARDS_BEFORE != F.col("doc_id") % SHARDS_AFTER)
+        .cast("bigint")
+        .alias("mod_moved"),
+        (
+            _rdv_owner_spark(SHARDS_BEFORE) != _rdv_owner_spark(SHARDS_AFTER)
+        )
+        .cast("bigint")
+        .alias("rdv_moved"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("mod_moved").cast("bigint").alias("mod_moved"),
+        F.round(F.sum("mod_moved") / F.count(F.lit(1)), 4).alias(
+            "mod_moved_frac"
+        ),
+        F.sum("rdv_moved").cast("bigint").alias("rdv_moved"),
+        F.round(F.sum("rdv_moved") / F.count(F.lit(1)), 4).alias(
+            "rdv_moved_frac"
+        ),
+        F.lit((SHARDS_AFTER - SHARDS_BEFORE) / SHARDS_AFTER).alias(
+            "rdv_theoretical_frac"
+        ),
+    )
+
+
+def _rdv_owner_duck(n_shards: int) -> str:
+    from ..functions.hashing import avalanche_duck
+
+    hs = (
+        "["
+        + ", ".join(
+            avalanche_duck(f"(doc_id * 64 + {s})") for s in range(n_shards)
+        )
+        + "]"
+    )
+    return f"CAST(list_position({hs}, list_max({hs})) - 1 AS BIGINT)"
+
+
+def _q337_sql() -> str:
+    return f"""
+WITH flags AS (
+  SELECT CASE WHEN doc_id % {SHARDS_BEFORE} != doc_id % {SHARDS_AFTER}
+              THEN 1 ELSE 0 END AS mod_moved,
+         CASE WHEN {_rdv_owner_duck(SHARDS_BEFORE)}
+                   != {_rdv_owner_duck(SHARDS_AFTER)}
+              THEN 1 ELSE 0 END AS rdv_moved
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(mod_moved) AS BIGINT) AS mod_moved,
+       round(sum(mod_moved) / CAST(count(*) AS DOUBLE), 4)
+         AS mod_moved_frac,
+       CAST(sum(rdv_moved) AS BIGINT) AS rdv_moved,
+       round(sum(rdv_moved) / CAST(count(*) AS DOUBLE), 4)
+         AS rdv_moved_frac,
+       {(SHARDS_AFTER - SHARDS_BEFORE) / SHARDS_AFTER!r} AS rdv_theoretical_frac
+FROM flags
+"""
+
+
+Q337_SQL = _q337_sql()
+
+
 QUERIES = {
+    "q336_weighted_priority_sample": q336_weighted_priority_sample,
+    "q337_rebalance_audit": q337_rebalance_audit,
     "q327_portable_hll": q327_portable_hll,
     "q328_portable_countmin": q328_portable_countmin,
     "q329_portable_bloom": q329_portable_bloom,
@@ -2181,6 +2338,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q336_weighted_priority_sample": Q336_SQL,
+    "q337_rebalance_audit": Q337_SQL,
     "q327_portable_hll": Q327_SQL,
     "q328_portable_countmin": Q328_SQL,
     "q329_portable_bloom": Q329_SQL,

@@ -515,7 +515,135 @@ ORDER BY snap_day
 """
 
 
+# ---------------------------------------------------------------------------
+# q335 — exactly-once replay audit: apply the q248 CDC log once, then
+# apply it DUPLICATED (at-least-once delivery: every change arrives
+# twice), and grade that the keyed last-writer-wins merge converges to
+# the identical snapshot — diff_rows == 0 and equal portable
+# checksums. This is the property a 100 TB ingest relies on when a
+# task retry or a Kafka redelivery replays a batch: the sink merge
+# must be idempotent BY CONSTRUCTION (deterministic (ts, event_id)
+# tie-break), and this op measures it instead of asserting it.
+# Scale: two per-key window reductions + one full outer join on the
+# key — all partition-local after one shuffle each; the checksum is a
+# sum of portable mixes (order-free, map-side combinable).
+# ---------------------------------------------------------------------------
+def _cdc_snapshot(log: DataFrame) -> DataFrame:
+    """Last-writer-wins snapshot of a (user_id, ts, event_id, op,
+    value) change log — q248's reduction, reusable for replays."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .where(F.col("op") == "U")
+    )
+    return last.select(
+        "user_id", F.round("value", 4).alias("final_value")
+    )
+
+
+def q335_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import mix_spark
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    once = _cdc_snapshot(ev)
+    twice = _cdc_snapshot(ev.unionAll(ev))
+    cksum = F.sum(
+        F.expr(
+            mix_spark(
+                "user_id * 31 + cast(round(final_value * 10000) as bigint)"
+            )
+        )
+    ).cast("bigint")
+    c1 = once.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys_once"),
+        cksum.alias("checksum_once"),
+    )
+    c2 = twice.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys_twice"),
+        cksum.alias("checksum_twice"),
+    )
+    o = once.select("user_id", F.col("final_value").alias("v1"))
+    t = twice.select("user_id", F.col("final_value").alias("v2"))
+    diff = (
+        o.join(t, "user_id", "full_outer")
+        .where(
+            F.col("v1").isNull()
+            | F.col("v2").isNull()
+            | (F.col("v1") != F.col("v2"))
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("diff_rows"))
+    )
+    return (
+        c1.crossJoin(c2)
+        .crossJoin(diff)
+        .select(
+            "n_keys_once",
+            "n_keys_twice",
+            "diff_rows",
+            (F.col("checksum_once") == F.col("checksum_twice")).alias(
+                "checksum_match"
+            ),
+        )
+    )
+
+
+def _q335_sql() -> str:
+    from ..functions.hashing import mix_duck
+
+    cks = mix_duck(
+        "user_id * 31 + CAST(round(final_value * 10000) AS BIGINT)"
+    )
+    return f"""
+WITH log AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+log2 AS (SELECT * FROM log UNION ALL SELECT * FROM log),
+once AS (
+  SELECT user_id, round(value, 4) AS final_value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM log
+  ) WHERE rn = 1 AND op = 'U'
+),
+twice AS (
+  SELECT user_id, round(value, 4) AS final_value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM log2
+  ) WHERE rn = 1 AND op = 'U'
+),
+c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_once,
+              CAST(sum({cks}) AS BIGINT) AS checksum_once FROM once),
+c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_twice,
+              CAST(sum({cks}) AS BIGINT) AS checksum_twice FROM twice),
+d AS (
+  SELECT CAST(count(*) AS BIGINT) AS diff_rows
+  FROM (SELECT user_id, final_value AS v1 FROM once) o
+  FULL OUTER JOIN (SELECT user_id, final_value AS v2 FROM twice) t
+    USING (user_id)
+  WHERE v1 IS NULL OR v2 IS NULL OR v1 != v2
+)
+SELECT n_keys_once, n_keys_twice, diff_rows,
+       checksum_once = checksum_twice AS checksum_match
+FROM c1, c2, d
+"""
+
+
+Q335_SQL = _q335_sql()
+
+
 QUERIES = {
+    "q335_idempotent_replay": q335_idempotent_replay,
     "q301_snapshot_as_of": q301_snapshot_as_of,
     "q52_delete_by_source": q52_delete_by_source,
     "q123_store_upsert": q123_store_upsert,
@@ -525,6 +653,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q335_idempotent_replay": Q335_SQL,
     "q301_snapshot_as_of": Q301_SQL,
     "q52_delete_by_source": Q52_SQL,
     "q123_store_upsert": Q123_SQL,

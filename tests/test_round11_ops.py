@@ -655,3 +655,48 @@ def test_q334_neyman_matches_pandas(spark, sf_dir_t2):
     assert have["neyman_n"].sum() <= stats.SAMPLE_BUDGET
     # deltas sum to ~0 (both share vectors are normalized)
     assert have["delta_vs_proportional"].sum() == pytest.approx(0, abs=0.01)
+
+
+# --------------------------------------------------------------------------
+# q335-q337 (idempotent replay, weighted sample, rebalance audit)
+# --------------------------------------------------------------------------
+def test_q335_replay_is_idempotent(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import store as store_ops
+
+    got = store_ops.q335_idempotent_replay(spark, sf_dir_t2).toPandas().iloc[0]
+    assert got["diff_rows"] == 0
+    assert got["n_keys_once"] == got["n_keys_twice"] > 0
+    assert bool(got["checksum_match"])
+
+
+def test_q336_weighted_sample_matches_pandas_and_favors_long_docs(
+    spark, sf_dir_t2
+):
+    from generative_ai_vector_db_spark.functions import hashing as H
+    from generative_ai_vector_db_spark.operators import scale
+
+    got = scale.q336_weighted_priority_sample(spark, sf_dir_t2).toPandas()
+    pdf = pd.read_parquet(os.path.join(sf_dir_t2, "documents.parquet"))
+    u = (_mix_np(pdf["doc_id"].to_numpy()) + 1) / float(H.HASH_MOD + 1)
+    pdf = pdf.assign(key=np.log(u) / pdf["n_chars"].to_numpy())
+    want = pdf.sort_values(["key", "doc_id"], ascending=[False, True]).head(
+        scale.WSAMPLE_N
+    )
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    # weighted: sampled docs skew long vs the corpus median
+    assert got["n_chars"].median() > pdf["n_chars"].median()
+
+
+def test_q337_rebalance_fractions(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import scale
+
+    got = scale.q337_rebalance_audit(spark, sf_dir_t2).toPandas().iloc[0]
+    # mod-N resharding moves ~4/5 of keys (stay iff k%40 < 8)...
+    assert got["mod_moved_frac"] == pytest.approx(0.8, abs=0.02)
+    # ...rendezvous moves ~ the 2/10 the new shards win (3 sigma slack)
+    n = got["n_keys"]
+    sigma = np.sqrt(0.2 * 0.8 / n)
+    assert abs(got["rdv_moved_frac"] - 0.2) < 4 * sigma + 0.01, got[
+        "rdv_moved_frac"
+    ]
+    assert got["rdv_theoretical_frac"] == pytest.approx(0.2)
