@@ -1701,6 +1701,116 @@ def _cap_audit_sql(family: str, with_body: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# q338 — shingle CONTAINMENT pairs (asymmetric near-dup): Jaccard is
+# symmetric, so a short doc fully embedded in a long one (quote,
+# syndicated excerpt, template wrapper) scores LOW and q302 misses it
+# — AND MinHash banding structurally cannot generate the candidate
+# (for B ⊆ A with |B| = 0.3|A|, J ~ 0.3, a 4-row band agrees with
+# p ~ J^4 < 1%; the planted-corpus test demonstrates the miss).
+# Candidate generation here is the containment-appropriate one: a
+# RARE-SHINGLE inverted index — pairs sharing any shingle with
+# document frequency <= PMH_BUCKET_CAP. A contained doc shares ALL its
+# shingles with its container, so the pair fires on every rare shingle
+# it has; over-common shingles (boilerplate n-grams, df > cap) carry
+# no discrimination and are dropped, exactly the q302 bucket-cap
+# declaration. Verify = exact containments + Jaccard from the shingle
+# index; gate = max(C_a, C_b) >= 0.6. Rows with high containment but
+# jaccard < 0.5 are the subset tier ONLY this operator finds.
+# Scale: posting-list self-join bounded by cap x total postings (the
+# q236 inverted-index shape); candidates are id-pairs only; verify
+# joins the shingle index by id.
+# ---------------------------------------------------------------------------
+CONTAIN_MIN = 0.6
+
+
+def q338_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shingled = _pmh_shingle_sigs(docs).localCheckpoint()
+    ex = shingled.select("doc_id", F.explode("shingles").alias("s"))
+    rare = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= PMH_BUCKET_CAP)
+        .select("s")
+    )
+    exr = ex.join(rare, "s")
+    cand = (
+        exr.select("s", F.col("doc_id").alias("doc_a"))
+        .join(exr.select("s", F.col("doc_id").alias("doc_b")), "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    common = (
+        cand.join(ex.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(ex.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    nsz = shingled.select("doc_id", F.size("shingles").alias("nsh"))
+    joined = common.join(
+        nsz.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("n_a")),
+        "doc_a",
+    ).join(
+        nsz.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("n_b")),
+        "doc_b",
+    )
+    c_a = F.col("n_common").cast("double") / F.col("n_a").cast("double")
+    c_b = F.col("n_common").cast("double") / F.col("n_b").cast("double")
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 4).alias("jaccard"),
+            F.round(c_a, 4).alias("containment_a"),
+            F.round(c_b, 4).alias("containment_b"),
+        )
+        .where(F.greatest(c_a, c_b) >= F.lit(CONTAIN_MIN))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+Q338_SQL = f"""
+WITH {_pmh_base_ctes()},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shn),
+rare AS (
+  SELECT s FROM ex GROUP BY s HAVING count(*) <= {PMH_BUCKET_CAP}
+),
+exr AS (SELECT doc_id, s FROM ex JOIN rare USING (s)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM exr a JOIN exr b USING (s)
+  WHERE a.doc_id < b.doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN ex ea ON ea.doc_id = c.doc_a
+  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(n_common AS DOUBLE)
+             / CAST(len(sa.shingles) + len(sb.shingles) - n_common AS DOUBLE),
+             4) AS jaccard,
+       round(CAST(n_common AS DOUBLE) / CAST(len(sa.shingles) AS DOUBLE), 4)
+         AS containment_a,
+       round(CAST(n_common AS DOUBLE) / CAST(len(sb.shingles) AS DOUBLE), 4)
+         AS containment_b
+FROM common c
+JOIN shn sa ON sa.doc_id = c.doc_a
+JOIN shn sb ON sb.doc_id = c.doc_b
+WHERE greatest(CAST(n_common AS DOUBLE) / CAST(len(sa.shingles) AS DOUBLE),
+               CAST(n_common AS DOUBLE) / CAST(len(sb.shingles) AS DOUBLE))
+      >= {CONTAIN_MIN}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # q307 — blocking-strategy advisor: before running any pairwise dedup
 # at 100 TB you pick a blocking key; this op SCORES three cheap
 # candidate schemes against the NEAR-DUP ground truth q302's verified
@@ -2465,6 +2575,63 @@ SELECT * FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# q339 — near-dup family agreement eval, cross-engine graded: q319's
+# SimHash pair set measured against q302's verified-Jaccard truth —
+# QUALITY.md's "23/25 of the truth" row becomes a driver-verified
+# NUMBER (the q321/q326 trick applied to the dedup family). Both pair
+# chains run in isolated WITH scopes (the q324 pattern); precision is
+# "SimHash pairs confirmed by Jaccard truth", recall is "truth pairs
+# SimHash finds" — the two dials a 100 TB pipeline tunes banding
+# against before committing to the cheaper one-aggregate signature.
+# ---------------------------------------------------------------------------
+def q339_neardup_family_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = q302_portable_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    sim = q319_portable_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    n_t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    n_s = sim.agg(F.count(F.lit(1)).cast("bigint").alias("n_simhash"))
+    n_c = truth.join(sim, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    return (
+        n_t.crossJoin(n_s)
+        .crossJoin(n_c)
+        .select(
+            "n_truth",
+            "n_simhash",
+            "n_common",
+            F.round(
+                F.col("n_common") / F.col("n_simhash").cast("double"), 4
+            ).alias("precision_vs_truth"),
+            F.round(
+                F.col("n_common") / F.col("n_truth").cast("double"), 4
+            ).alias("recall_of_truth"),
+        )
+    )
+
+
+Q339_SQL = f"""
+WITH truth AS (
+  SELECT doc_a, doc_b FROM ({Q302_SQL}) q302
+),
+sim AS (
+  SELECT doc_a, doc_b FROM ({Q319_SQL}) q319
+),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_common
+  FROM truth JOIN sim USING (doc_a, doc_b)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+       (SELECT CAST(count(*) AS BIGINT) FROM sim) AS n_simhash,
+       n_common,
+       round(n_common / CAST((SELECT count(*) FROM sim) AS DOUBLE), 4)
+         AS precision_vs_truth,
+       round(n_common / CAST((SELECT count(*) FROM truth) AS DOUBLE), 4)
+         AS recall_of_truth
+FROM c
+"""
+
+
 QUERIES = {
     "q302_portable_minhash": q302_portable_minhash,
     "q307_blocking_advisor": q307_blocking_advisor,
@@ -2475,6 +2642,8 @@ QUERIES = {
     "q322_incremental_neardup": q322_incremental_neardup,
     "q323_band_index_growth": q323_band_index_growth,
     "q324_bucket_cap_audit": q324_bucket_cap_audit,
+    "q338_containment_pairs": q338_containment_pairs,
+    "q339_neardup_family_eval": q339_neardup_family_eval,
     "q44_minhash_neardup": q44_minhash_neardup,
     "q45_simhash_neardup": q45_simhash_neardup,
     "q76_dedup_clusters": q76_dedup_clusters,
@@ -2497,6 +2666,8 @@ ORACLE: dict[str, str] = {
     "q322_incremental_neardup": Q322_SQL,
     "q323_band_index_growth": Q323_SQL,
     "q324_bucket_cap_audit": Q324_SQL,
+    "q338_containment_pairs": Q338_SQL,
+    "q339_neardup_family_eval": Q339_SQL,
     "q223_fuzzy_survivorship": Q223_SQL,
     "q253_canonical_dedup": Q253_SQL,
     "q283_snm_dedup": Q283_SQL,

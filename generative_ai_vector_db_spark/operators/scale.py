@@ -2225,8 +2225,10 @@ Q336_SQL = _q336_sql()
 # the number that decides whether a 100 TB store can ever re-shard.
 # Rendezvous owner = argmax over shards of avalanche(key*64 + shard)
 # (first-index tie-break), engine-identical integer argmax.
-# Scale: scan-side owner projections (8 + 10 + 10 hash evals per key,
-# all codegen), one global agg — no shuffle at all.
+# Scale: scan-side owner projections (8 + 10 hash evals per key, all
+# codegen), one global agg — the only exchange is the 1-row
+# SinglePartition partial-aggregate merge (plan-asserted), never a
+# row-scale key shuffle.
 # ---------------------------------------------------------------------------
 SHARDS_BEFORE = 8
 SHARDS_AFTER = 10

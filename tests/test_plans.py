@@ -1075,3 +1075,64 @@ def test_q308_batch_knn_partitioned_window(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     # query frame broadcast: corpus scanned once for all queries
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------------------
+# round-11 operators: plan shapes for the new portable index/sketch ops
+# --------------------------------------------------------------------------
+def test_q320_q325_probe_lists_broadcast(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import vector as v
+
+    for fn in (v.q320_portable_hyperplane_ann, v.q325_portable_ivf_ann):
+        plan = plan_of(fn(spark, sf_dir))
+        # the probe list (74 rows / 4 rows) broadcasts; the corpus side
+        # is never shuffled for the candidate join
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        # exact re-rank stays a bounded top-k frame
+        assert "WindowGroupLimit" in plan or "TakeOrdered" in plan
+
+
+def test_q327_hll_partial_aggregation(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import scale
+
+    plan = plan_of(scale.q327_portable_hll(spark, sf_dir))
+    # register build partial-combines map-side: partial + final pairs
+    assert plan.count("HashAggregate") >= 2
+    # and the register state that shuffles is the bucket domain, not rows
+    assert "b#" in plan or "hashpartitioning" in plan
+
+
+def test_q330_priority_sample_group_limit(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import scale
+
+    plan = plan_of(scale.q330_priority_sample(spark, sf_dir))
+    assert "WindowGroupLimit" in plan  # per-source top-20 below exchange
+
+
+def test_q337_rebalance_no_row_shuffle(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import scale
+
+    plan = plan_of(scale.q337_rebalance_audit(spark, sf_dir))
+    # owners are scan-side projections; the only exchange is the 1-row
+    # partial-aggregate merge (SinglePartition), never a row-scale key
+    # shuffle
+    import re as _re
+
+    exchanges = _re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "SinglePartition" for e in exchanges), exchanges
+
+
+def test_q322_shingle_stage_is_arrow(spark, sf_dir):
+    """The q322 probe rides the q302 portable hash chain, which must
+    run as ONE Arrow stage, not interpreted HOFs. (q322 itself
+    localCheckpoints that stage, so the downstream plan shows the
+    materialized scan — assert on the stage plan itself.)"""
+    import os as _os
+
+    from generative_ai_vector_db_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(
+        _os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    plan = plan_of(dd._pmh_shingle_sigs(docs))
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan

@@ -700,3 +700,68 @@ def test_q337_rebalance_fractions(spark, sf_dir_t2):
         "rdv_moved_frac"
     ]
     assert got["rdv_theoretical_frac"] == pytest.approx(0.2)
+
+
+# --------------------------------------------------------------------------
+# q338/q339 (containment pairs, near-dup family eval)
+# --------------------------------------------------------------------------
+def test_q338_containment_invariants_and_subset_tier(spark, sf_dir_t2):
+    got = dedup.q338_containment_pairs(spark, sf_dir_t2).toPandas()
+    assert (got["containment_a"] <= 1.0 + 1e-9).all()
+    assert (got["containment_b"] <= 1.0 + 1e-9).all()
+    # jaccard <= min(containment): |A∩B|/|A∪B| <= |A∩B|/max(|A|,|B|)
+    assert (
+        got["jaccard"]
+        <= got[["containment_a", "containment_b"]].min(axis=1) + 1e-6
+    ).all()
+    # every q302 pair (jaccard >= 0.5) also passes the containment gate
+    truth = dedup.q302_portable_minhash(spark, sf_dir_t2).toPandas()
+    t = set(zip(truth["doc_a"], truth["doc_b"]))
+    g = set(zip(got["doc_a"], got["doc_b"]))
+    assert t <= g
+
+
+def test_q338_finds_planted_subset_dup_that_jaccard_misses(spark):
+    """The operator's reason to exist: a short doc fully CONTAINED in a
+    long one has low Jaccard (q302 misses it) but containment 1.0.
+    Plant one and assert only q338 reports the pair. (The sf fixtures
+    contain symmetric template copies only — no subset tier — so the
+    asymmetric claim needs a planted corpus.)"""
+    rng = np.random.RandomState(11)
+    vocab = [f"tok{i}" for i in range(500)]
+    long_words = [vocab[i] for i in rng.randint(0, 500, 400)]
+    docs = []
+    docs.append((0, " ".join(long_words)))          # the container
+    docs.append((1, " ".join(long_words[:120])))    # contained prefix
+    for i in range(2, 30):                          # unrelated noise
+        docs.append((i, " ".join(vocab[j] for j in rng.randint(0, 500, 150))))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "s0"
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = tempfile.mkdtemp(prefix="contain_")
+    try:
+        pdf.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+        got = dedup.q338_containment_pairs(spark, d).toPandas()
+        pair = got[(got["doc_a"] == 0) & (got["doc_b"] == 1)]
+        assert len(pair) == 1
+        assert pair.iloc[0]["containment_b"] > 0.9  # B inside A
+        assert pair.iloc[0]["jaccard"] < dedup.PMH_JMIN
+        truth = dedup.q302_portable_minhash(spark, d).toPandas()
+        assert not (
+            (truth["doc_a"] == 0) & (truth["doc_b"] == 1)
+        ).any()  # q302 misses it
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_q339_family_eval_consistent_with_pair_sets(spark, sf_dir_t2):
+    got = dedup.q339_neardup_family_eval(spark, sf_dir_t2).toPandas().iloc[0]
+    truth = dedup.q302_portable_minhash(spark, sf_dir_t2).toPandas()
+    sim = dedup.q319_portable_simhash(spark, sf_dir_t2).toPandas()
+    t = set(zip(truth["doc_a"], truth["doc_b"]))
+    s = set(zip(sim["doc_a"], sim["doc_b"]))
+    assert got["n_truth"] == len(t)
+    assert got["n_simhash"] == len(s)
+    assert got["n_common"] == len(t & s)
+    assert got["recall_of_truth"] == pytest.approx(len(t & s) / len(t), abs=1e-3)
