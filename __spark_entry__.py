@@ -71,24 +71,35 @@ _MODULES = [
 _QUERIES, _ORACLE = merge_registries(*_MODULES)
 
 # Registry ordering: the driver's correctness pass covers the FIRST 50
-# entries, so ordering is evidence placement. Round-10's driver window
-# (CORRECTNESS_r10) graded q239/q242/q245/q89 + q248-q293: 50/50
-# hash-green. That leaves q294-q319 (26 oracle-backed round-10 ops,
-# judge-verified green at sf0.01+sf0.1 in the r10 VERDICT but never
-# driver-graded) as the mandatory head of the round-11 window — per
-# VERDICT.md "Next round" #6. Round-11 additions are unlisted, so
-# _ordered() auto-sorts them ahead of this list (they are by
-# definition unverified); with the 26-entry head that leaves up to 24
-# slots for new r11 operators in the 50-query window. After the head:
-# the r4/r5-stale green rows as filler (oldest grades first), then the
-# freshly-r10-graded rows at the back of the green tier, then
-# rows-only-by-design (never in a graded slot). q303 changed this
-# round (in-plan scale guard) but its output is guard-transparent;
-# q299/q314/q319 changes are oracle-side or comment-only. All of
-# q294-q319 re-verified green locally via tools/verify_sf.py at
-# sf0.001+sf0.01+sf0.1 after this round's edits.
+# entries, so ordering is evidence placement. The round-11 window is
+# exactly full by construction: the 20 new r11 operators (q320-q339,
+# never driver-graded) are UNLISTED, so _ordered() auto-sorts them to
+# the front, followed by the listed 26-entry head q294-q319 (the r10
+# ops the r10 judge verified at sf0.01+sf0.1 but no driver ever
+# graded — VERDICT r10 "Next round" #6 mandates they head this
+# window). 20 + 26 = 46 of 50 slots; the last 4 fall to the oldest
+# r4-stale filler rows, resuming the staleness rotation. After that:
+# the freshly-r10-graded rows at the back of the green tier, then
+# rows-only-by-design (never in a graded slot). r11 source changes to
+# ALREADY-GRADED rows (q288 sampled degradation, q317 plan-side
+# sizing, q302/q319 band-helper refactor) are output-identical on the
+# fixtures — re-verified green via tools/verify_sf.py at
+# sf0.001+sf0.01+sf0.1 after every edit, plus a full-surface
+# driver-recipe verify (FAILS: none) before each commit batch.
 _PRIORITY = [
-    # --- round-11 head: judge-verified, never driver-graded ---
+    # --- round-11 additions (never driver-graded): first in line ---
+    "q320_portable_hyperplane_ann", "q321_hyperplane_recall_eval",
+    "q322_incremental_neardup", "q323_band_index_growth",
+    "q324_bucket_cap_audit", "q325_portable_ivf_ann",
+    "q326_ivf_recall_eval", "q327_portable_hll",
+    "q328_portable_countmin", "q329_portable_bloom",
+    "q330_priority_sample", "q331_js_divergence",
+    "q332_temperature_mixture", "q333_degree_assortativity",
+    "q334_neyman_allocation", "q335_idempotent_replay",
+    "q336_weighted_priority_sample", "q337_rebalance_audit",
+    "q338_containment_pairs", "q339_neardup_family_eval",
+    # --- round-10 ops judge-verified at r10 but never driver-graded:
+    #     the mandatory second tier of the round-11 window ---
     "q294_label_propagation",
     "q295_lexical_diversity", "q296_char_trigram_lm",
     "q297_boilerplate_ngrams", "q298_budget_waterfill",

@@ -97,6 +97,14 @@ HEADLINE = [
     "q302_portable_minhash",
     "q303_seq_patterns",
     "q305_poisson_bootstrap",
+    # round-11 heavy operators (added r11, same forward-band protocol):
+    # the incremental band-index probe, the 2-table multiprobe ANN,
+    # the triple-domain sketch scan, and the rare-shingle posting join
+    # — the four new heavy shapes this round
+    "q322_incremental_neardup",
+    "q320_portable_hyperplane_ann",
+    "q327_portable_hll",
+    "q338_containment_pairs",
 ]
 
 

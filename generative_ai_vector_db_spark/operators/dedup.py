@@ -2386,7 +2386,7 @@ Q317_SQL = _fs_sql().format(q302=Q302_SQL)
 # one intact band — pigeonhole-exact for d <= 3 UP TO the
 # PMH_BUCKET_CAP drop (a true d<=3 pair whose intact bands all land
 # in oversized buckets is discarded on BOTH engines, so oracle parity
-# holds; see q321's cap-hit counter for observability). Verify =
+# holds; q324's cap audit grades the drop volume). Verify =
 # bit_count(xor) <= SIMHASH_D on candidates.
 # Signature width: 56 bits from TWO portable lanes — lane 1 = bits of
 # the word hash, lane 2 = bits of (wh * KNUTH) % P (independent mix,

@@ -1136,3 +1136,15 @@ def test_q322_shingle_stage_is_arrow(spark, sf_dir):
     ).select("doc_id", "text")
     plan = plan_of(dd._pmh_shingle_sigs(docs))
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_q336_weighted_sample_is_take_ordered(spark, sf_dir):
+    """The global row_number<=50 filter must collapse to a
+    TakeOrderedAndProject BEFORE the window (limit pushdown) — the
+    corpus is never globally sorted."""
+    from generative_ai_vector_db_spark.operators import scale
+
+    plan = plan_of(scale.q336_weighted_priority_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # and it prunes to exactly the sample size pre-window
+    assert "Arguments: 50," in plan
