@@ -114,7 +114,13 @@ _PRIORITY = [
     "q317_fellegi_sunter", "q318_topk_drift", "q319_portable_simhash",
     # --- r4-stale filler: grades rotate oldest-first ---
     "q112_tpch_q7_shape", "q113_tpch_q11_shape",
-    "q114_tpch_q15_shape", "q115_tpch_q2_shape", "q116_tpch_q19_shape",
+    "q114_tpch_q15_shape", "q115_tpch_q2_shape",
+    # --- r11 late additions (positions 51+, deliberately OUTSIDE this
+    #     round's window so they cannot displace the mandatory
+    #     q294-q319 head; they lead the r12 rotation instead) ---
+    "q340_bm25_prf", "q341_quantization_rank_stability",
+    "q342_contrastive_negatives", "q343_watermark_sweep",
+    "q116_tpch_q19_shape",
     "q117_tpch_q21_shape", "q118_tpch_q22_shape", "q119_ngram_decontam",
     "q120_span_dedup", "q121_unigram_logprob", "q122_scd2_dimension",
     "q123_store_upsert", "q124_outer_attribution", "q125_time_rollup",

@@ -1190,7 +1190,176 @@ ORDER BY term
 """
 
 
+# ---------------------------------------------------------------------------
+# q340 — BM25 + pseudo-relevance feedback (RM3-lite): run the q83
+# query, take the top PRF_FB docs as the feedback set, extract the
+# PRF_EXP most frequent feedback terms (length >= 4, original terms
+# excluded), score the expansion terms with the SAME BM25 formula over
+# the FULL corpus, and re-rank on base + expansion score. The
+# expansion-term sum is made engine-deterministic by folding a SORTED
+# (term, contrib) array left-to-right (the q254 pattern) — the term
+# set is data-dependent, so q83's unrolled per-term CASE cannot apply.
+# Scale: one extra pass over the token stream for the expansion tf/df
+# (same shape as q83's), a 5-row broadcast term list, and the final
+# rank is one TakeOrdered-style top-k frame.
+# ---------------------------------------------------------------------------
+PRF_FB = 3
+PRF_EXP = 5
+PRF_MIN_LEN = 4
+
+
+def q340_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tokens = _tokens(spark, sf_dir)
+    base = bm25_scores(spark, sf_dir).localCheckpoint()
+    w_fb = Window.orderBy(F.round("score", 4).desc(), "doc_id")
+    fb = (
+        base.withColumn("rn", F.row_number().over(w_fb))
+        .where(F.col("rn") <= PRF_FB)
+        .select("doc_id")
+    )
+    exp_terms = (
+        tokens.join(F.broadcast(fb), "doc_id")
+        .where(
+            (~F.col("term").isin(QUERY_TERMS))
+            & (F.length("term") >= PRF_MIN_LEN)
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "trn",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), "term")),
+        )
+        .where(F.col("trn") <= PRF_EXP)
+        .select("term")
+    )
+    etok = tokens.join(F.broadcast(exp_terms), "term")
+    dl = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    tf = etok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dft = (
+        etok.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        / (
+            F.col("tf")
+            + F.lit(K1)
+            * (
+                F.lit(1.0)
+                - F.lit(B)
+                + F.lit(B) * F.col("dl").cast("double") / avgdl
+            )
+        )
+    )
+    eper = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", "term", contrib.alias("contrib"))
+    )
+    # deterministic data-dependent sum: sorted (term, contrib) fold
+    esum = eper.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["contrib"],
+        ).alias("exp_score")
+    )
+    full = (
+        base.join(esum, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.col("score"), F.lit(0.0))
+                + F.coalesce(F.col("exp_score"), F.lit(0.0))
+            ).alias("prf"),
+        )
+    )
+    w = Window.orderBy(F.round("prf", 4).desc(), "doc_id")
+    return (
+        full.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= K)
+        .select("rn", "doc_id", F.round("prf", 4).alias("prf_score"))
+        .orderBy("rn")
+    )
+
+
+Q340_SQL = f"""
+WITH {_BM25_CTE},
+fb AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rn
+    FROM bm25s
+  ) WHERE rn <= {PRF_FB}
+),
+expc AS (
+  SELECT term, count(*) AS c
+  FROM tokens_f JOIN fb USING (doc_id)
+  WHERE term NOT IN ({_TERMS_SQL}) AND length(term) >= {PRF_MIN_LEN}
+  GROUP BY term
+),
+expt AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY c DESC, term) AS trn FROM expc
+  ) WHERE trn <= {PRF_EXP}
+),
+etok AS (SELECT doc_id, term FROM tokens_f JOIN expt USING (term)),
+etf AS (SELECT doc_id, term, count(*) AS tf FROM etok GROUP BY doc_id, term),
+edf AS (SELECT term, count(DISTINCT doc_id) AS df FROM etok GROUP BY term),
+eper AS (
+  SELECT etf.doc_id, etf.term,
+         ln(1.0 + (corpus.n_docs - edf.df + 0.5) / (edf.df + 0.5))
+           * etf.tf
+           / (etf.tf + {K1} * (1.0 - {B} + {B} * CAST(dl.dl AS DOUBLE)
+              / (CAST(corpus.total_len AS DOUBLE)
+                 / CAST(corpus.n_docs AS DOUBLE))))
+           AS contrib
+  FROM etf
+  JOIN edf USING (term)
+  JOIN dl ON dl.doc_id = etf.doc_id
+  CROSS JOIN corpus
+),
+esum AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(
+               list_sort(list(struct_pack(term := term, contrib := contrib))),
+               s -> s.contrib)),
+           (acc, x) -> acc + x) AS exp_score
+  FROM eper GROUP BY doc_id
+),
+full_s AS (
+  SELECT coalesce(b.doc_id, e.doc_id) AS doc_id,
+         coalesce(b.score, 0.0) + coalesce(e.exp_score, 0.0) AS prf
+  FROM bm25s b FULL OUTER JOIN esum e ON b.doc_id = e.doc_id
+)
+SELECT rn, doc_id, round(prf, 4) AS prf_score FROM (
+  SELECT doc_id, prf,
+         CAST(row_number() OVER (ORDER BY round(prf, 4) DESC, doc_id)
+              AS BIGINT) AS rn
+  FROM full_s
+) WHERE rn <= {K}
+ORDER BY rn
+"""
+
+
 QUERIES = {
+    "q340_bm25_prf": q340_bm25_prf,
     "q300_map_eval": q300_map_eval,
     "q83_bm25_topk": q83_bm25_topk,
     "q84_hybrid_rrf": q84_hybrid_rrf,
@@ -1207,6 +1376,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q340_bm25_prf": Q340_SQL,
     "q300_map_eval": Q300_SQL,
     "q83_bm25_topk": Q83_SQL,
     "q84_hybrid_rrf": Q84_SQL,

@@ -619,7 +619,11 @@ LATE_BLOCK = 8192
 LATE_P = 0.95
 
 
-def q147_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _event_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, late_ms): per-event lateness vs the running
+    per-type max event time in event_id arrival order — q147's blocked
+    prefix-max decomposition, factored so q343's watermark sweep reads
+    the same definition."""
     ev = load(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
@@ -644,9 +648,13 @@ def q147_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("prev_max"), F.lit(-(1 << 62))),
         F.max("ms").over(w_in),
     )
-    late = ev.join(F.broadcast(prev), ["event_type", "blk"]).select(
+    return ev.join(F.broadcast(prev), ["event_type", "blk"]).select(
         "event_type", (runmax - F.col("ms")).alias("late_ms")
     )
+
+
+def q147_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    late = _event_lateness(spark, sf_dir)
     return (
         late.groupBy("event_type")
         .agg(
@@ -678,6 +686,69 @@ SELECT event_type,
 FROM r
 GROUP BY event_type
 ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q343 — watermark-delay sweep: q147 PROFILES lateness; this op prices
+# the watermark DECISION — for each candidate delay (1 / 5 / 15 min),
+# how many events per type a Structured Streaming job with that
+# watermark would drop (late_ms > delay under q147's running-max
+# arrival model) and the drop fraction. The q31/q33 streaming jobs
+# pick their withWatermark values from exactly this readout: the
+# smallest delay whose drop_frac is acceptable bounds their state.
+# Scale: rides q147's blocked prefix-max decomposition (no global
+# single-partition window); the sweep is a 3-row broadcast cross join
+# folded into ONE conditional-sum aggregate per (type, delay).
+# ---------------------------------------------------------------------------
+WM_DELAYS_MS = [60_000, 300_000, 900_000]
+
+
+def q343_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    late = _event_lateness(spark, sf_dir)
+    delays = spark.createDataFrame(
+        [(d,) for d in WM_DELAYS_MS], "delay_ms bigint"
+    )
+    return (
+        late.crossJoin(F.broadcast(delays))
+        .groupBy("delay_ms", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum((F.col("late_ms") > F.col("delay_ms")).cast("bigint"))
+            .cast("bigint")
+            .alias("dropped"),
+            F.round(
+                F.sum((F.col("late_ms") > F.col("delay_ms")).cast("bigint"))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("drop_frac"),
+        )
+        .orderBy("delay_ms", "event_type")
+    )
+
+
+Q343_SQL = f"""
+WITH e AS (
+  SELECT event_id, event_type, epoch_ms(ts) AS ms FROM events
+),
+r AS (
+  SELECT event_type,
+         max(ms) OVER (PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - ms AS late_ms
+  FROM e
+),
+delays AS (SELECT unnest([{", ".join(str(d) for d in WM_DELAYS_MS)}])
+             AS delay_ms)
+SELECT CAST(delay_ms AS BIGINT) AS delay_ms, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_ms > delay_ms THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped,
+       round(sum(CASE WHEN late_ms > delay_ms THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS drop_frac
+FROM r, delays
+GROUP BY delay_ms, event_type
+ORDER BY delay_ms, event_type
 """
 
 
@@ -3624,6 +3695,7 @@ FROM common
 
 
 QUERIES = {
+    "q343_watermark_sweep": q343_watermark_sweep,
     "q303_seq_patterns": q303_seq_patterns,
     "q309_position_attribution": q309_position_attribution,
     "q313_forecast_eval": q313_forecast_eval,
@@ -3706,6 +3778,7 @@ ORACLE = {
     "q141_incremental_agg": Q141_SQL,
     "q142_event_bitmask": Q142_SQL,
     "q147_late_arrival_profile": Q147_SQL,
+    "q343_watermark_sweep": Q343_SQL,
     "q149_gap_fill": Q149_SQL,
     "q156_event_transitions": Q156_SQL,
     "q160_decayed_engagement": Q160_SQL,

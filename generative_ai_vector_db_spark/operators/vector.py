@@ -2654,9 +2654,227 @@ JOIN exact USING (vec_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# q341 — quantization rank-stability: for QRS_N pinned anchor vectors,
+# the overlap between the float-cosine top-10 and the INT8-cosine
+# top-10 (cosine computed over q299's exact integer codes). q299
+# showed the int8 prefilter loses nothing when an exact re-rank
+# follows; this op measures the harder claim — how stable the RANKING
+# itself is if the pipeline served int8 scores directly (the memory-
+# bound regime at 100 TB). Per-anchor overlap is the quantization-QA
+# gate a serving rollout checks before dropping the float copy.
+# Scale: anchors are a QRS_N-row broadcast; both rankings are
+# WindowGroupLimit top-k frames per anchor — corpus scanned twice
+# (float + code), never shuffled on rows.
+# ---------------------------------------------------------------------------
+QRS_ANCHORS = [0, 1, 2, 3, 4]
+QRS_K = 10
+
+
+def q341_quantization_rank_stability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    anchors_f = emb.where(F.col("vec_id").isin(QRS_ANCHORS)).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_emb")
+    )
+    wf = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_f").desc(), "vec_id"
+    )
+    top_f = (
+        emb.crossJoin(F.broadcast(anchors_f))
+        .where(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "vec_id",
+            F.round(V.cosine(F.col("a_emb"), F.col("embedding")), 4).alias(
+                "cos_f"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") <= QRS_K)
+        .select("anchor_id", "vec_id")
+    )
+    codes = _int8_codes(emb).select("vec_id", "code")
+    a_codes = codes.where(F.col("vec_id").isin(QRS_ANCHORS)).select(
+        F.col("vec_id").alias("anchor_id"), F.col("code").alias("a_code")
+    )
+    dot8 = F.aggregate(
+        F.zip_with(F.col("a_code"), F.col("code"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+    def norm8(c):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(c, c, lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+        )
+
+    w8 = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_8").desc(), "vec_id"
+    )
+    top_8 = (
+        codes.crossJoin(F.broadcast(a_codes))
+        .where(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "vec_id",
+            F.round(
+                dot8.cast("double")
+                / (norm8(F.col("a_code")) * norm8(F.col("code"))),
+                4,
+            ).alias("cos_8"),
+        )
+        .withColumn("rn", F.row_number().over(w8))
+        .where(F.col("rn") <= QRS_K)
+        .select("anchor_id", "vec_id")
+    )
+    return (
+        top_f.join(top_8, ["anchor_id", "vec_id"])
+        .groupBy("anchor_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+            F.round(F.count(F.lit(1)) / F.lit(float(QRS_K)), 4).alias(
+                "overlap_frac"
+            ),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+_QRS_IDS = ", ".join(str(a) for a in QRS_ANCHORS)
+
+_DUCK_PAIR_COS_F = (
+    "round(list_sum([CAST(a.embedding[k] AS DOUBLE)"
+    " * CAST(b.embedding[k] AS DOUBLE)"
+    f" for k in generate_series(1, {EMB_DIM})])"
+    " / (sqrt(list_sum([CAST(a.embedding[k] AS DOUBLE)"
+    " * CAST(a.embedding[k] AS DOUBLE)"
+    f" for k in generate_series(1, {EMB_DIM})]))"
+    " * sqrt(list_sum([CAST(b.embedding[k] AS DOUBLE)"
+    " * CAST(b.embedding[k] AS DOUBLE)"
+    f" for k in generate_series(1, {EMB_DIM})]))), 4)"
+)
+
+_DUCK_PAIR_COS_8 = (
+    "round(CAST(list_sum([a.code[k] * b.code[k]"
+    f" for k in generate_series(1, {EMB_DIM})]) AS DOUBLE)"
+    " / (sqrt(CAST(list_sum([a.code[k] * a.code[k]"
+    f" for k in generate_series(1, {EMB_DIM})]) AS DOUBLE))"
+    " * sqrt(CAST(list_sum([b.code[k] * b.code[k]"
+    f" for k in generate_series(1, {EMB_DIM})]) AS DOUBLE))), 4)"
+)
+
+Q341_SQL = f"""
+WITH codes AS (
+  SELECT vec_id, {_DUCK_I8.format(e='embeddings')} AS code FROM embeddings
+),
+top_f AS (
+  SELECT anchor_id, vec_id FROM (
+    SELECT a.vec_id AS anchor_id, b.vec_id AS vec_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_DUCK_PAIR_COS_F} DESC, b.vec_id) AS rn
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id IN ({_QRS_IDS}) AND b.vec_id != a.vec_id
+  ) WHERE rn <= {QRS_K}
+),
+top_8 AS (
+  SELECT anchor_id, vec_id FROM (
+    SELECT a.vec_id AS anchor_id, b.vec_id AS vec_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_DUCK_PAIR_COS_8} DESC, b.vec_id) AS rn
+    FROM codes a, codes b
+    WHERE a.vec_id IN ({_QRS_IDS}) AND b.vec_id != a.vec_id
+  ) WHERE rn <= {QRS_K}
+)
+SELECT anchor_id,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       round(count(*) / {float(QRS_K)!r}, 4) AS overlap_frac
+FROM top_f JOIN top_8 USING (anchor_id, vec_id)
+GROUP BY anchor_id
+ORDER BY anchor_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q342 — deterministic contrastive-negative sampling: for each QRS
+# anchor, draw QRS_K negatives among vectors with a DIFFERENT label by
+# portable hash priority (mix(vec_id * 8 + anchor) — stable per
+# (anchor, candidate), so the training table is reproducible across
+# engines, retries, and epochs), and emit each negative's float cosine
+# as the hardness readout. This is the negative-sampling table a
+# contrastive training pipeline materializes next to the embeddings;
+# label-aware exclusion prevents false negatives (q213's cross-label
+# audit is the upstream check).
+# Scale: label filter + priority projection scan-side, per-anchor
+# WindowGroupLimit top-k; the cosine join touches QRS_N x QRS_K rows.
+# ---------------------------------------------------------------------------
+def q342_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import mix_spark
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    anchors = emb.where(F.col("vec_id").isin(QRS_ANCHORS)).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    pri = F.expr(mix_spark("vec_id * 8 + anchor_id"))
+    w = Window.partitionBy("anchor_id").orderBy(pri.asc(), F.col("vec_id"))
+    return (
+        emb.crossJoin(F.broadcast(anchors))
+        .where(F.col("label") != F.col("a_label"))
+        .withColumn("priority", pri.cast("bigint"))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= QRS_K)
+        .select(
+            "anchor_id",
+            "rn",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").cast("bigint").alias("neg_label"),
+            F.round(V.cosine(F.col("a_emb"), F.col("embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy("anchor_id", "rn")
+    )
+
+
+def _q342_sql() -> str:
+    from ..functions.hashing import mix_duck
+
+    pri = mix_duck("b.vec_id * 8 + a.vec_id")
+    return f"""
+SELECT anchor_id, rn, neg_id, neg_label, cos_sim FROM (
+  SELECT a.vec_id AS anchor_id,
+         CAST(row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY {pri}, b.vec_id) AS BIGINT) AS rn,
+         b.vec_id AS neg_id,
+         CAST(b.label AS BIGINT) AS neg_label,
+         {_DUCK_PAIR_COS_F} AS cos_sim
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id IN ({_QRS_IDS}) AND b.label != a.label
+) WHERE rn <= {QRS_K}
+ORDER BY anchor_id, rn
+"""
+
+
+Q342_SQL = _q342_sql()
+
+
 QUERIES = {
     "q325_portable_ivf_ann": q325_portable_ivf_ann,
     "q326_ivf_recall_eval": q326_ivf_recall_eval,
+    "q341_quantization_rank_stability": q341_quantization_rank_stability,
+    "q342_contrastive_negatives": q342_contrastive_negatives,
     "q320_portable_hyperplane_ann": q320_portable_hyperplane_ann,
     "q321_hyperplane_recall_eval": q321_hyperplane_recall_eval,
     "q304_result_diversity": q304_result_diversity,
@@ -2690,6 +2908,8 @@ ORACLE = {
     "q321_hyperplane_recall_eval": Q321_SQL,
     "q325_portable_ivf_ann": Q325_SQL,
     "q326_ivf_recall_eval": Q326_SQL,
+    "q341_quantization_rank_stability": Q341_SQL,
+    "q342_contrastive_negatives": Q342_SQL,
     "q299_int8_rerank": Q299_SQL,
     "q304_result_diversity": Q304_SQL,
     "q308_batch_knn": Q308_SQL,

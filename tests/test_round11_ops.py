@@ -765,3 +765,106 @@ def test_q339_family_eval_consistent_with_pair_sets(spark, sf_dir_t2):
     assert got["n_simhash"] == len(s)
     assert got["n_common"] == len(t & s)
     assert got["recall_of_truth"] == pytest.approx(len(t & s) / len(t), abs=1e-3)
+
+
+# --------------------------------------------------------------------------
+# q340-q343 (BM25 PRF, quantization stability, negatives, watermark sweep)
+# --------------------------------------------------------------------------
+def test_q340_prf_expansion_changes_and_contains_base_signal(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import retrieval
+
+    base = retrieval.q83_bm25_topk(spark, sf_dir_t2).toPandas()
+    prf = retrieval.q340_bm25_prf(spark, sf_dir_t2).toPandas()
+    assert len(prf) == retrieval.K
+    assert prf["rn"].tolist() == list(range(1, retrieval.K + 1))
+    # expansion only ADDS score: every doc's prf >= its base bm25
+    merged = prf.merge(base, on="doc_id", how="inner")
+    assert (merged["prf_score"] >= merged["bm25"] - 1e-6).all()
+    # and the expansion actually matters: the two rankings differ OR
+    # scores strictly grew for at least one shared doc
+    assert (prf["doc_id"].tolist() != base["doc_id"].tolist()) or (
+        (merged["prf_score"] > merged["bm25"] + 1e-6).any()
+    )
+
+
+def test_q341_overlap_matches_numpy(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import vector as v
+
+    got = (
+        v.q341_quantization_rank_stability(spark, sf_dir_t2)
+        .toPandas()
+        .set_index("anchor_id")
+    )
+    pdf = (
+        pd.read_parquet(os.path.join(sf_dir_t2, "embeddings.parquet"))
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.stack(pdf["embedding"].to_numpy()).astype(float)
+    ids = pdf["vec_id"].to_numpy()
+    mx = np.abs(X).max(axis=1, keepdims=True)
+    C = np.floor(X * 127.0 / np.where(mx == 0, 1, mx) + 0.5)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    for a in v.QRS_ANCHORS:
+        ai = int(np.where(ids == a)[0][0])
+        sf_, s8 = Xn @ Xn[ai], Cn @ Cn[ai]
+        sf_[ai] = s8[ai] = -2
+
+        def topk(s):
+            return set(
+                ids[
+                    sorted(
+                        range(len(s)),
+                        key=lambda i: (-round(s[i], 4), ids[i]),
+                    )[: v.QRS_K]
+                ]
+            )
+
+        want = len(topk(sf_) & topk(s8))
+        assert int(got.loc[a, "n_overlap"]) == want, a
+        # int8 keeps most of the neighborhood
+        assert got.loc[a, "overlap_frac"] >= 0.5, (a, got.loc[a])
+
+
+def test_q342_negatives_deterministic_and_label_safe(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import vector as v
+
+    got = v.q342_contrastive_negatives(spark, sf_dir_t2).toPandas()
+    pdf = pd.read_parquet(os.path.join(sf_dir_t2, "embeddings.parquet"))
+    labels = pdf.set_index("vec_id")["label"]
+    for a in v.QRS_ANCHORS:
+        g = got[got["anchor_id"] == a]
+        assert len(g) == v.QRS_K
+        # no negative shares the anchor's label (no false negatives)
+        assert (g["neg_label"] != labels.loc[a]).all()
+        # hash-priority selection recomputed in numpy
+        cand = pdf[pdf["label"] != labels.loc[a]]
+        pri = _mix_np(cand["vec_id"].to_numpy() * 8 + a)
+        want = (
+            cand.assign(p=pri)
+            .sort_values(["p", "vec_id"])
+            .head(v.QRS_K)["vec_id"]
+            .tolist()
+        )
+        assert g.sort_values("rn")["neg_id"].tolist() == want
+
+
+def test_q343_sweep_monotone_and_consistent_with_q147(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import temporal
+
+    got = temporal.q343_watermark_sweep(spark, sf_dir_t2).toPandas()
+    # drops shrink as the watermark delay grows, per type
+    for t, g in got.groupby("event_type"):
+        g = g.sort_values("delay_ms")
+        assert (g["dropped"].diff().dropna() <= 0).all(), t
+    # per-type totals agree with q147's profile
+    prof = (
+        temporal.q147_late_arrival_profile(spark, sf_dir_t2)
+        .toPandas()
+        .set_index("event_type")
+    )
+    for t, g in got.groupby("event_type"):
+        assert (g["n_events"] == prof.loc[t, "n_events"]).all()
+        # dropped at any delay <= total late events
+        assert (g["dropped"] <= prof.loc[t, "n_late"]).all()
