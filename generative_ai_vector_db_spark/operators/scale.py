@@ -1837,11 +1837,17 @@ Q327_SQL = (
 
 # ---------------------------------------------------------------------------
 # q328 — ENGINE-PORTABLE Count-Min sketch: heavy-hitter count
-# estimation with d=4 pinned salted hash rows x W=512 cells, graded by
+# estimation with d=4 INDEPENDENT hash rows x W=512 cells, graded by
 # probing the exact top-10 part keys — overcount = est - exact is the
 # collision mass the sketch adds, and it is NON-NEGATIVE by
 # construction (a free sanity invariant the test asserts). Everything
 # is int64: counters, probes, estimates — both engines hash-identical.
+# Row hashes fold the row index INTO the hashed input through the
+# avalanche finalizer (avalanche(key*8 + r) % W) — an additive salt on
+# one linear hash would make the rows fully correlated (a row-0
+# collision persists in every row, so min-over-rows reduces nothing;
+# caught in the r11 self-review and verified by simulation), exactly
+# the q327 lattice lesson applied to the CM independence requirement.
 # Scale: the counter build is ONE groupBy over d*N exploded rows into
 # a d x W = 2048-cell state (partial counts combine map-side —
 # mergeable like q327); the probe side touches d rows per probed key.
@@ -1850,17 +1856,15 @@ Q327_SQL = (
 # ---------------------------------------------------------------------------
 CM_ROWS = 4
 CM_WIDTH = 512
-CM_SALT = 104729  # prime row salt; mix_core + 3*salt << 2^63 (no wrap)
 CM_TOPK = 10
 
 
 def _cm_cells_spark(key: str):
-    from ..functions.hashing import HASH_MOD, mix_core_spark
+    from ..functions.hashing import avalanche_spark
 
-    core = mix_core_spark(key)
     return F.array(
         *[
-            F.expr(f"(({core} + {i * CM_SALT}) % {HASH_MOD}) % {CM_WIDTH}")
+            F.expr(f"({avalanche_spark(f'({key}) * 8 + {i}')}) % {CM_WIDTH}")
             for i in range(CM_ROWS)
         ]
     )
@@ -1902,13 +1906,12 @@ def q328_portable_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cm_cells_duck(key: str) -> str:
-    from ..functions.hashing import HASH_MOD, mix_core_duck
+    from ..functions.hashing import avalanche_duck
 
-    core = mix_core_duck(key)
     return (
         "["
         + ", ".join(
-            f"(({core} + {i * CM_SALT}) % {HASH_MOD}) % {CM_WIDTH}"
+            f"({avalanche_duck(f'({key}) * 8 + {i}')}) % {CM_WIDTH}"
             for i in range(CM_ROWS)
         )
         + "]"
@@ -1951,12 +1954,16 @@ ORDER BY p.exact_cnt DESC, p.l_partkey
 # ---------------------------------------------------------------------------
 # q329 — ENGINE-PORTABLE Bloom filter, SIMULATED (q264 is the analytic
 # advisor; this op actually builds the filter and measures it): k=3
-# pinned salted positions over m=8192 bits, built from the even-order
-# half's custkeys, probed with the odd-order half's. Membership is
-# all-k-positions-set; exact membership via semi-join grades the
-# false-positive count, next to the (1-e^-kn/m)^k-style theoretical
-# rate computed from the REALIZED load (bits_set/m)^k. No false
-# negatives by construction (test-asserted invariant).
+# INDEPENDENT avalanche positions (avalanche(key*8 + i) % m) over
+# m=8192 bits, built from the even-order half's custkeys, probed with
+# the odd-order half's. A fixed-offset salt on one hash would collapse
+# the filter to effective k=1 (every key's bit pattern = base + fixed
+# offsets, so a base collision is a guaranteed false positive — the
+# same correlation defect as q328's, caught in the r11 self-review).
+# Membership is all-k-positions-set; exact membership via semi-join
+# grades the false-positive count, next to the theoretical rate
+# computed from the REALIZED load (bits_set/m)^k. No false negatives
+# by construction (test-asserted invariant).
 # Scale: the "bit array" is a distinct-position relation (8192-row
 # cap), the probe is a position semi-join — the runtime-filter shape
 # Spark's own bloom pushdown uses, made engine-portable and auditable.
@@ -1966,12 +1973,14 @@ BLOOM_K = 3
 
 
 def _bloom_pos_spark(key: str):
-    from ..functions.hashing import HASH_MOD, mix_core_spark
+    from ..functions.hashing import avalanche_spark
 
-    core = mix_core_spark(key)
     return F.array(
         *[
-            F.expr(f"(({core} + {i * CM_SALT}) % {HASH_MOD}) % {BLOOM_BITS}")
+            F.expr(
+                f"({avalanche_spark(f'({key}) * 8 + {i + 4}')})"
+                f" % {BLOOM_BITS}"
+            )
             for i in range(BLOOM_K)
         ]
     )
@@ -2046,13 +2055,12 @@ def q329_portable_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bloom_pos_duck(key: str) -> str:
-    from ..functions.hashing import HASH_MOD, mix_core_duck
+    from ..functions.hashing import avalanche_duck
 
-    core = mix_core_duck(key)
     return (
         "["
         + ", ".join(
-            f"(({core} + {i * CM_SALT}) % {HASH_MOD}) % {BLOOM_BITS}"
+            f"({avalanche_duck(f'({key}) * 8 + {i + 4}')}) % {BLOOM_BITS}"
             for i in range(BLOOM_K)
         )
         + "]"

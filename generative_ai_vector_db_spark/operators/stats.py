@@ -245,8 +245,13 @@ def q288_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(KENDALL_BLOCK_CAP))
         ).cast("bigint"),
     )
+    # the stride is carried to the OUTPUT (stride column, 1 = exact):
+    # silent degradation was the r11 self-review's observability flag —
+    # a consumer must be able to tell a sampled tau from an exact one
+    # without knowing raw block sizes.
     docs = (
-        docs.withColumn("_keep", (F.row_number().over(w_ord) - 1) % stride)
+        docs.withColumn("_stride", stride)
+        .withColumn("_keep", (F.row_number().over(w_ord) - 1) % stride)
         .where(F.col("_keep") == 0)
         .drop("_keep")
     )
@@ -266,7 +271,10 @@ def q288_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("discordant"),
     )
-    n_g = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    n_g = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max("_stride").cast("bigint").alias("stride"),
+    )
     tx = (
         docs.groupBy("source", "x")
         .agg(F.count("*").cast("bigint").alias("t"))
@@ -293,7 +301,8 @@ def q288_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n0 - F.col("n1")).cast("double") * (n0 - F.col("n2")).cast("double")
     )
     return joined.select(
-        "source", "n", "concordant", "discordant", tau.alias("tau_b")
+        "source", "n", "stride", "concordant", "discordant",
+        tau.alias("tau_b"),
     ).orderBy("source")
 
 
@@ -304,7 +313,10 @@ WITH d0 AS (
   FROM documents
 ),
 d AS (
-  SELECT source, doc_id, x, y FROM (
+  SELECT source, doc_id, x, y,
+         greatest(1, CAST(ceil(CAST(nsrc AS DOUBLE)
+                               / {KENDALL_BLOCK_CAP}) AS BIGINT)) AS stride
+  FROM (
     SELECT d0.*,
            row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
            count(*) OVER (PARTITION BY source) AS nsrc
@@ -323,7 +335,9 @@ cd AS (
   FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
   GROUP BY a.source
 ),
-ng AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY source),
+ng AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+              CAST(max(stride) AS BIGINT) AS stride
+       FROM d GROUP BY source),
 tx AS (
   SELECT source, CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n1
   FROM (SELECT source, x, CAST(count(*) AS BIGINT) AS t
@@ -336,7 +350,7 @@ ty AS (
         FROM d GROUP BY source, y)
   GROUP BY source
 )
-SELECT cd.source, n, concordant, discordant,
+SELECT cd.source, n, stride, concordant, discordant,
        CAST(concordant - discordant AS DOUBLE)
          / sqrt(CAST(CAST(n * (n - 1) / 2 AS BIGINT) - n1 AS DOUBLE)
                 * CAST(CAST(n * (n - 1) / 2 AS BIGINT) - n2 AS DOUBLE))
