@@ -124,6 +124,7 @@ _PRIORITY = [
     #     q294-q319 head; they lead the r12 rotation instead) ---
     "q340_bm25_prf", "q341_quantization_rank_stability",
     "q342_contrastive_negatives", "q343_watermark_sweep",
+    "q344_semdedup_threshold_curve", "q345_ldiversity_audit",
     "q116_tpch_q19_shape",
     "q117_tpch_q21_shape", "q118_tpch_q22_shape", "q119_ngram_decontam",
     "q120_span_dedup", "q121_unigram_logprob", "q122_scd2_dimension",

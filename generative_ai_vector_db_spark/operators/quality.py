@@ -3078,7 +3078,91 @@ ORDER BY lang, source
 Q310_SQL = _ipf_sql()
 
 
+# ---------------------------------------------------------------------------
+# q345 — l-diversity audit: q276 checks CLASS SIZE (k-anonymity); this
+# checks the orthogonal leak — a quasi-identifier class can be large
+# yet have every record belong to the SAME user, so anyone who places
+# a person in the class learns their whole activity. Per l in {2,3,5}:
+# classes (event_type, iso_dow, hour) whose DISTINCT-user count < l,
+# and the records they expose. The pair (q276, q345) is the
+# generalize-or-suppress decision input a release pipeline needs —
+# size alone (q276 green) does not clear a class.
+# Scale: one groupBy(class) with count + count(distinct user_id)
+# (partial aggregation on both), broadcast 3-row l sweep — same shape
+# as q276, one extra distinct-count state per class.
+# ---------------------------------------------------------------------------
+LDIV_LS = [2, 3, 5]
+
+
+def q345_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    classes = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.weekday("ts") + 1).alias("iso_dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("sz"),
+            F.countDistinct("user_id").cast("bigint").alias("div"),
+        )
+    )
+    ls = spark.createDataFrame([(x,) for x in LDIV_LS], "l int")
+    return (
+        classes.crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum((F.col("div") < F.col("l")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_low_diversity"),
+            F.sum(
+                F.when(F.col("div") < F.col("l"), F.col("sz")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("n_records_exposed"),
+            F.round(
+                F.sum(
+                    F.when(F.col("div") < F.col("l"), F.col("sz")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / F.sum("sz").cast("double"),
+                4,
+            ).alias("exposed_share"),
+        )
+        .orderBy("l")
+    )
+
+
+_LS_SQL = ", ".join(f"({x})" for x in LDIV_LS)
+Q345_SQL = f"""
+WITH classes AS (
+  SELECT event_type, CAST(isodow(ts) AS INT) AS iso_dow,
+         CAST(hour(ts) AS INT) AS hour,
+         CAST(count(*) AS BIGINT) AS sz,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS div
+  FROM events GROUP BY 1, 2, 3
+),
+ls(l) AS (VALUES {_LS_SQL})
+SELECT l,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(coalesce(sum(CASE WHEN div < l THEN 1 END), 0) AS BIGINT)
+         AS n_low_diversity,
+       CAST(coalesce(sum(CASE WHEN div < l THEN sz END), 0) AS BIGINT)
+         AS n_records_exposed,
+       round(coalesce(sum(CASE WHEN div < l THEN sz END), 0)
+             / CAST(sum(sz) AS DOUBLE), 4) AS exposed_share
+FROM classes CROSS JOIN ls
+GROUP BY l
+ORDER BY l
+"""
+
+
 QUERIES = {
+    "q345_ldiversity_audit": q345_ldiversity_audit,
     "q310_ipf_raking": q310_ipf_raking,
     "q93_gopher_quality": q93_gopher_quality,
     "q265_filter_waterfall": q265_filter_waterfall,
@@ -3120,6 +3204,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q345_ldiversity_audit": Q345_SQL,
     "q310_ipf_raking": Q310_SQL,
     "q93_gopher_quality": Q93_SQL,
     "q265_filter_waterfall": Q265_SQL,

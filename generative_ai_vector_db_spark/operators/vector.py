@@ -2870,11 +2870,104 @@ ORDER BY anchor_id, rn
 Q342_SQL = _q342_sql()
 
 
+# ---------------------------------------------------------------------------
+# q344 — SemDeDup threshold curve: before committing to an embedding-
+# dedup threshold (q42 pins tau=0.25; q224 runs the IVF-blocked
+# SemDeDup), sweep it — per candidate tau, the count of label-blocked
+# pairs at round-4 cosine >= tau and the docs that would be removed
+# under the keep-smaller-id policy (distinct larger members; an upper
+# bound on transitive-cluster removal, stated as such). The q230/q307
+# advisor pattern applied to the embedding family: the curve's knee is
+# the threshold decision. Taus span the fixture's isotropic cosine
+# range ([0.23, 0.40] true-neighbor band, QUALITY.md).
+# Scale: ONE label-blocked pair pass (q42's bounded-block shape,
+# Arrow-scored) feeds every tau via a broadcast cross join — the sweep
+# adds no second pair scan.
+# ---------------------------------------------------------------------------
+SEMDEDUP_TAUS = [0.2, 0.25, 0.3, 0.35, 0.4]
+
+
+def q344_semdedup_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("label").alias("label_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("label").alias("label_b"),
+    )
+    cos = V.cosine_arrow()
+    pairs = (
+        a.join(
+            b,
+            (F.col("label_a") == F.col("label_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select(
+            "id_b",
+            F.round(cos(F.col("emb_a"), F.col("emb_b")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= min(SEMDEDUP_TAUS))
+        .localCheckpoint()
+    )
+    taus = spark.createDataFrame([(t,) for t in SEMDEDUP_TAUS], "tau double")
+    n_docs = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    swept = pairs.crossJoin(F.broadcast(taus)).where(
+        F.col("cos_sim") >= F.col("tau")
+    )
+    return (
+        swept.groupBy("tau")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("id_b").cast("bigint").alias("docs_removed"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tau",
+            "n_pairs",
+            "docs_removed",
+            F.round(
+                F.col("docs_removed") / F.col("n_docs").cast("double"), 4
+            ).alias("removed_frac"),
+        )
+        .orderBy("tau")
+    )
+
+
+Q344_SQL = f"""
+WITH pairs AS (
+  SELECT b.vec_id AS id_b,
+         round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 4) AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 4)
+        >= {min(SEMDEDUP_TAUS)}
+),
+taus AS (SELECT unnest([{", ".join(str(t) for t in SEMDEDUP_TAUS)}]) AS tau),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM embeddings)
+SELECT tau,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT id_b) AS BIGINT) AS docs_removed,
+       round(count(DISTINCT id_b) / CAST(nd.n_docs AS DOUBLE), 4)
+         AS removed_frac
+FROM pairs, taus, nd
+WHERE cos_sim >= tau
+GROUP BY tau, nd.n_docs
+ORDER BY tau
+"""
+
+
 QUERIES = {
     "q325_portable_ivf_ann": q325_portable_ivf_ann,
     "q326_ivf_recall_eval": q326_ivf_recall_eval,
     "q341_quantization_rank_stability": q341_quantization_rank_stability,
     "q342_contrastive_negatives": q342_contrastive_negatives,
+    "q344_semdedup_threshold_curve": q344_semdedup_threshold_curve,
     "q320_portable_hyperplane_ann": q320_portable_hyperplane_ann,
     "q321_hyperplane_recall_eval": q321_hyperplane_recall_eval,
     "q304_result_diversity": q304_result_diversity,
@@ -2910,6 +3003,7 @@ ORACLE = {
     "q326_ivf_recall_eval": Q326_SQL,
     "q341_quantization_rank_stability": Q341_SQL,
     "q342_contrastive_negatives": Q342_SQL,
+    "q344_semdedup_threshold_curve": Q344_SQL,
     "q299_int8_rerank": Q299_SQL,
     "q304_result_diversity": Q304_SQL,
     "q308_batch_knn": Q308_SQL,

@@ -885,3 +885,40 @@ def test_q343_sweep_monotone_and_consistent_with_q147(spark, sf_dir_t2):
         assert (g["n_events"] == prof.loc[t, "n_events"]).all()
         # dropped at any delay <= total late events
         assert (g["dropped"] <= prof.loc[t, "n_late"]).all()
+
+
+# --------------------------------------------------------------------------
+# q344/q345 (SemDeDup threshold curve, l-diversity audit)
+# --------------------------------------------------------------------------
+def test_q344_curve_monotone_and_matches_pairs(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import vector as v
+
+    got = v.q344_semdedup_threshold_curve(spark, sf_dir_t2).toPandas()
+    assert list(got["tau"]) == v.SEMDEDUP_TAUS
+    # monotone: higher tau -> fewer pairs, fewer removals
+    assert (got["n_pairs"].diff().dropna() <= 0).all()
+    assert (got["docs_removed"].diff().dropna() <= 0).all()
+    # the tau=COS_TAU row agrees with q42's pair set
+    q42 = v.q42_cosine_neardup(spark, sf_dir_t2).toPandas()
+    row = got[got["tau"] == v.COS_TAU].iloc[0]
+    assert int(row["n_pairs"]) == len(q42)
+    assert int(row["docs_removed"]) == q42["id_b"].nunique()
+
+
+def test_q345_ldiversity_pandas_recount(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import quality
+
+    got = quality.q345_ldiversity_audit(spark, sf_dir_t2).toPandas()
+    ev = pd.read_parquet(os.path.join(sf_dir_t2, "events.parquet"))
+    ev["iso_dow"] = ev["ts"].dt.dayofweek + 1
+    ev["hour"] = ev["ts"].dt.hour
+    g = ev.groupby(["event_type", "iso_dow", "hour"]).agg(
+        sz=("user_id", "size"), div=("user_id", "nunique")
+    )
+    for l in quality.LDIV_LS:
+        row = got[got["l"] == l].iloc[0]
+        assert row["n_classes"] == len(g)
+        assert row["n_low_diversity"] == int((g["div"] < l).sum())
+        assert row["n_records_exposed"] == int(g.loc[g["div"] < l, "sz"].sum())
+    # monotone in l
+    assert (got.sort_values("l")["n_low_diversity"].diff().dropna() >= 0).all()
