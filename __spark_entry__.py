@@ -91,63 +91,73 @@ _QUERIES, _ORACLE = merge_registries(*_MODULES)
 # sf0.001+sf0.01+sf0.1 after every edit, plus a full-surface
 # driver-recipe verify (FAILS: none) before each commit batch.
 _PRIORITY = [
-    # --- round-11 additions (never driver-graded): first in line ---
-    "q320_portable_hyperplane_ann", "q321_hyperplane_recall_eval",
-    "q322_incremental_neardup", "q323_band_index_growth",
-    "q324_bucket_cap_audit", "q325_portable_ivf_ann",
-    "q326_ivf_recall_eval", "q327_portable_hll",
-    "q328_portable_countmin", "q329_portable_bloom",
-    "q330_priority_sample", "q331_js_divergence",
-    "q332_temperature_mixture", "q333_degree_assortativity",
-    "q334_neyman_allocation", "q335_idempotent_replay",
-    "q336_weighted_priority_sample", "q337_rebalance_audit",
-    "q338_containment_pairs", "q339_neardup_family_eval",
-    # --- round-10 ops judge-verified at r10 but never driver-graded:
-    #     the mandatory second tier of the round-11 window ---
-    "q294_label_propagation",
-    "q295_lexical_diversity", "q296_char_trigram_lm",
-    "q297_boilerplate_ngrams", "q298_budget_waterfill",
-    "q299_int8_rerank", "q300_map_eval", "q301_snapshot_as_of",
-    "q302_portable_minhash", "q303_seq_patterns", "q304_result_diversity",
-    "q305_poisson_bootstrap", "q306_welch_ttest",
-    "q307_blocking_advisor", "q308_batch_knn",
-    "q309_position_attribution", "q310_ipf_raking",
-    "q311_syndication_matrix", "q312_hits_bipartite",
-    "q313_forecast_eval", "q314_dup_cluster_stats",
-    "q315_cache_hit_curve", "q316_cvm_test",
-    "q317_fellegi_sunter", "q318_topk_drift", "q319_portable_simhash",
-    # --- r4-stale filler: grades rotate oldest-first ---
-    "q112_tpch_q7_shape", "q113_tpch_q11_shape",
-    "q114_tpch_q15_shape", "q115_tpch_q2_shape",
-    # --- r11 late additions (positions 51+, deliberately OUTSIDE this
-    #     round's window so they cannot displace the mandatory
-    #     q294-q319 head; they lead the r12 rotation instead) ---
+    # ===== ROUND-12 WINDOW (50 slots, every one EXPLICITLY LISTED;
+    # the registry-coverage test forbids unlisted names). Composition
+    # follows VERDICT r11 "Next round" #1 and the mechanical rotation
+    # order committed in WINDOW_REPORT.md (tools/window_report.py —
+    # r11 item #8): never-graded first, then longest-ungraded. =====
+    # --- tier 1: the six late r11 additions — judge-verified 6/6 at
+    #     sf0.01 in the r11 verdict but never driver-graded ---
     "q340_bm25_prf", "q341_quantization_rank_stability",
     "q342_contrastive_negatives", "q343_watermark_sweep",
     "q344_semdedup_threshold_curve", "q345_ldiversity_audit",
-    "q116_tpch_q19_shape",
-    "q117_tpch_q21_shape", "q118_tpch_q22_shape", "q119_ngram_decontam",
-    "q120_span_dedup", "q121_unigram_logprob", "q122_scd2_dimension",
-    "q123_store_upsert", "q124_outer_attribution", "q125_time_rollup",
-    "q126_tpch_q8_shape", "q127_tpch_q9_shape", "q128_zorder_stats",
-    "q129_unpivot_metrics", "q130_range_search", "q131_copurchase_lift",
-    "q133_tpch_q16_shape", "q134_tpch_q17_shape", "q135_tpch_q20_shape",
-    "q136_quality_percentile_gate", "q137_token_curriculum",
-    "q138_skew_profile", "q139_integrity_audit", "q140_pergroup_trend",
-    "q141_incremental_agg", "q142_event_bitmask", "q143_embedding_dim_stats",
-    "q144_zipf_fit", "q145_token_entropy", "q146_pmi_collocations",
-    "q147_late_arrival_profile", "q148_tpch_q6_shape", "q151_traffic_bursts",
-    "q73_temporal_split", "q231_ohlc_bars", "q232_source_corr",
-    "q233_range_frame_ma", "q234_mutual_info", "q235_mad_outliers",
-    "q236_inverted_index", "q237_knn_classify", "q238_gaps_islands",
-    "q240_benford_test", "q241_interpolation_join", "q243_split_leakage",
-    "q244_run_length", "q246_revenue_bridge", "q247_records_drawdown",
-    "q83_bm25_topk", "q84_hybrid_rrf", "q85_dedup_corpus",
-    "q86_tfidf_keywords", "q87_vocab_coverage", "q88_median_length_filter",
-    "q90_tpch_q4_shape", "q91_tpch_q12_shape", "q92_tpch_q14_shape",
-    "q93_gopher_quality", "q94_source_cap", "q95_lang_kl_divergence",
-    "q96_event_funnel", "q97_tpch_q3_shape", "q98_tpch_q10_shape",
-    "q99_centroid_outliers", "q100_rolling_anomaly",
+    # --- tier 2: the nine new round-12 operators (q346 SemDeDup on
+    #     IVF cells, q347/q348 portable graph-ANN + recall, q349
+    #     nprobe curve, q350 DSIR, q351 hubness, q352 cross-source
+    #     dups, q353 sampled-quantile eval, q354 conformal) ---
+    "q346_semdedup_cells", "q347_portable_graph_ann",
+    "q348_graph_ann_recall_eval", "q349_ivf_nprobe_curve",
+    "q350_dsir_importance", "q351_hubness_audit",
+    "q352_crossdomain_dup_matrix", "q353_sampled_quantile_eval",
+    "q354_conformal_interval",
+    # --- tier 3: the 35 longest-ungraded oracle rows (the r4-stale
+    #     q116-q151 block, then the first two r5 rows) ---
+    "q116_tpch_q19_shape", "q117_tpch_q21_shape", "q118_tpch_q22_shape",
+    "q119_ngram_decontam", "q120_span_dedup", "q121_unigram_logprob",
+    "q122_scd2_dimension", "q123_store_upsert", "q124_outer_attribution",
+    "q125_time_rollup", "q126_tpch_q8_shape", "q127_tpch_q9_shape",
+    "q128_zorder_stats", "q129_unpivot_metrics", "q130_range_search",
+    "q131_copurchase_lift", "q133_tpch_q16_shape", "q134_tpch_q17_shape",
+    "q135_tpch_q20_shape", "q136_quality_percentile_gate",
+    "q137_token_curriculum", "q138_skew_profile", "q139_integrity_audit",
+    "q140_pergroup_trend", "q141_incremental_agg", "q142_event_bitmask",
+    "q143_embedding_dim_stats", "q144_zipf_fit", "q145_token_entropy",
+    "q146_pmi_collocations", "q147_late_arrival_profile",
+    "q148_tpch_q6_shape", "q151_traffic_bursts", "q71_stats_agg",
+    "q149_gap_fill",
+    # ===== below the fold: previously graded tiers in prior registry
+    # order (r11-fresh rows first, rows-only-by-design at the back;
+    # they resume the staleness rotation in later rounds) =====
+    "q320_portable_hyperplane_ann", "q321_hyperplane_recall_eval",
+    "q322_incremental_neardup", "q323_band_index_growth",
+    "q324_bucket_cap_audit", "q325_portable_ivf_ann", "q326_ivf_recall_eval",
+    "q327_portable_hll", "q328_portable_countmin", "q329_portable_bloom",
+    "q330_priority_sample", "q331_js_divergence", "q332_temperature_mixture",
+    "q333_degree_assortativity", "q334_neyman_allocation",
+    "q335_idempotent_replay", "q336_weighted_priority_sample",
+    "q337_rebalance_audit", "q338_containment_pairs",
+    "q339_neardup_family_eval", "q294_label_propagation",
+    "q295_lexical_diversity", "q296_char_trigram_lm",
+    "q297_boilerplate_ngrams", "q298_budget_waterfill", "q299_int8_rerank",
+    "q300_map_eval", "q301_snapshot_as_of", "q302_portable_minhash",
+    "q303_seq_patterns", "q304_result_diversity", "q305_poisson_bootstrap",
+    "q306_welch_ttest", "q307_blocking_advisor", "q308_batch_knn",
+    "q309_position_attribution", "q310_ipf_raking",
+    "q311_syndication_matrix", "q312_hits_bipartite", "q313_forecast_eval",
+    "q314_dup_cluster_stats", "q315_cache_hit_curve", "q316_cvm_test",
+    "q317_fellegi_sunter", "q318_topk_drift", "q319_portable_simhash",
+    "q112_tpch_q7_shape", "q113_tpch_q11_shape", "q114_tpch_q15_shape",
+    "q115_tpch_q2_shape", "q73_temporal_split", "q231_ohlc_bars",
+    "q232_source_corr", "q233_range_frame_ma", "q234_mutual_info",
+    "q235_mad_outliers", "q236_inverted_index", "q237_knn_classify",
+    "q238_gaps_islands", "q240_benford_test", "q241_interpolation_join",
+    "q243_split_leakage", "q244_run_length", "q246_revenue_bridge",
+    "q247_records_drawdown", "q83_bm25_topk", "q84_hybrid_rrf",
+    "q85_dedup_corpus", "q86_tfidf_keywords", "q87_vocab_coverage",
+    "q88_median_length_filter", "q90_tpch_q4_shape", "q91_tpch_q12_shape",
+    "q92_tpch_q14_shape", "q93_gopher_quality", "q94_source_cap",
+    "q95_lang_kl_divergence", "q96_event_funnel", "q97_tpch_q3_shape",
+    "q98_tpch_q10_shape", "q99_centroid_outliers", "q100_rolling_anomaly",
     "q101_stratified_downsample", "q102_hash_split", "q103_length_bucketing",
     "q104_truncation_stats", "q105_source_overlap_matrix",
     "q107_retention_cohorts", "q33_session_window", "q58_asof_join",
@@ -180,14 +190,13 @@ _PRIORITY = [
     "q24_chunk_stride", "q25_knn_l2", "q26_knn_cosine",
     "q27_similarity_join", "q28_context_assembly", "q29_ingest_routing",
     "q30_store_counts", "q34_latest_per_key", "q36_weighted_avg",
-    "q37_lang_id", "q71_stats_agg", "q200_recursive_hierarchy",
-    "q201_context_budget", "q202_compaction_plan", "q203_decile_lift",
-    "q204_lateral_topk", "q205_seasonality", "q206_null_semantics",
-    "q207_asof_tolerance", "q208_ppl_filter", "q209_tuning_advisor",
-    "q210_triangle_count", "q211_personalized_pagerank", "q212_join_ivm",
-    "q213_cross_label_audit", "q132_weighted_sample", "q184_epoch_shuffle",
-    "q187_bucket_layout", "q189_embedding_drift", "q149_gap_fill",
-    "q150_dedup_keep_best", "q152_multimodal_resize",
+    "q37_lang_id", "q200_recursive_hierarchy", "q201_context_budget",
+    "q202_compaction_plan", "q203_decile_lift", "q204_lateral_topk",
+    "q205_seasonality", "q206_null_semantics", "q207_asof_tolerance",
+    "q208_ppl_filter", "q209_tuning_advisor", "q210_triangle_count",
+    "q211_personalized_pagerank", "q212_join_ivm", "q213_cross_label_audit",
+    "q132_weighted_sample", "q184_epoch_shuffle", "q187_bucket_layout",
+    "q189_embedding_drift", "q150_dedup_keep_best", "q152_multimodal_resize",
     "q153_matryoshka_retention", "q154_novelty_curve", "q155_column_profile",
     "q156_event_transitions", "q157_winsorized_stats",
     "q158_centroid_similarity", "q159_weighted_jaccard",
@@ -204,32 +213,28 @@ _PRIORITY = [
     "q194_range_partition_plan", "q195_session_paths",
     "q196_weighted_length_quartiles", "q197_vector_integrity",
     "q198_purge_audit", "q199_rate_limit", "q50_ingest_pipeline",
-    # --- freshly r10-graded (CORRECTNESS_r10 50/50): back of the
-    #     green tier until their grades go stale ---
     "q260_ewma_smoothing", "q261_cohort_ltv",
     "q262_session_threshold_advisor", "q263_spectral_gap",
     "q264_bloom_join_advisor", "q265_filter_waterfall", "q266_psi_drift",
     "q267_ndcg_eval", "q268_stats_histogram", "q269_hourweek_fingerprint",
     "q270_stream_dedup_profile", "q271_lead_lag_xcorr",
-    "q272_centroid_silhouette", "q273_seasonal_decompose",
-    "q274_mrr_eval", "q275_rule_confidence", "q276_kanon_audit",
-    "q277_higher_moments", "q278_anova_oneway", "q279_theil_sen",
-    "q280_holt_forecast", "q281_tukey_contrasts", "q282_mann_whitney",
-    "q283_snm_dedup", "q284_binary_hamming_topk", "q285_binary_recall_eval",
-    "q248_cdc_apply", "q249_ab_lift", "q250_gini_concentration",
-    "q251_prune_advisor", "q252_readability", "q253_canonical_dedup",
-    "q254_survival_retention", "q255_effective_rank", "q256_acf",
-    "q257_change_point", "q258_bpe_pair_stats", "q259_fill_latency",
-    "q239_rfm_segmentation", "q242_shortest_paths", "q245_power_iteration",
-    "q89_mmr_rerank",
+    "q272_centroid_silhouette", "q273_seasonal_decompose", "q274_mrr_eval",
+    "q275_rule_confidence", "q276_kanon_audit", "q277_higher_moments",
+    "q278_anova_oneway", "q279_theil_sen", "q280_holt_forecast",
+    "q281_tukey_contrasts", "q282_mann_whitney", "q283_snm_dedup",
+    "q284_binary_hamming_topk", "q285_binary_recall_eval", "q248_cdc_apply",
+    "q249_ab_lift", "q250_gini_concentration", "q251_prune_advisor",
+    "q252_readability", "q253_canonical_dedup", "q254_survival_retention",
+    "q255_effective_rank", "q256_acf", "q257_change_point",
+    "q258_bpe_pair_stats", "q259_fill_latency", "q239_rfm_segmentation",
+    "q242_shortest_paths", "q245_power_iteration", "q89_mmr_rerank",
     "q286_roc_curve", "q287_calibration_bins", "q288_kendall_tau",
     "q289_kruskal_wallis", "q290_brown_forsythe", "q291_spearman_rho",
-    "q292_kcore", "q293_link_prediction",
-    # --- rows-only-by-design tier ---
-    "q05_approx_count_distinct", "q61_approx_quantiles", "q46_ann_lsh_topk",
-    "q48_chunk_recursive", "q44_minhash_neardup", "q45_simhash_neardup",
-    "q47_ann_brp_lsh", "q49_ann_ivf", "q51_minhash_lsh_simjoin",
-    "q175_ann_ivf_pq", "q214_ann_graph", "q224_semdedup",
+    "q292_kcore", "q293_link_prediction", "q05_approx_count_distinct",
+    "q61_approx_quantiles", "q46_ann_lsh_topk", "q48_chunk_recursive",
+    "q44_minhash_neardup", "q45_simhash_neardup", "q47_ann_brp_lsh",
+    "q49_ann_ivf", "q51_minhash_lsh_simjoin", "q175_ann_ivf_pq",
+    "q214_ann_graph", "q224_semdedup",
 ]
 
 

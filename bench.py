@@ -166,14 +166,20 @@ def main() -> None:
         per_rep.append({name: run(name) for name in HEADLINE})
 
     rep_totals = [round(sum(r.values()), 3) for r in per_rep]
-    kept = list(per_rep)
-    if len(kept) >= 3:
-        kept.remove(max(kept, key=lambda r: sum(r.values())))
+    # Drop-index computed directly (r11 advice): recovering kept
+    # indices by dict equality would double-count a rep whose totals
+    # tie the dropped one, mislabeling the `contended` flag.
+    kept_idx = list(range(len(per_rep)))
+    if len(per_rep) >= 3:
+        drop_i = max(
+            range(len(per_rep)), key=lambda i: sum(per_rep[i].values())
+        )
+        kept_idx.remove(drop_i)
+    kept = [per_rep[i] for i in kept_idx]
     probe_best = min(probe_times)
     contended_reps = [
         i for i, p in enumerate(probe_times) if p > 1.5 * probe_best
     ]
-    kept_idx = [i for i, r in enumerate(per_rep) if r in kept]
     times = {
         name: round(statistics.median(r[name] for r in kept), 3)
         for name in HEADLINE

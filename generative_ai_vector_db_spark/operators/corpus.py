@@ -1727,7 +1727,127 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# q350 — DSIR importance resampling weights (Xie et al. 2023: Data
+# Selection for LMs via Importance Resampling): score every document
+# by the log-likelihood ratio of a TARGET-domain hashed-unigram LM
+# over the RAW-corpus LM, the standard recipe for carving a
+# target-like training subset out of a 100 TB crawl. Target here =
+# the English slice (lang = 'en'); features = whitespace unigrams
+# hashed into DSIR_BUCKETS buckets (the paper's hashing trick — the
+# weight table is a FIXED-SIZE array independent of vocabulary, which
+# is what makes the method viable at crawl scale: a B-row broadcast,
+# never a vocab-sized shuffle). Both LMs are add-one smoothed over the
+# bucket space; per-doc importance = mean bucket log-ratio. Output =
+# the DSIR_TOP selection (rank by importance, the docs a resampler
+# would keep). The word->bucket hash is the portable 3-char/length
+# mix (q302's word-hash family) so both engines bucket identically.
+# Scale: ONE token pass builds both count tables (conditional agg),
+# B-row broadcast back onto the token stream, one per-doc aggregate.
+# ---------------------------------------------------------------------------
+DSIR_BUCKETS = 1024
+DSIR_TOP = 50
+DSIR_TARGET_LANG = "en"
+
+# portable word -> bucket hash, identical SQL on both engines:
+# ((len*31 + cp(first))*31 + cp(mid))*31 + cp(last), reduced mod B.
+# int64-safe: len <= ~1e6, codepoints <= 0x10FFFF.
+_DSIR_HASH_SPARK = (
+    "pmod(((length(w) * 31 + ascii(substring(w, 1, 1))) * 31"
+    " + ascii(substring(w, cast((length(w) + 1) / 2 as int), 1))) * 31"
+    " + ascii(substring(w, length(w), 1)), {b})"
+)
+_DSIR_HASH_DUCK = (
+    "((length(w) * 31 + ord(substring(w, 1, 1))) * 31"
+    " + ord(substring(w, CAST(floor((length(w) + 1) / 2) AS INT), 1))) * 31"
+    " + ord(substring(w, length(w), 1))"
+)
+
+
+def q350_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    ).where(F.col("w") != "")
+    toks = toks.select(
+        "doc_id",
+        "lang",
+        F.expr(_DSIR_HASH_SPARK.format(b=DSIR_BUCKETS)).alias("bucket"),
+    )
+    is_t = F.col("lang") == DSIR_TARGET_LANG
+    counts = toks.groupBy("bucket").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("bigint").alias("ct"),
+        F.count(F.lit(1)).cast("bigint").alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1) / (F.col("tt") + DSIR_BUCKETS))
+            - F.log((F.col("cr") + 1) / (F.col("tr") + DSIR_BUCKETS))
+        ).alias("lw"),
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum("lw") / F.count(F.lit(1)), 4).alias("importance"),
+        )
+    )
+    w = Window.orderBy(F.col("importance").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= DSIR_TOP)
+        .select("rank", "doc_id", "lang", "n_tokens", "importance")
+        .orderBy("rank")
+    )
+
+
+Q350_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         ({_DSIR_HASH_DUCK}) % {DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents)
+  WHERE w != ''
+),
+counts AS (
+  SELECT bucket,
+         CAST(count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS BIGINT)
+           AS ct,
+         CAST(count(*) AS BIGINT) AS cr
+  FROM toks GROUP BY bucket
+),
+totals AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM counts),
+weights AS (
+  SELECT bucket,
+         ln((ct + 1) / CAST(tt + {DSIR_BUCKETS} AS DOUBLE))
+           - ln((cr + 1) / CAST(tr + {DSIR_BUCKETS} AS DOUBLE)) AS lw
+  FROM counts, totals
+),
+scored AS (
+  SELECT t.doc_id, t.lang,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         round(sum(w.lw) / count(*), 4) AS importance
+  FROM toks t JOIN weights w USING (bucket)
+  GROUP BY t.doc_id, t.lang
+)
+SELECT CAST(row_number() OVER (ORDER BY importance DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, lang, n_tokens, importance
+FROM scored
+QUALIFY rank <= {DSIR_TOP}
+ORDER BY rank
+"""
+
+
 QUERIES = {
+    "q350_dsir_importance": q350_dsir_importance,
     "q332_temperature_mixture": q332_temperature_mixture,
     "q297_boilerplate_ngrams": q297_boilerplate_ngrams,
     "q298_budget_waterfill": q298_budget_waterfill,
@@ -1754,6 +1874,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q350_dsir_importance": Q350_SQL,
     "q332_temperature_mixture": Q332_SQL,
     "q221_heavy_hitters": Q221_SQL,
     "q225_dataset_card": Q225_SQL,

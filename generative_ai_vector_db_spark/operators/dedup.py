@@ -1341,6 +1341,83 @@ Q302_SQL = _pmh_sql()
 
 
 # ---------------------------------------------------------------------------
+# q352 — cross-source duplication matrix: q302's verified near-dup
+# pairs rolled up by (source_a, source_b) — WHICH domains duplicate
+# into which. The curation question this answers is directional
+# budget-setting: heavy within-source duplication means crawl-level
+# dedup (cheap, per-source); heavy cross-source duplication means the
+# global near-dup pass is load-bearing and per-source dedup would
+# miss it (the syndication/mirror-site signature; q311 measures the
+# same phenomenon at the syndication level, this measures it at the
+# near-dup-pair level). Source pairs are unordered (least/greatest
+# normalization) so mirrored pairs land in one cell.
+# Scale: rides q302's banded candidate generation (never N^2); the
+# rollup adds two id->source lookups and a tiny matrix aggregate.
+# ---------------------------------------------------------------------------
+def q352_crossdomain_dup_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = q302_portable_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("src_lo"),
+            F.greatest("sa", "sb").alias("src_hi"),
+        )
+    )
+    total = labeled.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        labeled.groupBy("src_lo", "src_hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "src_lo",
+            "src_hi",
+            "n_pairs",
+            (F.col("src_lo") != F.col("src_hi")).alias("cross_source"),
+            F.round(
+                F.col("n_pairs") / F.col("n_total").cast("double"), 4
+            ).alias("share"),
+        )
+        .orderBy(F.col("n_pairs").desc(), "src_lo", "src_hi")
+    )
+
+
+Q352_SQL = f"""
+WITH pairs AS (
+  {Q302_SQL}
+),
+labeled AS (
+  SELECT least(da.source, db.source) AS src_lo,
+         greatest(da.source, db.source) AS src_hi
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM labeled)
+SELECT src_lo, src_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       src_lo != src_hi AS cross_source,
+       round(count(*) / CAST(tot.n_total AS DOUBLE), 4) AS share
+FROM labeled, tot
+GROUP BY src_lo, src_hi, tot.n_total
+ORDER BY n_pairs DESC, src_lo, src_hi
+"""
+
+
+# ---------------------------------------------------------------------------
 # q322 — INCREMENTAL near-dup against the store: q186's production
 # R11 shape (classify an incoming batch as dup_of_store /
 # dup_in_batch / novel) upgraded from exact-fingerprint equality to
@@ -2637,6 +2714,7 @@ FROM c
 
 
 QUERIES = {
+    "q352_crossdomain_dup_matrix": q352_crossdomain_dup_matrix,
     "q302_portable_minhash": q302_portable_minhash,
     "q307_blocking_advisor": q307_blocking_advisor,
     "q311_syndication_matrix": q311_syndication_matrix,
@@ -2661,6 +2739,7 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "q352_crossdomain_dup_matrix": Q352_SQL,
     "q302_portable_minhash": Q302_SQL,
     "q307_blocking_advisor": Q307_SQL,
     "q311_syndication_matrix": Q311_SQL,

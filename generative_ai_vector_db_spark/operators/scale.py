@@ -1707,6 +1707,15 @@ ORDER BY cache_size
 # Scale: per domain ONE groupBy(bucket) max — 256-row state, the
 # textbook mergeable-sketch shape (partial maxes combine map-side;
 # register arrays from shards union by max at 100 TB).
+# CARDINALITY CEILING (r11 advice): the portable hash space is 31-bit,
+# so estimates are trustworthy only while distinct counts stay well
+# below the hash-collision regime — ~2*10^7 distincts (~1% of 2^31)
+# keeps collision bias under ~1%; approaching 10^8-10^9 the estimate
+# biases LOW and saturates near 2^31. The register-merge SHAPE is the
+# 100 TB story; estimates at that key scale need the hash widened to
+# 64-bit (engine-native xxhash64 on Spark / hash() on DuckDB) at the
+# cost of cross-engine portability, or a per-shard portable sketch
+# whose distinct count per shard respects this ceiling.
 # ---------------------------------------------------------------------------
 HLL_M = 256
 HLL_WBITS = 23  # HASH_MOD // 256 < 2^23
@@ -2320,7 +2329,117 @@ FROM flags
 Q337_SQL = _q337_sql()
 
 
+# ---------------------------------------------------------------------------
+# q353 — sampled-quantile error eval: how good are quantile estimates
+# computed from the q330-style deterministic hash sample vs the exact
+# full-scan quantiles? At 100 TB nobody runs quantile_cont over the
+# raw table for monitoring — they run it over a fixed-rate hash sample
+# — and THIS op measures what that costs in accuracy, per quantile,
+# as a driver-graded number (the estimator-calibration companion to
+# q330/q336, the way q339 calibrates the near-dup family). Sample
+# membership = portable mix of the (orderkey, linenumber) row key mod
+# SQE_RATE — reproducible across engines, retries, and reruns; both
+# quantile sets use the shared percentile/quantile_cont linear
+# interpolation (q54's parity trick) and round(4).
+# Scale: the sample predicate is scan-side (no shuffle to sample);
+# both aggregations are single-pass sort-based quantiles.
+# ---------------------------------------------------------------------------
+SQE_RATE = 10  # keep 1-in-10 rows
+SQE_QS = [0.5, 0.9, 0.99]
+
+
+def q353_sampled_quantile_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.hashing import mix_spark
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    in_sample = (
+        F.expr(mix_spark("l_orderkey * 8 + l_linenumber")) % SQE_RATE == 0
+    )
+    x = F.col("l_extendedprice").cast("double")
+    agg = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_full"),
+        F.sum(F.when(in_sample, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sample"),
+        *[
+            F.round(F.percentile(x, F.lit(q)), 4).alias(f"e_{i}")
+            for i, q in enumerate(SQE_QS)
+        ],
+        *[
+            F.round(
+                F.percentile(F.when(in_sample, x), F.lit(q)), 4
+            ).alias(f"s_{i}")
+            for i, q in enumerate(SQE_QS)
+        ],
+    )
+    rows = ", ".join(
+        f"CAST({q} AS DOUBLE), e_{i}, s_{i}" for i, q in enumerate(SQE_QS)
+    )
+    return (
+        agg.selectExpr(
+            "n_full",
+            "n_sample",
+            f"stack({len(SQE_QS)}, {rows}) AS (q, exact_q, sample_q)",
+        )
+        .select(
+            "q",
+            "exact_q",
+            "sample_q",
+            F.round(
+                F.abs(F.col("sample_q") - F.col("exact_q"))
+                / F.col("exact_q"),
+                6,
+            ).alias("rel_err"),
+            "n_full",
+            "n_sample",
+        )
+        .orderBy("q")
+    )
+
+
+def _q353_sql() -> str:
+    from ..functions.hashing import mix_duck
+
+    pred = f"({mix_duck('l_orderkey * 8 + l_linenumber')}) % {SQE_RATE} = 0"
+    exact = ",\n         ".join(
+        f"round(quantile_cont(l_extendedprice, {q}), 4) AS e_{i}"
+        for i, q in enumerate(SQE_QS)
+    )
+    samp = ",\n         ".join(
+        f"round(quantile_cont(l_extendedprice, {q})"
+        f" FILTER (WHERE {pred}), 4) AS s_{i}"
+        for i, q in enumerate(SQE_QS)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, e_{i} AS exact_q, s_{i} AS sample_q,"
+        f" n_full, n_sample FROM agg"
+        for i, q in enumerate(SQE_QS)
+    )
+    return f"""
+WITH agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_full,
+         CAST(count(*) FILTER (WHERE {pred}) AS BIGINT) AS n_sample,
+         {exact},
+         {samp}
+  FROM lineitem
+)
+SELECT q, exact_q, sample_q,
+       round(abs(sample_q - exact_q) / exact_q, 6) AS rel_err,
+       n_full, n_sample
+FROM ({rows})
+ORDER BY q
+"""
+
+
+Q353_SQL = _q353_sql()
+
+
 QUERIES = {
+    "q353_sampled_quantile_eval": q353_sampled_quantile_eval,
     "q336_weighted_priority_sample": q336_weighted_priority_sample,
     "q337_rebalance_audit": q337_rebalance_audit,
     "q327_portable_hll": q327_portable_hll,
@@ -2348,6 +2467,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q353_sampled_quantile_eval": Q353_SQL,
     "q336_weighted_priority_sample": Q336_SQL,
     "q337_rebalance_audit": Q337_SQL,
     "q327_portable_hll": Q327_SQL,

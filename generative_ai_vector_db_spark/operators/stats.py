@@ -989,3 +989,129 @@ ORDER BY source
 
 QUERIES.update({"q334_neyman_allocation": q334_neyman_allocation})
 ORACLE.update({"q334_neyman_allocation": Q334_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q354 — split-conformal prediction intervals (Vovk; Lei et al.): the
+# distribution-free coverage guarantee a serving pipeline wants around
+# a point predictor, computed at corpus scale. Split: the portable
+# mix of event_id routes each event to CALIBRATION (even mix) or TEST
+# (odd mix) — deterministic across engines/retries, the q102
+# hash-split discipline. Predictor: per-event-type calibration mean
+# (round 4). Nonconformity: |value - pred| (round 4). qhat per type =
+# the ceil((n_cal + 1) * (1 - alpha))-th smallest calibration residual
+# — the FINITE-SAMPLE-CORRECTED order statistic, selected by integer
+# row_number (no quantile interpolation, so both engines pick the
+# identical residual). Coverage on the held-out half should be
+# >= 1 - alpha in expectation; the gap is the driver-graded number.
+# Scale: two shuffles on event_type (a handful of groups), residual
+# ranking is a per-type window; nothing global.
+# ---------------------------------------------------------------------------
+CONF_ALPHA = 0.1
+
+
+def q354_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import mix_spark
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double").alias("v")
+    )
+    is_cal = F.expr(mix_spark("event_id")) % 2 == 0
+    ev = ev.withColumn("is_cal", is_cal)
+    pred = (
+        ev.where("is_cal")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("v"), 4).alias("pred"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+        )
+    )
+    resid = (
+        ev.join(F.broadcast(pred), "event_type")
+        .withColumn("r", F.round(F.abs(F.col("v") - F.col("pred")), 4))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("r").asc(), F.col("event_id")
+    )
+    qhat = (
+        resid.where("is_cal")
+        .withColumn("rn", F.row_number().over(w))
+        .where(
+            F.col("rn")
+            == F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - CONF_ALPHA)).cast(
+                "int"
+            )
+        )
+        .select("event_type", F.col("r").alias("qhat"))
+    )
+    return (
+        resid.where(~F.col("is_cal"))
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.max("qhat").alias("qhat"),
+            F.round(
+                F.sum(F.when(F.col("r") <= F.col("qhat"), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("coverage"),
+        )
+        .select(
+            "event_type",
+            "n_cal",
+            "n_test",
+            "qhat",
+            "coverage",
+            F.lit(1.0 - CONF_ALPHA).alias("target"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q354_sql() -> str:
+    from ..functions.hashing import mix_duck
+
+    return f"""
+WITH ev AS (
+  SELECT event_id, event_type, CAST(value AS DOUBLE) AS v,
+         ({mix_duck('event_id')}) % 2 = 0 AS is_cal
+  FROM events
+),
+pred AS (
+  SELECT event_type, round(avg(v), 4) AS pred,
+         CAST(count(*) AS BIGINT) AS n_cal
+  FROM ev WHERE is_cal GROUP BY event_type
+),
+resid AS (
+  SELECT e.event_id, e.event_type, e.is_cal, p.pred, p.n_cal,
+         round(abs(e.v - p.pred), 4) AS r
+  FROM ev e JOIN pred p USING (event_type)
+),
+qhat AS (
+  SELECT event_type, r AS qhat FROM (
+    SELECT event_type, r, n_cal,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY r, event_id) AS rn
+    FROM resid WHERE is_cal
+  ) WHERE rn = CAST(ceil((n_cal + 1) * {1.0 - CONF_ALPHA}) AS INT)
+)
+SELECT t.event_type,
+       max(t.n_cal) AS n_cal,
+       CAST(count(*) AS BIGINT) AS n_test,
+       max(q.qhat) AS qhat,
+       round(sum(CASE WHEN t.r <= q.qhat THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS coverage,
+       {1.0 - CONF_ALPHA} AS target
+FROM resid t JOIN qhat q USING (event_type)
+WHERE NOT t.is_cal
+GROUP BY t.event_type
+ORDER BY t.event_type
+"""
+
+
+Q354_SQL = _q354_sql()
+
+QUERIES.update({"q354_conformal_interval": q354_conformal_interval})
+ORACLE.update({"q354_conformal_interval": Q354_SQL})

@@ -526,7 +526,9 @@ ORDER BY snap_day
 # tie-break), and this op measures it instead of asserting it.
 # Scale: two per-key window reductions + one full outer join on the
 # key — all partition-local after one shuffle each; the checksum is a
-# sum of portable mixes (order-free, map-side combinable).
+# two-level MODULAR sum of portable mixes (order-free, map-side
+# combinable, and overflow-identical across engines — see
+# _mod_checksum for the documented key-count bound).
 # ---------------------------------------------------------------------------
 def _cdc_snapshot(log: DataFrame) -> DataFrame:
     """Last-writer-wins snapshot of a (user_id, ts, event_id, op,
@@ -544,9 +546,42 @@ def _cdc_snapshot(log: DataFrame) -> DataFrame:
     )
 
 
-def q335_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.hashing import mix_spark
+CKSUM_BUCKETS = 4096  # two-level modular fold: per-bucket sums stay in int64
 
+
+def _mod_checksum(df: DataFrame, n_alias: str, ck_alias: str) -> DataFrame:
+    """Order-free modular checksum of a (user_id, final_value) snapshot.
+
+    The r11 form was an UNBOUNDED int64 SUM of 31-bit mixes — beyond
+    ~2^33 keys Spark (non-ANSI) wraps silently while DuckDB sums to
+    HUGEINT, so cross-engine parity broke exactly at the scale the
+    operator claims to serve. This folds modulo HASH_MOD at two
+    levels: per hash-bucket sums (int64-safe to ~2^33 rows PER BUCKET,
+    i.e. ~3.5e13 keys total with 4096 buckets — documented bound),
+    then a 4096-row outer sum (< 2^43) reduced mod HASH_MOD again.
+    Both engines compute the identical residue.
+    """
+    from ..functions.hashing import HASH_MOD, mix_spark
+
+    mixed = df.select(
+        F.pmod(F.col("user_id"), F.lit(CKSUM_BUCKETS)).alias("_b"),
+        F.expr(
+            mix_spark(
+                "user_id * 31 + cast(round(final_value * 10000) as bigint)"
+            )
+        ).alias("_m"),
+    )
+    inner = mixed.groupBy("_b").agg(
+        (F.sum("_m") % HASH_MOD).alias("_s"),
+        F.count(F.lit(1)).alias("_c"),
+    )
+    return inner.agg(
+        F.sum("_c").cast("bigint").alias(n_alias),
+        (F.sum("_s") % HASH_MOD).cast("bigint").alias(ck_alias),
+    )
+
+
+def q335_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value",
         F.when(F.col("event_type") == "error", F.lit("D"))
@@ -555,21 +590,8 @@ def q335_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     once = _cdc_snapshot(ev)
     twice = _cdc_snapshot(ev.unionAll(ev))
-    cksum = F.sum(
-        F.expr(
-            mix_spark(
-                "user_id * 31 + cast(round(final_value * 10000) as bigint)"
-            )
-        )
-    ).cast("bigint")
-    c1 = once.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_keys_once"),
-        cksum.alias("checksum_once"),
-    )
-    c2 = twice.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_keys_twice"),
-        cksum.alias("checksum_twice"),
-    )
+    c1 = _mod_checksum(once, "n_keys_once", "checksum_once")
+    c2 = _mod_checksum(twice, "n_keys_twice", "checksum_twice")
     o = once.select("user_id", F.col("final_value").alias("v1"))
     t = twice.select("user_id", F.col("final_value").alias("v2"))
     diff = (
@@ -596,10 +618,21 @@ def q335_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q335_sql() -> str:
-    from ..functions.hashing import mix_duck
+    from ..functions.hashing import HASH_MOD, mix_duck
 
     cks = mix_duck(
         "user_id * 31 + CAST(round(final_value * 10000) AS BIGINT)"
+    )
+    # Mirror of _mod_checksum's two-level modular fold (per-bucket
+    # sum % HASH_MOD, then outer sum % HASH_MOD) so both engines
+    # compute the identical int64 residue regardless of their native
+    # SUM widening behavior.
+    fold = (
+        "SELECT CAST(sum(c) AS BIGINT) AS n, "
+        f"CAST(sum(s) % {HASH_MOD} AS BIGINT) AS ck FROM ("
+        f"SELECT user_id % {CKSUM_BUCKETS} AS b, "
+        f"sum({cks}) % {HASH_MOD} AS s, count(*) AS c "
+        "FROM {src} GROUP BY 1)"
     )
     return f"""
 WITH log AS (
@@ -622,10 +655,10 @@ twice AS (
     FROM log2
   ) WHERE rn = 1 AND op = 'U'
 ),
-c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_once,
-              CAST(sum({cks}) AS BIGINT) AS checksum_once FROM once),
-c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_twice,
-              CAST(sum({cks}) AS BIGINT) AS checksum_twice FROM twice),
+c1 AS (SELECT n AS n_keys_once, ck AS checksum_once
+       FROM ({fold.format(src='once')})),
+c2 AS (SELECT n AS n_keys_twice, ck AS checksum_twice
+       FROM ({fold.format(src='twice')})),
 d AS (
   SELECT CAST(count(*) AS BIGINT) AS diff_rows
   FROM (SELECT user_id, final_value AS v1 FROM once) o
