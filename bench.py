@@ -105,6 +105,14 @@ HEADLINE = [
     "q320_portable_hyperplane_ann",
     "q327_portable_hll",
     "q338_containment_pairs",
+    # round-12 heavy operators (added r12, same forward-band protocol):
+    # the iterative NN-descent graph build + beam search, the IVF
+    # cell-blocked pair scan, the hashed-vocab token double-pass, and
+    # the 50-anchor broadcast scan — the four new heavy shapes
+    "q347_portable_graph_ann",
+    "q346_semdedup_cells",
+    "q350_dsir_importance",
+    "q351_hubness_audit",
 ]
 
 

@@ -1899,3 +1899,127 @@ ORACLE = {
     "q196_weighted_length_quartiles": Q196_SQL,
     "q208_ppl_filter": Q208_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# q356 — DoReMi reweighting step (Xie et al. 2023, Domain Reweighting
+# with Minimax Optimization): one exponentiated-gradient update of the
+# per-source training mixture, driven by per-domain EXCESS LOSS. The
+# static mixture family (q80 caps, q162 token budgets, q332
+# temperature) sets weights from SIZE; DoReMi sets them from how much
+# each domain still hurts — domains whose loss exceeds the corpus
+# average get upweighted. Loss proxy here = per-source mean negative
+# unigram log-likelihood under the corpus LM (q121's portable
+# machinery; in production this column comes from the proxy model's
+# eval pass — the UPDATE RULE, which is what this op implements, is
+# identical). w_new ∝ share_old * exp(eta * excess), renormalized;
+# loss is rounded(6) BEFORE exp so both engines exponentiate the
+# identical double.
+# Scale: q121's one token pass + vocab broadcast, then a |sources|-row
+# update — the whole DoReMi step is metadata-sized beyond the scan.
+# ---------------------------------------------------------------------------
+DOREMI_ETA = 1.0
+
+
+def q356_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    ).where(F.col("w") != "")
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    freq = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(total))
+        .select("w", F.log(F.col("cnt") / F.col("total")).alias("logp"))
+    )
+    per = (
+        toks.join(F.broadcast(freq), "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(-F.sum("logp") / F.count(F.lit(1)), 6).alias("loss"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("double").alias("tot_tokens"),
+        F.round(
+            F.sum(F.col("loss") * F.col("n_tokens")) / F.sum("n_tokens"),
+            6,
+        ).alias("avg_loss"),
+    )
+    upd = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "loss",
+        (F.col("n_tokens") / F.col("tot_tokens")).alias("share_old"),
+        (
+            (F.col("n_tokens") / F.col("tot_tokens"))
+            * F.exp(
+                F.lit(DOREMI_ETA) * (F.col("loss") - F.col("avg_loss"))
+            )
+        ).alias("w_raw"),
+        (F.col("loss") - F.col("avg_loss")).alias("excess"),
+    )
+    norm = upd.agg(F.sum("w_raw").alias("z"))
+    return (
+        upd.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_tokens",
+            "loss",
+            F.round("excess", 6).alias("excess_loss"),
+            F.round("share_old", 4).alias("share_old"),
+            F.round(F.col("w_raw") / F.col("z"), 4).alias("share_new"),
+            F.round(F.col("w_raw") / F.col("z") / F.col("share_old"), 4)
+            .alias("mult"),
+        )
+        .orderBy("source")
+    )
+
+
+Q356_SQL = f"""
+WITH toks AS (
+  SELECT source, w FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+  ) WHERE w != ''
+),
+freq AS (
+  SELECT w, ln(CAST(count(*) AS DOUBLE)
+               / (SELECT count(*) FROM toks)) AS logp
+  FROM toks GROUP BY w
+),
+per AS (
+  SELECT t.source,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         round(-sum(f.logp) / count(*), 6) AS loss
+  FROM toks t JOIN freq f USING (w)
+  GROUP BY t.source
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot_tokens,
+         round(sum(loss * n_tokens) / sum(n_tokens), 6) AS avg_loss
+  FROM per
+),
+upd AS (
+  SELECT source, n_tokens, loss,
+         n_tokens / tot_tokens AS share_old,
+         (n_tokens / tot_tokens)
+           * exp({DOREMI_ETA} * (loss - avg_loss)) AS w_raw,
+         loss - avg_loss AS excess
+  FROM per, tot
+),
+norm AS (SELECT sum(w_raw) AS z FROM upd)
+SELECT source, n_tokens, loss,
+       round(excess, 6) AS excess_loss,
+       round(share_old, 4) AS share_old,
+       round(w_raw / z, 4) AS share_new,
+       round(w_raw / z / share_old, 4) AS mult
+FROM upd, norm
+ORDER BY source
+"""
+
+QUERIES.update({"q356_doremi_step": q356_doremi_step})
+ORACLE.update({"q356_doremi_step": Q356_SQL})

@@ -3244,3 +3244,152 @@ ORACLE = {
     "q249_ab_lift": Q249_SQL,
     "q250_gini_concentration": Q250_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# q355 — t-closeness audit (Li et al. 2007): the third leg of the
+# release-privacy triad — q276 checks class SIZE (k-anonymity), q345
+# checks within-class user DIVERSITY (l-diversity), and this checks
+# the remaining leak: a class can be large and diverse yet its
+# SENSITIVE-ATTRIBUTE distribution can still differ so much from the
+# global one that membership itself discloses the attribute. Classes
+# = (iso_dow, hour) (q345's quasi-identifiers minus the sensitive
+# column); sensitive attribute = event_type; distance = total
+# variation (the categorical EMD t-closeness prescribes). Per t in
+# {0.1, 0.2, 0.3}: violating classes and exposed records.
+# Cross-engine exactness: the violation test is INTEGER — TVD > t
+# iff 10 * sum_types |cnt_ct*sz_g - cnt_gt*sz_c| > 2*k*sz_c*sz_g for
+# t = k/10 — so no engine ever decides a boundary class differently
+# (int64-safe to ~10^9 rows/class; beyond that pre-divide by a
+# common factor). The reported tvd column is display-rounded(4).
+# Scale: one groupBy(class, type) count, a types-x-classes grid join
+# (|types| * |classes| is tiny), a 3-row broadcast sweep.
+# ---------------------------------------------------------------------------
+TCLOSE_TS = [1, 2, 3]  # tenths: t = k/10
+
+
+def q355_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        (F.weekday("ts") + 1).alias("iso_dow"),
+        F.hour("ts").alias("hour"),
+        "event_type",
+    )
+    ct = ev.groupBy("iso_dow", "hour", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_ct")
+    )
+    cls = ct.groupBy("iso_dow", "hour").agg(
+        F.sum("cnt_ct").cast("bigint").alias("sz_c")
+    )
+    gt = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_gt")
+    )
+    gtot = gt.agg(F.sum("cnt_gt").cast("bigint").alias("sz_g"))
+    grid = (
+        cls.crossJoin(F.broadcast(gt))
+        .join(ct, ["iso_dow", "hour", "event_type"], "left")
+        .withColumn("cnt_ct", F.coalesce("cnt_ct", F.lit(0)))
+        .crossJoin(F.broadcast(gtot))
+    )
+    per_class = grid.groupBy("iso_dow", "hour", "sz_c", "sz_g").agg(
+        F.sum(
+            F.abs(
+                F.col("cnt_ct") * F.col("sz_g")
+                - F.col("cnt_gt") * F.col("sz_c")
+            )
+        )
+        .cast("bigint")
+        .alias("num")
+    )
+    ts = spark.createDataFrame([(k,) for k in TCLOSE_TS], "k bigint")
+    swept = per_class.crossJoin(F.broadcast(ts)).withColumn(
+        "viol",
+        (F.lit(10) * F.col("num"))
+        > (F.lit(2) * F.col("k") * F.col("sz_c") * F.col("sz_g")),
+    )
+    return (
+        swept.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum(F.col("viol").cast("bigint"))
+            .cast("bigint")
+            .alias("n_violating"),
+            F.sum(F.when(F.col("viol"), F.col("sz_c")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_records_exposed"),
+            F.round(
+                F.sum(
+                    F.when(F.col("viol"), F.col("sz_c")).otherwise(F.lit(0))
+                )
+                / F.sum("sz_c").cast("double"),
+                4,
+            ).alias("exposed_share"),
+            F.round(
+                F.max(
+                    F.col("num")
+                    / (F.lit(2.0) * F.col("sz_c") * F.col("sz_g"))
+                ),
+                4,
+            ).alias("max_tvd"),
+        )
+        .select(
+            (F.col("k") / F.lit(10.0)).alias("t"),
+            "n_classes",
+            "n_violating",
+            "n_records_exposed",
+            "exposed_share",
+            "max_tvd",
+        )
+        .orderBy("t")
+    )
+
+
+Q355_SQL = f"""
+WITH ev AS (
+  SELECT isodow(ts) AS iso_dow, hour(ts) AS hour, event_type FROM events
+),
+ct AS (
+  SELECT iso_dow, hour, event_type, CAST(count(*) AS BIGINT) AS cnt_ct
+  FROM ev GROUP BY 1, 2, 3
+),
+cls AS (
+  SELECT iso_dow, hour, CAST(sum(cnt_ct) AS BIGINT) AS sz_c
+  FROM ct GROUP BY 1, 2
+),
+gt AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS cnt_gt
+  FROM ev GROUP BY 1
+),
+gtot AS (SELECT CAST(sum(cnt_gt) AS BIGINT) AS sz_g FROM gt),
+grid AS (
+  SELECT c.iso_dow, c.hour, c.sz_c, g.event_type, g.cnt_gt,
+         CAST(coalesce(t.cnt_ct, 0) AS BIGINT) AS cnt_ct, gtot.sz_g
+  FROM cls c CROSS JOIN gt g
+  LEFT JOIN ct t ON t.iso_dow = c.iso_dow AND t.hour = c.hour
+                AND t.event_type = g.event_type, gtot
+),
+per_class AS (
+  SELECT iso_dow, hour, sz_c, sz_g,
+         CAST(sum(abs(cnt_ct * sz_g - cnt_gt * sz_c)) AS BIGINT) AS num
+  FROM grid GROUP BY 1, 2, 3, 4
+),
+ts AS (SELECT unnest([{", ".join(str(k) for k in TCLOSE_TS)}]) AS k),
+swept AS (
+  SELECT k, sz_c, sz_g, num,
+         (10 * num) > (2 * k * sz_c * sz_g) AS viol
+  FROM per_class, ts
+)
+SELECT k / 10.0 AS t,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN viol THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(sum(CASE WHEN viol THEN sz_c ELSE 0 END) AS BIGINT)
+         AS n_records_exposed,
+       round(sum(CASE WHEN viol THEN sz_c ELSE 0 END)
+             / CAST(sum(sz_c) AS DOUBLE), 4) AS exposed_share,
+       round(max(num / (2.0 * sz_c * sz_g)), 4) AS max_tvd
+FROM swept
+GROUP BY k
+ORDER BY t
+"""
+
+QUERIES.update({"q355_tcloseness_audit": q355_tcloseness_audit})
+ORACLE.update({"q355_tcloseness_audit": Q355_SQL})

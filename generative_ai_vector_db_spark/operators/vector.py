@@ -3748,8 +3748,88 @@ ORDER BY occ
 """
 
 
+# ---------------------------------------------------------------------------
+# q357 — cross-lingual near-duplicate detection: embedding pairs that
+# are semantically near-identical but carry DIFFERENT document
+# languages — the translated-duplicate signature that inflates
+# multilingual training corpora (the same article crawled in two
+# languages contributes near-zero new information to a multilingual
+# model but double the tokens; mC4/CCMatrix-era curation prunes it).
+# Blocking = q325's IVF cells (q346's production structure); language
+# comes from the 1:1 documents join (vec_id <-> doc_id, the q197
+# contract). q213 is the labels-disagree mislabel audit; this is the
+# lang-disagree CURATION op over the real document metadata, with the
+# pair list itself as output (feeds a keep-one-language policy).
+# Scale: q346's bounded cell-blocked pair pass + two id->lang lookups.
+# ---------------------------------------------------------------------------
+XLING_TAU = 0.25
+
+
+def q357_crosslingual_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    lang = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    withcell = (
+        emb.join(_ivf_assign(emb), "vec_id").join(lang, "vec_id")
+    )
+    a = withcell.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("cell").alias("cell_a"),
+        F.col("lang").alias("lang_a"),
+    )
+    b = withcell.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("lang").alias("lang_b"),
+    )
+    cos = V.cosine_arrow()
+    return (
+        a.join(
+            b,
+            (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .where(F.col("lang_a") != F.col("lang_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "lang_a",
+            "lang_b",
+            F.round(cos(F.col("emb_a"), F.col("emb_b")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= XLING_TAU)
+        .orderBy("id_a", "id_b")
+    )
+
+
+Q357_SQL = f"""
+WITH {Q325_ASSIGN_CTES},
+wc AS (
+  SELECT a.vec_id, a.cell, d.lang
+  FROM assigned a JOIN documents d ON d.doc_id = a.vec_id
+)
+SELECT aa.vec_id AS id_a, ab.vec_id AS id_b,
+       aa.lang AS lang_a, ab.lang AS lang_b,
+       round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 4) AS cos_sim
+FROM wc aa
+JOIN wc ab ON aa.cell = ab.cell AND aa.vec_id < ab.vec_id
+           AND aa.lang != ab.lang
+JOIN embeddings a ON a.vec_id = aa.vec_id
+JOIN embeddings b ON b.vec_id = ab.vec_id
+WHERE round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 4)
+      >= {XLING_TAU}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "q346_semdedup_cells": q346_semdedup_cells,
+    "q357_crosslingual_neardup": q357_crosslingual_neardup,
     "q351_hubness_audit": q351_hubness_audit,
     "q349_ivf_nprobe_curve": q349_ivf_nprobe_curve,
     "q347_portable_graph_ann": q347_portable_graph_ann,
@@ -3789,6 +3869,7 @@ QUERIES = {
 
 ORACLE = {
     "q346_semdedup_cells": Q346_SQL,
+    "q357_crosslingual_neardup": Q357_SQL,
     "q351_hubness_audit": Q351_SQL,
     "q349_ivf_nprobe_curve": Q349_SQL,
     "q347_portable_graph_ann": Q347_SQL,

@@ -373,6 +373,113 @@ def test_q354_coverage_near_target(spark, sf_dir_t2):
         assert r.coverage <= 1.0
 
 
+# --------------------------------------------------------------------------
+# q355 — t-closeness audit
+# --------------------------------------------------------------------------
+def test_q355_reference(spark, sf_dir_t2):
+    import pandas as pd
+
+    from generative_ai_vector_db_spark.operators import quality
+
+    got = quality.q355_tcloseness_audit(spark, sf_dir_t2).toPandas()
+    ev = (
+        load(spark, sf_dir_t2, "events")
+        .select(
+            (F.weekday("ts") + 1).alias("iso_dow"),
+            F.hour("ts").alias("hour"),
+            "event_type",
+        )
+        .toPandas()
+    )
+    g = ev.groupby("event_type").size()
+    sz_g = len(ev)
+    viol_counts = {k: 0 for k in quality.TCLOSE_TS}
+    exposed = {k: 0 for k in quality.TCLOSE_TS}
+    n_classes = 0
+    for (_, _), grp in ev.groupby(["iso_dow", "hour"]):
+        n_classes += 1
+        sz_c = len(grp)
+        c = grp.groupby("event_type").size()
+        num = sum(
+            abs(int(c.get(t, 0)) * sz_g - int(g[t]) * sz_c) for t in g.index
+        )
+        for k in quality.TCLOSE_TS:
+            if 10 * num > 2 * k * sz_c * sz_g:
+                viol_counts[k] += 1
+                exposed[k] += sz_c
+    for r in got.itertuples():
+        k = int(round(r.t * 10))
+        assert r.n_classes == n_classes
+        assert r.n_violating == viol_counts[k]
+        assert r.n_records_exposed == exposed[k]
+    # monotone: a looser t admits fewer violations
+    assert list(got["n_violating"]) == sorted(got["n_violating"], reverse=True)
+
+
+# --------------------------------------------------------------------------
+# q356 — DoReMi step
+# --------------------------------------------------------------------------
+def test_q356_update_rule(spark, sf_dir_t2):
+    import math
+
+    from generative_ai_vector_db_spark.operators import corpus
+
+    got = corpus.q356_doremi_step(spark, sf_dir_t2).toPandas()
+    # shares normalize
+    assert got["share_new"].sum() == pytest.approx(1.0, abs=2e-3)
+    assert got["share_old"].sum() == pytest.approx(1.0, abs=2e-3)
+    # exponentiated-gradient direction: above-average loss -> upweight
+    for r in got.itertuples():
+        if r.excess_loss > 1e-4:
+            assert r.mult > 1.0 - 1e-6, r.source
+        elif r.excess_loss < -1e-4:
+            assert r.mult < 1.0 + 1e-6, r.source
+    # update rule recomputation from the op's own loss column
+    z = sum(
+        r.share_old * math.exp(corpus.DOREMI_ETA * r.excess_loss)
+        for r in got.itertuples()
+    )
+    for r in got.itertuples():
+        w = r.share_old * math.exp(corpus.DOREMI_ETA * r.excess_loss) / z
+        assert r.share_new == pytest.approx(w, abs=2e-3)
+
+
+# --------------------------------------------------------------------------
+# q357 — cross-lingual near-dup
+# --------------------------------------------------------------------------
+def test_q357_pairs_reference(spark, sf_dir_t2):
+    import numpy as np
+
+    from generative_ai_vector_db_spark.operators import vector
+
+    got = vector.q357_crosslingual_neardup(spark, sf_dir_t2).toPandas()
+    assert len(got) > 0
+    assert (got["lang_a"] != got["lang_b"]).all()
+    assert (got["cos_sim"] >= vector.XLING_TAU).all()
+    assert (got["id_a"] < got["id_b"]).all()
+    # every reported pair shares an IVF cell and its cosine is right
+    emb = (
+        load(spark, sf_dir_t2, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .set_index("vec_id")
+    )
+    cells = {
+        r.vec_id: r.cell
+        for r in vector._ivf_assign(
+            load(spark, sf_dir_t2, "embeddings").select(
+                "vec_id", "embedding"
+            )
+        ).collect()
+    }
+    for r in got.head(20).itertuples():
+        assert cells[r.id_a] == cells[r.id_b]
+        va = np.array(emb.loc[r.id_a, "embedding"], dtype=np.float64)
+        vb = np.array(emb.loc[r.id_b, "embedding"], dtype=np.float64)
+        cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        assert r.cos_sim == pytest.approx(round(cos, 4), abs=2e-4)
+
+
 def test_q347_planted_cluster(spark, tmp_path):
     """On a corpus with REAL cluster structure (the regime graph ANN
     exists for — the fixture tables are isotropic, the worst case),
