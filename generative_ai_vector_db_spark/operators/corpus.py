@@ -2023,3 +2023,118 @@ ORDER BY source
 
 QUERIES.update({"q356_doremi_step": q356_doremi_step})
 ORACLE.update({"q356_doremi_step": Q356_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q358 — decontamination strictness curve: q119 pins the GPT-3 13-gram
+# rule; this sweeps the n-gram LENGTH n in {5, 8, 13} and reports what
+# each strictness would flag — the advisor that prices the
+# false-positive/false-negative trade before a decontamination run
+# (shorter n flags more train docs, catching paraphrases but also
+# punishing common phrases; the curve's shape is the evidence for
+# choosing n). Same split rule, same broadcast-eval-grams shape as
+# q119, executed once per n (a bounded 3-element sweep — the gram
+# length changes the TOKENIZATION, so unlike q344/q349 the passes
+# cannot share one scored frame; documented cost, |sweep| scans).
+# ---------------------------------------------------------------------------
+DECONTAM_NS = [5, 8, 13]
+
+
+def q358_decontam_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("words")
+    )
+    outs = []
+    for n in DECONTAM_NS:
+        pairs = docs.select(
+            "doc_id", F.explode(_word_ngrams(F.col("words"), n)).alias("gram")
+        )
+        ev = (
+            pairs.where(F.col("doc_id") % EVAL_MOD == 0)
+            .select("gram")
+            .distinct()
+        )
+        n_eval = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n_eval_grams"))
+        train = pairs.where(F.col("doc_id") % EVAL_MOD != 0)
+        hits = train.join(F.broadcast(ev), "gram", "semi").select(
+            "doc_id"
+        )
+        per_doc = (
+            train.select("doc_id")
+            .distinct()
+            .join(
+                hits.groupBy("doc_id").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("h")
+                ),
+                "doc_id",
+                "left",
+            )
+        )
+        outs.append(
+            per_doc.agg(
+                F.lit(n).cast("bigint").alias("n"),
+                F.count(F.lit(1)).cast("bigint").alias("n_train_docs"),
+                F.sum((F.col("h") > 0).cast("bigint"))
+                .cast("bigint")
+                .alias("n_flagged"),
+                F.sum(F.coalesce("h", F.lit(0))).cast("bigint").alias(
+                    "n_hit_grams"
+                ),
+                F.round(
+                    F.sum((F.col("h") > 0).cast("bigint"))
+                    / F.count(F.lit(1)).cast("double"),
+                    4,
+                ).alias("flagged_share"),
+            ).crossJoin(F.broadcast(n_eval))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("n")
+
+
+def _q358_sql() -> str:
+    parts = []
+    for n in DECONTAM_NS:
+        parts.append(f"""
+SELECT CAST({n} AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_train_docs,
+       CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(sum(coalesce(h, 0)) AS BIGINT) AS n_hit_grams,
+       round(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS flagged_share,
+       (SELECT CAST(count(*) AS BIGINT) FROM ev{n}) AS n_eval_grams
+FROM (
+  SELECT t.doc_id, (
+    SELECT count(*) FROM pairs{n} p
+    WHERE p.doc_id = t.doc_id
+      AND p.doc_id % {EVAL_MOD} != 0
+      AND p.gram IN (SELECT gram FROM ev{n})
+  ) AS h
+  FROM (SELECT DISTINCT doc_id FROM pairs{n}
+        WHERE doc_id % {EVAL_MOD} != 0) t
+)""")
+    ctes = []
+    for n in DECONTAM_NS:
+        ctes.append(f"""pairs{n} AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(words) - {n - 1}, 0)),
+    i -> array_to_string(words[i:i+{n - 1}], ' ')))) AS gram
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS words
+        FROM documents)
+  WHERE len(words) >= {n}
+),
+ev{n} AS (
+  SELECT DISTINCT gram FROM pairs{n} WHERE doc_id % {EVAL_MOD} = 0
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\nORDER BY n"
+    )
+
+
+Q358_SQL = _q358_sql()
+
+QUERIES.update({"q358_decontam_curve": q358_decontam_curve})
+ORACLE.update({"q358_decontam_curve": Q358_SQL})

@@ -3044,8 +3044,15 @@ SEMDEDUP_CELL_CAP = 200_000  # ~sqrt(100TB-scale N); degenerate-pivot backstop
 
 def q346_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # localCheckpoint the cell assignment ONCE: it feeds the guard,
+    # BOTH pair-join sides and n_docs — without it the 16 interpreted
+    # HOF integer dots per row recompute 4x (measured 22.8 s at sf0.1
+    # in BENCH_r12's first record; ~4x cheaper materialized).
+    assigned = (
+        emb.join(_ivf_assign(emb), "vec_id").localCheckpoint()
+    )
     withcell = _guard_blocks(
-        emb.join(_ivf_assign(emb), "vec_id"),
+        assigned,
         "cell",
         "q346_semdedup_cells",
         SEMDEDUP_CELL_CAP,
@@ -3243,12 +3250,15 @@ def _nng_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
     qc = codes.where(F.col("vec_id") == BINARY_Q_ID).select(
         F.col("code").alias("qcode")
     )
+    # materialized once: qd feeds every hop's expand join and the
+    # beam re-rank (NNG_HOPS re-derivations otherwise)
     qd = (
         codes.where(F.col("vec_id") != BINARY_Q_ID)
         .crossJoin(F.broadcast(qc))
         .select(
             "vec_id", _nng_code_dot(F.col("code"), F.col("qcode")).alias("qd")
         )
+        .localCheckpoint()
     )
     beam = qd.where(
         F.col("vec_id").isin([int(e) for e in NNG_ENTRIES])
@@ -3772,8 +3782,12 @@ def q357_crosslingual_neardup(
     lang = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "lang"
     )
+    # q346's materialization note applies here too: one checkpoint of
+    # the assignment feeds both pair-join sides.
     withcell = (
-        emb.join(_ivf_assign(emb), "vec_id").join(lang, "vec_id")
+        emb.join(_ivf_assign(emb), "vec_id")
+        .join(lang, "vec_id")
+        .localCheckpoint()
     )
     a = withcell.select(
         F.col("vec_id").alias("id_a"),

@@ -295,7 +295,15 @@ def _neardup_batch(
     # exact-Jaccard verify: explode shingles for CANDIDATE docs only
     # (semi-join first — the store shingle table is never exploded
     # wholesale, keeping the per-trigger cost candidate-bounded)
-    all_sh = store_sh.unionByName(shingled.select("doc_id", "shingles"))
+    # dropDuplicates(doc_id): on a REPLAY the batch doc's shingle set
+    # exists in the persisted store (absorbed by the first run) AND in
+    # the fresh batch — without the dedup its exploded shingles would
+    # double and inflate every n_common it participates in. The
+    # keep-first results merge already discards replayed
+    # classifications, but the verify math should be right regardless.
+    all_sh = store_sh.unionByName(
+        shingled.select("doc_id", "shingles")
+    ).dropDuplicates(["doc_id"])
     cand_ids = (
         cand.select(F.col("doc").alias("doc_id"))
         .unionByName(cand.select(F.col("dup").alias("doc_id")))
@@ -376,8 +384,15 @@ def _neardup_batch(
         )
     else:
         new_bands, new_sh = bands_b, shingled.select("doc_id", "shingles")
-    new_bands.write.mode("append").parquet(bands_path)
+    # shingles BEFORE bands: `seen` derives from the band store, so a
+    # crash between the two writes re-absorbs the doc next run (band
+    # rows stay exactly-once); a duplicated shingle row from that
+    # re-absorb is neutralized by the read-side dropDuplicates above.
+    # The reverse order would leave bands WITHOUT shingles — a doc the
+    # probe can match but the verify silently cannot confirm.
+    new_sh = new_sh.localCheckpoint()  # pin before the band write flips `seen`
     new_sh.write.mode("append").parquet(shing_path)
+    new_bands.write.mode("append").parquet(bands_path)
 
 
 def seed_neardup_index(

@@ -1148,3 +1148,48 @@ def test_q336_weighted_sample_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     # and it prunes to exactly the sample size pre-window
     assert "Arguments: 50," in plan
+
+
+def test_q346_guard_in_optimized_plan(spark, sf_dir):
+    """The q346 block-size cap must survive into the OPTIMIZED plan
+    (assert_true lowers to a raise_error filter condition) — the
+    r11-verdict in-plan-guard requirement, checked at the physical
+    level, not just the analyzed tree."""
+    from generative_ai_vector_db_spark.operators import vector
+
+    plan = plan_of(vector.q346_semdedup_cells(spark, sf_dir))
+    assert "raise_error" in plan
+    assert "cell block exceeds pair-join cap" in plan
+
+
+def test_q351_anchor_topk_is_window_group_limit(spark, sf_dir):
+    """q351's per-anchor top-10 must run as WindowGroupLimit (rank
+    pushdown), and the 50-anchor side must broadcast."""
+    from generative_ai_vector_db_spark.operators import vector
+
+    plan = plan_of(vector.q351_hubness_audit(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_q349_sweep_is_single_scored_pass(spark, sf_dir):
+    """q349 scores the corpus once (checkpointed); the nprobe sweep
+    must therefore contain NO parquet re-scan of embeddings — only
+    the checkpointed RDD scan — and the per-nprobe top-k must be
+    WindowGroupLimit frames."""
+    from generative_ai_vector_db_spark.operators import vector
+
+    plan = plan_of(vector.q349_ivf_nprobe_curve(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "Scan ExistingRDD" in plan
+    assert "embeddings.parquet" not in plan
+
+
+def test_q350_weight_table_broadcasts(spark, sf_dir):
+    """DSIR's bucket-weight table must come back to the token stream
+    as a broadcast (the fixed-size hashed-vocab contract), never a
+    shuffle join."""
+    from generative_ai_vector_db_spark.operators import corpus
+
+    plan = plan_of(corpus.q350_dsir_importance(spark, sf_dir))
+    assert "BroadcastExchange" in plan

@@ -480,6 +480,33 @@ def test_q357_pairs_reference(spark, sf_dir_t2):
         assert r.cos_sim == pytest.approx(round(cos, 4), abs=2e-4)
 
 
+# --------------------------------------------------------------------------
+# q358 — decontamination strictness curve
+# --------------------------------------------------------------------------
+def test_q358_curve_properties(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import corpus
+
+    got = (
+        corpus.q358_decontam_curve(spark, sf_dir_t2)
+        .toPandas()
+        .sort_values("n")
+        .reset_index(drop=True)
+    )
+    assert list(got["n"]) == corpus.DECONTAM_NS
+    # shorter n-grams are strictly easier to match: flagged docs and
+    # hit grams must be monotone non-increasing in n
+    assert list(got["n_flagged"]) == sorted(got["n_flagged"], reverse=True)
+    assert list(got["n_hit_grams"]) == sorted(
+        got["n_hit_grams"], reverse=True
+    )
+    # same train split at every n
+    assert got["n_train_docs"].nunique() == 1
+    # the n=13 row must agree with q119's per-doc audit
+    q119 = corpus.q119_ngram_decontam(spark, sf_dir_t2).toPandas()
+    flagged_13 = int((q119["n_hits"] > 0).sum())
+    assert int(got[got["n"] == 13]["n_flagged"].iloc[0]) == flagged_13
+
+
 def test_q347_planted_cluster(spark, tmp_path):
     """On a corpus with REAL cluster structure (the regime graph ANN
     exists for — the fixture tables are isotropic, the worst case),
