@@ -3841,8 +3841,304 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# q359 — mutual-kNN consistency: over the q351 anchor set, the share
+# of directed kNN edges that are MUTUAL (a in top-k of b AND b in
+# top-k of a). Mutual-kNN is the standard symmetrization gate before
+# kNN-graph clustering / label propagation and the complement of
+# q351's hubness histogram: low mutuality = asymmetric neighborhoods
+# = hubs dominating lists. Edges are computed within the pinned
+# anchor subset so the audit is EXACT and bounded (HUB_A^2 pairs,
+# anchors broadcast) — the same trade q351 makes.
+# Scale: one HUB_A x HUB_A scored block, per-anchor WindowGroupLimit
+# top-k, one self-join on reversed edges, one-row aggregate.
+# ---------------------------------------------------------------------------
+MUTUAL_K = 5
+
+
+def q359_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    anchors = emb.where(F.col("vec_id") < HUB_A)
+    a = anchors.select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("emb_a")
+    )
+    b = anchors.select(
+        F.col("vec_id").alias("dst"), F.col("embedding").alias("emb_b")
+    )
+    scored = (
+        a.join(F.broadcast(b), F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(V.cosine(F.col("emb_a"), F.col("emb_b")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "dst")
+    edges = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= MUTUAL_K)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mutual = edges.join(rev, ["src", "dst"], "semi")
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_mutual = mutual.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_mutual")
+    )
+    return (
+        n_edges.crossJoin(n_mutual)
+        .select(
+            F.lit(HUB_A).cast("bigint").alias("n_anchors"),
+            F.lit(MUTUAL_K).cast("bigint").alias("k"),
+            "n_edges",
+            "n_mutual",
+            F.round(
+                F.col("n_mutual") / F.col("n_edges").cast("double"), 4
+            ).alias("mutual_frac"),
+        )
+    )
+
+
+Q359_SQL = f"""
+WITH anchors AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {HUB_A}
+),
+edges AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(
+               list_sum([ CAST(a.embedding[k] AS DOUBLE)
+                          * CAST(b.embedding[k] AS DOUBLE)
+                          for k in generate_series(1, {EMB_DIM}) ])
+               / (sqrt(list_sum([ CAST(a.embedding[k] AS DOUBLE)
+                                  * CAST(a.embedding[k] AS DOUBLE)
+                                  for k in generate_series(1, {EMB_DIM}) ]))
+                  * sqrt(list_sum([ CAST(b.embedding[k] AS DOUBLE)
+                                    * CAST(b.embedding[k] AS DOUBLE)
+                                    for k in generate_series(1, {EMB_DIM}) ]))),
+               4) DESC, b.vec_id) AS rn
+    FROM anchors a JOIN anchors b ON a.vec_id != b.vec_id
+  ) WHERE rn <= {MUTUAL_K}
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_mutual
+  FROM edges e
+  WHERE EXISTS (SELECT 1 FROM edges r
+                WHERE r.src = e.dst AND r.dst = e.src)
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+SELECT CAST({HUB_A} AS BIGINT) AS n_anchors,
+       CAST({MUTUAL_K} AS BIGINT) AS k,
+       n.n_edges, m.n_mutual,
+       round(m.n_mutual / CAST(n.n_edges AS DOUBLE), 4) AS mutual_frac
+FROM n, m
+"""
+
+
+# ---------------------------------------------------------------------------
+# q360 — ANN ensemble recall: union the candidate sets of the two
+# cheap portable indexes (q320 hyperplane buckets + q325 IVF cells),
+# exact-rerank once, and grade recall@13 against the exact top-13 —
+# the production multi-index trick (several cheap diverse indexes
+# whose candidate UNION beats any one of them at the same total scan
+# budget; Chroma/hnswlib serve one index, a batch engine can afford
+# several). Driver-graded: ensemble recall AND the per-index/union
+# candidate counts, so the diversity benefit (union < sum => overlap,
+# recall(union) >= max(individual)) is a verified number.
+# Scale: both candidate generators are the scan-side projections
+# documented at q320/q325; the union is id-only; one re-rank.
+# ---------------------------------------------------------------------------
+def q360_ann_ensemble_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # hyperplane candidates (q320's generator)
+    bucketed = _hyperplane_buckets(emb)
+    probes = (
+        bucketed.where(F.col("vec_id") == BINARY_Q_ID)
+        .select(
+            F.col("tbl").alias("p_tbl"),
+            F.explode(
+                F.array(
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(f))
+                        for f in ANN_PROBE_FLIPS
+                    ]
+                )
+            ).alias("probe"),
+        )
+    )
+    cand_h = (
+        bucketed.where(F.col("vec_id") != BINARY_Q_ID)
+        .join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("probe"))
+            & (F.col("tbl") == F.col("p_tbl")),
+        )
+        .select("vec_id")
+        .dropDuplicates(["vec_id"])
+    )
+    # IVF candidates (q325's generator)
+    assigned = _ivf_assign(emb)
+    qdots = _int8_codes(emb.where(F.col("vec_id") == BINARY_Q_ID)).select(
+        F.posexplode(_ivf_dots(F.col("code"))).alias("cell", "qdot")
+    )
+    wp = Window.orderBy(F.col("qdot").desc(), "cell")
+    probed = (
+        qdots.withColumn("pr", F.row_number().over(wp))
+        .where(F.col("pr") <= IVF_NPROBE)
+        .select(F.col("cell").cast("bigint").alias("cell"))
+    )
+    cand_i = (
+        assigned.where(F.col("vec_id") != BINARY_Q_ID)
+        .join(F.broadcast(probed), "cell")
+        .select("vec_id")
+    )
+    union = cand_h.unionByName(cand_i).dropDuplicates(["vec_id"])
+    n_h = cand_h.agg(F.count(F.lit(1)).cast("bigint").alias("n_hyperplane"))
+    n_i = cand_i.agg(F.count(F.lit(1)).cast("bigint").alias("n_ivf"))
+    n_u = union.agg(F.count(F.lit(1)).cast("bigint").alias("n_union"))
+    qv = emb.where(F.col("vec_id") == BINARY_Q_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        union.join(emb, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wr = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    topk = (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= K)
+        .select("vec_id")
+    )
+    wx = Window.orderBy(
+        F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).desc(),
+        F.col("vec_id"),
+    )
+    exact = (
+        emb.where(F.col("vec_id") != BINARY_Q_ID)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("rn", F.row_number().over(wx))
+        .where(F.col("rn") <= K)
+        .select("vec_id")
+    )
+    common = topk.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    return (
+        common.crossJoin(F.broadcast(n_h))
+        .crossJoin(F.broadcast(n_i))
+        .crossJoin(F.broadcast(n_u))
+        .select(
+            F.lit(K).cast("bigint").alias("k"),
+            "n_hyperplane",
+            "n_ivf",
+            "n_union",
+            "n_common",
+            (F.col("n_common") / F.lit(float(K))).alias("recall"),
+        )
+    )
+
+
+def _q360_sql() -> str:
+    """Manual CTE assembly: Q320_CTES and Q325_CTES both define
+    `codes`/`q`/`ann`, so the ensemble re-declares each stage once
+    under unambiguous names."""
+    return f"""
+WITH codes AS MATERIALIZED (
+  SELECT vec_id, {_DUCK_I8.format(e='embeddings')} AS code FROM embeddings
+),
+bucketed AS (
+  {_duck_bucketed_cte()}
+),
+probes AS (
+  SELECT tbl, xor(bucket, f.flip) AS probe
+  FROM bucketed, (SELECT unnest([{_DUCK_PROBE_FLIPS}]) AS flip) f
+  WHERE vec_id = {BINARY_Q_ID}
+),
+cand_h AS (
+  SELECT DISTINCT c.vec_id
+  FROM bucketed c
+  JOIN probes p ON c.tbl = p.tbl AND c.bucket = p.probe
+  WHERE c.vec_id != {BINARY_Q_ID}
+),
+dots AS (
+  SELECT vec_id, {_duck_ivf_dots()} AS ds FROM codes
+),
+assigned AS (
+  SELECT vec_id, CAST(list_position(ds, list_max(ds)) - 1 AS BIGINT) AS cell
+  FROM dots
+),
+probed AS (
+  SELECT CAST(cell AS BIGINT) AS cell FROM (
+    SELECT u.cell, u.qdot,
+           row_number() OVER (ORDER BY u.qdot DESC, u.cell) AS pr
+    FROM (SELECT unnest(generate_series(0, {IVF_CELLS - 1})) AS cell,
+                 unnest(ds) AS qdot
+          FROM dots WHERE vec_id = {BINARY_Q_ID}) u
+  ) WHERE pr <= {IVF_NPROBE}
+),
+cand_i AS (
+  SELECT a.vec_id FROM assigned a JOIN probed USING (cell)
+  WHERE a.vec_id != {BINARY_Q_ID}
+),
+cand_u AS (
+  SELECT vec_id FROM cand_h UNION SELECT vec_id FROM cand_i
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {BINARY_Q_ID}),
+topk AS (
+  SELECT vec_id FROM (
+    SELECT c.vec_id,
+           row_number() OVER (
+             ORDER BY round({_DUCK_QDOT} / ({_DUCK_QNORM} * {_DUCK_BNORM}), 4)
+                        DESC, c.vec_id) AS rn
+    FROM cand_u c JOIN embeddings b ON b.vec_id = c.vec_id, q
+  ) WHERE rn <= {K}
+),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT b.vec_id,
+           row_number() OVER (
+             ORDER BY round({_DUCK_QDOT} / ({_DUCK_QNORM} * {_DUCK_BNORM}), 4)
+                        DESC, b.vec_id) AS rn
+    FROM embeddings b, q
+    WHERE b.vec_id != {BINARY_Q_ID}
+  ) WHERE rn <= {K}
+),
+common AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_common
+  FROM topk JOIN exact USING (vec_id)
+)
+SELECT CAST({K} AS BIGINT) AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand_h) AS n_hyperplane,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand_i) AS n_ivf,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand_u) AS n_union,
+       common.n_common,
+       CAST(common.n_common AS DOUBLE) / {float(K)} AS recall
+FROM common
+"""
+
+
+Q360_SQL = _q360_sql()
+
+
 QUERIES = {
     "q346_semdedup_cells": q346_semdedup_cells,
+    "q359_mutual_knn": q359_mutual_knn,
+    "q360_ann_ensemble_recall": q360_ann_ensemble_recall,
     "q357_crosslingual_neardup": q357_crosslingual_neardup,
     "q351_hubness_audit": q351_hubness_audit,
     "q349_ivf_nprobe_curve": q349_ivf_nprobe_curve,
@@ -3883,6 +4179,8 @@ QUERIES = {
 
 ORACLE = {
     "q346_semdedup_cells": Q346_SQL,
+    "q359_mutual_knn": Q359_SQL,
+    "q360_ann_ensemble_recall": Q360_SQL,
     "q357_crosslingual_neardup": Q357_SQL,
     "q351_hubness_audit": Q351_SQL,
     "q349_ivf_nprobe_curve": Q349_SQL,

@@ -507,6 +507,59 @@ def test_q358_curve_properties(spark, sf_dir_t2):
     assert int(got[got["n"] == 13]["n_flagged"].iloc[0]) == flagged_13
 
 
+# --------------------------------------------------------------------------
+# q359 — mutual-kNN consistency
+# --------------------------------------------------------------------------
+def test_q359_reference(spark, sf_dir_t2):
+    import numpy as np
+
+    from generative_ai_vector_db_spark.operators import vector
+
+    row = vector.q359_mutual_knn(spark, sf_dir_t2).collect()[0]
+    emb = (
+        load(spark, sf_dir_t2, "embeddings")
+        .where(F.col("vec_id") < vector.HUB_A)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    M = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = np.round(Mn @ Mn.T, 4)
+    np.fill_diagonal(S, -np.inf)
+    ids = emb["vec_id"].to_numpy()
+    edges = set()
+    for i in range(len(ids)):
+        order = sorted(
+            range(len(ids)), key=lambda j: (-S[i, j], ids[j])
+        )[: vector.MUTUAL_K]
+        for j in order:
+            edges.add((int(ids[i]), int(ids[j])))
+    mutual = {(a, b) for (a, b) in edges if (b, a) in edges}
+    assert row.n_edges == len(edges)
+    assert row.n_mutual == len(mutual)
+    assert row.mutual_frac == pytest.approx(
+        round(len(mutual) / len(edges), 4)
+    )
+
+
+# --------------------------------------------------------------------------
+# q360 — ANN ensemble recall
+# --------------------------------------------------------------------------
+def test_q360_ensemble_dominates(spark, sf_dir_t2):
+    from generative_ai_vector_db_spark.operators import vector
+
+    row = vector.q360_ann_ensemble_recall(spark, sf_dir_t2).collect()[0]
+    # the union is a superset of each index's candidates, so ensemble
+    # recall must be >= each individual driver-graded recall
+    r_h = vector.q321_hyperplane_recall_eval(spark, sf_dir_t2).collect()[0]
+    r_i = vector.q326_ivf_recall_eval(spark, sf_dir_t2).collect()[0]
+    assert row.recall >= max(r_h.recall, r_i.recall) - 1e-9
+    # union bounds: max(individual) <= n_union <= sum(individual)
+    assert max(row.n_hyperplane, row.n_ivf) <= row.n_union
+    assert row.n_union <= row.n_hyperplane + row.n_ivf
+    assert 0.0 <= row.recall <= 1.0
+
+
 def test_q347_planted_cluster(spark, tmp_path):
     """On a corpus with REAL cluster structure (the regime graph ANN
     exists for — the fixture tables are isotropic, the worst case),
