@@ -101,13 +101,13 @@ _PRIORITY = [
     "q340_bm25_prf", "q341_quantization_rank_stability",
     "q342_contrastive_negatives", "q343_watermark_sweep",
     "q344_semdedup_threshold_curve", "q345_ldiversity_audit",
-    # --- tier 2: the fifteen new round-12 operators (q346 SemDeDup
+    # --- tier 2: the sixteen new round-12 operators (q346 SemDeDup
     #     on IVF cells, q347/q348 portable graph-ANN + recall, q349
     #     nprobe curve, q350 DSIR, q351 hubness, q352 cross-source
     #     dups, q353 sampled-quantile eval, q354 conformal, q355
     #     t-closeness, q356 DoReMi step, q357 cross-lingual dups,
     #     q358 decontamination curve, q359 mutual-kNN, q360 ANN
-    #     ensemble recall) ---
+    #     ensemble recall, q361 sketch error audit) ---
     "q346_semdedup_cells", "q347_portable_graph_ann",
     "q348_graph_ann_recall_eval", "q349_ivf_nprobe_curve",
     "q350_dsir_importance", "q351_hubness_audit",
@@ -115,9 +115,9 @@ _PRIORITY = [
     "q354_conformal_interval", "q355_tcloseness_audit",
     "q356_doremi_step", "q357_crosslingual_neardup",
     "q358_decontam_curve", "q359_mutual_knn",
-    "q360_ann_ensemble_recall",
-    # --- tier 3: the 29 longest-ungraded oracle rows (the r4-stale
-    #     q116-q145 block) ---
+    "q360_ann_ensemble_recall", "q361_sketch_error_audit",
+    # --- tier 3: the 28 longest-ungraded oracle rows (the r4-stale
+    #     q116-q144 block) ---
     "q116_tpch_q19_shape", "q117_tpch_q21_shape", "q118_tpch_q22_shape",
     "q119_ngram_decontam", "q120_span_dedup", "q121_unigram_logprob",
     "q122_scd2_dimension", "q123_store_upsert", "q124_outer_attribution",
@@ -127,12 +127,13 @@ _PRIORITY = [
     "q135_tpch_q20_shape", "q136_quality_percentile_gate",
     "q137_token_curriculum", "q138_skew_profile", "q139_integrity_audit",
     "q140_pergroup_trend", "q141_incremental_agg", "q142_event_bitmask",
-    "q143_embedding_dim_stats", "q144_zipf_fit", "q145_token_entropy",
+    "q143_embedding_dim_stats", "q144_zipf_fit",
     # ===== below the fold: previously graded tiers in prior registry
     # order (r11-fresh rows first, rows-only-by-design at the back;
-    # they resume the staleness rotation in later rounds). q146-q148/
-    # q151/q71/q149 were displaced from tier 3 by q355-q360 and LEAD
+    # they resume the staleness rotation in later rounds). q145-q148/
+    # q151/q71/q149 were displaced from tier 3 by q355-q361 and LEAD
     # the r13 rotation =====
+    "q145_token_entropy",
     "q146_pmi_collocations", "q147_late_arrival_profile",
     "q148_tpch_q6_shape",
     "q151_traffic_bursts", "q71_stats_agg", "q149_gap_fill",

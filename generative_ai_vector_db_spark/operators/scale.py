@@ -21,6 +21,8 @@ narrated:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2438,7 +2440,153 @@ ORDER BY q
 Q353_SQL = _q353_sql()
 
 
+# ---------------------------------------------------------------------------
+# q361 — sketch error audit: q168's mergeable log-histogram quantiles
+# graded against the EXACT quantiles, per event type and per quantile,
+# with the sketch's theoretical guarantee checked in-plan. The sketch
+# reads the LOWER EDGE of the first bin whose cumulative count reaches
+# ceil(q*n), so on the shifted (1+v) scale the true quantile lies
+# within one bin width above the estimate:
+#     (1+est) <= (1+exact) < (1+est) * e^(1/SCALE)
+# i.e. ratio = (1+est)/(1+exact) in (e^(-1/SCALE), 1]. `within_bound`
+# verifies that inequality for every (type, quantile) — the DDSketch
+# accuracy contract becomes a driver-graded fact, the way q353 grades
+# the hash-sample estimator and q339 grades the near-dup family.
+# Scale: the sketch side is q168's O(bins)-state mergeable agg; the
+# exact side is the eval's one sort-based quantile pass (the thing the
+# sketch exists to avoid — run here only to certify it).
+# ---------------------------------------------------------------------------
+def q361_sketch_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    bin_col = F.floor(F.log(F.lit(1.0) + F.col("v")) * HIST_SCALE).cast(
+        "bigint"
+    )
+    binned = ev.groupBy("event_type", bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+    )
+    sk_aggs = []
+    for name, q in _HIST_QS:
+        qbin = F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("bin"))
+        )
+        sk_aggs.append(
+            F.round(F.exp(qbin / HIST_SCALE) - F.lit(1.0), 4).alias(
+                f"s_{name}"
+            )
+        )
+    sketch = cum.groupBy("event_type").agg(*sk_aggs)
+    exact = ev.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile(F.col("v"), F.lit(q)), 4).alias(f"e_{name}")
+            for name, q in _HIST_QS
+        ]
+    )
+    both = sketch.join(exact, "event_type")
+    rows = ", ".join(
+        f"'{name}', e_{name}, s_{name}" for name, _ in _HIST_QS
+    )
+    lo = math.exp(-1.0 / HIST_SCALE)
+    return (
+        both.selectExpr(
+            "event_type",
+            f"stack({len(_HIST_QS)}, {rows}) AS (q, exact_v, sketch_v)",
+        )
+        .select(
+            "event_type",
+            "q",
+            "exact_v",
+            "sketch_v",
+            F.round(
+                (F.lit(1.0) + F.col("sketch_v"))
+                / (F.lit(1.0) + F.col("exact_v")),
+                6,
+            ).alias("shift_ratio"),
+            (
+                (
+                    (F.lit(1.0) + F.col("sketch_v"))
+                    / (F.lit(1.0) + F.col("exact_v"))
+                    > F.lit(lo)
+                )
+                & (
+                    (F.lit(1.0) + F.col("sketch_v"))
+                    <= (F.lit(1.0) + F.col("exact_v")) * F.lit(1.0 + 1e-9)
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy("event_type", "q")
+    )
+
+
+def _q361_sql() -> str:
+    lo = math.exp(-1.0 / HIST_SCALE)
+    sk = ",\n         ".join(
+        f"round(exp(min(CASE WHEN cum >= ceil({q} * n) THEN bin END)"
+        f" / {HIST_SCALE}) - 1.0, 4) AS s_{name}"
+        for name, q in _HIST_QS
+    )
+    ex = ",\n         ".join(
+        f"round(quantile_cont(v, {q}), 4) AS e_{name}"
+        for name, q in _HIST_QS
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT event_type, '{name}' AS q, e_{name} AS exact_v,"
+        f" s_{name} AS sketch_v FROM joined"
+        for name, _ in _HIST_QS
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+),
+binned AS (
+  SELECT event_type,
+         CAST(floor(ln(1.0 + v) * {HIST_SCALE}) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM ev GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM binned
+),
+sketch AS (
+  SELECT event_type,
+         {sk}
+  FROM cum GROUP BY event_type
+),
+exact AS (
+  SELECT event_type,
+         {ex}
+  FROM ev GROUP BY event_type
+),
+joined AS (SELECT * FROM sketch JOIN exact USING (event_type))
+SELECT event_type, q, exact_v, sketch_v,
+       round((1.0 + sketch_v) / (1.0 + exact_v), 6) AS shift_ratio,
+       (1.0 + sketch_v) / (1.0 + exact_v) > {lo}
+         AND (1.0 + sketch_v) <= (1.0 + exact_v) * (1.0 + 1e-9)
+         AS within_bound
+FROM ({rows})
+ORDER BY event_type, q
+"""
+
+
+Q361_SQL = _q361_sql()
+
+
 QUERIES = {
+    "q361_sketch_error_audit": q361_sketch_error_audit,
     "q353_sampled_quantile_eval": q353_sampled_quantile_eval,
     "q336_weighted_priority_sample": q336_weighted_priority_sample,
     "q337_rebalance_audit": q337_rebalance_audit,
@@ -2467,6 +2615,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q361_sketch_error_audit": Q361_SQL,
     "q353_sampled_quantile_eval": Q353_SQL,
     "q336_weighted_priority_sample": Q336_SQL,
     "q337_rebalance_audit": Q337_SQL,

@@ -560,6 +560,31 @@ def test_q360_ensemble_dominates(spark, sf_dir_t2):
     assert 0.0 <= row.recall <= 1.0
 
 
+# --------------------------------------------------------------------------
+# q361 — sketch error audit
+# --------------------------------------------------------------------------
+def test_q361_bounds_hold(spark, sf_dir_t2):
+    import math
+
+    from generative_ai_vector_db_spark.operators import scale
+
+    got = scale.q361_sketch_error_audit(spark, sf_dir_t2).toPandas()
+    assert len(got) == 5 * 3  # event types x quantiles
+    # the DDSketch accuracy contract must hold for every row
+    assert got["within_bound"].all()
+    lo = math.exp(-1.0 / scale.HIST_SCALE)
+    assert (got["shift_ratio"] > lo).all()
+    assert (got["shift_ratio"] <= 1.0 + 1e-9).all()
+    # sketch values must agree with q168's published sketch quantiles
+    q168 = scale.q168_sketch_quantiles(spark, sf_dir_t2).toPandas()
+    for _, r in q168.iterrows():
+        sub = got[got["event_type"] == r["event_type"]]
+        for name in ("p50", "p90", "p99"):
+            assert (
+                sub[sub["q"] == name]["sketch_v"].iloc[0] == r[name]
+            ), (r["event_type"], name)
+
+
 def test_q347_planted_cluster(spark, tmp_path):
     """On a corpus with REAL cluster structure (the regime graph ANN
     exists for — the fixture tables are isotropic, the worst case),
