@@ -499,8 +499,12 @@ def test_q358_curve_properties(spark, sf_dir_t2):
     assert list(got["n_hit_grams"]) == sorted(
         got["n_hit_grams"], reverse=True
     )
-    # same train split at every n
-    assert got["n_train_docs"].nunique() == 1
+    # the gram-universe membership shrinks with n (a doc with fewer
+    # than n words yields no n-grams and drops out), so the train-doc
+    # count is monotone non-increasing, NOT constant
+    assert list(got["n_train_docs"]) == sorted(
+        got["n_train_docs"], reverse=True
+    )
     # the n=13 row must agree with q119's per-doc audit
     q119 = corpus.q119_ngram_decontam(spark, sf_dir_t2).toPandas()
     flagged_13 = int((q119["n_hits"] > 0).sum())
