@@ -2315,7 +2315,11 @@ def _hyperplane_buckets(emb: DataFrame) -> DataFrame:
 
 def q320_portable_hyperplane_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bucketed = _hyperplane_buckets(emb)
+    # localCheckpoint: the bucket projection (8 tables x 6 interpreted
+    # plane dots over the int8 codes) feeds BOTH the probe side and
+    # the candidate side — materialized once instead of twice (the
+    # q346 r12 lesson applied here; output unchanged, lineage only)
+    bucketed = _hyperplane_buckets(emb).localCheckpoint()
     # The probe side renames `tbl` -> `p_tbl` so the candidate join
     # carries no duplicated column name: the previous form joined on
     # bucketed["tbl"] == probes["tbl"] over a self-derived DataFrame
