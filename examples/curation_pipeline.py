@@ -14,6 +14,11 @@ graded operators — this file only composes them):
   6. leakage-safe split    (q73 stratified temporal split on events;
                             q243 cross-split exact-dup audit on docs)
   7. token packing         (q79 first-fit into fixed budgets)
+  8. decontam strictness   (q358 n-gram-length sweep advisor)
+  9. target selection      (q350 DSIR importance resampling)
+ 10. semantic dedup advice (q346 SemDeDup curve on IVF cells)
+ 11. mixture reweighting   (q356 DoReMi exponentiated-gradient step)
+ 12. privacy triad         (q276 k-anon + q345 l-div + q355 t-close)
 
 Every stage prints a one-line summary; the whole run is lazy Spark
 jobs over parquet — nothing is collected except the tiny summaries.
@@ -33,6 +38,7 @@ from generative_ai_vector_db_spark.operators import (  # noqa: E402
     relational,
     temporal,
     text,
+    vector,
 )
 from generative_ai_vector_db_spark.session import get_session  # noqa: E402
 
@@ -71,6 +77,46 @@ def main() -> None:
 
     packed = corpus.q79_token_packing(spark, sf_dir).toPandas()
     print(f"[7] token packing: {len(packed)} packed sequences/bins")
+
+    strict = corpus.q358_decontam_curve(spark, sf_dir).toPandas()
+    print(
+        "[8] decontam strictness: "
+        + ", ".join(
+            f"n={int(r.n)}->{int(r.n_flagged)} flagged"
+            for r in strict.itertuples()
+        )
+    )
+
+    dsir = corpus.q350_dsir_importance(spark, sf_dir).toPandas()
+    print(
+        f"[9] DSIR selection: top-{len(dsir)} docs, "
+        f"{int((dsir['lang'] == corpus.DSIR_TARGET_LANG).sum())} target-lang"
+    )
+
+    sem = vector.q346_semdedup_cells(spark, sf_dir).toPandas()
+    print(
+        "[10] SemDeDup curve (IVF cells): "
+        + ", ".join(
+            f"tau={r.tau}->{int(r.docs_removed)} removed"
+            for r in sem.itertuples()
+        )
+    )
+
+    doremi = corpus.q356_doremi_step(spark, sf_dir).toPandas()
+    up = doremi[doremi["mult"] > 1.0]
+    print(
+        f"[11] DoReMi step: {len(up)}/{len(doremi)} sources upweighted "
+        f"(max mult {doremi['mult'].max():.3f})"
+    )
+
+    tclose = quality.q355_tcloseness_audit(spark, sf_dir).toPandas()
+    print(
+        "[12] t-closeness: "
+        + ", ".join(
+            f"t={r.t}->{int(r.n_violating)} classes violate"
+            for r in tclose.itertuples()
+        )
+    )
 
     spark.stop()
     print("curation pipeline complete")
