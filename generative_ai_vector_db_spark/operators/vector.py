@@ -2549,16 +2549,36 @@ def _ivf_dots(code_col):
 
 
 def _ivf_assign(emb: DataFrame) -> DataFrame:
-    """(vec_id, cell): argmax-dot cell with first-index tie-break
-    (array_position returns the FIRST occurrence — both engines)."""
+    """(vec_id, cell): argmax-dot cell with first-index tie-break.
+
+    Arrow/numpy twin of the declarative form (the dedup.py
+    _pmh_shingle_sigs PERF NOTE applied here, found by the r12
+    scaling probe): the 16 interpreted HOF dot chains cost ~10 s per
+    corpus pass; one int64 numpy matmul is ~20x faster and
+    BIT-IDENTICAL — pure integer arithmetic, and np.argmax returns
+    the FIRST max exactly like array_position(ds, array_max(ds)) in
+    both engines. The DuckDB oracle keeps the declarative form
+    (Q325_ASSIGN_CTES), so cross-engine equality still grades the
+    integer chain itself.
+    """
     codes = _int8_codes(emb).select("vec_id", "code")
-    dots = _ivf_dots(F.col("code"))
-    return codes.select(
-        "vec_id",
-        (F.array_position(dots, F.array_max(dots)) - 1)
-        .cast("bigint")
-        .alias("cell"),
-    )
+    pivots = _ivf_pivots()
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        P = np.array(pivots, dtype=np.int64).T  # dim x cells
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(pdf["code"].tolist(), dtype=np.int64)
+            cells = np.argmax(C @ P, axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].astype("int64"), "cell": cells}
+            )
+
+    return codes.mapInPandas(assign, "vec_id bigint, cell bigint")
 
 
 def q325_portable_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,184 @@
+"""Empirical scaling exponents for the headline queries.
+
+The correctness gate proves each operator RIGHT; this probe measures
+how its wall time GROWS. For every headline query it runs the operator
+at sf0.001 / sf0.01 / sf0.1, regresses log(wall) on log(input rows)
+over the query's actual driver tables, and reports the slope alpha:
+
+    wall  ~  rows^alpha      alpha ~ 1.0  -> linear scan/agg (good)
+                             alpha >~ 1.3 -> flagged: superlinear —
+                                             a pair join or sort is
+                                             outgrowing its blocking
+
+Fixed costs (session, planning, Arrow spin-up) flatten alpha at small
+inputs, so the probe subtracts nothing and instead reports the
+per-SF walls alongside — a query that is all fixed cost shows
+alpha ~ 0 and is fine; the dangerous signature is alpha well above 1
+BETWEEN the two largest SFs. Output: SCALING.md (committed artifact).
+
+Usage:  python tools/scaling_probe.py [--reps 2] [--only q302,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SFS = ["sf0.001", "sf0.01", "sf0.1"]
+TESTDATA = "/root/testdata"
+
+# headline queries and the tables that dominate their input size
+PROBE = [
+    ("q03_tpch_q1", ["lineitem"]),
+    ("q08_join_multiway", ["lineitem", "orders", "customer"]),
+    ("q12_dedup_exact", ["documents"]),
+    ("q27_similarity_join", ["embeddings"]),
+    ("q33_session_window", ["events"]),
+    ("q56_salted_agg", ["events"]),
+    ("q302_portable_minhash", ["documents"]),
+    ("q322_incremental_neardup", ["documents"]),
+    ("q320_portable_hyperplane_ann", ["embeddings"]),
+    ("q325_portable_ivf_ann", ["embeddings"]),
+    ("q346_semdedup_cells", ["embeddings"]),
+    ("q347_portable_graph_ann", ["embeddings"]),
+    ("q350_dsir_importance", ["documents"]),
+    ("q327_portable_hll", ["orders", "lineitem", "events"]),
+    ("q242_shortest_paths", ["events"]),
+    ("q292_kcore", ["events"]),
+    ("q303_seq_patterns", ["events"]),
+    ("q361_sketch_error_audit", ["events"]),
+]
+
+ALPHA_FLAG = 1.3
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    queries = mod.queries()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import duckdb
+
+    rowcounts: dict[str, dict[str, int]] = {}
+    for sf in SFS:
+        rowcounts[sf] = {}
+        for _, tabs in PROBE:
+            for t in tabs:
+                if t not in rowcounts[sf]:
+                    rowcounts[sf][t] = duckdb.sql(
+                        f"SELECT count(*) FROM '{TESTDATA}/{sf}/{t}.parquet'"
+                    ).fetchone()[0]
+
+    probes = PROBE
+    if args.only:
+        keep = set(args.only.split(","))
+        probes = [(n, t) for n, t in PROBE if n in keep]
+
+    results = []
+    for name, tabs in probes:
+        fn = queries[name]
+        walls, rows = [], []
+        for sf in SFS:
+            sf_dir = os.path.join(TESTDATA, sf)
+            fn(spark, sf_dir).collect()  # warm: plans, codegen, caches
+            best = min(
+                _time_one(fn, spark, sf_dir) for _ in range(args.reps)
+            )
+            walls.append(best)
+            rows.append(sum(rowcounts[sf][t] for t in tabs))
+        # slope of log(wall) on log(rows) — 3-point least squares, plus
+        # the tail slope between the two largest SFs (the one the next
+        # 10x actually extrapolates)
+        lx = [math.log(r) for r in rows]
+        ly = [math.log(max(w, 1e-4)) for w in walls]
+        mx, my = sum(lx) / 3, sum(ly) / 3
+        alpha = sum((a - mx) * (b - my) for a, b in zip(lx, ly)) / sum(
+            (a - mx) ** 2 for a in lx
+        )
+        tail = (
+            (ly[2] - ly[1]) / (lx[2] - lx[1]) if lx[2] != lx[1] else 0.0
+        )
+        results.append((name, tabs, rows, walls, alpha, tail))
+        print(
+            f"{name:32s} walls={['%.2f' % w for w in walls]} "
+            f"alpha={alpha:+.2f} tail={tail:+.2f}",
+            flush=True,
+        )
+
+    lines = [
+        "# SCALING — empirical wall-time exponents (tools/scaling_probe.py)",
+        "",
+        "wall ~ rows^alpha over sf0.001/0.01/0.1 (best-of-"
+        f"{args.reps} after one warm pass per SF; local[32]).",
+        "`tail alpha` = slope between the two LARGEST SFs — the one the",
+        "next 10x extrapolates. Fixed session/plan costs dominate small",
+        f"inputs, so alpha below ~0.3 means overhead-bound. Flag: tail",
+        f"alpha > {ALPHA_FLAG} (superlinear growth signature).",
+        "",
+        "| query | driver tables | rows (3 SFs) | wall s (3 SFs) |"
+        " alpha | tail alpha | verdict |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, tabs, rows, walls, alpha, tail in results:
+        verdict = "FLAG" if tail > ALPHA_FLAG else "ok"
+        lines.append(
+            f"| {name} | {'+'.join(tabs)} |"
+            f" {'/'.join(str(r) for r in rows)} |"
+            f" {'/'.join(f'{w:.2f}' for w in walls)} |"
+            f" {alpha:+.2f} | {tail:+.2f} | {verdict} |"
+        )
+    flagged = [r[0] for r in results if r[5] > ALPHA_FLAG]
+    lines += [
+        "",
+        f"Flagged (tail alpha > {ALPHA_FLAG}): "
+        + (", ".join(flagged) if flagged else "none")
+        + ".",
+        "",
+        "Caveats: the fixture SF ladder grows `events`/`lineitem` ~10x",
+        "per step but `documents`/`embeddings` only 1x/1x/4x, so the",
+        "text/vector exponents lean on the last step; sub-second walls",
+        "are overhead-dominated and their alphas read low. The probe is",
+        "a regression tripwire, not a benchmark — BENCH_r{N}.json is",
+        "the timing record.",
+    ]
+    out = os.path.join(REPO, "SCALING.md")
+    open(out, "w").write("\n".join(lines) + "\n")
+    print(f"wrote {out}; flagged: {flagged or 'none'}")
+    return 0
+
+
+def _time_one(fn, spark, sf_dir) -> float:
+    t0 = time.time()
+    fn(spark, sf_dir).collect()
+    return time.time() - t0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
