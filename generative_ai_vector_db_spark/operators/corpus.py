@@ -1752,6 +1752,17 @@ DSIR_TARGET_LANG = "en"
 # portable word -> bucket hash, identical SQL on both engines:
 # ((len*31 + cp(first))*31 + cp(mid))*31 + cp(last), reduced mod B.
 # int64-safe: len <= ~1e6, codepoints <= 0x10FFFF.
+# BMP-ONLY ASSUMPTION (documented, r12 ADVICE): Spark ascii() yields
+# the first UTF-16 code unit (a surrogate for astral-plane chars,
+# U+10000+) while DuckDB ord() yields the full codepoint — the two
+# engines agree exactly on the Basic Multilingual Plane (all chars
+# <= U+FFFF, which covers the fixture and the dominant mass of web
+# text) and may bucket a word differently only when its first/mid/
+# last character is astral (emoji, rare CJK extensions). DSIR is
+# robust to this: a hashed-bucket LM already tolerates collisions by
+# design, so a rare astral word landing in a different bucket
+# perturbs two of 1024 smoothed counts. For strict cross-engine
+# parity on astral-heavy corpora, pre-normalize such chars upstream.
 _DSIR_HASH_SPARK = (
     "pmod(((length(w) * 31 + ascii(substring(w, 1, 1))) * 31"
     " + ascii(substring(w, cast((length(w) + 1) / 2 as int), 1))) * 31"

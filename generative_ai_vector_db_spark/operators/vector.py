@@ -240,7 +240,9 @@ def _guard_blocks(
     guard = (
         df.groupBy(block_col)
         .agg(F.count(F.lit(1)).alias("_g"))
-        .agg(F.max("_g").alias("_gmax"))
+        # coalesce: max over zero groups is NULL, and assert_true(NULL <= cap)
+        # throws — an empty input must pass the guard, not fail it
+        .agg(F.coalesce(F.max("_g"), F.lit(0)).alias("_gmax"))
     )
     return (
         df.crossJoin(F.broadcast(guard))
@@ -2328,8 +2330,8 @@ def _hyperplane_buckets(emb: DataFrame) -> DataFrame:
 
 def q320_portable_hyperplane_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # localCheckpoint: the bucket projection (8 tables x 6 interpreted
-    # plane dots over the int8 codes) feeds BOTH the probe side and
+    # localCheckpoint: the bucket projection (2 tables x 8 plane dots
+    # over the int8 codes) feeds BOTH the probe side and
     # the candidate side — materialized once instead of twice (the
     # q346 r12 lesson applied here; output unchanged, lineage only)
     bucketed = _hyperplane_buckets(emb).localCheckpoint()
@@ -3324,9 +3326,8 @@ def _nng_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visited
 
 
-def q347_portable_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    visited = _nng_visited(spark, sf_dir)
+def _graph_ann_topk(emb: DataFrame, visited: DataFrame) -> DataFrame:
+    """Exact-cosine top-K re-rank of a beam-search visited set."""
     qv = emb.where(F.col("vec_id") == BINARY_Q_ID).select(
         F.col("embedding").alias("q_emb")
     )
@@ -3346,6 +3347,11 @@ def q347_portable_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= K)
         .orderBy("rn")
     )
+
+
+def q347_portable_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _graph_ann_topk(emb, _nng_visited(spark, sf_dir))
 
 
 def _nng_duck_ctes() -> str:
@@ -3476,8 +3482,12 @@ def q348_graph_ann_recall_eval(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ann = q347_portable_graph_ann(spark, sf_dir).select("vec_id")
-    n_visited = _nng_visited(spark, sf_dir).agg(
+    # build the NN-descent graph + beam search ONCE: the visited set
+    # feeds both the top-k re-rank and the scan-fraction count (the
+    # previous form ran the heaviest stage twice — r12 ADVICE)
+    visited = _nng_visited(spark, sf_dir).localCheckpoint()
+    ann = _graph_ann_topk(emb, visited).select("vec_id")
+    n_visited = visited.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_visited")
     )
     n_corpus = emb.where(F.col("vec_id") != BINARY_Q_ID).agg(
