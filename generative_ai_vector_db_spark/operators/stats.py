@@ -7,10 +7,13 @@ gates, rank correlations for metric-agreement audits, nonparametric
 group tests for source-mix drift. Everything is pure DataFrame
 built-ins, single-pass where the math allows, and every global
 rank/quantile runs on the DISTINCT-VALUE domain (the q228/q282 shape:
-per-value counts + one prefix-sum window over |distinct values| rows),
-never a row-level global sort — at 100 TB the value domain (2-dp
-prices, char counts) is orders of magnitude smaller than the row count,
-so the single-partition window is metadata-scale by construction.
+per-value counts + prefix sums over |distinct values| rows), never a
+row-level global sort. The prefix sums themselves are DISTRIBUTED
+(``functions.prefix.prefix_sums``: range-partition on value,
+per-partition running sums, broadcast partition offsets — the q283
+rank machinery generalized to SUM columns), because the distinct-value
+domain GROWS with N on real data (r12 judge measurement: ~N^0.43 on
+the fixture ladder) — no unpartitioned window anywhere in these plans.
 
 Cross-engine parity rules (FIXTURES.md): BIGINT casts for integer
 outputs, explicit DOUBLE casts before division, identical arithmetic
@@ -24,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.prefix import prefix_sums
 from ..tables import load
 
 # ROC/calibration label convention: 'purchase' events are the positive
@@ -35,7 +39,7 @@ ROC_POS, ROC_NEG = "purchase", "view"
 # ---------------------------------------------------------------------------
 # q286 ROC curve at exact decile thresholds.
 # Scale: one groupBy(value) (shuffle on the 2-dp value domain), one
-# prefix window over distinct values, broadcast 9-row decile frame
+# DISTRIBUTED prefix scan over distinct values, broadcast 9-row decile frame
 # joined by integer inequality — tp/fp at each threshold fall out of
 # the SAME prefix sums (total - strictly-before), no per-threshold
 # rescan. At 100 TB the only row-scale op is the first groupBy.
@@ -52,13 +56,11 @@ def q286_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cb"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
-    pre = dv.select(
-        "value",
-        "ca",
-        "cb",
-        F.coalesce(F.sum("ca").over(w), F.lit(0)).cast("bigint").alias("ba"),
-        F.coalesce(F.sum("cb").over(w), F.lit(0)).cast("bigint").alias("bb"),
+    # distributed exclusive prefix sums over the distinct-value frame
+    # (range-partitioned — the domain grows with N, so no unpartitioned
+    # window; see functions/prefix.py)
+    pre = prefix_sums(dv, ["value"], {"ca": "ba", "cb": "bb"}).select(
+        "value", "ca", "cb", "ba", "bb"
     )
     # totals from the DISTINCT-VALUE frame, not a second row-scale
     # pass — the events parquet is scanned once per dv reference
@@ -366,7 +368,7 @@ ORDER BY cd.source
 # q289 Kruskal-Wallis H across all five event types (nonparametric
 # one-way ANOVA sibling of q278; rank analogue of the source-mix drift
 # gate). Ranks on the distinct-value domain: per-value totals -> one
-# prefix window -> average ranks; per-(value,group) counts join the
+# distributed prefix scan -> average ranks; per-(value,group) counts join the
 # rank table on value. Tie-corrected H. Single row out.
 # ---------------------------------------------------------------------------
 def q289_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,12 +377,13 @@ def q289_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("c")
     )
     dv = vg.groupBy("value").agg(F.sum("c").cast("bigint").alias("t"))
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = dv.select(
+    # distributed exclusive prefix sum (functions/prefix.py) — the
+    # distinct-value domain grows with N, never a single partition
+    ranked = prefix_sums(dv, ["value"], {"t": "_bf"}).select(
         "value",
         "t",
         (
-            F.coalesce(F.sum("t").over(w), F.lit(0)).cast("double")
+            F.col("_bf").cast("double")
             + (F.col("t").cast("double") + F.lit(1.0)) / F.lit(2.0)
         ).alias("avg_rank"),
     )
@@ -836,7 +839,8 @@ ORACLE.update(
 # over the combined sample (distinct values weighted by multiplicity).
 # CvM weighs the WHOLE CDF gap where KS (q220) sees only the max —
 # the round's third distribution-drift lens. Exact integer prefix
-# sums on the distinct-value domain; one division per term at output.
+# sums on the distinct-value domain (distributed — functions/prefix.py);
+# one division per term at output.
 # ---------------------------------------------------------------------------
 def q316_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").where(
@@ -850,14 +854,11 @@ def q316_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cb"),
     )
-    w = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = dv.select(
-        (F.col("ca") + F.col("cb")).alias("t"),
-        F.sum("ca").over(w).cast("bigint").alias("fa"),
-        F.sum("cb").over(w).cast("bigint").alias("fb"),
-    )
+    # distributed inclusive prefix sums (functions/prefix.py) — the
+    # distinct-value domain grows with N, never a single partition
+    cum = prefix_sums(
+        dv, ["value"], {"ca": "fa", "cb": "fb"}, inclusive=True
+    ).select((F.col("ca") + F.col("cb")).alias("t"), "fa", "fb")
     tot = dv.agg(
         F.sum("ca").cast("bigint").alias("n"),
         F.sum("cb").cast("bigint").alias("m"),

@@ -1193,3 +1193,114 @@ def test_q350_weight_table_broadcasts(spark, sf_dir):
 
     plan = plan_of(corpus.q350_dsir_importance(spark, sf_dir))
     assert "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# r13: the rank-statistics family must never run an unpartitioned
+# window — the distinct-value domain grows with N (r12 judge: ~N^0.43
+# on the fixture ladder), so every Window node in these five plans has
+# to carry a partition spec (the functions/prefix.py range-partitioned
+# machinery). Formatted explain prints a Window node's Arguments as
+# [windowExprs], [partitionSpec], [orderSpec]; the unpartitioned form
+# omits the partition group entirely, so three bracket groups = safe.
+# ---------------------------------------------------------------------------
+def _assert_all_windows_partitioned(plan: str) -> None:
+    import re
+
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if not re.match(r"^\(\d+\) Window\b", ln.strip()):
+            continue  # WindowGroupLimit etc. are per-group by definition
+        for j in range(i + 1, min(i + 8, len(lines))):
+            if lines[j].startswith("Arguments:"):
+                groups = lines[j].split("], [")
+                assert len(groups) >= 3, (
+                    f"unpartitioned Window in plan: {lines[j]}"
+                )
+                break
+
+
+def test_rank_stats_windows_are_partitioned(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import quality, stats
+
+    for fn in (
+        quality.q220_ks_drift,
+        quality.q282_mann_whitney,
+        stats.q286_roc_curve,
+        stats.q289_kruskal_wallis,
+        stats.q316_cvm_test,
+    ):
+        _assert_all_windows_partitioned(plan_of(fn(spark, sf_dir)))
+
+
+def test_prefix_sums_matches_unpartitioned_window(spark):
+    """functions.prefix.prefix_sums == Window.orderBy prefix sums,
+    bit-for-bit, on a frame wide enough to span several range
+    partitions (both frame kinds)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from generative_ai_vector_db_spark.functions.prefix import prefix_sums
+
+    df = spark.range(1000).select(
+        (F.col("id") * 37 % 997).alias("v"),
+        (F.col("id") % 7 + 1).alias("a"),
+        (F.col("id") % 3).alias("b"),
+    ).groupBy("v").agg(
+        F.sum("a").alias("a"), F.sum("b").alias("b")
+    )
+    for inclusive in (False, True):
+        got = {
+            r["v"]: (r["pa"], r["pb"])
+            for r in prefix_sums(
+                df, ["v"], {"a": "pa", "b": "pb"}, inclusive=inclusive
+            ).collect()
+        }
+        w = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, 0 if inclusive else -1
+        )
+        want = {
+            r["v"]: (r["pa"], r["pb"])
+            for r in df.select(
+                "v",
+                F.coalesce(F.sum("a").over(w), F.lit(0)).alias("pa"),
+                F.coalesce(F.sum("b").over(w), F.lit(0)).alias("pb"),
+            ).collect()
+        }
+        assert got == want
+
+
+def test_prefix_sums_empty_input(spark):
+    from pyspark.sql import functions as F
+
+    from generative_ai_vector_db_spark.functions.prefix import prefix_sums
+
+    df = spark.range(0).select(
+        F.col("id").alias("v"), F.col("id").alias("a")
+    )
+    assert prefix_sums(df, ["v"], {"a": "pa"}).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# r13: the global top-k family silently relies on Catalyst collapsing
+# `row_number() OVER (ORDER BY ...) <= k` into TakeOrderedAndProject
+# (or WindowGroupLimit) — assert the rewrite so a refactor that breaks
+# it (e.g. a column added between rank and filter) trips a test
+# instead of reintroducing a corpus-scale single-partition window.
+# ---------------------------------------------------------------------------
+def test_global_topk_family_is_take_ordered(spark, sf_dir):
+    from generative_ai_vector_db_spark.operators import vector
+
+    for fn in (
+        vector.q284_binary_hamming_topk,
+        vector.q285_binary_recall_eval,
+        vector.q299_int8_rerank,
+        vector.q321_hyperplane_recall_eval,
+        vector.q326_ivf_recall_eval,
+        vector.q347_portable_graph_ann,
+        vector.q348_graph_ann_recall_eval,
+    ):
+        plan = plan_of(fn(spark, sf_dir))
+        assert (
+            "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+        ), f"{fn.__name__}: global top-k not collapsed:\n{plan[:2000]}"
