@@ -91,23 +91,52 @@ _QUERIES, _ORACLE = merge_registries(*_MODULES)
 # sf0.001+sf0.01+sf0.1 after every edit, plus a full-surface
 # driver-recipe verify (FAILS: none) before each commit batch.
 _PRIORITY = [
-    # ===== ROUND-12 WINDOW (50 slots, every one EXPLICITLY LISTED;
+    # ===== ROUND-13 WINDOW (50 slots, every one EXPLICITLY LISTED;
     # the registry-coverage test forbids unlisted names). Composition
-    # follows VERDICT r11 "Next round" #1 and the mechanical rotation
-    # order committed in WINDOW_REPORT.md (tools/window_report.py —
-    # r11 item #8): never-graded first, then longest-ungraded. =====
-    # --- tier 1: the six late r11 additions — judge-verified 6/6 at
-    #     sf0.01 in the r11 verdict but never driver-graded ---
+    # follows VERDICT r12 "Next round" #2 and the mechanical rotation
+    # in WINDOW_REPORT.md: the seven rows displaced from the r12
+    # window lead, then the new r13 operators, then the longest-
+    # ungraded tail (q320-q339 head the re-grade queue, last graded
+    # r11), filled to 50 with q294-q314 (also r11). =====
+    # --- tier 1: displaced from r12 tier 3 by q355-q361 ---
+    "q145_token_entropy", "q146_pmi_collocations",
+    "q147_late_arrival_profile", "q148_tpch_q6_shape",
+    "q151_traffic_bursts", "q71_stats_agg", "q149_gap_fill",
+    # --- tier 2: the new round-13 operators (q362/q363 portable
+    #     IVF-PQ + driver-graded recall — the LAST rows-only ANN
+    #     index given the hash-graded treatment, VERDICT r12 #3) ---
+    "q362_portable_ivfpq_ann", "q363_ivfpq_recall_eval",
+    # --- tier 3: the q320-q339 block (VERDICT r12 #2 mandates it
+    #     heads the re-grade queue: its source was touched by the
+    #     late-r12 vectorizations, so re-grading it validates shipped
+    #     code; the 92 r5-stale rows q150+ lead the r14 rotation) ---
+    "q320_portable_hyperplane_ann", "q321_hyperplane_recall_eval",
+    "q322_incremental_neardup", "q323_band_index_growth",
+    "q324_bucket_cap_audit", "q325_portable_ivf_ann", "q326_ivf_recall_eval",
+    "q327_portable_hll", "q328_portable_countmin", "q329_portable_bloom",
+    "q330_priority_sample", "q331_js_divergence", "q332_temperature_mixture",
+    "q333_degree_assortativity", "q334_neyman_allocation",
+    "q335_idempotent_replay", "q336_weighted_priority_sample",
+    "q337_rebalance_audit", "q338_containment_pairs",
+    "q339_neardup_family_eval",
+    # --- tier 4: fill to 50 from the r11-graded q294+ block ---
+    "q294_label_propagation", "q295_lexical_diversity",
+    "q296_char_trigram_lm", "q297_boilerplate_ngrams",
+    "q298_budget_waterfill", "q299_int8_rerank", "q300_map_eval",
+    "q301_snapshot_as_of", "q302_portable_minhash", "q303_seq_patterns",
+    "q304_result_diversity", "q305_poisson_bootstrap", "q306_welch_ttest",
+    "q307_blocking_advisor", "q308_batch_knn", "q309_position_attribution",
+    "q310_ipf_raking", "q311_syndication_matrix", "q312_hits_bipartite",
+    "q313_forecast_eval", "q314_dup_cluster_stats",
+    # ===== below the fold: the q294-block remainder, then the rows
+    # the r12 driver just graded (q340-q361 + the q116-q144 block),
+    # then previously graded tiers in prior registry order;
+    # rows-only-by-design stay at the back. =====
+    "q315_cache_hit_curve", "q316_cvm_test", "q317_fellegi_sunter",
+    "q318_topk_drift", "q319_portable_simhash",
     "q340_bm25_prf", "q341_quantization_rank_stability",
     "q342_contrastive_negatives", "q343_watermark_sweep",
     "q344_semdedup_threshold_curve", "q345_ldiversity_audit",
-    # --- tier 2: the sixteen new round-12 operators (q346 SemDeDup
-    #     on IVF cells, q347/q348 portable graph-ANN + recall, q349
-    #     nprobe curve, q350 DSIR, q351 hubness, q352 cross-source
-    #     dups, q353 sampled-quantile eval, q354 conformal, q355
-    #     t-closeness, q356 DoReMi step, q357 cross-lingual dups,
-    #     q358 decontamination curve, q359 mutual-kNN, q360 ANN
-    #     ensemble recall, q361 sketch error audit) ---
     "q346_semdedup_cells", "q347_portable_graph_ann",
     "q348_graph_ann_recall_eval", "q349_ivf_nprobe_curve",
     "q350_dsir_importance", "q351_hubness_audit",
@@ -116,8 +145,6 @@ _PRIORITY = [
     "q356_doremi_step", "q357_crosslingual_neardup",
     "q358_decontam_curve", "q359_mutual_knn",
     "q360_ann_ensemble_recall", "q361_sketch_error_audit",
-    # --- tier 3: the 28 longest-ungraded oracle rows (the r4-stale
-    #     q116-q144 block) ---
     "q116_tpch_q19_shape", "q117_tpch_q21_shape", "q118_tpch_q22_shape",
     "q119_ngram_decontam", "q120_span_dedup", "q121_unigram_logprob",
     "q122_scd2_dimension", "q123_store_upsert", "q124_outer_attribution",
@@ -128,33 +155,6 @@ _PRIORITY = [
     "q137_token_curriculum", "q138_skew_profile", "q139_integrity_audit",
     "q140_pergroup_trend", "q141_incremental_agg", "q142_event_bitmask",
     "q143_embedding_dim_stats", "q144_zipf_fit",
-    # ===== below the fold: previously graded tiers in prior registry
-    # order (r11-fresh rows first, rows-only-by-design at the back;
-    # they resume the staleness rotation in later rounds). q145-q148/
-    # q151/q71/q149 were displaced from tier 3 by q355-q361 and LEAD
-    # the r13 rotation =====
-    "q145_token_entropy",
-    "q146_pmi_collocations", "q147_late_arrival_profile",
-    "q148_tpch_q6_shape",
-    "q151_traffic_bursts", "q71_stats_agg", "q149_gap_fill",
-    "q320_portable_hyperplane_ann", "q321_hyperplane_recall_eval",
-    "q322_incremental_neardup", "q323_band_index_growth",
-    "q324_bucket_cap_audit", "q325_portable_ivf_ann", "q326_ivf_recall_eval",
-    "q327_portable_hll", "q328_portable_countmin", "q329_portable_bloom",
-    "q330_priority_sample", "q331_js_divergence", "q332_temperature_mixture",
-    "q333_degree_assortativity", "q334_neyman_allocation",
-    "q335_idempotent_replay", "q336_weighted_priority_sample",
-    "q337_rebalance_audit", "q338_containment_pairs",
-    "q339_neardup_family_eval", "q294_label_propagation",
-    "q295_lexical_diversity", "q296_char_trigram_lm",
-    "q297_boilerplate_ngrams", "q298_budget_waterfill", "q299_int8_rerank",
-    "q300_map_eval", "q301_snapshot_as_of", "q302_portable_minhash",
-    "q303_seq_patterns", "q304_result_diversity", "q305_poisson_bootstrap",
-    "q306_welch_ttest", "q307_blocking_advisor", "q308_batch_knn",
-    "q309_position_attribution", "q310_ipf_raking",
-    "q311_syndication_matrix", "q312_hits_bipartite", "q313_forecast_eval",
-    "q314_dup_cluster_stats", "q315_cache_hit_curve", "q316_cvm_test",
-    "q317_fellegi_sunter", "q318_topk_drift", "q319_portable_simhash",
     "q112_tpch_q7_shape", "q113_tpch_q11_shape", "q114_tpch_q15_shape",
     "q115_tpch_q2_shape", "q73_temporal_split", "q231_ohlc_bars",
     "q232_source_corr", "q233_range_frame_ma", "q234_mutual_info",

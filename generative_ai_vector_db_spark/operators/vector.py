@@ -4182,7 +4182,370 @@ FROM common
 Q360_SQL = _q360_sql()
 
 
+# ---------------------------------------------------------------------------
+# q362 — ENGINE-PORTABLE IVF-PQ ANN top-k: the LAST rows-only ANN
+# index structure (q175, reference family hnswlib/Chroma app.py:73-76)
+# given the q320/q325/q347 hash-graded treatment. Production IVF-PQ
+# (Jégou et al., q175: seeded-KMeans codebooks) is rows-only because
+# MLlib KMeans internals aren't SQL-expressible; THIS op pins every
+# learned artifact so a second engine can grade the full candidate
+# pipeline — coarse cells, PQ encoding, ADC scoring, shortlist,
+# exact re-rank — end to end:
+#   * coarse quantizer = q325's pinned ±1 IVF pivots (argmax int64
+#     dot, first-index tie-break) over the q299 int8 codes;
+#   * PQ codebooks = PPQ_M x PPQ_KSUB pinned ±PPQ_SCALE sub-vectors
+#     from a fresh LCG stream. Constant-magnitude sign codebooks make
+#     every centroid the SAME norm, so nearest-centroid reduces to
+#     the sub-vector's dominant sign pattern — per-block sign
+#     quantization, the data-blind analog of a trained codebook (at
+#     100 TB you train per-block KMeans as in q175 and broadcast the
+#     learned tables through the SAME plan);
+#   * encode = per-block argmin of INT64 squared distance (exact
+#     integer arithmetic, np.argmin first-min == DuckDB
+#     list_position(ds, list_min(ds)) — the _ivf_assign contract);
+#   * ADC = the asymmetric-distance lookup: the query's per-block
+#     distance table (PPQ_M x PPQ_KSUB int64) is a ONE-ROW broadcast;
+#     each candidate costs PPQ_M element_at lookups + an int64 sum —
+#     the memory-bound scan geometry that makes PQ worth it (codes
+#     are PPQ_M ints/vector; full floats fetched only for the
+#     shortlist);
+#   * shortlist = top PPQ_SHORTLIST by (adc ASC, vec_id) —
+#     TakeOrderedAndProject, never a global sort — then the family's
+#     exact round-4 cosine re-rank to k = 13 (app.py:409).
+# Scale shape: one int8-code scan encodes (numpy mapInPandas,
+# Arrow-batched), the probe list and ADC table are broadcast
+# singletons, candidates ~ nprobe/cells of the corpus, and only
+# shortlist rows touch float vectors. q363 grades recall + scan
+# fraction cross-engine.
+# ---------------------------------------------------------------------------
+PPQ_M = 8  # sub-blocks (64 dims -> 8 dims per block)
+PPQ_SUB = EMB_DIM // PPQ_M
+PPQ_KSUB = 16  # centroids per sub-block (4-bit codes)
+PPQ_SCALE = 64  # centroid entry magnitude (~E|int8 code|)
+# ADC shortlist re-ranked exactly: swept offline at sf0.1 — 4*K/8*K
+# reach recall 0.308, 12*K reaches the IVF candidate ceiling (0.462);
+# beyond that only nprobe buys more. Constant-size vs the corpus.
+PPQ_SHORTLIST = 12 * K
+
+
+def _pq_codebooks() -> list[list[list[int]]]:
+    """PPQ_M x PPQ_KSUB x PPQ_SUB pinned ±PPQ_SCALE codebooks from one
+    continuous LCG stream (seed distinct from _ivf_pivots /
+    _ann_sign_matrices, so the three portable indexes stay
+    independent)."""
+    s = 0x9E3779B97F4A7C15 % (1 << 64)
+    books = []
+    for _ in range(PPQ_M):
+        block = []
+        for _ in range(PPQ_KSUB):
+            row = []
+            for _ in range(PPQ_SUB):
+                s = (s * 6364136223846793005 + 1442695040888963407) % (
+                    1 << 64
+                )
+                row.append(PPQ_SCALE if (s >> 63) & 1 else -PPQ_SCALE)
+            block.append(row)
+        books.append(block)
+    return books
+
+
+def _pq_encode(codes: DataFrame) -> DataFrame:
+    """(vec_id, pqc): per-block argmin-distance PQ codes over the int8
+    codes — int64 numpy, bit-identical to the unrolled oracle SQL
+    (np.argmin first occurrence == list_position(ds, list_min(ds)))."""
+    books = _pq_codebooks()
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        B = np.array(books, dtype=np.int64)  # (M, KSUB, SUB)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(pdf["code"].tolist(), dtype=np.int64)  # (n, dim)
+            out = np.empty((len(pdf), PPQ_M), dtype=np.int64)
+            for m in range(PPQ_M):
+                blk = C[:, m * PPQ_SUB : (m + 1) * PPQ_SUB]
+                d2 = ((blk[:, None, :] - B[m][None, :, :]) ** 2).sum(axis=2)
+                out[:, m] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].astype("int64"), "pqc": list(out)}
+            )
+
+    return codes.mapInPandas(encode, "vec_id bigint, pqc array<bigint>")
+
+
+def _pq_qtable(codes: DataFrame) -> DataFrame:
+    """One-row (qt array<array<bigint>>): the query's per-block ADC
+    distance table — squared int64 distance from each query sub-vector
+    to each centroid. Same arithmetic as _pq_encode's distance matrix,
+    kept as the full table instead of its argmin."""
+    books = _pq_codebooks()
+
+    def table(batches):
+        import numpy as np
+        import pandas as pd
+
+        B = np.array(books, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(pdf["code"].tolist(), dtype=np.int64)
+            rows = []
+            for i in range(len(pdf)):
+                qt = []
+                for m in range(PPQ_M):
+                    qb = C[i, m * PPQ_SUB : (m + 1) * PPQ_SUB]
+                    qt.append(
+                        ((B[m] - qb[None, :]) ** 2).sum(axis=1).tolist()
+                    )
+                rows.append(qt)
+            yield pd.DataFrame({"qt": rows})
+
+    return codes.mapInPandas(table, "qt array<array<bigint>>")
+
+
+def q362_portable_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codes = _int8_codes(emb).select("vec_id", "code")
+    # coarse stage: q325's pinned IVF cells + nprobe probe list
+    assigned = _ivf_assign(emb)
+    qdots = codes.where(F.col("vec_id") == BINARY_Q_ID).select(
+        F.posexplode(_ivf_dots(F.col("code"))).alias("cell", "qdot")
+    )
+    w = Window.orderBy(F.col("qdot").desc(), "cell")
+    probed = (
+        qdots.withColumn("pr", F.row_number().over(w))
+        .where(F.col("pr") <= IVF_NPROBE)
+        .select(F.col("cell").cast("bigint").alias("cell"))
+    )
+    cand = (
+        assigned.where(F.col("vec_id") != BINARY_Q_ID)
+        .join(F.broadcast(probed), "cell")
+        .select("vec_id")
+    )
+    # PQ stage: encode candidates, ADC-score against the broadcast
+    # one-row query table, shortlist by integer distance
+    pq = _pq_encode(codes.join(cand, "vec_id"))
+    qt = _pq_qtable(codes.where(F.col("vec_id") == BINARY_Q_ID))
+    adc_col = None
+    for m in range(PPQ_M):
+        term = F.element_at(
+            F.element_at("qt", m + 1),
+            (F.element_at("pqc", m + 1) + F.lit(1)).cast("int"),
+        )
+        adc_col = term if adc_col is None else adc_col + term
+    scored = pq.crossJoin(F.broadcast(qt)).select(
+        "vec_id", adc_col.cast("bigint").alias("adc")
+    )
+    ws = Window.orderBy(F.col("adc").asc(), "vec_id")
+    shortlist = (
+        scored.withColumn("srn", F.row_number().over(ws))
+        .where(F.col("srn") <= PPQ_SHORTLIST)
+        .select("vec_id")
+    )
+    # exact re-rank: floats touched only for the shortlist
+    qv = emb.where(F.col("vec_id") == BINARY_Q_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    exact = (
+        shortlist.join(emb, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wr = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        exact.withColumn("rn", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rn") <= K)
+        .orderBy("rn")
+    )
+
+
+def _pq_duck_ctes() -> str:
+    """DuckDB mirror of the PQ stage: per-block distance lists (the
+    SAME expressions serve candidate encoding via argmin and the query
+    ADC table via the full list), unrolled over the pinned codebooks."""
+    books = _pq_codebooks()
+    ds_cols = []
+    for m in range(PPQ_M):
+        terms = []
+        for j in range(PPQ_KSUB):
+            cb = "[" + ", ".join(str(x) for x in books[m][j]) + "]"
+            terms.append(
+                f"list_sum([(code[{m * PPQ_SUB} + k] - ({cb}[k]))"
+                f" * (code[{m * PPQ_SUB} + k] - ({cb}[k]))"
+                f" for k in generate_series(1, {PPQ_SUB})])"
+            )
+        ds_cols.append("[" + ",\n      ".join(terms) + f"] AS ds{m}")
+    pqc = ", ".join(
+        f"CAST(list_position(ds{m}, list_min(ds{m})) - 1 AS BIGINT)"
+        for m in range(PPQ_M)
+    )
+    tbl = ", ".join(f"ds{m}" for m in range(PPQ_M))
+    ds_block = ",\n    ".join(ds_cols)
+    return f"""pqd AS (
+  SELECT vec_id,
+    {ds_block}
+  FROM codes
+),
+pq AS (SELECT vec_id, [{pqc}] AS pqc FROM pqd),
+qt AS (SELECT [{tbl}] AS tbl FROM pqd WHERE vec_id = {BINARY_Q_ID}),
+adc AS (
+  SELECT p.vec_id,
+         CAST(list_sum([t.tbl[m][p.pqc[m] + 1]
+                        for m in generate_series(1, {PPQ_M})]) AS BIGINT)
+           AS adc
+  FROM pq p JOIN cand c USING (vec_id), qt t
+),
+short AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY adc, vec_id) AS srn
+    FROM adc
+  ) WHERE srn <= {PPQ_SHORTLIST}
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {BINARY_Q_ID}),
+ann AS (
+  SELECT vec_id, cos_sim,
+         CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+              AS BIGINT) AS rn
+  FROM (
+    SELECT c.vec_id,
+           round({_DUCK_QDOT} / ({_DUCK_QNORM} * {_DUCK_BNORM}), 4)
+             AS cos_sim
+    FROM short c
+    JOIN embeddings b ON b.vec_id = c.vec_id, q
+  )
+)"""
+
+
+Q362_CTES = f"""{Q325_ASSIGN_CTES},
+dots_q AS (SELECT ds FROM dots WHERE vec_id = {BINARY_Q_ID}),
+probed AS (
+  SELECT CAST(cell AS BIGINT) AS cell FROM (
+    SELECT u.cell, u.qdot,
+           row_number() OVER (ORDER BY u.qdot DESC, u.cell) AS pr
+    FROM (SELECT unnest(generate_series(0, {IVF_CELLS - 1})) AS cell,
+                 unnest(ds) AS qdot
+          FROM dots_q) u
+  ) WHERE pr <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT a.vec_id FROM assigned a JOIN probed USING (cell)
+  WHERE a.vec_id != {BINARY_Q_ID}
+),
+{_pq_duck_ctes()}"""
+
+Q362_SQL = f"""
+WITH {Q362_CTES}
+SELECT vec_id, cos_sim, rn FROM ann WHERE rn <= {K} ORDER BY rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# q363 — IVF-PQ recall eval, cross-engine graded (the q326/q348
+# pattern for the q362 index): overlap of the ADC-shortlist top-13
+# with the exact-cosine top-13, plus candidate-pool size and scan
+# fraction — the recall of the LAST portable ANN index structure
+# becomes a driver-verified number, closing the whole ANN family's
+# migration from rows-only QUALITY.md floors to hash-graded facts.
+# ---------------------------------------------------------------------------
+def q363_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ann = q362_portable_ivfpq_ann(spark, sf_dir).select("vec_id")
+    assigned = _ivf_assign(emb)
+    codes = _int8_codes(emb).select("vec_id", "code")
+    qdots = codes.where(F.col("vec_id") == BINARY_Q_ID).select(
+        F.posexplode(_ivf_dots(F.col("code"))).alias("cell", "qdot")
+    )
+    w = Window.orderBy(F.col("qdot").desc(), "cell")
+    probed = (
+        qdots.withColumn("pr", F.row_number().over(w))
+        .where(F.col("pr") <= IVF_NPROBE)
+        .select(F.col("cell").cast("bigint").alias("cell"))
+    )
+    n_cand = (
+        assigned.where(F.col("vec_id") != BINARY_Q_ID)
+        .join(F.broadcast(probed), "cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    )
+    n_corpus = emb.where(F.col("vec_id") != BINARY_Q_ID).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus")
+    )
+    qv = emb.where(F.col("vec_id") == BINARY_Q_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    we = Window.orderBy(
+        F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).desc(),
+        F.col("vec_id"),
+    )
+    exact = (
+        emb.where(F.col("vec_id") != BINARY_Q_ID)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") <= K)
+        .select("vec_id")
+    )
+    return (
+        ann.join(exact, "vec_id")
+        .agg(
+            F.lit(K).cast("bigint").alias("k"),
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            (F.count(F.lit(1)) / F.lit(float(K))).alias("recall"),
+        )
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "k",
+            "n_common",
+            "recall",
+            "n_cand",
+            F.round(
+                F.col("n_cand") / F.col("n_corpus").cast("double"), 4
+            ).alias("scan_frac"),
+        )
+    )
+
+
+Q363_SQL = f"""
+WITH {Q362_CTES},
+exact AS (
+  SELECT vec_id
+  FROM (
+    SELECT b.vec_id,
+           row_number() OVER (
+             ORDER BY round({_DUCK_QDOT} / ({_DUCK_QNORM} * {_DUCK_BNORM}), 4)
+                        DESC,
+                      b.vec_id) AS rn
+    FROM embeddings b, q
+    WHERE b.vec_id != {BINARY_Q_ID}
+  ) WHERE rn <= {K}
+),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM embeddings
+       WHERE vec_id != {BINARY_Q_ID}),
+common AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_common
+  FROM (SELECT vec_id FROM ann WHERE rn <= {K}) a
+  JOIN exact USING (vec_id)
+)
+SELECT CAST({K} AS BIGINT) AS k,
+       common.n_common,
+       CAST(common.n_common AS DOUBLE) / {float(K)} AS recall,
+       nc.n_cand,
+       round(nc.n_cand / CAST(np.n_corpus AS DOUBLE), 4) AS scan_frac
+FROM common, nc, np
+"""
+
+
 QUERIES = {
+    "q362_portable_ivfpq_ann": q362_portable_ivfpq_ann,
+    "q363_ivfpq_recall_eval": q363_ivfpq_recall_eval,
     "q346_semdedup_cells": q346_semdedup_cells,
     "q359_mutual_knn": q359_mutual_knn,
     "q360_ann_ensemble_recall": q360_ann_ensemble_recall,
@@ -4225,6 +4588,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q362_portable_ivfpq_ann": Q362_SQL,
+    "q363_ivfpq_recall_eval": Q363_SQL,
     "q346_semdedup_cells": Q346_SQL,
     "q359_mutual_knn": Q359_SQL,
     "q360_ann_ensemble_recall": Q360_SQL,

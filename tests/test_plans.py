@@ -1008,11 +1008,21 @@ def test_q286_roc_single_rowscale_pass(spark, sf_dir):
     # never a shuffled cartesian
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
-    # events parquet is scanned at most twice (the dv subtree is
-    # referenced by the prefix pass and the totals), never
-    # per-threshold; formatted explain prints each scan node twice
-    # (tree + detail section), hence <= 4 matches = 2 scans
+    # events parquet is scanned at most twice at RUNTIME: the r13
+    # distributed prefix machinery references the dv subtree three
+    # extra times, but every extra reference shares the identical
+    # groupBy(value) / repartitionByRange exchanges, which exchange
+    # reuse collapses. The AQE-wrapped initial plan prints the tree
+    # expanded (no ReusedExchange yet), so capture the reuse-resolved
+    # physical plan with AQE off; formatted explain prints each scan
+    # node twice (tree + detail section), hence <= 4 matches = 2 scans.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(stats.q286_roc_curve(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert plan.count("Scan parquet") <= 4, plan
+    assert "ReusedExchange" in plan, plan
 
 
 def test_q297_boilerplate_frequent_set_broadcast(spark, sf_dir):
