@@ -74,3 +74,163 @@ def write_planted_embeddings(out_dir: str, **kwargs) -> str:
     os.makedirs(out_dir, exist_ok=True)
     pq.write_table(table, os.path.join(out_dir, "embeddings.parquet"))
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# Synthetic 10x scale decade (r12 verdict item 5): the fixture ladder
+# grows documents/embeddings only 1x/1x/4x across sf0.001/0.01/0.1,
+# so the text/vector scaling exponents in SCALING.md rested on one
+# soft step. This generator bootstraps a THIRD measurable decade from
+# the sf0.1 fixture itself — empirical vocabulary/unigram weights,
+# empirical doc-length and (lang, source) distributions, near-dup
+# families injected at a fixed rate, and embeddings drawn around the
+# fixture's own per-label centroids at the fixture's within-label
+# dispersion — so the 10x corpus stresses the SAME workload shape
+# (shingle overlap, band collisions, cell occupancy) rather than an
+# arbitrary one. Deterministic: one seeded numpy RandomState; the
+# probe regenerates it on demand (nothing is committed but the code).
+# ---------------------------------------------------------------------------
+DECADE_DUP_RATE = 0.06  # fraction of docs that are near-dups of another
+DECADE_DUP_SUB = 0.08  # per-token substitution rate within a dup
+
+
+def synthetic_decade_frames(
+    src_dir: str,
+    doc_factor: int = 10,
+    emb_factor: int = 10,
+    seed: int = 13,
+):
+    """(documents_pdf, embeddings_pdf) at factor x the src fixture."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq_mod
+
+    rng = np.random.RandomState(seed)
+
+    # ---- documents: empirical vocab / lengths / (lang, source) ----
+    src_docs = pq_mod.read_table(
+        os.path.join(src_dir, "documents.parquet")
+    ).to_pandas()
+    toks = [t for s in src_docs["text"] for t in s.split(" ") if t]
+    vocab, counts = np.unique(toks, return_counts=True)
+    probs = counts / counts.sum()
+    lengths = np.array([len(s.split(" ")) for s in src_docs["text"]])
+    pair_idx = rng.randint(0, len(src_docs), len(src_docs) * doc_factor)
+    langs = src_docs["lang"].to_numpy()[pair_idx]
+    sources = src_docs["source"].to_numpy()[pair_idx]
+    n_docs = len(src_docs) * doc_factor
+    doc_lens = rng.choice(lengths, size=n_docs)
+    texts: list[str] = []
+    for i in range(n_docs):
+        if texts and rng.rand() < DECADE_DUP_RATE:
+            # near-dup family: copy an earlier doc, substitute ~8% of
+            # tokens — the regime MinHash/SimHash banding must catch
+            base = texts[rng.randint(0, len(texts))].split(" ")
+            mask = rng.rand(len(base)) < DECADE_DUP_SUB
+            subs = rng.choice(vocab, size=int(mask.sum()), p=probs)
+            j = 0
+            for k in range(len(base)):
+                if mask[k]:
+                    base[k] = subs[j]
+                    j += 1
+            texts.append(" ".join(base))
+        else:
+            texts.append(
+                " ".join(rng.choice(vocab, size=doc_lens[i], p=probs))
+            )
+    documents = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_docs, dtype="int64"),
+            "text": texts,
+            "lang": langs,
+            "source": sources,
+        }
+    )
+    documents["n_chars"] = documents["text"].str.len().astype("int64")
+
+    # ---- embeddings: per-label centroids + matched dispersion ----
+    src_emb = pq_mod.read_table(
+        os.path.join(src_dir, "embeddings.parquet")
+    ).to_pandas()
+    X = np.stack(src_emb["embedding"].to_numpy()).astype("float64")
+    labels = src_emb["label"].to_numpy()
+    uniq, label_counts = np.unique(labels, return_counts=True)
+    n_emb = len(src_emb) * emb_factor
+    new_labels = rng.choice(uniq, size=n_emb, p=label_counts / len(labels))
+    rows = []
+    dim = X.shape[1]
+    for lab in uniq:
+        member = X[labels == lab]
+        c = member.mean(axis=0)
+        cn = np.linalg.norm(c)
+        # within-label residual scale of the fixture, reproduced
+        sigma = float(
+            np.sqrt(((member - c) ** 2).sum(axis=1).mean() / dim)
+        )
+        n_l = int((new_labels == lab).sum())
+        V = c[None, :] + sigma * rng.standard_normal((n_l, dim))
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        rows.append(V)
+        del cn
+    V = np.concatenate(rows)
+    order = np.argsort(np.concatenate([
+        np.where(new_labels == lab)[0] for lab in uniq
+    ]))
+    V = V[order]
+    embeddings = pd.DataFrame(
+        {
+            "vec_id": np.arange(n_emb, dtype="int64"),
+            "embedding": [v.astype("float32").tolist() for v in V],
+            "label": new_labels.astype("int32"),
+        }
+    )
+    return documents, embeddings
+
+
+def write_synthetic_decade(
+    out_dir: str,
+    src_dir: str = "/root/testdata/sf0.1",
+    doc_factor: int = 10,
+    emb_factor: int = 10,
+    seed: int = 13,
+) -> str:
+    """Write documents.parquet + embeddings.parquet (fixture schemas)
+    at factor x the src fixture; skips work if both files exist."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    d_path = os.path.join(out_dir, "documents.parquet")
+    e_path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(d_path) and os.path.exists(e_path):
+        return out_dir
+    documents, embeddings = synthetic_decade_frames(
+        src_dir, doc_factor, emb_factor, seed
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    d_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("text", pa.string()),
+            pa.field("lang", pa.string()),
+            pa.field("source", pa.string()),
+            pa.field("n_chars", pa.int64()),
+        ]
+    )
+    pq_mod.write_table(
+        pa.Table.from_pandas(documents, schema=d_schema, preserve_index=False),
+        d_path,
+    )
+    e_schema = pa.schema(
+        [
+            pa.field("vec_id", pa.int64()),
+            pa.field("embedding", pa.list_(pa.float32())),
+            pa.field("label", pa.int32()),
+        ]
+    )
+    pq_mod.write_table(
+        pa.Table.from_pandas(
+            embeddings, schema=e_schema, preserve_index=False
+        ),
+        e_path,
+    )
+    return out_dir
