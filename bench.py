@@ -10,12 +10,15 @@ Each query is forced end-to-end with the noop sink (full execution, no
 driver-side collect skew). Per-query wall-clock excludes session
 startup; a warmup query amortizes JVM/codegen first-run cost.
 
-Variance protocol: the whole set runs REPS times; per-query times and
+Variance protocol: the ACTIVE set runs REPS times; per-query times and
 the headline value are MEDIANS, and rep_totals/spread_pct record the
 run-to-run spread — so a real regression is distinguishable from
 JVM/GC variance. ANN queries (q47/q49) fit their index on first touch
 (cached per session, as a pipeline would); the median therefore
 reflects the probe path, with build cost visible in rep_totals[0].
+Settled sub-second rows are RETIRED (BASELINE.md "Headline rotation"):
+one recorded steady-state pass per run under "retired_queries", so
+the forward band stays fresh and the 4-rep protocol stays short.
 """
 
 from __future__ import annotations
@@ -52,67 +55,79 @@ from generative_ai_vector_db_spark.operators import (  # noqa: E402
 )
 from generative_ai_vector_db_spark.streaming import jobs as streaming_jobs  # noqa: E402
 
+# Headline rotation policy (r13, BASELINE.md "Headline rotation"):
+# the ACTIVE set below runs the full 4-rep median protocol; rows that
+# have SETTLED — sub-second median at sf0.1 in two consecutive quiet
+# records with no implementation change in between — move to RETIRED,
+# which still executes ONCE per bench run (after warmup) so the
+# forward band keeps a fresh number and a regression is still visible
+# the round it happens, without 4x-repeating queries whose spread is
+# pure noise. Revival rule: a retired query whose once-per-run time
+# exceeds 1.5x its recorded band returns to ACTIVE next round. Each
+# round's new heavy shapes join ACTIVE (forward-band protocol).
 HEADLINE = [
-    "q01_scan_project",
-    "q02_filter_pushdown",
-    "q03_tpch_q1",
-    "q06_join_inner",
     "q08_join_multiway",
-    "q13_window_topk",
-    "q24_chunk_stride",
-    "q25_knn_l2",
-    "q26_knn_cosine",
     "q27_similarity_join",
-    "q31_tumbling_window",
-    "q33_session_window",
-    "q38_text_quality",
-    "q43_multimodal_decode",
     "q44_minhash_neardup",
     "q47_ann_brp_lsh",
     "q49_ann_ivf",
     "q50_ingest_pipeline",
+    # round-7/8 heavy operators (added r8/r9 per VERDICT #4s)
+    "q221_heavy_hitters",
+    "q223_fuzzy_survivorship",
+    "q242_shortest_paths",
+    # round-10 heavy operators: iterative peel, Arrow-hash + LSH join,
+    # time-bounded self-join, B=200 bootstrap fan-out
+    "q292_kcore",
+    "q302_portable_minhash",
+    "q303_seq_patterns",
+    "q305_poisson_bootstrap",
+    # round-11 heavy operators: incremental band-index probe, 2-table
+    # multiprobe ANN (kept active r13: vectorized in late r12, needs a
+    # second settled record), triple-domain sketch scan, rare-shingle
+    # posting join
+    "q322_incremental_neardup",
+    "q320_portable_hyperplane_ann",
+    "q327_portable_hll",
+    "q338_containment_pairs",
+    # round-12 heavy operators: NN-descent graph build + beam search,
+    # IVF cell-blocked pair scan, hashed-vocab token double-pass,
+    # 50-anchor broadcast scan
+    "q347_portable_graph_ann",
+    "q346_semdedup_cells",
+    "q350_dsir_importance",
+    "q351_hubness_audit",
+    # round-13 heavy operator: the portable IVF-PQ pipeline (encode
+    # scan + ADC shortlist + exact re-rank)
+    "q362_portable_ivfpq_ann",
+]
+
+# Settled sub-second rows (retired r13; medians stable across the
+# r8-r12 quiet records — see BASELINE.md for each row's band). Run
+# once per bench, recorded under "retired_queries".
+RETIRED = [
+    "q01_scan_project",
+    "q02_filter_pushdown",
+    "q03_tpch_q1",
+    "q06_join_inner",
+    "q13_window_topk",
+    "q24_chunk_stride",
+    "q25_knn_l2",
+    "q26_knn_cosine",
+    "q31_tumbling_window",
+    "q33_session_window",
+    "q38_text_quality",
+    "q43_multimodal_decode",
     "q52_delete_by_source",
     "q53_rag_pipeline",
     "q56_salted_agg",
     "q58_asof_join",
     "q63_corpus_stats",
     "q64_repetition_ratio",
-    # round-7 heavy operators (added r8 per VERDICT r7 #4 — regressions
-    # in the newest families show up in the bench, not just plan reads;
-    # BASELINE.md records their first-round medians as the forward band)
     "q215_fuzzy_blocked_dedup",
-    "q221_heavy_hitters",
-    "q223_fuzzy_survivorship",
     "q228_quantile_normalize",
-    # round-8 heavy operators (added r9 per VERDICT r8 #4): the
-    # iterative-join, scan-side-gram and full-tokenize+collect_list
-    # shapes get numeric regression coverage like the r7 set above
     "q236_inverted_index",
-    "q242_shortest_paths",
     "q245_power_iteration",
-    # round-10 heavy operators (added r10, same forward-band protocol):
-    # iterative peel, Arrow-hash + LSH join, time-bounded self-join,
-    # and the B=200 bootstrap fan-out — the four new heavy shapes
-    "q292_kcore",
-    "q302_portable_minhash",
-    "q303_seq_patterns",
-    "q305_poisson_bootstrap",
-    # round-11 heavy operators (added r11, same forward-band protocol):
-    # the incremental band-index probe, the 2-table multiprobe ANN,
-    # the triple-domain sketch scan, and the rare-shingle posting join
-    # — the four new heavy shapes this round
-    "q322_incremental_neardup",
-    "q320_portable_hyperplane_ann",
-    "q327_portable_hll",
-    "q338_containment_pairs",
-    # round-12 heavy operators (added r12, same forward-band protocol):
-    # the iterative NN-descent graph build + beam search, the IVF
-    # cell-blocked pair scan, the hashed-vocab token double-pass, and
-    # the 50-anchor broadcast scan — the four new heavy shapes
-    "q347_portable_graph_ann",
-    "q346_semdedup_cells",
-    "q350_dsir_importance",
-    "q351_hubness_audit",
 ]
 
 
@@ -158,7 +173,10 @@ def main() -> None:
     # here, so the recorded reps measure steady state and spread_pct
     # reflects genuine run-to-run variance rather than cold-start decay.
     probe()  # discard: JVM/codegen first-touch
-    warmup = {name: run(name) for name in HEADLINE}
+    warmup = {name: run(name) for name in HEADLINE + RETIRED}
+    # retired rows: one recorded steady-state pass (forward band +
+    # revival tripwire), not the 4-rep protocol — see HEADLINE comment
+    retired_times = {name: round(run(name), 3) for name in RETIRED}
 
     # Trim policy (documented in BASELINE.md): run 4 reps, DROP the
     # slowest whole rep, then take per-query medians over the kept
@@ -208,6 +226,8 @@ def main() -> None:
         "spread_pct": round(100.0 * (hi - lo) / lo, 1) if lo else 0.0,
         "raw_spread_pct": round(100.0 * (rhi - rlo) / rlo, 1) if rlo else 0.0,
         "warmup_total": round(sum(warmup.values()), 3),
+        "retired_queries": retired_times,
+        "retired_total": round(sum(retired_times.values()), 3),
         "probe_times": probe_times,
         "contended_reps": contended_reps,
         "contended": bool(set(contended_reps) & set(kept_idx)),
