@@ -4543,9 +4543,265 @@ FROM common, nc, np
 """
 
 
+# ---------------------------------------------------------------------------
+# q364 — PQ shortlist/recall curve, hash-graded: the ADC re-rank dial
+# (q349's nprobe-curve pattern applied to the q362 index). For each
+# shortlist size m*K in the sweep, the exact-cosine top-13 among the
+# ADC top-(m*K) is compared to the exact top-13 over the whole corpus
+# — how much recall each extra exactly-re-ranked candidate buys, the
+# number that picks PPQ_SHORTLIST in production (this sweep is where
+# the pinned 12*K came from: 4K/8K stall below the coarse-stage
+# ceiling at sf0.1, 12K reaches it).
+# Scale shape: ONE ADC pass over the candidate pool (localCheckpoint
+# feeds every sweep branch), float vectors touched only for rows
+# inside the LARGEST shortlist, per-m top-k are WindowGroupLimit
+# frames over the bounded shortlist — the sweep adds no extra scans.
+# ---------------------------------------------------------------------------
+PQ_SHORTLIST_SWEEP = [2, 4, 8, 12, 20]  # multiples of K
+
+
+def q364_pq_shortlist_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codes = _int8_codes(emb).select("vec_id", "code")
+    assigned = _ivf_assign(emb)
+    qdots = codes.where(F.col("vec_id") == BINARY_Q_ID).select(
+        F.posexplode(_ivf_dots(F.col("code"))).alias("cell", "qdot")
+    )
+    w = Window.orderBy(F.col("qdot").desc(), "cell")
+    probed = (
+        qdots.withColumn("pr", F.row_number().over(w))
+        .where(F.col("pr") <= IVF_NPROBE)
+        .select(F.col("cell").cast("bigint").alias("cell"))
+    )
+    cand = (
+        assigned.where(F.col("vec_id") != BINARY_Q_ID)
+        .join(F.broadcast(probed), "cell")
+        .select("vec_id")
+    )
+    pq = _pq_encode(codes.join(cand, "vec_id"))
+    qt = _pq_qtable(codes.where(F.col("vec_id") == BINARY_Q_ID))
+    adc_col = None
+    for m in range(PPQ_M):
+        term = F.element_at(
+            F.element_at("qt", m + 1),
+            (F.element_at("pqc", m + 1) + F.lit(1)).cast("int"),
+        )
+        adc_col = term if adc_col is None else adc_col + term
+    ws = Window.orderBy(F.col("adc").asc(), "vec_id")
+    # one ADC pass, ranked once; only rows inside the largest sweep
+    # shortlist carry float re-rank cost
+    ranked = (
+        pq.crossJoin(F.broadcast(qt))
+        .select("vec_id", adc_col.cast("bigint").alias("adc"))
+        .withColumn("srn", F.row_number().over(ws))
+        .where(F.col("srn") <= max(PQ_SHORTLIST_SWEEP) * K)
+        .localCheckpoint()
+    )
+    qv = emb.where(F.col("vec_id") == BINARY_Q_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = ranked.join(emb, "vec_id").crossJoin(F.broadcast(qv)).select(
+        "vec_id",
+        "srn",
+        F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).alias(
+            "cos_sim"
+        ),
+    )
+    we = Window.orderBy(
+        F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).desc(),
+        F.col("vec_id"),
+    )
+    exact = (
+        emb.where(F.col("vec_id") != BINARY_Q_ID)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") <= K)
+        .select("vec_id")
+    )
+    sweep = spark.createDataFrame(
+        [(m * K,) for m in PQ_SHORTLIST_SWEEP], "shortlist bigint"
+    )
+    swept = scored.crossJoin(F.broadcast(sweep)).where(
+        F.col("srn") <= F.col("shortlist")
+    )
+    wk = Window.partitionBy("shortlist").orderBy(
+        F.col("cos_sim").desc(), "vec_id"
+    )
+    topk = swept.withColumn("rn", F.row_number().over(wk)).where(
+        F.col("rn") <= K
+    )
+    nshort = swept.groupBy("shortlist").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_short")
+    )
+    common = (
+        topk.join(exact, "vec_id")
+        .groupBy("shortlist")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        nshort.join(common, "shortlist", "left")
+        .select(
+            "shortlist",
+            "n_short",
+            F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+            (
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / F.lit(float(K))
+            ).alias("recall"),
+        )
+        .orderBy("shortlist")
+    )
+
+
+Q364_SQL = f"""
+WITH {Q362_CTES},
+ranked AS MATERIALIZED (
+  SELECT vec_id, srn FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY adc, vec_id) AS srn
+    FROM adc
+  ) WHERE srn <= {max(PQ_SHORTLIST_SWEEP) * K}
+),
+scored AS MATERIALIZED (
+  SELECT c.vec_id, c.srn,
+         round({_DUCK_QDOT} / ({_DUCK_QNORM} * {_DUCK_BNORM}), 4) AS cos_sim
+  FROM ranked c
+  JOIN embeddings b ON b.vec_id = c.vec_id, q
+),
+exact AS (
+  SELECT vec_id
+  FROM (
+    SELECT b.vec_id,
+           row_number() OVER (
+             ORDER BY round({_DUCK_QDOT} / ({_DUCK_QNORM} * {_DUCK_BNORM}), 4)
+                        DESC,
+                      b.vec_id) AS rn
+    FROM embeddings b, q
+    WHERE b.vec_id != {BINARY_Q_ID}
+  ) WHERE rn <= {K}
+),
+sweep AS (SELECT unnest([{", ".join(str(m * K) for m in PQ_SHORTLIST_SWEEP)}])
+                 AS shortlist),
+swept AS MATERIALIZED (
+  SELECT shortlist, vec_id, cos_sim FROM scored, sweep
+  WHERE srn <= shortlist
+),
+topk AS (
+  SELECT shortlist, vec_id FROM (
+    SELECT shortlist, vec_id,
+           row_number() OVER (PARTITION BY shortlist
+                              ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM swept
+  ) WHERE rn <= {K}
+),
+nshort AS (SELECT shortlist, CAST(count(*) AS BIGINT) AS n_short
+           FROM swept GROUP BY shortlist),
+common AS (
+  SELECT shortlist, CAST(count(*) AS BIGINT) AS n_common
+  FROM topk JOIN exact USING (vec_id) GROUP BY shortlist
+)
+SELECT CAST(nshort.shortlist AS BIGINT) AS shortlist,
+       nshort.n_short,
+       CAST(coalesce(common.n_common, 0) AS BIGINT) AS n_common,
+       coalesce(common.n_common, 0) / CAST({K} AS DOUBLE) AS recall
+FROM nshort LEFT JOIN common USING (shortlist)
+ORDER BY shortlist
+"""
+
+
+# ---------------------------------------------------------------------------
+# q365 — multi-vector late-interaction retrieval (MaxSim, the ColBERT
+# scoring rule; Khattab & Zaharia 2020): score(doc) = sum over query
+# vectors of the MAX cosine against any of the doc's vectors. The one
+# retrieval family the engine lacked — single-vector kNN (q25/q26),
+# lexical BM25 (q83), hybrid RRF (q84) and cross-encoder rerank
+# (q161) all exist; this adds the token-level interaction shape that
+# dominates modern retrieval quality. Data model: the FIXTURES.md
+# query vectors (vec_id < N_QUERY) are the query's multi-vector set;
+# each label group (minus the query rows) is a multi-vector document.
+# Scale shape: ONE corpus pass computes all |Q| cosines per row
+# against a broadcast |Q|-row query frame (scan-side arithmetic, no
+# UDF), then two partial-aggregating reduces (max per (label, q),
+# sum per label) — shuffle keys are (label, q_id) then label, never
+# a pair join; the final top-5 collapses to TakeOrderedAndProject.
+# At 100 TB: |Q| is tokens-per-query (~32), docs are chunk groups —
+# same plan, the broadcast stays tiny and the reduces stay partial.
+# ---------------------------------------------------------------------------
+MAXSIM_TOP = 5
+
+
+def q365_maxsim_late_interaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    qs = emb.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    per_q = (
+        emb.where(F.col("vec_id") >= N_QUERY)
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "label",
+            "q_id",
+            F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .groupBy("label", "q_id")
+        .agg(F.max("cos_sim").alias("best"))
+    )
+    scored = per_q.groupBy("label").agg(
+        F.round(F.sum("best"), 4).alias("maxsim")
+    )
+    w = Window.orderBy(F.col("maxsim").desc(), "label")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= MAXSIM_TOP)
+        .select(F.col("label").cast("bigint").alias("label"), "maxsim", "rn")
+        .orderBy("rn")
+    )
+
+
+_DUCK_QE_DOT = (
+    "list_sum([ CAST(qs.q_emb[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)"
+    f" for k in generate_series(1, {EMB_DIM}) ])"
+)
+_DUCK_QE_NORM = (
+    "sqrt(list_sum([ CAST(qs.q_emb[k] AS DOUBLE)"
+    " * CAST(qs.q_emb[k] AS DOUBLE)"
+    f" for k in generate_series(1, {EMB_DIM}) ]))"
+)
+
+Q365_SQL = f"""
+WITH qs AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < {N_QUERY}
+),
+per_q AS (
+  SELECT b.label, qs.q_id,
+         max(round({_DUCK_QE_DOT} / ({_DUCK_QE_NORM} * {_DUCK_BNORM}), 4))
+           AS best
+  FROM embeddings b, qs
+  WHERE b.vec_id >= {N_QUERY}
+  GROUP BY b.label, qs.q_id
+),
+scored AS (
+  SELECT label, round(sum(best), 4) AS maxsim FROM per_q GROUP BY label
+)
+SELECT CAST(label AS BIGINT) AS label, maxsim,
+       CAST(row_number() OVER (ORDER BY maxsim DESC, label) AS BIGINT) AS rn
+FROM scored
+QUALIFY rn <= {MAXSIM_TOP}
+ORDER BY rn
+"""
+
+
 QUERIES = {
     "q362_portable_ivfpq_ann": q362_portable_ivfpq_ann,
     "q363_ivfpq_recall_eval": q363_ivfpq_recall_eval,
+    "q364_pq_shortlist_curve": q364_pq_shortlist_curve,
+    "q365_maxsim_late_interaction": q365_maxsim_late_interaction,
     "q346_semdedup_cells": q346_semdedup_cells,
     "q359_mutual_knn": q359_mutual_knn,
     "q360_ann_ensemble_recall": q360_ann_ensemble_recall,
@@ -4590,6 +4846,8 @@ QUERIES = {
 ORACLE = {
     "q362_portable_ivfpq_ann": Q362_SQL,
     "q363_ivfpq_recall_eval": Q363_SQL,
+    "q364_pq_shortlist_curve": Q364_SQL,
+    "q365_maxsim_late_interaction": Q365_SQL,
     "q346_semdedup_cells": Q346_SQL,
     "q359_mutual_knn": Q359_SQL,
     "q360_ann_ensemble_recall": Q360_SQL,

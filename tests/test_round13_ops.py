@@ -112,3 +112,52 @@ def test_neardup_stream_equals_batch_both_scales(spark, sf, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(want[got.columns.tolist()])
+
+
+def test_q364_curve_monotone(spark, sf_dir_t2):
+    """Recall is non-decreasing in shortlist size; the largest sweep
+    point reaches the q363 recall; n_short caps at the candidate
+    pool."""
+    rows = vector.q364_pq_shortlist_curve(spark, sf_dir_t2).collect()
+    assert [r["shortlist"] for r in rows] == [
+        m * vector.K for m in vector.PQ_SHORTLIST_SWEEP
+    ]
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls)
+    full = vector.q363_ivfpq_recall_eval(spark, sf_dir_t2).collect()[0]
+    # the 12K sweep point is exactly the production configuration
+    at_12k = next(
+        r for r in rows if r["shortlist"] == vector.PPQ_SHORTLIST
+    )
+    assert at_12k["recall"] == full["recall"]
+    assert all(r["n_short"] <= full["n_cand"] for r in rows)
+
+
+def test_q365_structure_and_reference(spark, sf_dir_t2):
+    """Top-5 labels by MaxSim; scores match a direct pandas
+    recomputation of sum-of-max rounded cosines."""
+    import numpy as np
+
+    rows = vector.q365_maxsim_late_interaction(spark, sf_dir_t2).collect()
+    assert len(rows) == vector.MAXSIM_TOP
+    assert [r["rn"] for r in rows] == list(range(1, vector.MAXSIM_TOP + 1))
+    sims = [r["maxsim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+    emb = load(spark, sf_dir_t2, "embeddings").toPandas()
+    X = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    Q = X[ids < vector.N_QUERY]
+    mask = ids >= vector.N_QUERY
+    C = X[mask]
+    L = labels[mask]
+    cos = (C @ Q.T) / (
+        np.linalg.norm(C, axis=1)[:, None] * np.linalg.norm(Q, axis=1)[None, :]
+    )
+    cos = np.round(cos, 4)
+    want = {}
+    for lab in np.unique(L):
+        want[int(lab)] = round(float(cos[L == lab].max(axis=0).sum()), 4)
+    for r in rows:
+        assert abs(want[int(r["label"])] - r["maxsim"]) < 1e-9
