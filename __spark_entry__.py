@@ -128,7 +128,6 @@ _PRIORITY = [
     "q304_result_diversity", "q305_poisson_bootstrap", "q306_welch_ttest",
     "q307_blocking_advisor", "q308_batch_knn", "q309_position_attribution",
     "q310_ipf_raking", "q311_syndication_matrix", "q312_hits_bipartite",
-    "q313_forecast_eval",
     # ===== below the fold: the q294-block remainder, then the rows
     # the r12 driver just graded (q340-q361 + the q116-q144 block),
     # then previously graded tiers in prior registry order;

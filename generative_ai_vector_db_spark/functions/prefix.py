@@ -32,10 +32,20 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 PREFIX_RANK_PARTS = 32  # range-partition width for the distributed scan
+
+
+def _as_cols(order_cols: Sequence) -> list:
+    """Names stay names; Column expressions (e.g. F.desc('x')) pass
+    through — the range partitioner and the per-partition window both
+    honor the same sort direction, so spark_partition_id order matches
+    key order either way."""
+    return [
+        c if isinstance(c, Column) else F.col(c) for c in order_cols
+    ]
 
 
 def prefix_sums(
@@ -51,13 +61,27 @@ def prefix_sums(
     unpartitioned window.
 
     ``order_cols`` must be a strict total order over ``df`` (for the
-    distinct-value frames here, the value column alone). ``inclusive``
+    distinct-value frames here, the value column alone); entries may
+    be names or Column expressions (e.g. ``F.desc("n")``) — both the
+    range partitioner and the windows honor the direction. ``inclusive``
     selects UNBOUNDED PRECEDING .. CURRENT ROW; the default is the
     exclusive .. 1 PRECEDING frame (coalesced to 0 on the first row).
     Output columns are BIGINT; inputs must be integral.
     """
-    d = df.repartitionByRange(n_parts, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    order_cols = _as_cols(order_cols)
+    # localCheckpoint is LOAD-BEARING, not an optimization: the range
+    # partitioner SAMPLES its boundaries from the upstream row order,
+    # and when the input is a hash aggregate that order is
+    # nondeterministic — two plan instantiations of the same
+    # repartitionByRange can draw DIFFERENT boundaries, so the spine's
+    # _pid and the totals' _pid silently disagree (observed at sf0.1:
+    # q282 offsets shifted by a whole boundary's worth of rows).
+    # Materializing the partitioned frame once freezes boundaries and
+    # _pid for every consumer.
+    d = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     pt = d.groupBy("_pid").agg(
         *[F.sum(src).alias(f"_t_{out}") for src, out in sums.items()]
@@ -99,3 +123,57 @@ def prefix_sums(
             ).cast("bigint"),
         )
     return res.drop("_pid", *[f"_off_{out}" for out in sums.values()])
+
+
+def prefix_max(
+    df: DataFrame,
+    order_cols: Sequence,
+    src: str,
+    out: str,
+    *,
+    n_parts: int = PREFIX_RANK_PARTS,
+) -> DataFrame:
+    """Append the EXCLUSIVE running maximum of ``src`` over
+    ``ORDER BY order_cols`` as ``out``, distributed exactly like
+    ``prefix_sums`` (range-partition, per-partition running max,
+    broadcast per-partition max offsets merged with ``greatest``).
+    The first row in the global order gets NULL (max over an empty
+    frame) — the same semantics as an unpartitioned
+    ``rowsBetween(unboundedPreceding, -1)`` max, which is what the
+    strictly-dominates frontier tests (q218) rely on.
+    """
+    order_cols = _as_cols(order_cols)
+    # localCheckpoint: same boundary-consistency requirement as
+    # prefix_sums (see the comment there)
+    d = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    pt = d.groupBy("_pid").agg(F.max(src).alias("_t"))
+    off = (
+        pt.join(
+            F.broadcast(
+                pt.select(
+                    F.col("_pid").alias("_bpid"), F.col("_t").alias("_bt")
+                )
+            ),
+            F.col("_bpid") < F.col("_pid"),
+            "left",
+        )
+        .groupBy("_pid")
+        .agg(F.max("_bt").alias("_off"))
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # greatest() skips NULLs, returning NULL only when BOTH the local
+    # exclusive prefix (first row in partition) and the offset (first
+    # partition) are NULL — exactly the empty-frame semantics
+    return (
+        d.join(F.broadcast(off), "_pid")
+        .withColumn(out, F.greatest(F.max(src).over(w), F.col("_off")))
+        .drop("_pid", "_off")
+    )

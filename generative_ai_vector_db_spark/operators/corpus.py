@@ -30,8 +30,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import load
 from ..functions.hashing import HASH_MOD, mix_core_duck, mix_core_spark
+from ..functions.prefix import prefix_sums
+from ..tables import load
 
 PACK_BUDGET = 512  # tokens per pack
 HIST_WIDTH = 100  # chars per histogram bucket
@@ -1571,17 +1572,15 @@ def q298_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cap").cast("bigint").alias("_t"),
         F.count(F.lit(1)).cast("bigint").alias("_k"),
     )
-    w = Window.orderBy("cap", "source")
-    wpre = w.rowsBetween(Window.unboundedPreceding, -1)
-    ranked = caps.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "cap",
-        F.coalesce(F.sum("cap").over(wpre), F.lit(0))
-        .cast("bigint")
-        .alias("below"),
-        (F.row_number().over(w) - 1).cast("bigint").alias("idx"),
-        "_t",
-        "_k",
+    # distributed exclusive prefix sum + rank (functions/prefix.py:
+    # idx = prefix count of ones) — |sources| grows with the corpus,
+    # so no unpartitioned window over it
+    ranked = prefix_sums(
+        caps.withColumn("_one", F.lit(1)),
+        ["cap", "source"],
+        {"cap": "below", "_one": "idx"},
+    ).crossJoin(F.broadcast(tot)).select(
+        "source", "cap", "below", "idx", "_t", "_k"
     )
     budget = (
         F.col("_t").cast("double")

@@ -927,8 +927,16 @@ def _global_rank(df: DataFrame, order_cols: list, out: str) -> DataFrame:
     range-partition on the key, rank within partitions, add broadcast
     prefix-summed partition offsets. ``order_cols`` must be a strict
     total order."""
-    d = df.repartitionByRange(SNM_RANK_PARTS, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint is LOAD-BEARING: the range partitioner samples
+    # boundaries from the upstream row order, which is nondeterministic
+    # after a hash aggregate — without materialization the spine's and
+    # the counts' instantiations can draw DIFFERENT boundaries and the
+    # broadcast offsets join against the wrong _pid (the r13
+    # functions/prefix.py finding, fixed here too)
+    d = (
+        df.repartitionByRange(SNM_RANK_PARTS, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     pc = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pc"))
     off = (

@@ -1307,15 +1307,11 @@ def q203_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = per_user.groupBy("n_events").agg(
         F.count(F.lit(1)).cast("bigint").alias("nu")
     )
-    hw = Window.orderBy(F.desc("n_events")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    base = hist.select(
-        "n_events",
-        F.coalesce(F.sum("nu").over(hw), F.lit(0)).cast("bigint").alias(
-            "base"
-        ),
-    )
+    # distributed exclusive prefix sum in DESCENDING engagement order
+    # (functions/prefix.py — the histogram support grows with N)
+    base = prefix_sums(
+        hist, [F.desc("n_events")], {"nu": "base"}
+    ).select("n_events", "base")
     iw = Window.partitionBy("n_events").orderBy("user_id")
     tot = per_user.agg(
         F.count(F.lit(1)).cast("bigint").alias("_u"),
@@ -1807,8 +1803,15 @@ def _global_ntile(
     (include a unique tie-break column) and ``df`` must carry a
     broadcast ``_n`` total-row-count column. Emits ``out`` (int tile,
     1-based); drops nothing else."""
-    d = df.repartitionByRange(RFM_RANK_PARTS, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint is LOAD-BEARING: range boundaries are sampled
+    # from the upstream row order (nondeterministic after the per-user
+    # hash aggregate), so the rank spine and the per-partition counts
+    # must read ONE materialized partitioning (the r13
+    # functions/prefix.py finding, fixed here too)
+    d = (
+        df.repartitionByRange(RFM_RANK_PARTS, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     pc = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pc"))
     # prefix sums over the bounded per-partition counts: triangular

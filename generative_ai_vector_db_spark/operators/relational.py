@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.prefix import prefix_max
 from ..tables import load
 
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
@@ -1932,9 +1933,10 @@ ORDER BY doc_id
 #      epsilon games) marks dominated price points;
 #   3. join survivors back to parts (equal price+size ties are all
 #      non-dominated, and kept).
-# The global window in step 2 runs on |distinct prices| rows, not
-# |parts| — bounded by the price domain; at 100 TB replace with a
-# two-pass range-partitioned prefix max if the domain itself is huge.
+# The prefix max in step 2 runs on |distinct prices| rows, not
+# |parts|, and is DISTRIBUTED (functions/prefix.py prefix_max:
+# range-partition + per-partition running max + broadcast offsets) —
+# the price domain grows with N, so it is never one partition.
 # ---------------------------------------------------------------------------
 def q218_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
@@ -1947,24 +1949,30 @@ def q218_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("_price_c"),
     )
     per_price = p.groupBy("_price_c").agg(F.max("p_size").alias("_best_size"))
-    w_cheaper = Window.orderBy("_price_c").rangeBetween(
-        Window.unboundedPreceding, -1
-    )
+    # distributed exclusive prefix max (functions/prefix.py): _price_c
+    # is unique after the groupBy, so ROWS ..-1 == the strictly-cheaper
+    # RANGE frame, and the price domain (which grows with N) is never
+    # collapsed to one partition
+    # frontier columns are RENAMED before the join back to p: the
+    # checkpoint inside prefix_max severs the plan-id provenance the
+    # ambiguous-self-join resolver needs, so the join carries no
+    # duplicated names instead (the q320 p_tbl lesson)
     frontier = (
-        per_price.withColumn(
-            "_max_cheaper", F.max("_best_size").over(w_cheaper)
-        )
+        prefix_max(per_price, ["_price_c"], "_best_size", "_max_cheaper")
         .where(
             F.col("_max_cheaper").isNull()
             | (F.col("_max_cheaper") < F.col("_best_size"))
         )
-        .select("_price_c", "_best_size")
+        .select(
+            F.col("_price_c").alias("_f_price_c"),
+            F.col("_best_size").alias("_f_best_size"),
+        )
     )
     return (
         p.join(
             F.broadcast(frontier),
-            (p["_price_c"] == frontier["_price_c"])
-            & (p["p_size"] == frontier["_best_size"]),
+            (F.col("_price_c") == F.col("_f_price_c"))
+            & (F.col("p_size") == F.col("_f_best_size")),
         )
         .select("p_partkey", "p_size", _r4(F.col("p_retailprice")).alias("price"))
         .orderBy("p_partkey")

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.prefix import prefix_sums
 from ..tables import load
 
 K1 = 1.2
@@ -367,7 +368,7 @@ ORDER BY doc_id, rn
 # q87 — vocabulary build with coverage: top-20 terms by corpus
 # frequency and the cumulative fraction of all tokens they cover (the
 # "how big must the vocab be" curve). Counts aggregate map-side before
-# the single small ordered window (vocab rows, not token rows).
+# the distributed prefix scan (vocab rows, not token rows).
 # ---------------------------------------------------------------------------
 VOCAB_K = 20
 
@@ -377,19 +378,16 @@ def q87_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n")
     )
     total = counts.agg(F.sum("n").cast("bigint").alias("total"))
-    w = Window.orderBy(F.col("n").desc(), "term").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = (
-        counts.crossJoin(F.broadcast(total))
-        .withColumn("cum", F.sum("n").over(w).cast("bigint"))
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.orderBy(F.col("n").desc(), "term")).cast(
-                "bigint"
-            ),
-        )
-    )
+    # distributed inclusive prefix sum + rank in DESCENDING count
+    # order (functions/prefix.py: rn = inclusive prefix count of
+    # ones) — the vocabulary grows ~Heaps' law with N, so no
+    # unpartitioned window over it
+    ranked = prefix_sums(
+        counts.withColumn("_one", F.lit(1)),
+        [F.desc("n"), F.asc("term")],
+        {"n": "cum", "_one": "rn"},
+        inclusive=True,
+    ).crossJoin(F.broadcast(total))
     return (
         ranked.where(F.col("rn") <= VOCAB_K)
         .select(

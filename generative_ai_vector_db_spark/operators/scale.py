@@ -26,6 +26,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.prefix import prefix_sums
 from ..tables import load
 
 SALT_BUCKETS = 8
@@ -755,12 +756,11 @@ def q194_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_val = sample.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    w = Window.orderBy("o_custkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = per_val.select(
-        "o_custkey", F.sum("cnt").over(w).cast("bigint").alias("cum")
-    )
+    # distributed inclusive prefix sum (functions/prefix.py) — the
+    # sample's distinct-key domain grows with N, never one partition
+    cum = prefix_sums(
+        per_val, ["o_custkey"], {"cnt": "cum"}, inclusive=True
+    ).select("o_custkey", "cum")
     ns = sample.agg(F.count(F.lit(1)).cast("bigint").alias("_ns"))
     splits = spark.range(1, RANGE_PARTS).select(
         F.col("id").cast("bigint").alias("i")
@@ -1622,8 +1622,9 @@ ORDER BY bucket
 # (where it flattens is the budget answer). Deterministic top-C ties:
 # (access count DESC, partkey). Complements q209 (tuning advisor) and
 # q264 (bloom advisor) in the planning family.
-# Scale: ONE row-scale frequency groupBy; ranking and the curve live
-# on the distinct-part domain (bounded); capacities join broadcast.
+# Scale: ONE row-scale frequency groupBy; the rank window runs over a
+# TakeOrdered top-max(CACHE_SIZES) frame, never the full distinct-part
+# domain (which grows with N); capacities join broadcast.
 # ---------------------------------------------------------------------------
 CACHE_SIZES = (100, 500, 1000, 2000)
 
@@ -1633,8 +1634,15 @@ def q315_cache_hit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = acc.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+    # top-(max cache size) FIRST via orderBy+limit (compiles to
+    # TakeOrderedAndProject — distributed partial top-k); the rank
+    # window then runs over <= max(CACHE_SIZES) rows, never the full
+    # distinct-part domain (which grows with N — the q160 treatment)
+    top_c = freq.orderBy(F.col("n").desc(), "l_partkey").limit(
+        max(CACHE_SIZES)
+    )
     w = Window.orderBy(F.col("n").desc(), "l_partkey")
-    ranked = freq.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    ranked = top_c.withColumn("rk", F.row_number().over(w).cast("bigint"))
     tot = freq.agg(
         F.sum("n").cast("bigint").alias("_t"),
         F.count(F.lit(1)).cast("bigint").alias("_parts"),

@@ -1008,21 +1008,15 @@ def test_q286_roc_single_rowscale_pass(spark, sf_dir):
     # never a shuffled cartesian
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
-    # events parquet is scanned at most twice at RUNTIME: the r13
-    # distributed prefix machinery references the dv subtree three
-    # extra times, but every extra reference shares the identical
-    # groupBy(value) / repartitionByRange exchanges, which exchange
-    # reuse collapses. The AQE-wrapped initial plan prints the tree
-    # expanded (no ReusedExchange yet), so capture the reuse-resolved
-    # physical plan with AQE off; formatted explain prints each scan
-    # node twice (tree + detail section), hence <= 4 matches = 2 scans.
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        plan = plan_of(stats.q286_roc_curve(spark, sf_dir))
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # events parquet is scanned at most twice: the distributed prefix
+    # machinery materializes the range-partitioned distinct-value
+    # frame ONCE (the localCheckpoint boundary-consistency contract),
+    # so the spine and the partition totals read the checkpointed RDD
+    # and only the totals subtree still scans parquet; formatted
+    # explain prints each scan node twice (tree + detail section),
+    # hence <= 4 matches = 2 scans.
     assert plan.count("Scan parquet") <= 4, plan
-    assert "ReusedExchange" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
 
 
 def test_q297_boilerplate_frequent_set_broadcast(spark, sf_dir):
@@ -1243,6 +1237,57 @@ def test_rank_stats_windows_are_partitioned(spark, sf_dir):
         _assert_all_windows_partitioned(plan_of(fn(spark, sf_dir)))
 
 
+def test_growing_domain_prefix_family_windows_partitioned(spark, sf_dir):
+    """The r13 repo-wide audit: every other op whose ordered frame
+    grows with N (sources, vocabulary, price points, sampled keys,
+    engagement histogram) now uses the distributed prefix machinery —
+    no unpartitioned Window anywhere in these plans either. (q315
+    instead bounds its frame with a TakeOrdered limit-first, so its
+    one remaining global window ranks <= max(CACHE_SIZES) rows.)"""
+    from generative_ai_vector_db_spark.operators import (
+        corpus,
+        quality,
+        relational,
+        retrieval,
+        scale,
+    )
+
+    for fn in (
+        corpus.q298_budget_waterfill,
+        scale.q194_range_partition_plan,
+        quality.q203_decile_lift,
+        relational.q218_pareto_front,
+        retrieval.q87_vocab_coverage,
+    ):
+        _assert_all_windows_partitioned(plan_of(fn(spark, sf_dir)))
+    plan = plan_of(scale.q315_cache_hit_curve(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_prefix_max_matches_unpartitioned_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from generative_ai_vector_db_spark.functions.prefix import prefix_max
+
+    df = spark.range(500).select(
+        (F.col("id") * 13 % 499).alias("v"),
+        (F.col("id") * 7 % 29).alias("s"),
+    ).groupBy("v").agg(F.max("s").alias("s"))
+    got = {
+        r["v"]: r["pm"]
+        for r in prefix_max(df, ["v"], "s", "pm").collect()
+    }
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["v"]: r["pm"]
+        for r in df.select("v", F.max("s").over(w).alias("pm")).collect()
+    }
+    assert got == want
+    # first row in the global order must be NULL (empty frame)
+    assert got[min(got)] is None
+
+
 def test_prefix_sums_matches_unpartitioned_window(spark):
     """functions.prefix.prefix_sums == Window.orderBy prefix sums,
     bit-for-bit, on a frame wide enough to span several range
@@ -1314,3 +1359,37 @@ def test_global_topk_family_is_take_ordered(spark, sf_dir):
         assert (
             "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
         ), f"{fn.__name__}: global top-k not collapsed:\n{plan[:2000]}"
+
+
+def test_prefix_sums_aggregate_input_boundary_consistency(spark):
+    """Regression for the r13 range-boundary finding: when the input
+    is a HASH AGGREGATE its row order is nondeterministic, so two
+    instantiations of the same repartitionByRange can sample
+    DIFFERENT boundaries — without the localCheckpoint inside
+    prefix_sums, the spine's _pid and the totals' _pid disagree and
+    the offsets shift by whole partitions (observed: q282 at sf0.1,
+    12.8k of 13.2k prefix values wrong). This runs the exact failing
+    shape at the failing scale."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from generative_ai_vector_db_spark.functions.prefix import prefix_sums
+    from generative_ai_vector_db_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.1", "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    dv = ev.groupBy("value").agg(F.count("*").cast("bigint").alias("t"))
+    got = {
+        r["value"]: r["before"]
+        for r in prefix_sums(dv, ["value"], {"t": "before"}).collect()
+    }
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["value"]: r["before"]
+        for r in dv.select(
+            "value",
+            F.coalesce(F.sum("t").over(w), F.lit(0)).alias("before"),
+        ).collect()
+    }
+    assert got == want
