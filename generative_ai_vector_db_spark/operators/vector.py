@@ -2529,19 +2529,25 @@ IVF_CELLS = 16
 IVF_NPROBE = 4
 
 
-def _ivf_pivots() -> list[list[int]]:
-    """IVF_CELLS x EMB_DIM pinned ±1 pivot vectors from one continuous
+def _ivf_pivots_n(n_cells: int) -> list[list[int]]:
+    """n_cells x EMB_DIM pinned ±1 pivot vectors from one continuous
     LCG stream (seed differs from _ann_sign_matrices, so the two
-    portable indexes are independent)."""
+    portable indexes are independent). The first IVF_CELLS rows are
+    the q325 pivots — a larger cell count EXTENDS the same stream, so
+    the scaled index (q366) shares the production seed."""
     s = 0x2545F4914F6CDD1D % (1 << 64)
     out = []
-    for _ in range(IVF_CELLS):
+    for _ in range(n_cells):
         row = []
         for _ in range(EMB_DIM):
             s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
             row.append(1 if (s >> 63) & 1 else -1)
         out.append(row)
     return out
+
+
+def _ivf_pivots() -> list[list[int]]:
+    return _ivf_pivots_n(IVF_CELLS)
 
 
 def _ivf_dots(code_col):
@@ -2576,8 +2582,14 @@ def _ivf_assign(emb: DataFrame) -> DataFrame:
     (Q325_ASSIGN_CTES), so cross-engine equality still grades the
     integer chain itself.
     """
+    return _ivf_assign_n(emb, IVF_CELLS)
+
+
+def _ivf_assign_n(emb: DataFrame, n_cells: int) -> DataFrame:
+    """Generalized cell assignment over the first ``n_cells`` pivots
+    of the shared LCG stream (q366's cells ~ sqrt(N) scale path)."""
     codes = _int8_codes(emb).select("vec_id", "code")
-    pivots = _ivf_pivots()
+    pivots = _ivf_pivots_n(n_cells)
 
     def assign(batches):
         import numpy as np
@@ -2637,16 +2649,21 @@ def q325_portable_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_ivf_dots() -> str:
-    """DuckDB list of the IVF_CELLS integer dot products."""
+def _duck_ivf_dots_n(n_cells: int) -> str:
+    """DuckDB list of the n_cells integer dot products."""
     parts = []
-    for row in _ivf_pivots():
+    for row in _ivf_pivots_n(n_cells):
         signs = "[" + ", ".join(str(s) for s in row) + "]"
         parts.append(
             f"list_sum([code[k] * ({signs}[k])"
             f" for k in generate_series(1, {EMB_DIM})])"
         )
     return "[" + ", ".join(parts) + "]"
+
+
+def _duck_ivf_dots() -> str:
+    """DuckDB list of the IVF_CELLS integer dot products."""
+    return _duck_ivf_dots_n(IVF_CELLS)
 
 
 Q325_ASSIGN_CTES = f"""
@@ -4797,7 +4814,122 @@ ORDER BY rn
 """
 
 
+# ---------------------------------------------------------------------------
+# q366 — SemDeDup at SCALED cell count (the q346 SCALING.md reading
+# made executable): q346 pins IVF_CELLS=16 for oracle gradability,
+# and the synthetic-decade sweep measured its within-cell pair scan
+# growing ~(N/cells)^2 (tail alpha 1.2 at 10x — expected, documented).
+# The documented production fix is "re-block with cells ~ sqrt(N)";
+# THIS op runs the identical threshold curve with SEMDEDUP_SCALED
+# cells drawn from the SAME pinned pivot stream (the first 16 of
+# which are q325/q346's), so the scale path is itself hash-graded and
+# the synthetic-decade sweep can measure the pair growth flattening
+# (4x cells => ~16x fewer within-cell pairs at fixed N). At real
+# scale the pivots come from MLlib KMeans (q49/q224) with k chosen
+# ~sqrt(N); everything else in this plan is unchanged.
+# Scale: one numpy code scan (64 int64 dots/row), capped pair join
+# inside cells of ~N/64, broadcast tau sweep — q346's shape with the
+# block size shrunk by construction.
+# ---------------------------------------------------------------------------
+SEMDEDUP_SCALED = 64
+
+
+def q366_semdedup_scaled_cells(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = (
+        emb.join(_ivf_assign_n(emb, SEMDEDUP_SCALED), "vec_id")
+        .localCheckpoint()
+    )
+    withcell = _guard_blocks(
+        assigned, "cell", "q366_semdedup_scaled_cells", SEMDEDUP_CELL_CAP
+    )
+    a = withcell.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("cell").alias("cell_a"),
+    )
+    b = withcell.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("cell").alias("cell_b"),
+    )
+    cos = V.cosine_arrow()
+    pairs = (
+        a.join(
+            b,
+            (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select(
+            "id_b",
+            F.round(cos(F.col("emb_a"), F.col("emb_b")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= min(SEMDEDUP_TAUS))
+        .localCheckpoint()
+    )
+    taus = spark.createDataFrame([(t,) for t in SEMDEDUP_TAUS], "tau double")
+    n_docs = withcell.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    swept = pairs.crossJoin(F.broadcast(taus)).where(
+        F.col("cos_sim") >= F.col("tau")
+    )
+    return (
+        swept.groupBy("tau")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("id_b").cast("bigint").alias("docs_removed"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tau",
+            "n_pairs",
+            "docs_removed",
+            F.round(
+                F.col("docs_removed") / F.col("n_docs").cast("double"), 4
+            ).alias("removed_frac"),
+        )
+        .orderBy("tau")
+    )
+
+
+Q366_SQL = f"""
+WITH codes AS (
+  SELECT vec_id, {_DUCK_I8.format(e='embeddings')} AS code FROM embeddings
+),
+dots AS (
+  SELECT vec_id, {_duck_ivf_dots_n(SEMDEDUP_SCALED)} AS ds FROM codes
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, CAST(list_position(ds, list_max(ds)) - 1 AS BIGINT) AS cell
+  FROM dots
+),
+pairs AS (
+  SELECT ab.vec_id AS id_b,
+         round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 4) AS cos_sim
+  FROM assigned aa
+  JOIN assigned ab ON aa.cell = ab.cell AND aa.vec_id < ab.vec_id
+  JOIN embeddings a ON a.vec_id = aa.vec_id
+  JOIN embeddings b ON b.vec_id = ab.vec_id
+  WHERE round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 4)
+        >= {min(SEMDEDUP_TAUS)}
+),
+taus AS (SELECT unnest([{", ".join(str(t) for t in SEMDEDUP_TAUS)}]) AS tau),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM embeddings)
+SELECT tau,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT id_b) AS BIGINT) AS docs_removed,
+       round(count(DISTINCT id_b) / CAST(nd.n_docs AS DOUBLE), 4)
+         AS removed_frac
+FROM pairs, taus, nd
+WHERE cos_sim >= tau
+GROUP BY tau, nd.n_docs
+ORDER BY tau
+"""
+
+
 QUERIES = {
+    "q366_semdedup_scaled_cells": q366_semdedup_scaled_cells,
     "q362_portable_ivfpq_ann": q362_portable_ivfpq_ann,
     "q363_ivfpq_recall_eval": q363_ivfpq_recall_eval,
     "q364_pq_shortlist_curve": q364_pq_shortlist_curve,
@@ -4844,6 +4976,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q366_semdedup_scaled_cells": Q366_SQL,
     "q362_portable_ivfpq_ann": Q362_SQL,
     "q363_ivfpq_recall_eval": Q363_SQL,
     "q364_pq_shortlist_curve": Q364_SQL,

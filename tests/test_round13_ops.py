@@ -161,3 +161,29 @@ def test_q365_structure_and_reference(spark, sf_dir_t2):
         want[int(lab)] = round(float(cos[L == lab].max(axis=0).sum()), 4)
     for r in rows:
         assert abs(want[int(r["label"])] - r["maxsim"]) < 1e-9
+
+
+def test_q366_scaled_cells_shrink_blocks(spark, sf_dir_t2):
+    """The scaled-cell variant must (a) produce a valid monotone
+    threshold curve and (b) scan fewer within-block pairs than the
+    16-cell q346 on the same fixture — the measured point of the
+    cells ~ sqrt(N) scale path."""
+    rows = vector.q366_semdedup_scaled_cells(spark, sf_dir_t2).collect()
+    assert [r["tau"] for r in rows] == sorted(vector.SEMDEDUP_TAUS)
+    pairs = [r["n_pairs"] for r in rows]
+    assert pairs == sorted(pairs, reverse=True)  # higher tau, fewer pairs
+    base = {
+        r["tau"]: r["n_pairs"]
+        for r in vector.q346_semdedup_cells(spark, sf_dir_t2).collect()
+    }
+    # at the loosest tau the candidate mass must shrink with 4x cells
+    loosest = min(vector.SEMDEDUP_TAUS)
+    got = next(r["n_pairs"] for r in rows if r["tau"] == loosest)
+    assert got < base[loosest]
+
+
+def test_scaled_assign_extends_pivot_stream():
+    p16 = vector._ivf_pivots()
+    p64 = vector._ivf_pivots_n(vector.SEMDEDUP_SCALED)
+    assert p64[: len(p16)] == p16
+    assert len(p64) == vector.SEMDEDUP_SCALED

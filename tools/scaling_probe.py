@@ -67,6 +67,7 @@ SYNTH_PROBE = [
     ("q320_portable_hyperplane_ann", ["embeddings"]),
     ("q325_portable_ivf_ann", ["embeddings"]),
     ("q346_semdedup_cells", ["embeddings"]),
+    ("q366_semdedup_scaled_cells", ["embeddings"]),
     ("q347_portable_graph_ann", ["embeddings"]),
     ("q362_portable_ivfpq_ann", ["embeddings"]),
 ]
@@ -242,15 +243,19 @@ def main() -> int:
             + (", ".join(flagged) if flagged else "none")
             + ".",
             "",
-            "Reading: q346's tail (~1.2) is the (N/cells)^2 within-cell",
-            "pair growth of its PINNED 16-cell blocking — pinned so the",
+            "Reading: q346's tail is the (N/cells)^2 within-cell pair",
+            "growth of its PINNED 16-cell blocking — pinned so the",
             "DuckDB oracle can grade the cells; the in-plan _guard_blocks",
-            "cap turns silent degradation into a loud failure, and the",
-            "production path re-blocks with trained cells ~ sqrt(N)",
-            "(q49/q224's KMeans), which holds per-cell pair counts flat.",
-            "Every other dedup/ANN heavy is sublinear across the decade:",
-            "scan-side candidate generation (bands/buckets/cells/graph)",
-            "is doing its job at 10x.",
+            "cap turns silent degradation into a loud failure. The",
+            "documented fix — re-block with cells ~ sqrt(N) — is now",
+            "MEASURED, not just asserted: q366 runs the identical curve",
+            "with 4x the cells (same pinned pivot stream, hash-graded)",
+            "and cuts the decade-top wall by ~4x with a visibly flatter",
+            "tail; at real scale the cells come from trained KMeans",
+            "(q49/q224) with k growing with N, holding per-cell pair",
+            "counts flat. Every other dedup/ANN heavy is sublinear",
+            "across the decade: scan-side candidate generation",
+            "(bands/buckets/cells/graph) is doing its job at 10x.",
         ]
         base = open(out).read()
         marker = "\n## Synthetic 10x decade"
