@@ -174,9 +174,15 @@ def main() -> None:
     # reflects genuine run-to-run variance rather than cold-start decay.
     probe()  # discard: JVM/codegen first-touch
     warmup = {name: run(name) for name in HEADLINE + RETIRED}
-    # retired rows: one recorded steady-state pass (forward band +
-    # revival tripwire), not the 4-rep protocol — see HEADLINE comment
-    retired_times = {name: round(run(name), 3) for name in RETIRED}
+    # retired rows: best-of-2 recorded steady-state passes (forward
+    # band + revival tripwire), not the 4-rep protocol — see HEADLINE
+    # comment. Best-of-2 because a single pass has no protection
+    # against a one-off host hiccup, which would spuriously trip the
+    # 1.5x revival rule (observed: q38 4.6 s single-pass vs its
+    # 0.6-1.9 s band in an otherwise quiet run).
+    retired_times = {
+        name: round(min(run(name), run(name)), 3) for name in RETIRED
+    }
 
     # Trim policy (documented in BASELINE.md): run 4 reps, DROP the
     # slowest whole rep, then take per-query medians over the kept
@@ -202,9 +208,14 @@ def main() -> None:
         )
         kept_idx.remove(drop_i)
     kept = [per_rep[i] for i in kept_idx]
-    probe_best = min(probe_times)
+    # reference = MEDIAN probe, not the minimum: one anomalously fast
+    # probe (observed 0.195 s against a 0.35 s session norm) would
+    # otherwise flag every normal rep as contended — the flag should
+    # fire for reps slower than the session's typical, not for the
+    # session being briefly lucky.
+    probe_ref = statistics.median(probe_times)
     contended_reps = [
-        i for i, p in enumerate(probe_times) if p > 1.5 * probe_best
+        i for i, p in enumerate(probe_times) if p > 1.5 * probe_ref
     ]
     times = {
         name: round(statistics.median(r[name] for r in kept), 3)
