@@ -442,3 +442,167 @@ def run_neardup_stream(
         .start()
         .awaitTermination()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental ANN index (r13): the q362 portable IVF-PQ
+# index as a CONTINUOUSLY-MAINTAINED persisted structure — the
+# streaming face of the reference's add-documents-to-index flow
+# (Chroma add + persist, helper/multiple_document_upload.py:160-176)
+# at the batch-incremental scale point. Each micro-batch of vectors
+# is int8-coded, IVF-cell-assigned and PQ-encoded (the q362 pinned
+# artifacts — numpy mapInPandas, bit-identical to the graded batch
+# op), then APPENDED to the persisted index; the corpus is never
+# re-encoded. Queries probe the persisted codes exactly like q362
+# probes its in-plan encode, so stream-built == batch-built is a
+# testable equality (test_round13_ops), not a design claim.
+#
+# At-least-once safety (the _neardup_batch discipline): absorb is
+# vec_id-anti-joined against the code store, embeddings write BEFORE
+# codes (a crash between the two re-absorbs the vector next run;
+# duplicated embedding rows are neutralized read-side by
+# dropDuplicates), so replays converge to the identical index.
+# ---------------------------------------------------------------------------
+def _vector_index_paths(index_path: str) -> tuple[str, str]:
+    return os.path.join(index_path, "codes"), os.path.join(
+        index_path, "vectors"
+    )
+
+
+def _vector_index_batch(batch: DataFrame, index_path: str) -> None:
+    from ..operators.vector import _int8_codes, _ivf_assign, _pq_encode
+
+    spark = batch.sparkSession
+    emb = batch.select("vec_id", "embedding")
+    codes = _int8_codes(emb).select("vec_id", "code")
+    entries = _ivf_assign(emb).join(_pq_encode(codes), "vec_id")
+    codes_path, emb_path = _vector_index_paths(index_path)
+    if _path_exists(spark, codes_path):
+        seen = spark.read.parquet(codes_path).select("vec_id").distinct()
+        new_entries = entries.join(seen, "vec_id", "left_anti")
+        new_emb = emb.join(seen, "vec_id", "left_anti")
+    else:
+        new_entries, new_emb = entries, emb
+    # vectors BEFORE codes: `seen` derives from the code store, so a
+    # crash between the writes re-absorbs the vector next run; pin the
+    # vector frame first so the code write cannot flip `seen` under it
+    new_emb = new_emb.localCheckpoint()
+    new_emb.write.mode("append").parquet(emb_path)
+    new_entries.write.mode("append").parquet(codes_path)
+
+
+def seed_vector_index(
+    spark: SparkSession, emb: DataFrame, index_path: str
+) -> None:
+    """Bootstrap the persisted codes/vectors index from an existing
+    corpus (the one-time backfill before the stream takes over)."""
+    from ..operators.vector import _int8_codes, _ivf_assign, _pq_encode
+
+    emb = emb.select("vec_id", "embedding")
+    codes = _int8_codes(emb).select("vec_id", "code")
+    entries = _ivf_assign(emb).join(_pq_encode(codes), "vec_id")
+    codes_path, emb_path = _vector_index_paths(index_path)
+    emb.write.mode("overwrite").parquet(emb_path)
+    entries.write.mode("overwrite").parquet(codes_path)
+
+
+def run_vector_index_stream(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Continuous ANN-index maintenance over a vector file stream."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    vecs = reader.parquet(src_dir)
+    (
+        vecs.writeStream.foreachBatch(
+            lambda batch, _id: _vector_index_batch(batch, index_path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def query_vector_index(
+    spark: SparkSession, index_path: str, q_emb: DataFrame, q_id: int
+) -> DataFrame:
+    """q362's probe pipeline against the PERSISTED index: probe the
+    IVF_NPROBE nearest pinned cells, ADC-score the cells' PQ codes
+    against the broadcast query table, exact-re-rank the shortlist.
+    Floats are fetched from the vector store only for the shortlist;
+    the corpus is never re-encoded."""
+    from pyspark.sql import Window
+
+    from ..functions import vectors as V
+    from ..operators.vector import (
+        IVF_NPROBE,
+        K,
+        PPQ_M,
+        PPQ_SHORTLIST,
+        _int8_codes,
+        _ivf_dots,
+        _pq_qtable,
+    )
+
+    codes_path, emb_path = _vector_index_paths(index_path)
+    idx = spark.read.parquet(codes_path)
+    store_emb = spark.read.parquet(emb_path).dropDuplicates(["vec_id"])
+    qc = _int8_codes(q_emb).select("vec_id", "code")
+    qdots = qc.select(
+        F.posexplode(_ivf_dots(F.col("code"))).alias("cell", "qdot")
+    )
+    w = Window.orderBy(F.col("qdot").desc(), "cell")
+    probed = (
+        qdots.withColumn("pr", F.row_number().over(w))
+        .where(F.col("pr") <= IVF_NPROBE)
+        .select(F.col("cell").cast("bigint").alias("cell"))
+    )
+    qt = _pq_qtable(qc)
+    adc_col = None
+    for m in range(PPQ_M):
+        term = F.element_at(
+            F.element_at("qt", m + 1),
+            (F.element_at("pqc", m + 1) + F.lit(1)).cast("int"),
+        )
+        adc_col = term if adc_col is None else adc_col + term
+    ws = Window.orderBy(F.col("adc").asc(), "vec_id")
+    shortlist = (
+        idx.where(F.col("vec_id") != q_id)
+        .join(F.broadcast(probed), "cell")
+        .crossJoin(F.broadcast(qt))
+        .select("vec_id", adc_col.cast("bigint").alias("adc"))
+        .withColumn("srn", F.row_number().over(ws))
+        .where(F.col("srn") <= PPQ_SHORTLIST)
+        .select("vec_id")
+    )
+    qv = q_emb.select(F.col("embedding").alias("q_emb"))
+    exact = (
+        shortlist.join(store_emb, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wr = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        exact.withColumn("rn", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rn") <= K)
+        .orderBy("rn")
+    )

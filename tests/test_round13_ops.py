@@ -187,3 +187,49 @@ def test_scaled_assign_extends_pivot_stream():
     p64 = vector._ivf_pivots_n(vector.SEMDEDUP_SCALED)
     assert p64[: len(p16)] == p16
     assert len(p64) == vector.SEMDEDUP_SCALED
+
+
+def test_vector_index_stream_equals_batch_q362(spark, sf_dir_t2, tmp_path):
+    """Stream-built index == batch q362: seed the persisted IVF-PQ
+    index with 90% of the corpus, stream the remaining 10% in, then a
+    query against the PERSISTED index must reproduce the batch
+    operator's top-13 exactly. Replaying the stream with a fresh
+    checkpoint must leave index and answer byte-identical
+    (at-least-once convergence)."""
+    from generative_ai_vector_db_spark.streaming import ingest_stream as ist
+
+    emb = load(spark, sf_dir_t2, "embeddings").select("vec_id", "embedding")
+    is_late = F.col("vec_id") % 10 == 3
+    seed, late = emb.where(~is_late), emb.where(is_late)
+
+    index = str(tmp_path / "vindex")
+    src = str(tmp_path / "vsrc")
+    ist.seed_vector_index(spark, seed, index)
+    late.coalesce(1).write.parquet(src)
+    ist.run_vector_index_stream(spark, src, index, str(tmp_path / "ck1"))
+
+    q_emb = emb.where(F.col("vec_id") == vector.BINARY_Q_ID)
+    got = [
+        (r["vec_id"], r["cos_sim"], r["rn"])
+        for r in ist.query_vector_index(
+            spark, index, q_emb, vector.BINARY_Q_ID
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cos_sim"], r["rn"])
+        for r in vector.q362_portable_ivfpq_ann(spark, sf_dir_t2).collect()
+    ]
+    assert got == want
+
+    n_codes = spark.read.parquet(index + "/codes").count()
+    assert n_codes == emb.count()
+    # replay with a fresh checkpoint: absorb must be idempotent
+    ist.run_vector_index_stream(spark, src, index, str(tmp_path / "ck2"))
+    assert spark.read.parquet(index + "/codes").count() == n_codes
+    again = [
+        (r["vec_id"], r["cos_sim"], r["rn"])
+        for r in ist.query_vector_index(
+            spark, index, q_emb, vector.BINARY_Q_ID
+        ).collect()
+    ]
+    assert again == want
