@@ -233,3 +233,68 @@ def test_vector_index_stream_equals_batch_q362(spark, sf_dir_t2, tmp_path):
         ).collect()
     ]
     assert again == want
+
+
+@pytest.mark.parametrize("n_parts", [1, 2, 5, 32])
+@pytest.mark.parametrize("n_rows", [0, 1, 7, 200])
+@pytest.mark.parametrize("inclusive", [False, True])
+def test_prefix_sums_parameter_sweep(spark, n_parts, n_rows, inclusive):
+    """prefix_sums == unpartitioned window across partition widths,
+    frame sizes (incl. empty and single-row) and both frame kinds —
+    the r13 machinery exercised at its edges."""
+    from pyspark.sql import Window
+
+    from generative_ai_vector_db_spark.functions.prefix import prefix_sums
+
+    df = (
+        spark.range(n_rows)
+        .select(
+            ((F.col("id") * 131) % 10007).alias("v"),
+            (F.col("id") % 5 + 1).alias("a"),
+        )
+        .groupBy("v")
+        .agg(F.sum("a").alias("a"))
+    )
+    got = {
+        r["v"]: r["p"]
+        for r in prefix_sums(
+            df, ["v"], {"a": "p"}, inclusive=inclusive, n_parts=n_parts
+        ).collect()
+    }
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0 if inclusive else -1
+    )
+    want = {
+        r["v"]: r["p"]
+        for r in df.select(
+            "v", F.coalesce(F.sum("a").over(w), F.lit(0)).alias("p")
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 32])
+def test_prefix_max_parameter_sweep(spark, n_parts):
+    from pyspark.sql import Window
+
+    from generative_ai_vector_db_spark.functions.prefix import prefix_max
+
+    df = (
+        spark.range(150)
+        .select(
+            ((F.col("id") * 37) % 149).alias("v"),
+            ((F.col("id") * 11) % 23).alias("s"),
+        )
+        .groupBy("v")
+        .agg(F.max("s").alias("s"))
+    )
+    got = {
+        r["v"]: r["m"]
+        for r in prefix_max(df, ["v"], "s", "m", n_parts=n_parts).collect()
+    }
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["v"]: r["m"]
+        for r in df.select("v", F.max("s").over(w).alias("m")).collect()
+    }
+    assert got == want
