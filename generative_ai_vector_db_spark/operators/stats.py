@@ -1116,3 +1116,97 @@ Q354_SQL = _q354_sql()
 
 QUERIES.update({"q354_conformal_interval": q354_conformal_interval})
 ORACLE.update({"q354_conformal_interval": Q354_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q367 — anytime-valid A/B monitor (e-process; Ramdas et al. 2023,
+# "Game-theoretic statistics and safe anytime-valid inference"): the
+# sequential complement to q249's fixed-horizon A/B z-test. A live
+# pipeline peeks at the dashboard every day; classical p-values are
+# invalid under optional stopping, while an e-process E_t can be
+# monitored continuously and rejects the moment E_t >= 1/alpha with
+# ville-inequality type-I control AT ANY stopping rule. Stream here =
+# the daily click/purchase mix; H0: an event in the pair is a
+# purchase with p = 1/2. E-value: the Hoeffding supermartingale
+#   log E_t = lambda * (k_t - n_t/2) - lambda^2 * n_t / 8,  lambda=1/4
+# = 0.125*(2*k_t - n_t) - 0.0078125*n_t — every coefficient is DYADIC
+# and k_t/n_t are exact BIGINT running counts, so log E_t is EXACT in
+# doubles on both engines (no libm exp/log anywhere; the rejection
+# threshold ln(1/alpha) is one pinned literal both sides).
+# Scale shape: one conditional-count reduce to the day frame, then
+# the functions/prefix.py distributed inclusive prefix sums for the
+# running counts (day frames are calendar-bounded, but the machinery
+# costs nothing and keeps the no-unpartitioned-window invariant
+# uniform); the e-statistic is a scan-side expression of two bigints.
+# ---------------------------------------------------------------------------
+AB_E_LAMBDA = 0.25
+AB_E_LOG_THRESHOLD = 2.995732273553991  # ln(1/0.05), pinned literal
+
+
+def q367_anytime_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("bigint"))
+        .cast("bigint")
+        .alias("k"),
+    )
+    cum = prefix_sums(
+        daily, ["day"], {"n": "n_t", "k": "k_t"}, inclusive=True
+    )
+    e_log = (
+        F.lit(0.125) * (F.lit(2) * F.col("k_t") - F.col("n_t")).cast("double")
+        - F.lit(0.0078125) * F.col("n_t").cast("double")
+    )
+    return (
+        cum.select(
+            "day",
+            "n_t",
+            "k_t",
+            F.round(e_log, 6).alias("log_e"),
+            (e_log >= F.lit(AB_E_LOG_THRESHOLD)).cast("bigint").alias(
+                "rejected"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+Q367_SQL = f"""
+WITH ev AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_b
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+daily AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(is_b) AS BIGINT) AS k
+  FROM ev GROUP BY day
+),
+cum AS (
+  SELECT day,
+         CAST(sum(n) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_t,
+         CAST(sum(k) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS k_t
+  FROM daily
+)
+SELECT day, n_t, k_t,
+       round(0.125 * CAST(2 * k_t - n_t AS DOUBLE)
+             - 0.0078125 * CAST(n_t AS DOUBLE), 6) AS log_e,
+       CAST(CASE WHEN 0.125 * CAST(2 * k_t - n_t AS DOUBLE)
+                      - 0.0078125 * CAST(n_t AS DOUBLE)
+                      >= {AB_E_LOG_THRESHOLD} THEN 1 ELSE 0 END AS BIGINT)
+         AS rejected
+FROM cum
+ORDER BY day
+"""
+
+QUERIES.update({"q367_anytime_ab_monitor": q367_anytime_ab_monitor})
+ORACLE.update({"q367_anytime_ab_monitor": Q367_SQL})

@@ -298,3 +298,29 @@ def test_prefix_max_parameter_sweep(spark, n_parts):
         for r in df.select("v", F.max("s").over(w).alias("m")).collect()
     }
     assert got == want
+
+
+def test_q367_eprocess_reference(spark, sf_dir_t2):
+    """log E_t matches a direct pandas recomputation of the Hoeffding
+    e-process on running counts (exact dyadic arithmetic), and the
+    running counts are monotone."""
+    from generative_ai_vector_db_spark.operators import stats
+
+    rows = stats.q367_anytime_ab_monitor(spark, sf_dir_t2).collect()
+    assert [r["day"] for r in rows] == sorted(r["day"] for r in rows)
+    n_prev = k_prev = 0
+    for r in rows:
+        assert r["n_t"] >= n_prev and r["k_t"] >= k_prev
+        n_prev, k_prev = r["n_t"], r["k_t"]
+        want = 0.125 * (2 * r["k_t"] - r["n_t"]) - 0.0078125 * r["n_t"]
+        # dyadic values tie at the 7th decimal; Spark rounds HALF_UP
+        # while Python round() is banker's — mirror Spark's rule
+        from decimal import ROUND_HALF_UP, Decimal
+
+        want6 = float(
+            Decimal(repr(want)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert abs(r["log_e"] - want6) < 1e-12
+        assert r["rejected"] == int(want >= stats.AB_E_LOG_THRESHOLD)
