@@ -108,6 +108,7 @@ _PRIORITY = [
     "q362_portable_ivfpq_ann", "q363_ivfpq_recall_eval",
     "q364_pq_shortlist_curve", "q365_maxsim_late_interaction",
     "q366_semdedup_scaled_cells", "q367_anytime_ab_monitor",
+    "q368_drift_edetector",
     # --- tier 3: the q320-q339 block (VERDICT r12 #2 mandates it
     #     heads the re-grade queue: its source was touched by the
     #     late-r12 vectorizations, so re-grading it validates shipped
@@ -128,12 +129,11 @@ _PRIORITY = [
     "q301_snapshot_as_of", "q302_portable_minhash", "q303_seq_patterns",
     "q304_result_diversity", "q305_poisson_bootstrap", "q306_welch_ttest",
     "q307_blocking_advisor", "q308_batch_knn", "q309_position_attribution",
-    "q310_ipf_raking",
     # ===== below the fold: the q294-block remainder, then the rows
     # the r12 driver just graded (q340-q361 + the q116-q144 block),
     # then previously graded tiers in prior registry order;
     # rows-only-by-design stay at the back. =====
-    "q311_syndication_matrix", "q312_hits_bipartite",
+    "q310_ipf_raking", "q311_syndication_matrix", "q312_hits_bipartite",
     "q313_forecast_eval", "q314_dup_cluster_stats",
     "q315_cache_hit_curve", "q316_cvm_test", "q317_fellegi_sunter",
     "q318_topk_drift", "q319_portable_simhash",

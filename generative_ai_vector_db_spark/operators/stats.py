@@ -1210,3 +1210,152 @@ ORDER BY day
 
 QUERIES.update({"q367_anytime_ab_monitor": q367_anytime_ab_monitor})
 ORACLE.update({"q367_anytime_ab_monitor": Q367_SQL})
+
+
+# ---------------------------------------------------------------------------
+# q368 — sequential drift e-detector (the anytime-valid version of
+# the q220/q266 drift gates): q220's KS and q266's PSI compare two
+# FIXED windows, which is the wrong tool for a monitor that looks
+# every day — repeated looks invalidate fixed-window thresholds
+# exactly as they invalidate p-values (the q367 argument). This op
+# monitors the daily 'view'-value stream against a reference window
+# (the first DRIFT_REF_DAYS days) with a Hoeffding e-process on
+# range-normalized increments y_i = (x_i - mu0)/R in [-1, 1]:
+#   log E_t = lambda * sum(y_i) - lambda^2 * n_t / 2,   lambda = 1/8
+# rejecting at the pinned ln(1/0.05) Ville boundary — valid at ANY
+# stopping rule, so "alert the day it crosses" is sound.
+# Exactness discipline (the q367 contract): values become integer
+# CENTS; sum(y_i) = A_t / (n_ref * R) where A_t = sum(n_ref*x_i -
+# S_ref) is an EXACT BIGINT prefix (n_ref*sum_day(x) - n_day*S_ref
+# per day, prefix-summed via functions/prefix.py); the single
+# bigint/bigint -> double division is IEEE-deterministic, and every
+# other coefficient is dyadic — bit-identical cross-engine with no
+# libm. (At 100 TB the bigint products move to DECIMAL(38,0); the
+# plan shape is unchanged. Monitored values outside the reference
+# range stretch y beyond [-1,1] — the standard bounded-increment
+# caveat; a production deploy clips or widens R.)
+# Scale shape: one conditional reduce to the day frame, distributed
+# prefix sums for the day rank and the running (A_t, n_t), broadcast
+# 1-row reference aggregate, scan-side e-statistic.
+# ---------------------------------------------------------------------------
+DRIFT_TYPE = "view"
+DRIFT_REF_DAYS = 7
+DRIFT_E_LAMBDA = 0.125
+DRIFT_E_LOG_THRESHOLD = 2.995732273553991  # ln(1/0.05), pinned literal
+
+
+def q368_drift_edetector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type") == DRIFT_TYPE
+    )
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("s"),
+        F.max(F.round(F.col("value") * 100).cast("bigint")).alias("mx"),
+        F.min(F.round(F.col("value") * 100).cast("bigint")).alias("mn"),
+    )
+    ranked = prefix_sums(
+        daily.withColumn("_one", F.lit(1)),
+        ["day"],
+        {"_one": "idx"},
+        inclusive=True,
+    )
+    ref = (
+        ranked.where(F.col("idx") <= DRIFT_REF_DAYS)
+        .agg(
+            F.sum("n").cast("bigint").alias("n_ref"),
+            F.sum("s").cast("bigint").alias("s_ref"),
+            (F.max("mx") - F.min("mn")).cast("bigint").alias("r_ref"),
+        )
+    )
+    mon = (
+        ranked.where(F.col("idx") > DRIFT_REF_DAYS)
+        .crossJoin(F.broadcast(ref))
+        .withColumn(
+            # sum over the day's events of (n_ref*x_i - S_ref), exact
+            "a_day",
+            (F.col("n_ref") * F.col("s") - F.col("n") * F.col("s_ref"))
+            .cast("bigint"),
+        )
+    )
+    cum = prefix_sums(
+        mon, ["day"], {"a_day": "a_t", "n": "n_t"}, inclusive=True
+    )
+    e_log = F.lit(DRIFT_E_LAMBDA) * (
+        F.col("a_t").cast("double")
+        / (F.col("n_ref") * F.col("r_ref")).cast("double")
+    ) - F.lit(DRIFT_E_LAMBDA * DRIFT_E_LAMBDA / 2.0) * F.col("n_t").cast(
+        "double"
+    )
+    return (
+        cum.select(
+            "day",
+            "n_t",
+            F.round(e_log, 6).alias("log_e"),
+            (e_log >= F.lit(DRIFT_E_LOG_THRESHOLD)).cast("bigint").alias(
+                "rejected"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+Q368_SQL = f"""
+WITH ev AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = '{DRIFT_TYPE}'
+),
+daily AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         max(cents) AS mx, min(cents) AS mn
+  FROM ev GROUP BY day
+),
+ranked AS (
+  SELECT day, n, s, mx, mn,
+         row_number() OVER (ORDER BY day) AS idx
+  FROM daily
+),
+ref AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_ref,
+         CAST(sum(s) AS BIGINT) AS s_ref,
+         CAST(max(mx) - min(mn) AS BIGINT) AS r_ref
+  FROM ranked WHERE idx <= {DRIFT_REF_DAYS}
+),
+mon AS (
+  SELECT day, n, CAST(n_ref * s - n * s_ref AS BIGINT) AS a_day,
+         n_ref, r_ref
+  FROM ranked, ref WHERE idx > {DRIFT_REF_DAYS}
+),
+cum AS (
+  SELECT day, n_ref, r_ref,
+         CAST(sum(n) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_t,
+         CAST(sum(a_day) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS a_t
+  FROM mon
+)
+SELECT day, n_t,
+       round({DRIFT_E_LAMBDA} * (CAST(a_t AS DOUBLE)
+               / CAST(n_ref * r_ref AS DOUBLE))
+             - {DRIFT_E_LAMBDA * DRIFT_E_LAMBDA / 2.0}
+               * CAST(n_t AS DOUBLE), 6) AS log_e,
+       CAST(CASE WHEN {DRIFT_E_LAMBDA} * (CAST(a_t AS DOUBLE)
+                        / CAST(n_ref * r_ref AS DOUBLE))
+                      - {DRIFT_E_LAMBDA * DRIFT_E_LAMBDA / 2.0}
+                        * CAST(n_t AS DOUBLE)
+                      >= {DRIFT_E_LOG_THRESHOLD} THEN 1 ELSE 0 END AS BIGINT)
+         AS rejected
+FROM cum
+ORDER BY day
+"""
+
+QUERIES.update({"q368_drift_edetector": q368_drift_edetector})
+ORACLE.update({"q368_drift_edetector": Q368_SQL})

@@ -324,3 +324,43 @@ def test_q367_eprocess_reference(spark, sf_dir_t2):
         )
         assert abs(r["log_e"] - want6) < 1e-12
         assert r["rejected"] == int(want >= stats.AB_E_LOG_THRESHOLD)
+
+
+def test_q368_edetector_reference(spark, sf_dir_t2):
+    """log E_t matches a pandas recomputation from raw events (exact
+    integer path), monitored days exclude the reference window, and
+    the running count is monotone."""
+    import pandas as pd
+
+    from generative_ai_vector_db_spark.operators import stats
+
+    rows = stats.q368_drift_edetector(spark, sf_dir_t2).collect()
+    ev = (
+        load(spark, sf_dir_t2, "events")
+        .where(F.col("event_type") == stats.DRIFT_TYPE)
+        .select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .toPandas()
+    )
+    days = sorted(ev["day"].unique())
+    ref_days = set(days[: stats.DRIFT_REF_DAYS])
+    ref = ev[ev["day"].isin(ref_days)]
+    n_ref, s_ref = len(ref), int(ref["cents"].sum())
+    r_ref = int(ref["cents"].max() - ref["cents"].min())
+    mon = ev[~ev["day"].isin(ref_days)].sort_values("day")
+    assert [r["day"] for r in rows] == days[stats.DRIFT_REF_DAYS :]
+    a_t = n_t = 0
+    got = {r["day"]: r for r in rows}
+    for day, g in mon.groupby("day", sort=True):
+        a_t += n_ref * int(g["cents"].sum()) - len(g) * s_ref
+        n_t += len(g)
+        lam = stats.DRIFT_E_LAMBDA
+        want = lam * (a_t / (n_ref * r_ref)) - lam * lam / 2.0 * n_t
+        r = got[day]
+        assert r["n_t"] == n_t
+        assert abs(r["log_e"] - round(want, 6)) < 2e-6
+        assert r["rejected"] == int(want >= stats.DRIFT_E_LOG_THRESHOLD)
