@@ -19,6 +19,7 @@ graded operators — this file only composes them):
  10. semantic dedup advice (q346 SemDeDup curve on IVF cells)
  11. mixture reweighting   (q356 DoReMi exponentiated-gradient step)
  12. privacy triad         (q276 k-anon + q345 l-div + q355 t-close)
+ 13. anytime-valid monitors (q367 e-process A/B + q368 drift e-detector)
 
 Every stage prints a one-line summary; the whole run is lazy Spark
 jobs over parquet — nothing is collected except the tiny summaries.
@@ -116,6 +117,27 @@ def main() -> None:
             f"t={r.t}->{int(r.n_violating)} classes violate"
             for r in tclose.itertuples()
         )
+    )
+
+    # 13. anytime-valid monitoring (r13): the pipeline runs daily, so
+    # its health checks must stay valid under daily peeking — the
+    # e-process pair (q367 A/B mix, q368 value drift vs the reference
+    # week) alerts the day the Ville boundary is crossed, at any
+    # stopping rule.
+    from generative_ai_vector_db_spark.operators import stats
+
+    ab = stats.q367_anytime_ab_monitor(spark, sf_dir).toPandas()
+    drift = stats.q368_drift_edetector(spark, sf_dir).toPandas()
+
+    def _first_alert(df):
+        hit = df[df["rejected"] == 1]
+        return hit.iloc[0]["day"] if len(hit) else "never"
+
+    print(
+        f"[13] anytime-valid monitors: A/B mix alert={_first_alert(ab)} "
+        f"(final log E={ab['log_e'].iloc[-1]:.3f}), value-drift "
+        f"alert={_first_alert(drift)} "
+        f"(final log E={drift['log_e'].iloc[-1]:.3f})"
     )
 
     spark.stop()
