@@ -263,7 +263,16 @@ def main() -> int:
             base = base[: base.index(marker)]
         open(out, "w").write(base.rstrip("\n") + "\n" + "\n".join(synth_lines) + "\n")
     else:
-        open(out, "w").write("\n".join(lines) + "\n")
+        # preserve an existing synthetic-decade section: the fixture-
+        # ladder rerun replaces only the main table, not the decade
+        # evidence (which takes its own ~15-minute sweep to rebuild)
+        tail = ""
+        if os.path.exists(out):
+            base = open(out).read()
+            marker = "\n## Synthetic 10x decade"
+            if marker in base:
+                tail = base[base.index(marker) :]
+        open(out, "w").write("\n".join(lines) + "\n" + tail)
     print(f"wrote {out}; flagged: {flagged or 'none'}")
     return 0
 
