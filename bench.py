@@ -17,8 +17,11 @@ JVM/GC variance. ANN queries (q47/q49) fit their index on first touch
 (cached per session, as a pipeline would); the median therefore
 reflects the probe path, with build cost visible in rep_totals[0].
 Settled sub-second rows are RETIRED (BASELINE.md "Headline rotation"):
-one recorded steady-state pass per run under "retired_queries", so
-the forward band stays fresh and the 4-rep protocol stays short.
+each runs a warmup pass plus two recorded steady-state passes per run
+and the BEST of the two lands under "retired_queries" (matching the
+HEADLINE comment and BASELINE.md), so the forward band stays fresh
+and the 4-rep protocol stays short. A retired row whose best-of-2
+exceeds 1.5x its recorded band revives into the active set.
 """
 
 from __future__ import annotations

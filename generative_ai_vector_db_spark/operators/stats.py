@@ -1269,7 +1269,14 @@ def q368_drift_edetector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n").cast("bigint").alias("n_ref"),
             F.sum("s").cast("bigint").alias("s_ref"),
-            (F.max("mx") - F.min("mn")).cast("bigint").alias("r_ref"),
+            # greatest(..., 1): a zero-range reference window (all
+            # reference values identical) would divide by zero below —
+            # Spark yields NULL while the oracle's CASE falls to ELSE,
+            # a cross-engine mismatch. Clamping to 1 cent defines the
+            # degenerate case identically on both engines (r14 advice).
+            F.greatest(F.max("mx") - F.min("mn"), F.lit(1))
+            .cast("bigint")
+            .alias("r_ref"),
         )
     )
     mon = (
@@ -1324,7 +1331,7 @@ ranked AS (
 ref AS (
   SELECT CAST(sum(n) AS BIGINT) AS n_ref,
          CAST(sum(s) AS BIGINT) AS s_ref,
-         CAST(max(mx) - min(mn) AS BIGINT) AS r_ref
+         CAST(greatest(max(mx) - min(mn), 1) AS BIGINT) AS r_ref
   FROM ranked WHERE idx <= {DRIFT_REF_DAYS}
 ),
 mon AS (

@@ -3081,38 +3081,70 @@ ORDER BY tau
 # q346 — SemDeDup threshold curve at its REAL blocking structure (r11
 # verdict item 5): q344 sweeps the dedup threshold inside label blocks
 # (a fixture proxy — labels don't exist on an uncurated crawl and can
-# skew arbitrarily); this op runs the identical curve inside q325's
-# PORTABLE IVF CELLS, the actual SemDeDup recipe (Abbas et al. 2023:
-# cluster with k-means, dedup within clusters). Cells come from
-# _ivf_assign — pinned ±1 pivots over the int8 codes, bit-identical
-# across engines — so the production blocking structure itself is
-# hash-graded, closing the q224 (IVF-blocked, rows-only) / q344
-# (oracle, label-blocked) split. Output schema matches q344 so the
-# two curves diff directly: the gap between them measures how much
-# recall the cell blocking trades for its bounded block size.
+# skew arbitrarily); this op runs the identical curve inside PORTABLE
+# IVF CELLS, the actual SemDeDup recipe (Abbas et al. 2023: cluster
+# with k-means, dedup within clusters). Cells come from _ivf_assign_n
+# — pinned ±1 pivots over the int8 codes, one shared LCG stream,
+# bit-identical across engines — so the production blocking structure
+# itself is hash-graded.
+#
+# r14 DE-WEAK (VERDICT r13 item 1): the r12/r13 version pinned 16
+# cells, and the synthetic-decade sweep measured its within-cell pair
+# scan quadratic (2.25 s -> 31.09 s for 10x vectors, tail alpha 1.14)
+# because pair mass grows (N/16)^2. The graded op is now a CURVE OVER
+# CELL COUNTS: cells ~ sqrt(N) via the pinned integer ladder
+# _semdedup_rungs (powers of two, capped at SEMDEDUP_MAXC so the
+# oracle's pivot literal is bounded), PLUS the historical 16-cell
+# rung wherever its quadratic block mass fits the pinned affordability
+# bound (N <= SEMDEDUP_CELL16_MAX_N, i.e. <= 1M within-cell pair
+# candidates). The ladder is a pure integer function of count(*), so
+# the DuckDB oracle derives the identical rungs from the same count —
+# the scaled blocking stays hash-graded end-to-end, and at the
+# synthetic decade only the ~sqrt(N) rung runs, bounding per-cell
+# pair counts ~constant (tail alpha measured in SCALING.md).
 # Scale: cell size is bounded BY CONSTRUCTION (~N/cells; at 100 TB
-# cells scale ~sqrt(N) via MLlib KMeans pivots, q49), and the
+# cells come from trained MLlib KMeans pivots with k ~ sqrt(N), q49/
+# q224 — this op grades the portable mechanism), and the
 # _guard_blocks assert_true cap still backstops a degenerate pivot
-# set. One pair pass, broadcast tau sweep — q344's shape exactly.
+# set. One pair pass per rung, broadcast tau sweep — q344's shape.
 # ---------------------------------------------------------------------------
 SEMDEDUP_CELL_CAP = 200_000  # ~sqrt(100TB-scale N); degenerate-pivot backstop
+SEMDEDUP_MAXC = 256  # pivot-stream bound: the oracle embeds this many literals
+SEMDEDUP_CELL16_MAX_N = 4096  # 16-cell rung affordable while N^2/16 <= 1M
 
 
-def q346_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+def _semdedup_rungs(n_docs: int) -> list[int]:
+    """Cell-count ladder for a corpus of ``n_docs`` vectors: the
+    smallest power of two >= sqrt(N) (clamped to [32, SEMDEDUP_MAXC]),
+    preceded by the historical 16-cell rung while its (N/16)^2 block
+    mass stays affordable. Pure integer rule — the oracle reproduces
+    it from count(*) with a CASE ladder."""
+    if n_docs <= 1024:
+        scaled = 32
+    elif n_docs <= 4096:
+        scaled = 64
+    elif n_docs <= 16384:
+        scaled = 128
+    else:
+        scaled = SEMDEDUP_MAXC
+    rungs = [16] if n_docs <= SEMDEDUP_CELL16_MAX_N else []
+    return rungs + [scaled]
+
+
+def _semdedup_tau_curve(
+    spark: SparkSession, emb: DataFrame, n_cells: int, name: str
+) -> DataFrame:
+    """One rung of the SemDeDup curve: within-cell pair scan at
+    ``n_cells`` pinned pivots, swept over SEMDEDUP_TAUS. Shared by
+    q346 (rung ladder) and q366 (fixed scaled rung)."""
     # localCheckpoint the cell assignment ONCE: it feeds the guard,
-    # BOTH pair-join sides and n_docs — without it the 16 interpreted
-    # HOF integer dots per row recompute 4x (measured 22.8 s at sf0.1
-    # in BENCH_r12's first record; ~4x cheaper materialized).
+    # BOTH pair-join sides and n_docs — without it the numpy code
+    # scan recomputes 4x (measured 22.8 s at sf0.1 in BENCH_r12's
+    # first record; ~4x cheaper materialized).
     assigned = (
-        emb.join(_ivf_assign(emb), "vec_id").localCheckpoint()
+        emb.join(_ivf_assign_n(emb, n_cells), "vec_id").localCheckpoint()
     )
-    withcell = _guard_blocks(
-        assigned,
-        "cell",
-        "q346_semdedup_cells",
-        SEMDEDUP_CELL_CAP,
-    )
+    withcell = _guard_blocks(assigned, "cell", name, SEMDEDUP_CELL_CAP)
     a = withcell.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
@@ -3162,33 +3194,71 @@ def q346_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("docs_removed") / F.col("n_docs").cast("double"), 4
             ).alias("removed_frac"),
         )
-        .orderBy("tau")
     )
 
 
+def q346_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # one driver-side count to size the rung ladder — exactly what
+    # production SemDeDup does (choose KMeans k from corpus size); at
+    # 100 TB this is a parquet-footer count, and the graph/store
+    # fixpoint ops already set the driver-action precedent.
+    n = emb.count()
+    out = None
+    for nc in _semdedup_rungs(n):
+        curve = _semdedup_tau_curve(
+            spark, emb, nc, "q346_semdedup_cells"
+        ).select(F.lit(nc).cast("bigint").alias("n_cells"), "*")
+        out = curve if out is None else out.unionByName(curve)
+    return out.orderBy("n_cells", "tau")
+
+
 Q346_SQL = f"""
-WITH {Q325_ASSIGN_CTES},
+WITH codes AS (
+  SELECT vec_id, {_DUCK_I8.format(e='embeddings')} AS code FROM embeddings
+),
+dots AS (
+  SELECT vec_id, {_duck_ivf_dots_n(SEMDEDUP_MAXC)} AS ds FROM codes
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM embeddings),
+rungs AS (
+  SELECT unnest(list_concat(
+    CASE WHEN n_docs <= {SEMDEDUP_CELL16_MAX_N}
+         THEN [CAST(16 AS BIGINT)] ELSE CAST([] AS BIGINT[]) END,
+    [CAST(CASE WHEN n_docs <= 1024 THEN 32
+               WHEN n_docs <= 4096 THEN 64
+               WHEN n_docs <= 16384 THEN 128
+               ELSE {SEMDEDUP_MAXC} END AS BIGINT)]
+  )) AS n_cells FROM nd
+),
+assigned AS MATERIALIZED (
+  SELECT r.n_cells, d.vec_id,
+         CAST(list_position(ds[1:r.n_cells], list_max(ds[1:r.n_cells])) - 1
+              AS BIGINT) AS cell
+  FROM dots d, rungs r
+),
 pairs AS (
-  SELECT ab.vec_id AS id_b,
+  SELECT aa.n_cells, ab.vec_id AS id_b,
          round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 4) AS cos_sim
   FROM assigned aa
-  JOIN assigned ab ON aa.cell = ab.cell AND aa.vec_id < ab.vec_id
+  JOIN assigned ab
+    ON aa.n_cells = ab.n_cells AND aa.cell = ab.cell
+   AND aa.vec_id < ab.vec_id
   JOIN embeddings a ON a.vec_id = aa.vec_id
   JOIN embeddings b ON b.vec_id = ab.vec_id
   WHERE round({_DUCK_DOT} / ({_DUCK_NORM_A} * {_DUCK_NORM_B}), 4)
         >= {min(SEMDEDUP_TAUS)}
 ),
-taus AS (SELECT unnest([{", ".join(str(t) for t in SEMDEDUP_TAUS)}]) AS tau),
-nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM embeddings)
-SELECT tau,
+taus AS (SELECT unnest([{", ".join(str(t) for t in SEMDEDUP_TAUS)}]) AS tau)
+SELECT n_cells, tau,
        CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(count(DISTINCT id_b) AS BIGINT) AS docs_removed,
        round(count(DISTINCT id_b) / CAST(nd.n_docs AS DOUBLE), 4)
          AS removed_frac
 FROM pairs, taus, nd
 WHERE cos_sim >= tau
-GROUP BY tau, nd.n_docs
-ORDER BY tau
+GROUP BY n_cells, tau, nd.n_docs
+ORDER BY n_cells, tau
 """
 
 
@@ -4838,59 +4908,9 @@ def q366_semdedup_scaled_cells(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assigned = (
-        emb.join(_ivf_assign_n(emb, SEMDEDUP_SCALED), "vec_id")
-        .localCheckpoint()
-    )
-    withcell = _guard_blocks(
-        assigned, "cell", "q366_semdedup_scaled_cells", SEMDEDUP_CELL_CAP
-    )
-    a = withcell.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("cell").alias("cell_a"),
-    )
-    b = withcell.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("cell").alias("cell_b"),
-    )
-    cos = V.cosine_arrow()
-    pairs = (
-        a.join(
-            b,
-            (F.col("cell_a") == F.col("cell_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .select(
-            "id_b",
-            F.round(cos(F.col("emb_a"), F.col("emb_b")), 4).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= min(SEMDEDUP_TAUS))
-        .localCheckpoint()
-    )
-    taus = spark.createDataFrame([(t,) for t in SEMDEDUP_TAUS], "tau double")
-    n_docs = withcell.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    swept = pairs.crossJoin(F.broadcast(taus)).where(
-        F.col("cos_sim") >= F.col("tau")
-    )
-    return (
-        swept.groupBy("tau")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.countDistinct("id_b").cast("bigint").alias("docs_removed"),
-        )
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "tau",
-            "n_pairs",
-            "docs_removed",
-            F.round(
-                F.col("docs_removed") / F.col("n_docs").cast("double"), 4
-            ).alias("removed_frac"),
-        )
-        .orderBy("tau")
-    )
+    return _semdedup_tau_curve(
+        spark, emb, SEMDEDUP_SCALED, "q366_semdedup_scaled_cells"
+    ).orderBy("tau")
 
 
 Q366_SQL = f"""

@@ -473,7 +473,12 @@ def _vector_index_batch(batch: DataFrame, index_path: str) -> None:
     from ..operators.vector import _int8_codes, _ivf_assign, _pq_encode
 
     spark = batch.sparkSession
-    emb = batch.select("vec_id", "embedding")
+    # dropDuplicates BEFORE the anti-join: duplicate vec_ids WITHIN one
+    # micro-batch would both survive the anti-join against the code
+    # store and occupy two shortlist slots at query time (only the
+    # vectors store is deduped read-side), breaking stream==batch
+    # equality (r14 advice).
+    emb = batch.select("vec_id", "embedding").dropDuplicates(["vec_id"])
     codes = _int8_codes(emb).select("vec_id", "code")
     entries = _ivf_assign(emb).join(_pq_encode(codes), "vec_id")
     codes_path, emb_path = _vector_index_paths(index_path)

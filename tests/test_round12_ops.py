@@ -90,36 +90,43 @@ def test_q346_reference(spark, sf_dir_t2):
         .sort_values("vec_id")
         .reset_index(drop=True)
     )
-    cells = {
-        r.vec_id: r.cell
-        for r in vector._ivf_assign(
-            load(spark, sf_dir_t2, "embeddings").select("vec_id", "embedding")
-        ).collect()
-    }
     M = np.array(emb["embedding"].tolist(), dtype=np.float64)
     ids = emb["vec_id"].to_numpy()
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
     S = np.round(Mn @ Mn.T, 4)
     n = len(ids)
-    for _, row in got.iterrows():
-        tau = row["tau"]
-        n_pairs, removed = 0, set()
-        for i in range(n):
-            for j in range(i + 1, n):
-                if cells[ids[i]] != cells[ids[j]]:
-                    continue
-                if S[i, j] >= tau:
-                    n_pairs += 1
-                    removed.add(max(ids[i], ids[j]))
-        assert row["n_pairs"] == n_pairs, tau
-        assert row["docs_removed"] == len(removed), tau
-        assert row["removed_frac"] == pytest.approx(
-            round(len(removed) / n, 4)
-        )
-    # within-cell pairs are a subset of all pairs: curve must sit at
-    # or below q344's label-blocked curve is NOT guaranteed (different
-    # blocking), but the curve itself must be monotone non-increasing.
-    assert list(got["n_pairs"]) == sorted(got["n_pairs"], reverse=True)
+    # r14: the op is a rung ladder — re-derive the ladder from the
+    # corpus size and check every rung's curve independently
+    rungs = vector._semdedup_rungs(n)
+    assert sorted(got["n_cells"].unique()) == sorted(rungs)
+    for rung in rungs:
+        cells = {
+            r.vec_id: r.cell
+            for r in vector._ivf_assign_n(
+                load(spark, sf_dir_t2, "embeddings").select(
+                    "vec_id", "embedding"
+                ),
+                rung,
+            ).collect()
+        }
+        sub = got[got["n_cells"] == rung]
+        for _, row in sub.iterrows():
+            tau = row["tau"]
+            n_pairs, removed = 0, set()
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if cells[ids[i]] != cells[ids[j]]:
+                        continue
+                    if S[i, j] >= tau:
+                        n_pairs += 1
+                        removed.add(max(ids[i], ids[j]))
+            assert row["n_pairs"] == n_pairs, (rung, tau)
+            assert row["docs_removed"] == len(removed), (rung, tau)
+            assert row["removed_frac"] == pytest.approx(
+                round(len(removed) / n, 4)
+            )
+        # each rung's curve must be monotone non-increasing in tau
+        assert list(sub["n_pairs"]) == sorted(sub["n_pairs"], reverse=True)
 
 
 def test_q346_guard_visible_in_plan(spark, sf_dir):

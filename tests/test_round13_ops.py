@@ -172,9 +172,12 @@ def test_q366_scaled_cells_shrink_blocks(spark, sf_dir_t2):
     assert [r["tau"] for r in rows] == sorted(vector.SEMDEDUP_TAUS)
     pairs = [r["n_pairs"] for r in rows]
     assert pairs == sorted(pairs, reverse=True)  # higher tau, fewer pairs
+    # r14: q346 is now a rung ladder with an n_cells column; compare
+    # against its historical 16-cell rung (present at fixture scale)
     base = {
         r["tau"]: r["n_pairs"]
         for r in vector.q346_semdedup_cells(spark, sf_dir_t2).collect()
+        if r["n_cells"] == 16
     }
     # at the loosest tau the candidate mass must shrink with 4x cells
     loosest = min(vector.SEMDEDUP_TAUS)
