@@ -91,28 +91,50 @@ _QUERIES, _ORACLE = merge_registries(*_MODULES)
 # sf0.001+sf0.01+sf0.1 after every edit, plus a full-surface
 # driver-recipe verify (FAILS: none) before each commit batch.
 _PRIORITY = [
-    # ===== ROUND-13 WINDOW (50 slots, every one EXPLICITLY LISTED;
+    # ===== ROUND-14 WINDOW (50 slots, every one EXPLICITLY LISTED;
     # the registry-coverage test forbids unlisted names). Composition
-    # follows VERDICT r12 "Next round" #2 and the mechanical rotation
-    # in WINDOW_REPORT.md: the seven rows displaced from the r12
-    # window lead, then the new r13 operators, then the longest-
-    # ungraded tail (q320-q339 head the re-grade queue, last graded
-    # r11), filled to 50 with q294-q314 (also r11). =====
-    # --- tier 1: displaced from r12 tier 3 by q355-q361 ---
+    # follows VERDICT r13 "Next round" #2 and the regenerated-at-
+    # round-open WINDOW_REPORT.md: the mechanical rotation says the
+    # 45 r5-stale rows (q150-q199 block) lead. One exception heads
+    # the window: q346's OUTPUT CHANGED this round (the item-1
+    # de-weak added the n_cells rung ladder), so its r13 record no
+    # longer describes its output and it must re-grade first. No new
+    # registry rows this round (VERDICT item 8: depth over breadth -
+    # the r14 additions are streaming faces and the index catalog,
+    # rows-only surfaces tested in tests/test_round14_ops.py). The
+    # last 4 slots resume the staleness rotation at the r6 tier
+    # (q01-q04). Below the fold: the r13 window (freshest records),
+    # then prior tiers in prior order; rows-only-by-design stay at
+    # the back. r14 source changes to ALREADY-GRADED rows (q366
+    # helper refactor, q368 zero-range guard) are output-identical on
+    # the fixtures - re-verified green via tools/verify_sf.py at
+    # sf0.01+sf0.1 and a full-surface driver-recipe verify.
+    # =====
+    "q346_semdedup_cells", "q150_dedup_keep_best", "q152_multimodal_resize",
+    "q153_matryoshka_retention", "q154_novelty_curve", "q155_column_profile",
+    "q156_event_transitions", "q157_winsorized_stats",
+    "q158_centroid_similarity", "q159_weighted_jaccard",
+    "q160_decayed_engagement", "q161_ce_rerank", "q162_token_budget_mixture",
+    "q163_state_ttl_profile", "q164_cube_profile", "q165_containment",
+    "q166_tokenizer_fertility", "q167_wow_trend", "q168_sketch_quantiles",
+    "q169_threshold_curve", "q170_funnel_timing", "q171_burstiness",
+    "q172_lang_confusion", "q173_patch_grid", "q174_audio_windows",
+    "q176_snapshot_diff", "q177_covisitation", "q178_hard_negatives",
+    "q179_pii_inventory", "q180_last_touch", "q181_neardup_explain",
+    "q182_join_size_advisor", "q183_dup_rate_curve", "q185_dedup_savings",
+    "q186_incremental_dedup", "q188_salt_plan", "q190_compression_proxy",
+    "q191_debounce", "q192_citation_coverage", "q193_graph_pagerank",
+    "q194_range_partition_plan", "q195_session_paths",
+    "q196_weighted_length_quartiles", "q197_vector_integrity",
+    "q198_purge_audit", "q199_rate_limit", "q01_scan_project",
+    "q02_filter_pushdown", "q03_tpch_q1", "q04_count_distinct",
+    # ===== below the fold =====
     "q145_token_entropy", "q146_pmi_collocations",
-    "q147_late_arrival_profile", "q148_tpch_q6_shape",
-    "q151_traffic_bursts", "q71_stats_agg", "q149_gap_fill",
-    # --- tier 2: the new round-13 operators (q362/q363 portable
-    #     IVF-PQ + driver-graded recall — the LAST rows-only ANN
-    #     index given the hash-graded treatment, VERDICT r12 #3) ---
-    "q362_portable_ivfpq_ann", "q363_ivfpq_recall_eval",
-    "q364_pq_shortlist_curve", "q365_maxsim_late_interaction",
-    "q366_semdedup_scaled_cells", "q367_anytime_ab_monitor",
-    "q368_drift_edetector",
-    # --- tier 3: the q320-q339 block (VERDICT r12 #2 mandates it
-    #     heads the re-grade queue: its source was touched by the
-    #     late-r12 vectorizations, so re-grading it validates shipped
-    #     code; the 92 r5-stale rows q150+ lead the r14 rotation) ---
+    "q147_late_arrival_profile", "q148_tpch_q6_shape", "q151_traffic_bursts",
+    "q71_stats_agg", "q149_gap_fill", "q362_portable_ivfpq_ann",
+    "q363_ivfpq_recall_eval", "q364_pq_shortlist_curve",
+    "q365_maxsim_late_interaction", "q366_semdedup_scaled_cells",
+    "q367_anytime_ab_monitor", "q368_drift_edetector",
     "q320_portable_hyperplane_ann", "q321_hyperplane_recall_eval",
     "q322_incremental_neardup", "q323_band_index_growth",
     "q324_bucket_cap_audit", "q325_portable_ivf_ann", "q326_ivf_recall_eval",
@@ -121,32 +143,24 @@ _PRIORITY = [
     "q333_degree_assortativity", "q334_neyman_allocation",
     "q335_idempotent_replay", "q336_weighted_priority_sample",
     "q337_rebalance_audit", "q338_containment_pairs",
-    "q339_neardup_family_eval",
-    # --- tier 4: fill to 50 from the r11-graded q294+ block ---
-    "q294_label_propagation", "q295_lexical_diversity",
-    "q296_char_trigram_lm", "q297_boilerplate_ngrams",
-    "q298_budget_waterfill", "q299_int8_rerank", "q300_map_eval",
-    "q301_snapshot_as_of", "q302_portable_minhash", "q303_seq_patterns",
-    "q304_result_diversity", "q305_poisson_bootstrap", "q306_welch_ttest",
-    "q307_blocking_advisor", "q308_batch_knn", "q309_position_attribution",
-    # ===== below the fold: the q294-block remainder, then the rows
-    # the r12 driver just graded (q340-q361 + the q116-q144 block),
-    # then previously graded tiers in prior registry order;
-    # rows-only-by-design stay at the back. =====
-    "q310_ipf_raking", "q311_syndication_matrix", "q312_hits_bipartite",
-    "q313_forecast_eval", "q314_dup_cluster_stats",
-    "q315_cache_hit_curve", "q316_cvm_test", "q317_fellegi_sunter",
-    "q318_topk_drift", "q319_portable_simhash",
+    "q339_neardup_family_eval", "q294_label_propagation",
+    "q295_lexical_diversity", "q296_char_trigram_lm",
+    "q297_boilerplate_ngrams", "q298_budget_waterfill", "q299_int8_rerank",
+    "q300_map_eval", "q301_snapshot_as_of", "q302_portable_minhash",
+    "q303_seq_patterns", "q304_result_diversity", "q305_poisson_bootstrap",
+    "q306_welch_ttest", "q307_blocking_advisor", "q308_batch_knn",
+    "q309_position_attribution", "q310_ipf_raking",
+    "q311_syndication_matrix", "q312_hits_bipartite", "q313_forecast_eval",
+    "q314_dup_cluster_stats", "q315_cache_hit_curve", "q316_cvm_test",
+    "q317_fellegi_sunter", "q318_topk_drift", "q319_portable_simhash",
     "q340_bm25_prf", "q341_quantization_rank_stability",
     "q342_contrastive_negatives", "q343_watermark_sweep",
     "q344_semdedup_threshold_curve", "q345_ldiversity_audit",
-    "q346_semdedup_cells", "q347_portable_graph_ann",
-    "q348_graph_ann_recall_eval", "q349_ivf_nprobe_curve",
-    "q350_dsir_importance", "q351_hubness_audit",
+    "q347_portable_graph_ann", "q348_graph_ann_recall_eval",
+    "q349_ivf_nprobe_curve", "q350_dsir_importance", "q351_hubness_audit",
     "q352_crossdomain_dup_matrix", "q353_sampled_quantile_eval",
-    "q354_conformal_interval", "q355_tcloseness_audit",
-    "q356_doremi_step", "q357_crosslingual_neardup",
-    "q358_decontam_curve", "q359_mutual_knn",
+    "q354_conformal_interval", "q355_tcloseness_audit", "q356_doremi_step",
+    "q357_crosslingual_neardup", "q358_decontam_curve", "q359_mutual_knn",
     "q360_ann_ensemble_recall", "q361_sketch_error_audit",
     "q116_tpch_q19_shape", "q117_tpch_q21_shape", "q118_tpch_q22_shape",
     "q119_ngram_decontam", "q120_span_dedup", "q121_unigram_logprob",
@@ -157,19 +171,19 @@ _PRIORITY = [
     "q135_tpch_q20_shape", "q136_quality_percentile_gate",
     "q137_token_curriculum", "q138_skew_profile", "q139_integrity_audit",
     "q140_pergroup_trend", "q141_incremental_agg", "q142_event_bitmask",
-    "q143_embedding_dim_stats", "q144_zipf_fit",
-    "q112_tpch_q7_shape", "q113_tpch_q11_shape", "q114_tpch_q15_shape",
-    "q115_tpch_q2_shape", "q73_temporal_split", "q231_ohlc_bars",
-    "q232_source_corr", "q233_range_frame_ma", "q234_mutual_info",
-    "q235_mad_outliers", "q236_inverted_index", "q237_knn_classify",
-    "q238_gaps_islands", "q240_benford_test", "q241_interpolation_join",
-    "q243_split_leakage", "q244_run_length", "q246_revenue_bridge",
-    "q247_records_drawdown", "q83_bm25_topk", "q84_hybrid_rrf",
-    "q85_dedup_corpus", "q86_tfidf_keywords", "q87_vocab_coverage",
-    "q88_median_length_filter", "q90_tpch_q4_shape", "q91_tpch_q12_shape",
-    "q92_tpch_q14_shape", "q93_gopher_quality", "q94_source_cap",
-    "q95_lang_kl_divergence", "q96_event_funnel", "q97_tpch_q3_shape",
-    "q98_tpch_q10_shape", "q99_centroid_outliers", "q100_rolling_anomaly",
+    "q143_embedding_dim_stats", "q144_zipf_fit", "q112_tpch_q7_shape",
+    "q113_tpch_q11_shape", "q114_tpch_q15_shape", "q115_tpch_q2_shape",
+    "q73_temporal_split", "q231_ohlc_bars", "q232_source_corr",
+    "q233_range_frame_ma", "q234_mutual_info", "q235_mad_outliers",
+    "q236_inverted_index", "q237_knn_classify", "q238_gaps_islands",
+    "q240_benford_test", "q241_interpolation_join", "q243_split_leakage",
+    "q244_run_length", "q246_revenue_bridge", "q247_records_drawdown",
+    "q83_bm25_topk", "q84_hybrid_rrf", "q85_dedup_corpus",
+    "q86_tfidf_keywords", "q87_vocab_coverage", "q88_median_length_filter",
+    "q90_tpch_q4_shape", "q91_tpch_q12_shape", "q92_tpch_q14_shape",
+    "q93_gopher_quality", "q94_source_cap", "q95_lang_kl_divergence",
+    "q96_event_funnel", "q97_tpch_q3_shape", "q98_tpch_q10_shape",
+    "q99_centroid_outliers", "q100_rolling_anomaly",
     "q101_stratified_downsample", "q102_hash_split", "q103_length_bucketing",
     "q104_truncation_stats", "q105_source_overlap_matrix",
     "q107_retention_cohorts", "q33_session_window", "q58_asof_join",
@@ -192,39 +206,21 @@ _PRIORITY = [
     "q68_exists_distribution", "q69_count_distribution",
     "q74_curation_pipeline", "q76_dedup_clusters", "q77_user_filtered_knn",
     "q78_ingest_pipeline_stride", "q79_token_packing", "q80_corpus_mixing",
-    "q81_embedding_quantize", "q82_length_histogram", "q01_scan_project",
-    "q02_filter_pushdown", "q03_tpch_q1", "q04_count_distinct",
-    "q06_join_inner", "q07_join_broadcast", "q08_join_multiway",
-    "q09_join_left", "q10_join_semi", "q11_join_anti", "q12_dedup_exact",
-    "q13_window_topk", "q14_window_running", "q15_window_lag",
-    "q16_global_topk", "q17_set_ops", "q18_rollup", "q19_string_fns",
-    "q20_date_fns", "q21_math_fns", "q22_array_fns", "q23_json_fns",
-    "q24_chunk_stride", "q25_knn_l2", "q26_knn_cosine",
-    "q27_similarity_join", "q28_context_assembly", "q29_ingest_routing",
-    "q30_store_counts", "q34_latest_per_key", "q36_weighted_avg",
-    "q37_lang_id", "q200_recursive_hierarchy", "q201_context_budget",
-    "q202_compaction_plan", "q203_decile_lift", "q204_lateral_topk",
-    "q205_seasonality", "q206_null_semantics", "q207_asof_tolerance",
-    "q208_ppl_filter", "q209_tuning_advisor", "q210_triangle_count",
-    "q211_personalized_pagerank", "q212_join_ivm", "q213_cross_label_audit",
-    "q132_weighted_sample", "q184_epoch_shuffle", "q187_bucket_layout",
-    "q189_embedding_drift", "q150_dedup_keep_best", "q152_multimodal_resize",
-    "q153_matryoshka_retention", "q154_novelty_curve", "q155_column_profile",
-    "q156_event_transitions", "q157_winsorized_stats",
-    "q158_centroid_similarity", "q159_weighted_jaccard",
-    "q160_decayed_engagement", "q161_ce_rerank", "q162_token_budget_mixture",
-    "q163_state_ttl_profile", "q164_cube_profile", "q165_containment",
-    "q166_tokenizer_fertility", "q167_wow_trend", "q168_sketch_quantiles",
-    "q169_threshold_curve", "q170_funnel_timing", "q171_burstiness",
-    "q172_lang_confusion", "q173_patch_grid", "q174_audio_windows",
-    "q176_snapshot_diff", "q177_covisitation", "q178_hard_negatives",
-    "q179_pii_inventory", "q180_last_touch", "q181_neardup_explain",
-    "q182_join_size_advisor", "q183_dup_rate_curve", "q185_dedup_savings",
-    "q186_incremental_dedup", "q188_salt_plan", "q190_compression_proxy",
-    "q191_debounce", "q192_citation_coverage", "q193_graph_pagerank",
-    "q194_range_partition_plan", "q195_session_paths",
-    "q196_weighted_length_quartiles", "q197_vector_integrity",
-    "q198_purge_audit", "q199_rate_limit", "q50_ingest_pipeline",
+    "q81_embedding_quantize", "q82_length_histogram", "q06_join_inner",
+    "q07_join_broadcast", "q08_join_multiway", "q09_join_left",
+    "q10_join_semi", "q11_join_anti", "q12_dedup_exact", "q13_window_topk",
+    "q14_window_running", "q15_window_lag", "q16_global_topk", "q17_set_ops",
+    "q18_rollup", "q19_string_fns", "q20_date_fns", "q21_math_fns",
+    "q22_array_fns", "q23_json_fns", "q24_chunk_stride", "q25_knn_l2",
+    "q26_knn_cosine", "q27_similarity_join", "q28_context_assembly",
+    "q29_ingest_routing", "q30_store_counts", "q34_latest_per_key",
+    "q36_weighted_avg", "q37_lang_id", "q200_recursive_hierarchy",
+    "q201_context_budget", "q202_compaction_plan", "q203_decile_lift",
+    "q204_lateral_topk", "q205_seasonality", "q206_null_semantics",
+    "q207_asof_tolerance", "q208_ppl_filter", "q209_tuning_advisor",
+    "q210_triangle_count", "q211_personalized_pagerank", "q212_join_ivm",
+    "q213_cross_label_audit", "q132_weighted_sample", "q184_epoch_shuffle",
+    "q187_bucket_layout", "q189_embedding_drift", "q50_ingest_pipeline",
     "q260_ewma_smoothing", "q261_cohort_ltv",
     "q262_session_threshold_advisor", "q263_spectral_gap",
     "q264_bloom_join_advisor", "q265_filter_waterfall", "q266_psi_drift",

@@ -133,6 +133,55 @@ RETIRED = [
     "q245_power_iteration",
 ]
 
+# Upper edge of each retired row's recorded band (BASELINE.md
+# "Headline rotation": r8-r12 quiet-record medians). The revival rule
+# is mechanical: best-of-2 > REVIVAL_FACTOR x band -> the row returns
+# to ACTIVE next round; the bench JSON self-reports the trigger under
+# "revived" so the tripwire is data, not prose (r14, VERDICT r13
+# item 7).
+RETIRED_BANDS = {
+    "q01_scan_project": 0.60,
+    "q02_filter_pushdown": 0.54,
+    "q03_tpch_q1": 0.79,
+    "q06_join_inner": 0.91,
+    "q13_window_topk": 0.93,
+    "q24_chunk_stride": 0.68,
+    "q25_knn_l2": 1.03,
+    "q26_knn_cosine": 0.97,
+    "q31_tumbling_window": 1.13,
+    "q33_session_window": 1.19,
+    "q38_text_quality": 1.86,
+    "q43_multimodal_decode": 0.70,
+    "q52_delete_by_source": 0.57,
+    "q53_rag_pipeline": 1.00,
+    "q56_salted_agg": 0.45,
+    "q58_asof_join": 0.98,
+    "q63_corpus_stats": 0.55,
+    "q64_repetition_ratio": 0.81,
+    "q215_fuzzy_blocked_dedup": 0.52,
+    "q228_quantile_normalize": 0.65,
+    "q236_inverted_index": 0.93,
+    "q245_power_iteration": 0.79,
+}
+
+REVIVAL_FACTOR = 1.5
+
+
+def revived_queries(
+    retired_times: dict[str, float],
+    bands: dict[str, float] | None = None,
+    factor: float = REVIVAL_FACTOR,
+) -> list[str]:
+    """Retired rows whose recorded best-of-2 exceeds factor x their
+    band — the mechanical revival trigger (pure so it unit-tests
+    without a Spark session)."""
+    bands = RETIRED_BANDS if bands is None else bands
+    return sorted(
+        name
+        for name, t in retired_times.items()
+        if name in bands and t > factor * bands[name]
+    )
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -242,6 +291,7 @@ def main() -> None:
         "warmup_total": round(sum(warmup.values()), 3),
         "retired_queries": retired_times,
         "retired_total": round(sum(retired_times.values()), 3),
+        "revived": revived_queries(retired_times),
         "probe_times": probe_times,
         "contended_reps": contended_reps,
         "contended": bool(set(contended_reps) & set(kept_idx)),

@@ -234,3 +234,158 @@ def write_synthetic_decade(
         e_path,
     )
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# Events decade (r14, VERDICT r13 item 4): the iterative graph heavies
+# (q242/q292/q294/q210/q312) were probed only on the fixture ladder;
+# this extends the synthetic decade with a 10x `events` table that
+# PRESERVES the covisitation structure the graph family is built on
+# (q177: users sharing an (event_type, hour) bucket, buckets > 50
+# users dropped). Mechanism: the new corpus is `factor` empirical
+# epochs laid end-to-end on the time axis — each new event bootstraps
+# a source row's (event_type, hour-of-span position, value, props)
+# and an INDEPENDENTLY bootstrapped user. Per-epoch hourly intensity
+# therefore matches the fixture (bucket occupancy ~ Poisson of the
+# source bucket's count, so the cap-kept fraction is preserved),
+# while the independent user draw decorrelates epochs — the union
+# covisit graph grows ~factor in edge mass with the same per-bucket
+# degree profile, exactly the regime a 10x-longer event horizon
+# produces in production. Deterministic: one seeded RandomState.
+# ---------------------------------------------------------------------------
+def synthetic_events_frame(src_dir: str, factor: int = 10, seed: int = 17):
+    """pandas events frame (fixture schema) at factor x the src span."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq_mod
+
+    src = pq_mod.read_table(os.path.join(src_dir, "events.parquet")).to_pandas()
+    n = len(src)
+    rng = np.random.RandomState(seed)
+    ts = src["ts"].to_numpy()
+    # whole-hour epoch stride so hour-bucket boundaries stay aligned
+    span = ts.max() - ts.min()
+    stride = np.timedelta64(
+        (span.astype("timedelta64[h]").astype("int64") + 1), "h"
+    )
+    j = rng.randint(0, n, size=n * factor)
+    epoch = rng.randint(0, factor, size=n * factor)
+    new_ts = ts[j] + epoch * stride
+    # independent user bootstrap: breaks epoch-to-epoch correlation so
+    # the union graph is factor decorrelated epoch graphs, not one
+    # graph repeated (a repeat would distinct() back to 1x edges)
+    users = src["user_id"].to_numpy()[rng.randint(0, n, size=n * factor)]
+    out = pd.DataFrame(
+        {
+            "ts": new_ts,
+            "user_id": users.astype("int64"),
+            "event_type": src["event_type"].to_numpy()[j],
+            "value": src["value"].to_numpy()[j],
+            "props": src["props"].to_numpy()[j],
+        }
+    )
+    out = out.sort_values(["ts", "user_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+    out.insert(0, "event_id", np.arange(len(out), dtype="int64"))
+    return out
+
+
+def write_synthetic_events_decade(
+    out_dir: str,
+    src_dir: str = "/root/testdata/sf0.1",
+    factor: int = 10,
+    seed: int = 17,
+) -> str:
+    """Write events.parquet (fixture schema) at factor x the src span;
+    skips work if the file exists."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    path = os.path.join(out_dir, "events.parquet")
+    if os.path.exists(path):
+        return out_dir
+    pdf = synthetic_events_frame(src_dir, factor, seed)
+    os.makedirs(out_dir, exist_ok=True)
+    schema = pa.schema(
+        [
+            pa.field("event_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("user_id", pa.int64()),
+            pa.field("event_type", pa.string()),
+            pa.field("value", pa.float64()),
+            pa.field("props", pa.string()),
+        ]
+    )
+    pq_mod.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), path
+    )
+    return out_dir
+
+
+def synthetic_lineitem_frame(src_dir: str, factor: int = 10):
+    """pandas lineitem frame (the 3 graph-relevant columns) at factor x
+    the src fixture, as `factor` CATALOG-SHARDED epochs: copy e shifts
+    every orderkey/partkey/suppkey by e * (max+1). Rationale: the
+    copurchase (q292/q294) and supplier-part bipartite (q312) graphs
+    are built from within-order/part co-occurrence, and a bootstrap
+    that redraws parts per order would grow the w>=2 copurchase edge
+    mass ~quadratically in drawn pairs (birthday collisions), i.e.
+    measure a DIFFERENT workload at 10x. Shifted epochs preserve the
+    per-epoch degree distribution EXACTLY — the decade graph is factor
+    fixture-shaped components, 10x nodes and 10x edges, which is the
+    catalog-growth regime (new products arrive with new history) and
+    the right denominator for a wall-vs-rows scaling exponent.
+    Deterministic: pure integer shifts, no RNG."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq_mod
+
+    src = pq_mod.read_table(
+        os.path.join(src_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey"],
+    ).to_pandas()
+    mo = int(src["l_orderkey"].max()) + 1
+    mp = int(src["l_partkey"].max()) + 1
+    ms = int(src["l_suppkey"].max()) + 1
+    frames = []
+    for e in range(factor):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "l_orderkey": src["l_orderkey"].to_numpy() + e * mo,
+                    "l_partkey": src["l_partkey"].to_numpy() + e * mp,
+                    "l_suppkey": src["l_suppkey"].to_numpy() + e * ms,
+                }
+            )
+        )
+    out = pd.concat(frames, ignore_index=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def write_synthetic_lineitem_decade(
+    out_dir: str, src_dir: str = "/root/testdata/sf0.1", factor: int = 10
+) -> str:
+    """Write lineitem.parquet (graph columns) at factor x the src
+    fixture; skips work if the file exists."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    path = os.path.join(out_dir, "lineitem.parquet")
+    if os.path.exists(path):
+        return out_dir
+    pdf = synthetic_lineitem_frame(src_dir, factor)
+    os.makedirs(out_dir, exist_ok=True)
+    schema = pa.schema(
+        [
+            pa.field("l_orderkey", pa.int64()),
+            pa.field("l_partkey", pa.int64()),
+            pa.field("l_suppkey", pa.int64()),
+        ]
+    )
+    pq_mod.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), path
+    )
+    return out_dir

@@ -611,3 +611,419 @@ def query_vector_index(
         .where(F.col("rn") <= K)
         .orderBy("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental HYPERPLANE index (r14, VERDICT r13 item 3):
+# q320's multi-table sign-bucket structure as a continuously-
+# maintained persisted index — the third ANN family to get the
+# band-index / IVF-PQ treatment. The bucket table is ORDER-
+# INDEPENDENT (each vector's (tbl, bucket) rows are a pure function
+# of its own code), so unlike the graph face below, stream-built ==
+# batch-built holds EXACTLY and is asserted at both fixture scales.
+#
+# At-least-once safety (the _vector_index_batch discipline): the
+# incoming micro-batch is vec_id-deduped, absorb is anti-joined
+# against the BUCKET store, vectors write BEFORE buckets (a crash
+# between the two re-absorbs the vector next run; duplicated vector
+# rows are neutralized read-side by dropDuplicates).
+# Scale: per trigger O(batch) bucket rows appended; a query probes
+# only the flip neighborhood of the query's buckets — the persisted
+# corpus is never rescanned or re-encoded.
+# ---------------------------------------------------------------------------
+def _hyperplane_index_paths(index_path: str) -> tuple[str, str]:
+    return os.path.join(index_path, "buckets"), os.path.join(
+        index_path, "vectors"
+    )
+
+
+def _hyperplane_index_batch(batch: DataFrame, index_path: str) -> None:
+    from ..operators.vector import _hyperplane_buckets
+
+    spark = batch.sparkSession
+    emb = batch.select("vec_id", "embedding").dropDuplicates(["vec_id"])
+    buckets = _hyperplane_buckets(emb)
+    buckets_path, emb_path = _hyperplane_index_paths(index_path)
+    if _path_exists(spark, buckets_path):
+        seen = spark.read.parquet(buckets_path).select("vec_id").distinct()
+        new_buckets = buckets.join(seen, "vec_id", "left_anti")
+        new_emb = emb.join(seen, "vec_id", "left_anti")
+    else:
+        new_buckets, new_emb = buckets, emb
+    new_emb = new_emb.localCheckpoint()
+    new_emb.write.mode("append").parquet(emb_path)
+    new_buckets.write.mode("append").parquet(buckets_path)
+
+
+def seed_hyperplane_index(
+    spark: SparkSession, emb: DataFrame, index_path: str
+) -> None:
+    """Bootstrap the persisted buckets/vectors index from an existing
+    corpus (the one-time backfill before the stream takes over)."""
+    from ..operators.vector import _hyperplane_buckets
+
+    emb = emb.select("vec_id", "embedding")
+    buckets_path, emb_path = _hyperplane_index_paths(index_path)
+    emb.write.mode("overwrite").parquet(emb_path)
+    _hyperplane_buckets(emb).write.mode("overwrite").parquet(buckets_path)
+
+
+def run_hyperplane_index_stream(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Continuous hyperplane-index maintenance over a vector stream."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    vecs = reader.parquet(src_dir)
+    (
+        vecs.writeStream.foreachBatch(
+            lambda batch, _id: _hyperplane_index_batch(batch, index_path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def query_hyperplane_index(
+    spark: SparkSession, index_path: str, q_emb: DataFrame, q_id: int
+) -> DataFrame:
+    """q320's probe pipeline against the PERSISTED bucket table: the
+    query vector's own buckets expand to the pinned flip neighborhood,
+    candidates come from a broadcast probe join against the persisted
+    buckets, and only the candidate set fetches floats for the exact
+    cosine re-rank."""
+    from pyspark.sql import Window
+
+    from ..functions import vectors as V
+    from ..operators.vector import (
+        ANN_PROBE_FLIPS,
+        K,
+        _hyperplane_buckets,
+    )
+
+    buckets_path, emb_path = _hyperplane_index_paths(index_path)
+    idx = spark.read.parquet(buckets_path)
+    store_emb = spark.read.parquet(emb_path).dropDuplicates(["vec_id"])
+    probes = _hyperplane_buckets(q_emb).select(
+        F.col("tbl").alias("p_tbl"),
+        F.explode(
+            F.array(
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(f))
+                    for f in ANN_PROBE_FLIPS
+                ]
+            )
+        ).alias("probe"),
+    )
+    cand = (
+        idx.where(F.col("vec_id") != q_id)
+        .join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("probe"))
+            & (F.col("tbl") == F.col("p_tbl")),
+        )
+        .select("vec_id")
+        .dropDuplicates(["vec_id"])
+    )
+    qv = q_emb.select(F.col("embedding").alias("q_emb"))
+    scored = (
+        cand.join(store_emb, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= K)
+        .orderBy("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental GRAPH index (r14, VERDICT r13 item 3): the
+# NN-descent k-NN graph (q214/q347 family — the reference's hnswlib
+# index, app.py:73-76) as a continuously-maintained persisted
+# structure, completing streaming maintenance for all four ANN
+# families. Unlike buckets/cells/codes, a search graph is NOT a pure
+# per-row function of the corpus: batch NN-descent iterates global
+# rounds. The absorb here is the bounded incremental shape the r13
+# verdict sketched — "new-node NN-descent rounds against the
+# persisted edge list":
+#   1. new nodes score against the deterministic entry points plus
+#      their hash-bucket mates (the batch build's init, restricted to
+#      the new nodes), then GRAPH_ABSORB_ROUNDS of expansion via the
+#      PERSISTED edges refine each new node's candidates;
+#   2. the new node's best GRAPH_DEGREE become its out-edges;
+#   3. reverse edges (dst -> new) are APPENDED, and the degree bound
+#      is enforced READ-SIDE (per-src top-(G+2) window in
+#      _graph_index_edges) — the persisted store stays append-only
+#      (no read-modify-write of old rows per trigger; compaction is
+#      an offline rewrite, the q202 discipline). Growth is
+#      O(batch * degree) rows per trigger; the corpus is never
+#      re-scored.
+# Bootstrap (empty index) delegates to build_knn_graph, so a single-
+# batch stream over a full corpus equals the batch build EXACTLY;
+# incremental absorb is deterministic and replay-idempotent, with the
+# answer quality pinned by a recall-floor test instead of graph
+# equality (insertion order genuinely changes a k-NN graph).
+# ---------------------------------------------------------------------------
+GRAPH_ABSORB_ROUNDS = 2
+
+
+def _graph_index_paths(index_path: str) -> tuple[str, str]:
+    return os.path.join(index_path, "edges"), os.path.join(
+        index_path, "vectors"
+    )
+
+
+def _graph_index_edges(spark: SparkSession, index_path: str) -> DataFrame:
+    """Read-side degree bound: the append-only edge store may hold
+    superseded reverse edges; keep the best G+2 per src (G k-NN slots
+    plus the batch build's 2 long-range slots)."""
+    from pyspark.sql import Window
+
+    from ..operators.graph_ann import GRAPH_DEGREE
+
+    edges_path, _ = _graph_index_paths(index_path)
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst"))
+    return (
+        spark.read.parquet(edges_path)
+        .dropDuplicates(["src", "dst"])
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= GRAPH_DEGREE + 2)
+        .select("src", "dst", "sim")
+    )
+
+
+def _graph_index_batch(batch: DataFrame, index_path: str) -> None:
+    from pyspark.sql import Window
+
+    from ..functions import vectors as V
+    from ..functions.hashing import mix_spark
+    from ..operators.graph_ann import (
+        GRAPH_DEGREE,
+        INIT_BUCKET,
+        INIT_SALT_PRIMES,
+        INIT_SALTS,
+        N_ENTRY,
+        build_knn_graph,
+        _scored_topg,
+    )
+
+    spark = batch.sparkSession
+    new = batch.select("vec_id", "embedding").dropDuplicates(["vec_id"])
+    edges_path, emb_path = _graph_index_paths(index_path)
+    if not _path_exists(spark, edges_path):
+        # bootstrap: a full batch build — the one-batch stream and the
+        # batch build are the SAME code path (tested equal)
+        new = new.localCheckpoint()
+        new.write.mode("append").parquet(emb_path)
+        build_knn_graph(spark, new).write.mode("append").parquet(edges_path)
+        return
+
+    seen = spark.read.parquet(edges_path).select(
+        F.col("src").alias("vec_id")
+    ).distinct()
+    new = new.join(seen, "vec_id", "left_anti").localCheckpoint()
+    old_emb = spark.read.parquet(emb_path).dropDuplicates(["vec_id"])
+    all_emb = old_emb.unionByName(new).dropDuplicates(["vec_id"])
+    edges = _graph_index_edges(spark, index_path).localCheckpoint()
+
+    # init candidates: deterministic entry points (the query face's
+    # rule, over the EXISTING corpus) plus the new nodes' multi-salt
+    # hash-bucket mates drawn from old AND new (the batch build's init
+    # restricted to pairs that touch a new node)
+    entries = (
+        old_emb.select("vec_id", F.expr(mix_spark("vec_id")).alias("_h"))
+        .orderBy("_h", "vec_id")
+        .limit(N_ENTRY)
+        .select(F.col("vec_id").alias("dst"))
+    )
+    cand = new.select(F.col("vec_id").alias("src")).crossJoin(
+        F.broadcast(entries)
+    )
+    nstats = all_emb.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    for s in range(INIT_SALTS):
+        prime = INIT_SALT_PRIMES[s]
+        grouped = all_emb.crossJoin(F.broadcast(nstats)).select(
+            "vec_id",
+            (
+                F.expr(mix_spark(f"vec_id * {prime}"))
+                % F.expr(f"greatest(1, _n div {INIT_BUCKET})")
+            ).alias("grp"),
+        )
+        a = grouped.join(
+            new.select("vec_id"), "vec_id", "left_semi"
+        ).select(F.col("vec_id").alias("src"), "grp")
+        b = grouped.select(F.col("vec_id").alias("dst"), "grp")
+        cand = cand.unionByName(
+            a.join(b, "grp")
+            .where(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+        )
+    best = _scored_topg(cand.distinct(), all_emb, GRAPH_DEGREE).localCheckpoint()
+
+    # bounded NN-descent rounds against the persisted edge list: each
+    # new node expands its current best through the stored graph
+    for _ in range(GRAPH_ABSORB_ROUNDS):
+        expanded = (
+            best.select("src", F.col("dst").alias("_mid"))
+            .join(
+                edges.select(
+                    F.col("src").alias("_mid"), F.col("dst").alias("dst")
+                ),
+                "_mid",
+            )
+            .where(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+        )
+        cand = (
+            best.select("src", "dst").unionByName(expanded).distinct()
+        )
+        best = _scored_topg(cand, all_emb, GRAPH_DEGREE).localCheckpoint()
+
+    # vectors BEFORE edges: `seen` derives from the edge store, so a
+    # crash between the writes re-absorbs the node next run; replays
+    # anti-join to nothing and converge (duplicated vector rows are
+    # neutralized read-side by dropDuplicates)
+    new.write.mode("append").parquet(emb_path)
+    rev = best.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "sim"
+    )
+    out_edges = best.unionByName(rev).dropDuplicates(["src", "dst"])
+    out_edges.write.mode("append").parquet(edges_path)
+
+
+def seed_graph_index(
+    spark: SparkSession, emb: DataFrame, index_path: str
+) -> None:
+    """Bootstrap the persisted edges/vectors index from an existing
+    corpus via the batch NN-descent build."""
+    from ..operators.graph_ann import build_knn_graph
+
+    emb = emb.select("vec_id", "embedding")
+    edges_path, emb_path = _graph_index_paths(index_path)
+    emb.write.mode("overwrite").parquet(emb_path)
+    build_knn_graph(spark, emb).write.mode("overwrite").parquet(edges_path)
+
+
+def run_graph_index_stream(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Continuous k-NN-graph maintenance over a vector file stream."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    vecs = reader.parquet(src_dir)
+    (
+        vecs.writeStream.foreachBatch(
+            lambda batch, _id: _graph_index_batch(batch, index_path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def query_graph_index(
+    spark: SparkSession, index_path: str, q_emb: DataFrame, q_id: int
+) -> DataFrame:
+    """Beam search over the PERSISTED (read-side-pruned) edge list,
+    exact-cosine top-K re-rank of the visited set — q214's query shape
+    against the maintained store, q347's single-query output shape."""
+    from pyspark.sql import Window
+
+    from ..functions import vectors as V
+    from ..functions.hashing import mix_spark
+    from ..operators.graph_ann import (
+        BEAM_WIDTH,
+        N_ENTRY,
+        QUERY_ROUNDS,
+    )
+    from ..operators.vector import K
+
+    edges = _graph_index_edges(spark, index_path).select("src", "dst")
+    edges = edges.localCheckpoint()
+    _, emb_path = _graph_index_paths(index_path)
+    emb = spark.read.parquet(emb_path).dropDuplicates(["vec_id"])
+    qv = q_emb.select(F.col("embedding").alias("q_emb"))
+
+    entries = (
+        emb.select("vec_id", F.expr(mix_spark("vec_id")).alias("_h"))
+        .orderBy("_h", "vec_id")
+        .limit(N_ENTRY)
+        .select("vec_id")
+    )
+
+    def _score(ids: DataFrame) -> DataFrame:
+        return (
+            ids.join(emb, "vec_id")
+            .crossJoin(F.broadcast(qv))
+            .select(
+                "vec_id",
+                V.cosine(F.col("q_emb"), F.col("embedding")).alias("sim"),
+            )
+        )
+
+    seeds = entries.unionByName(
+        spark.createDataFrame([(q_id,)], "vec_id bigint")
+    ).distinct()
+    explored = _score(seeds).localCheckpoint()
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+    for _ in range(QUERY_ROUNDS):
+        frontier = (
+            explored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= BEAM_WIDTH)
+            .select("vec_id")
+        )
+        expanded = (
+            frontier.join(edges, frontier.vec_id == edges.src)
+            .select(F.col("dst").alias("vec_id"))
+            .distinct()
+        )
+        fresh = expanded.join(
+            explored.select("vec_id"), "vec_id", "left_anti"
+        )
+        explored = explored.unionByName(_score(fresh)).localCheckpoint()
+
+    wr = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        explored.where(F.col("vec_id") != q_id)
+        .select("vec_id", F.round("sim", 4).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rn") <= K)
+        .orderBy("rn")
+    )

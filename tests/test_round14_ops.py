@@ -88,3 +88,271 @@ def test_q368_zero_range_reference_is_defined(spark, tmp_path):
     assert [(r["day"], r["n_t"], r["log_e"], r["rejected"]) for r in got] == [
         tuple(w) for w in want
     ]
+
+
+# --------------------------------------------------------------------------
+# Streaming hyperplane index (VERDICT r13 item 3): order-independent
+# structure, so stream-built == batch q320 EXACTLY, at both scales.
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_hyperplane_stream_equals_batch_both_scales(spark, sf, tmp_path):
+    from generative_ai_vector_db_spark.streaming import ingest_stream as ist
+
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    is_late = F.col("vec_id") % 10 == 3
+    seed, late = emb.where(~is_late), emb.where(is_late)
+
+    index = str(tmp_path / "hindex")
+    src = str(tmp_path / "hsrc")
+    ist.seed_hyperplane_index(spark, seed, index)
+    # duplicate the late rows within the single micro-batch: the
+    # absorb-side dedup must make this a no-op
+    late.unionAll(late).coalesce(1).write.parquet(src)
+    ist.run_hyperplane_index_stream(spark, src, index, str(tmp_path / "ck1"))
+
+    buckets = spark.read.parquet(index + "/buckets")
+    assert buckets.count() == 2 * emb.count()  # 2 tables per vector
+    assert buckets.select("vec_id").distinct().count() == emb.count()
+
+    q_emb = emb.where(F.col("vec_id") == vector.BINARY_Q_ID)
+    got = [
+        (r["vec_id"], r["cos_sim"], r["rn"])
+        for r in ist.query_hyperplane_index(
+            spark, index, q_emb, vector.BINARY_Q_ID
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cos_sim"], r["rn"])
+        for r in vector.q320_portable_hyperplane_ann(spark, sf).collect()
+    ]
+    assert got == want
+
+    # replay with a fresh checkpoint: absorb must be idempotent
+    ist.run_hyperplane_index_stream(spark, src, index, str(tmp_path / "ck2"))
+    assert spark.read.parquet(index + "/buckets").count() == 2 * emb.count()
+
+
+# --------------------------------------------------------------------------
+# Streaming graph index (VERDICT r13 item 3): bootstrap == batch build;
+# incremental absorb is deterministic, replay-idempotent, keeps every
+# absorbed node reachable, and holds a pinned recall floor vs exact.
+# --------------------------------------------------------------------------
+def _exact_topk_ids(spark, emb, q_id, k):
+    from pyspark.sql import Window
+
+    from generative_ai_vector_db_spark.functions import vectors as V
+
+    qv = emb.where(F.col("vec_id") == q_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    return {
+        r["vec_id"]
+        for r in emb.where(F.col("vec_id") != q_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                V.cosine(F.col("q_emb"), F.col("embedding")), 4
+            ).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .collect()
+    }
+
+
+def test_graph_index_bootstrap_equals_batch_build(spark, sf_dir_t2, tmp_path):
+    """An empty-index stream over the full corpus must build the SAME
+    edge store as seed_graph_index (one code path, tested equal)."""
+    from generative_ai_vector_db_spark.streaming import ingest_stream as ist
+
+    emb = load(spark, sf_dir_t2, "embeddings").select("vec_id", "embedding")
+    seeded = str(tmp_path / "gseed")
+    streamed = str(tmp_path / "gstream")
+    src = str(tmp_path / "gsrc")
+    ist.seed_graph_index(spark, emb, seeded)
+    emb.coalesce(1).write.parquet(src)
+    ist.run_graph_index_stream(spark, src, streamed, str(tmp_path / "ck"))
+
+    a = {
+        (r["src"], r["dst"])
+        for r in spark.read.parquet(seeded + "/edges").collect()
+    }
+    b = {
+        (r["src"], r["dst"])
+        for r in spark.read.parquet(streamed + "/edges").collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_graph_index_incremental_absorb(spark, sf_dir_t2, tmp_path):
+    """Seed 90%, stream 10%: absorb must be replay-idempotent and
+    deterministic, every absorbed node must have out-edges and be
+    beam-reachable, and the query answer over the maintained store
+    must keep a recall floor vs exact brute force."""
+    from generative_ai_vector_db_spark.operators.graph_ann import (
+        GRAPH_DEGREE,
+    )
+    from generative_ai_vector_db_spark.streaming import ingest_stream as ist
+
+    emb = load(spark, sf_dir_t2, "embeddings").select("vec_id", "embedding")
+    is_late = F.col("vec_id") % 10 == 3
+    seed, late = emb.where(~is_late), emb.where(is_late)
+
+    index = str(tmp_path / "gindex")
+    src = str(tmp_path / "gsrc")
+    ist.seed_graph_index(spark, seed, index)
+    late.coalesce(1).write.parquet(src)
+    ist.run_graph_index_stream(spark, src, index, str(tmp_path / "ck1"))
+
+    edges = ist._graph_index_edges(spark, index)
+    late_ids = {r["vec_id"] for r in late.select("vec_id").collect()}
+    srcs = {r["src"] for r in edges.select("src").distinct().collect()}
+    assert late_ids <= srcs  # every absorbed node has out-edges
+    # read-side degree bound holds
+    degmax = (
+        edges.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert degmax <= GRAPH_DEGREE + 2
+
+    q_emb = emb.where(F.col("vec_id") == vector.BINARY_Q_ID)
+    got = [
+        (r["vec_id"], r["cos_sim"], r["rn"])
+        for r in ist.query_graph_index(
+            spark, index, q_emb, vector.BINARY_Q_ID
+        ).collect()
+    ]
+    exact = _exact_topk_ids(spark, emb, vector.BINARY_Q_ID, vector.K)
+    recall = len({v for v, _, _ in got} & exact) / vector.K
+    assert recall >= 0.6  # deterministic fixture floor (measured 0.92+)
+
+    # replay with a fresh checkpoint: byte-identical edge store + answer
+    n_edges = spark.read.parquet(index + "/edges").count()
+    ist.run_graph_index_stream(spark, src, index, str(tmp_path / "ck2"))
+    assert spark.read.parquet(index + "/edges").count() == n_edges
+    again = [
+        (r["vec_id"], r["cos_sim"], r["rn"])
+        for r in ist.query_graph_index(
+            spark, index, q_emb, vector.BINARY_Q_ID
+        ).collect()
+    ]
+    assert again == got
+
+
+# --------------------------------------------------------------------------
+# Unified index catalog (VERDICT r13 item 5): the four faces behind
+# one create/append/query/open/describe/list contract.
+# --------------------------------------------------------------------------
+def test_index_catalog_roundtrip_all_kinds(spark, sf_dir_t2, tmp_path):
+    from generative_ai_vector_db_spark.operators import indexes as ix
+
+    root = str(tmp_path / "indexroot")
+    emb = load(spark, sf_dir_t2, "embeddings").select("vec_id", "embedding")
+    docs = load(spark, sf_dir_t2, "documents").select("doc_id", "text")
+    is_late = F.col("vec_id") % 10 == 3
+    seed, late = emb.where(~is_late), emb.where(is_late)
+
+    ix.create_index(spark, root, "vec_ivfpq", "ivfpq", seed)
+    ix.create_index(spark, root, "vec_planes", "hyperplane", seed)
+    ix.create_index(spark, root, "vec_graph", "graph", seed)
+    ix.create_index(spark, root, "doc_neardup", "neardup", docs)
+
+    listed = {
+        (r["name"], r["kind"]) for r in ix.list_indexes(spark, root).collect()
+    }
+    assert listed == {
+        ("vec_ivfpq", "ivfpq"),
+        ("vec_planes", "hyperplane"),
+        ("vec_graph", "graph"),
+        ("doc_neardup", "neardup"),
+    }
+
+    # append the held-out batch through the catalog, then query: the
+    # order-independent kinds must equal their batch ops exactly
+    for name in ("vec_ivfpq", "vec_planes", "vec_graph"):
+        ix.append_index(spark, root, name, late)
+    q_emb = emb.where(F.col("vec_id") == vector.BINARY_Q_ID)
+    got_ivf = [
+        (r["vec_id"], r["rn"])
+        for r in ix.query_index(
+            spark, root, "vec_ivfpq", q_emb, vector.BINARY_Q_ID
+        ).collect()
+    ]
+    want_ivf = [
+        (r["vec_id"], r["rn"])
+        for r in vector.q362_portable_ivfpq_ann(spark, sf_dir_t2).collect()
+    ]
+    assert got_ivf == want_ivf
+    got_hp = [
+        (r["vec_id"], r["rn"])
+        for r in ix.query_index(
+            spark, root, "vec_planes", q_emb, vector.BINARY_Q_ID
+        ).collect()
+    ]
+    want_hp = [
+        (r["vec_id"], r["rn"])
+        for r in vector.q320_portable_hyperplane_ann(
+            spark, sf_dir_t2
+        ).collect()
+    ]
+    assert got_hp == want_hp
+    # the graph face answers with a recall floor (order-dependent)
+    got_g = {
+        r["vec_id"]
+        for r in ix.query_index(
+            spark, root, "vec_graph", q_emb, vector.BINARY_Q_ID
+        ).collect()
+    }
+    exact = _exact_topk_ids(spark, emb, vector.BINARY_Q_ID, vector.K)
+    assert len(got_g & exact) / vector.K >= 0.6
+
+    # describe: every declared component present with sane counts
+    desc = {
+        r["component"]: r["n_rows"]
+        for r in ix.describe_index(spark, root, "vec_planes").collect()
+    }
+    assert desc["vectors"] == emb.count()
+    assert desc["buckets"] == 2 * emb.count()
+    comps = ix.open_index(spark, root, "doc_neardup")
+    assert set(comps) >= {"bands", "shingles"}
+
+    # neardup has no vector query face by design
+    with pytest.raises(ValueError):
+        ix.query_index(spark, root, "doc_neardup", q_emb, 0)
+    # unknown names/kinds fail loudly
+    with pytest.raises(ValueError):
+        ix.open_index(spark, root, "nope")
+    with pytest.raises(ValueError):
+        ix.create_index(spark, root, "x", "btree", emb)
+
+
+# --------------------------------------------------------------------------
+# Bench revival rule (VERDICT r13 item 7): the regression tripwire is
+# itself tested — a synthetic slow row must revive, in-band rows must
+# not, and every retired row must carry a band.
+# --------------------------------------------------------------------------
+def test_bench_revival_rule():
+    import bench
+
+    # every retired row has a recorded band (the rule can always fire)
+    assert set(bench.RETIRED) == set(bench.RETIRED_BANDS)
+
+    bands = {"qa": 1.0, "qb": 0.5}
+    # in-band and at-threshold rows stay retired; a slow row revives
+    assert bench.revived_queries({"qa": 0.9, "qb": 0.74}, bands) == []
+    assert bench.revived_queries({"qa": 1.5, "qb": 0.75}, bands) == []
+    assert bench.revived_queries({"qa": 1.51, "qb": 0.76}, bands) == [
+        "qa",
+        "qb",
+    ]
+    # a row with no band never revives silently wrong (ignored)
+    assert bench.revived_queries({"qz": 99.0}, bands) == []
+    # the real bands: a synthetic hiccup on q38 (its observed 4.6 s
+    # one-off) trips the rule exactly as BASELINE.md documents
+    assert bench.revived_queries({"q38_text_quality": 4.6}) == [
+        "q38_text_quality"
+    ]
+    assert bench.revived_queries({"q38_text_quality": 1.8}) == []

@@ -70,6 +70,14 @@ SYNTH_PROBE = [
     ("q366_semdedup_scaled_cells", ["embeddings"]),
     ("q347_portable_graph_ann", ["embeddings"]),
     ("q362_portable_ivfpq_ann", ["embeddings"]),
+    # the iterative graph family over the 10x events/lineitem decades
+    # (r14, VERDICT r13 item 4): iterative join rounds are where
+    # superlinear behavior typically hides
+    ("q242_shortest_paths", ["events"]),
+    ("q210_triangle_count", ["events"]),
+    ("q292_kcore", ["lineitem"]),
+    ("q294_label_propagation", ["lineitem"]),
+    ("q312_hits_bipartite", ["lineitem"]),
 ]
 
 ALPHA_FLAG = 1.3
@@ -117,9 +125,13 @@ def main() -> int:
         sys.path.insert(0, REPO)
         from generative_ai_vector_db_spark.sources.synthetic import (
             write_synthetic_decade,
+            write_synthetic_events_decade,
+            write_synthetic_lineitem_decade,
         )
 
         write_synthetic_decade(args.synth)
+        write_synthetic_events_decade(args.synth)
+        write_synthetic_lineitem_decade(args.synth)
         sf_dirs = [
             ("sf0.01", os.path.join(TESTDATA, "sf0.01")),
             ("sf0.1", os.path.join(TESTDATA, "sf0.1")),
