@@ -226,16 +226,21 @@ def main() -> int:
         # keep the fixture-ladder table; append/refresh the decade one
         synth_lines = [
             "",
-            "## Synthetic 10x decade (dedup/ANN heavies)",
+            "## Synthetic 10x decade (dedup/ANN + iterative-graph heavies)",
             "",
             "The fixture ladder grows documents/embeddings only 4x at",
             "its last step, so the rows above lean on one soft step for",
             "the text/vector families. `sources/synthetic.py::"
             "write_synthetic_decade` bootstraps a 50k-doc / 20k-vector",
             "corpus from the sf0.1 fixture (empirical vocab, lengths,",
-            "near-dup rate, per-label centroids + dispersion); this",
-            "table's rungs are sf0.01 / sf0.1 / synth10x — two full",
-            "measured decades for documents, 4x + 10x for embeddings.",
+            "near-dup rate, per-label centroids + dispersion);",
+            "`write_synthetic_events_decade` (epoch-bootstrapped, covisit",
+            "bucket occupancy preserved) and `write_synthetic_lineitem_"
+            "decade` (catalog-sharded epochs, copurchase degree",
+            "distribution preserved exactly) extend it to the iterative",
+            "graph family (r14). Rungs are sf0.01 / sf0.1 / synth10x —",
+            "two full measured decades for documents/events/lineitem,",
+            "4x + 10x for embeddings.",
             "",
             "| query | driver tables | rows (3 rungs) | wall s (3 rungs) |"
             " alpha | tail alpha | verdict |",
