@@ -20,6 +20,8 @@ or equivalence-tested face; this file only composes them:
                 recall-floor tested — QUALITY.md round-14 section)
   6. neardup  — the document index classifies + absorbs; results land
                 in the index's own results component
+  7. compact  — offline rewrite of the append-only stores to their
+                read-side-canonical view (answers unchanged, tested)
 
 Every stage prints a one-line summary; nothing is collected except
 the tiny summaries.
@@ -104,6 +106,15 @@ def main() -> None:
             ).collect()
         }
         print(f"[6]   neardup batch classified: {by}")
+
+    # 7. compact the graph store: superseded reverse edges drop out
+    comp = {
+        r["component"]: (r["rows_before"], r["rows_after"])
+        for r in ix.compact_index(spark, root, "ann_graph").collect()
+    }
+    print(f"[7]   ann_graph compacted: " + ", ".join(
+        f"{c} {b}->{a}" for c, (b, a) in sorted(comp.items())
+    ))
 
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()

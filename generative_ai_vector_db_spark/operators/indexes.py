@@ -212,3 +212,54 @@ def list_indexes(spark: SparkSession, root: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows), "name string, kind string"
     )
+
+
+def compact_index(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Offline compaction of an append-only index (the q202 discipline
+    the absorb faces defer to): rewrite each component to its
+    READ-SIDE-CANONICAL view — vectors/codes/buckets deduped by key,
+    graph edges pruned to the per-src degree bound that queries already
+    apply — via the staging-write + atomic-rename swap (`_upsert_batch`
+    / q335's crash discipline: a failure mid-compact leaves the old
+    store intact). Query results are unchanged by construction (the
+    rewrite IS the read-side view); only storage and probe-scan width
+    shrink. Returns one row per compacted component:
+    (name, component, rows_before, rows_after).
+
+    Scale: one shuffle per component on its key — the same cost as one
+    absorb over the whole store, scheduled offline (nightly / when the
+    append tail exceeds a fraction of the base), never per trigger."""
+    from ..fsutil import rename_dir
+    from ..streaming.ingest_stream import _graph_index_edges
+
+    kind = index_kind(spark, root, name)
+    path = _index_path(root, name)
+    dedup_keys = {
+        "vectors": ["vec_id"],
+        "codes": ["vec_id"],
+        "buckets": ["vec_id", "tbl"],
+        "bands": ["doc_id", "band"],
+        "shingles": ["doc_id"],
+        "results": ["doc_id"],
+    }
+    rows = []
+    for comp in _COMPONENTS[kind] + ("results",):
+        cpath = os.path.join(path, comp)
+        if not _path_exists(spark, cpath):
+            continue
+        before = spark.read.parquet(cpath)
+        n_before = before.count()
+        if kind == "graph" and comp == "edges":
+            canonical = _graph_index_edges(spark, path)
+        else:
+            canonical = before.dropDuplicates(dedup_keys[comp])
+        tmp = cpath + "._compacting"
+        canonical.write.mode("overwrite").parquet(tmp)
+        n_after = spark.read.parquet(tmp).count()
+        rename_dir(spark, tmp, cpath)
+        rows.append((name, comp, n_before, n_after))
+    return spark.createDataFrame(
+        rows,
+        "name string, component string, rows_before bigint,"
+        " rows_after bigint",
+    )

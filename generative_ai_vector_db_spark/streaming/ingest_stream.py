@@ -778,7 +778,8 @@ def query_hyperplane_index(
 #      is enforced READ-SIDE (per-src top-(G+2) window in
 #      _graph_index_edges) — the persisted store stays append-only
 #      (no read-modify-write of old rows per trigger; compaction is
-#      an offline rewrite, the q202 discipline). Growth is
+#      operators/indexes.py::compact_index — an offline rewrite, the
+#      q202 discipline, tested answer-preserving). Growth is
 #      O(batch * degree) rows per trigger; the corpus is never
 #      re-scored.
 # Bootstrap (empty index) delegates to build_knn_graph, so a single-

