@@ -77,6 +77,18 @@ def create_index(
 
     if kind not in _COMPONENTS:
         raise ValueError(f"unknown index kind {kind!r}")
+    # Refuse to clobber: a re-create of a different kind would
+    # overwrite _meta but orphan the old kind's components on disk
+    # (seeds overwrite only their OWN components), leaving a catalog
+    # entry whose directory mixes two families. Growing an existing
+    # index is append_index / run_index_stream — the reference's
+    # create-or-append (helper/multiple_document_upload.py:161-168)
+    # is that explicit caller decision, not a silent overwrite.
+    if _path_exists(spark, _meta_path(root, name)):
+        raise ValueError(
+            f"index {name!r} already exists under {root!r}; use"
+            " append_index / run_index_stream to grow it"
+        )
     path = _index_path(root, name)
     if kind == "ivfpq":
         ist.seed_vector_index(spark, df, path)

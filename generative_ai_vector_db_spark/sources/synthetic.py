@@ -254,7 +254,22 @@ def write_synthetic_decade(
 # produces in production. Deterministic: one seeded RandomState.
 # ---------------------------------------------------------------------------
 def synthetic_events_frame(src_dir: str, factor: int = 10, seed: int = 17):
-    """pandas events frame (fixture schema) at factor x the src span."""
+    """pandas events frame (fixture schema) at factor x the src span.
+
+    ``value`` gets a per-epoch integer-unit offset (epoch * stride,
+    stride = the fixture's whole-unit value range): a plain bootstrap
+    would resample the fixture's values and SATURATE the distinct-value
+    domain at 10x rows, measuring the wrong workload for the
+    distributed-prefix family (q220/q282/q316/q367/q368), whose cost
+    scales with the distinct-value domain — the fixture grows it
+    ~N^0.43 (6.6k -> 17.8k distinct from sf0.01 to sf0.1). The offset
+    grows the domain LINEARLY with rows (a conservative upper bound on
+    that trend), preserves each epoch's distribution shape exactly, and
+    shifts both comparison arms of every two-sample statistic equally.
+    The whole-unit stride keeps cent-exactness (q367/q368 integerize to
+    cents). Value-agnostic consumers (the covisit graph family
+    q242/q210 reads only user_id/event_type/ts) see an identical
+    workload."""
     import numpy as np
     import pandas as pd
     import pyarrow.parquet as pq_mod
@@ -275,12 +290,16 @@ def synthetic_events_frame(src_dir: str, factor: int = 10, seed: int = 17):
     # the union graph is factor decorrelated epoch graphs, not one
     # graph repeated (a repeat would distinct() back to 1x edges)
     users = src["user_id"].to_numpy()[rng.randint(0, n, size=n * factor)]
+    vals = src["value"].to_numpy()
+    # whole-unit epoch stride so cent-integerization stays exact and
+    # the distinct-value domain grows with rows (see docstring)
+    stride_v = float(np.floor(vals.max()) - np.floor(vals.min()) + 1.0)
     out = pd.DataFrame(
         {
             "ts": new_ts,
             "user_id": users.astype("int64"),
             "event_type": src["event_type"].to_numpy()[j],
-            "value": src["value"].to_numpy()[j],
+            "value": vals[j] + epoch * stride_v,
             "props": src["props"].to_numpy()[j],
         }
     )

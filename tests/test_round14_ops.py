@@ -330,6 +330,12 @@ def test_index_catalog_roundtrip_all_kinds(spark, sf_dir_t2, tmp_path):
         ix.open_index(spark, root, "nope")
     with pytest.raises(ValueError):
         ix.create_index(spark, root, "x", "btree", emb)
+    # re-create refuses to clobber — same kind AND cross-kind (a
+    # cross-kind overwrite would orphan the old components on disk)
+    with pytest.raises(ValueError, match="already exists"):
+        ix.create_index(spark, root, "vec_ivfpq", "ivfpq", emb)
+    with pytest.raises(ValueError, match="already exists"):
+        ix.create_index(spark, root, "vec_ivfpq", "hyperplane", emb)
 
 
 # --------------------------------------------------------------------------
@@ -444,3 +450,109 @@ def test_new_query_faces_plan_shapes(spark, sf_dir_t2, tmp_path):
 
     gplan = plan_of(ist._graph_index_edges(spark, gidx))
     assert "WindowGroupLimit" in gplan
+
+
+def test_events_decade_grows_distinct_value_domain():
+    """The events decade generator must GROW the distinct-value domain
+    with rows (whole-unit per-epoch offsets), not saturate it at the
+    fixture's domain: the distributed-prefix family's cost scales with
+    the distinct-value domain (the fixture grows it ~N^0.43), so a
+    plain value bootstrap would measure the wrong workload at 10x.
+    Value-agnostic columns must be untouched by the offset, and
+    cent-integerization (the q367/q368 exactness contract) must
+    survive it."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from generative_ai_vector_db_spark.sources.synthetic import (
+        synthetic_events_frame,
+    )
+
+    src_dir = "/root/testdata/sf0.01"
+    src = pq.read_table(src_dir + "/events.parquet").to_pandas()
+    pdf = synthetic_events_frame(src_dir, factor=4, seed=17)
+
+    assert len(pdf) == 4 * len(src)
+    # domain grows well past the fixture's (saturation would cap it)
+    assert pdf["value"].nunique() > 2 * src["value"].nunique()
+    # cent-exactness survives the whole-unit stride
+    cents = pdf["value"].to_numpy() * 100.0
+    assert np.allclose(cents, np.round(cents), atol=1e-6)
+    # per-epoch shape preserved exactly: mod the stride recovers a
+    # subset of the fixture's value multiset
+    stride = float(
+        np.floor(src["value"].max()) - np.floor(src["value"].min()) + 1.0
+    )
+    rec = np.round(pdf["value"].to_numpy() % stride, 2)
+    assert np.isin(rec, np.round(src["value"].unique(), 2)).all()
+    # deterministic (the probe regenerates on demand)
+    assert pdf.equals(synthetic_events_frame(src_dir, factor=4, seed=17))
+
+
+# --------------------------------------------------------------------------
+# Restart recovery: resume the maintenance stream from the SAME
+# checkpoint after new files arrive. The replay tests above prove a
+# FRESH-checkpoint rerun is absorbed idempotently; this proves the
+# other half of exactly-once — a resumed query processes only the
+# files that arrived since the last run, and the final index equals
+# the all-at-once build.
+# --------------------------------------------------------------------------
+def test_index_stream_resume_same_checkpoint(spark, sf_dir_t2, tmp_path):
+    from generative_ai_vector_db_spark.operators import indexes as ix
+
+    root = str(tmp_path / "root")
+    ck = str(tmp_path / "ck")
+    emb = load(spark, sf_dir_t2, "embeddings").select("vec_id", "embedding")
+    docs = load(spark, sf_dir_t2, "documents").select("doc_id", "text")
+    n_emb, n_docs = emb.count(), docs.count()
+
+    cases = [
+        ("ivfpq", emb, "vec_id", "codes", 1),
+        ("hyperplane", emb, "vec_id", "buckets", 2),
+        ("graph", emb, "vec_id", "vectors", 1),
+        ("neardup", docs, "doc_id", "results", 1),
+    ]
+    for kind, corpus, key, comp, per_row in cases:
+        phase_a = F.col(key) % 10 == 3
+        phase_b = F.col(key) % 10 == 7
+        seed = corpus.where(~phase_a & ~phase_b)
+        src = str(tmp_path / f"src_{kind}")
+        ix.create_index(spark, root, kind, kind, seed)
+
+        corpus.where(phase_a).coalesce(1).write.mode("append").parquet(src)
+        ix.run_index_stream(spark, root, kind, src, f"{ck}_{kind}")
+        # new file lands AFTER the first run; SAME checkpoint resumes
+        corpus.where(phase_b).coalesce(1).write.mode("append").parquet(src)
+        ix.run_index_stream(spark, root, kind, src, f"{ck}_{kind}")
+
+        total = n_emb if key == "vec_id" else n_docs
+        comp_df = spark.read.parquet(f"{root}/{kind}/{comp}")
+        if kind == "neardup":
+            # results cover exactly the two streamed phases, once each
+            absorbed = corpus.where(phase_a | phase_b).count()
+            assert comp_df.count() == absorbed
+            assert comp_df.select(key).distinct().count() == absorbed
+        else:
+            # phase-A rows absorbed once (not re-processed on resume),
+            # phase-B rows absorbed by the resumed query
+            assert comp_df.count() == per_row * total
+            assert comp_df.select(key).distinct().count() == total
+
+    # the order-independent vector kinds must answer exactly like
+    # their batch twins over the full corpus
+    q_emb = emb.where(F.col("vec_id") == vector.BINARY_Q_ID)
+    for kind, batch_fn in (
+        ("ivfpq", vector.q362_portable_ivfpq_ann),
+        ("hyperplane", vector.q320_portable_hyperplane_ann),
+    ):
+        got = [
+            (r["vec_id"], r["rn"])
+            for r in ix.query_index(
+                spark, root, kind, q_emb, vector.BINARY_Q_ID
+            ).collect()
+        ]
+        want = [
+            (r["vec_id"], r["rn"])
+            for r in batch_fn(spark, sf_dir_t2).collect()
+        ]
+        assert got == want

@@ -78,6 +78,18 @@ SYNTH_PROBE = [
     ("q292_kcore", ["lineitem"]),
     ("q294_label_propagation", ["lineitem"]),
     ("q312_hits_bipartite", ["lineitem"]),
+    # the distributed-prefix family (functions/prefix.py — the r12
+    # de-weak) over the events decade, whose value column now grows
+    # its distinct domain linearly with rows (see synthetic.py): the
+    # family's cost scales with the DISTINCT-VALUE domain, so a
+    # saturated-domain bootstrap would measure the wrong workload
+    ("q220_ks_drift", ["events"]),
+    ("q282_mann_whitney", ["events"]),
+    ("q316_cvm_test", ["events"]),
+    ("q367_anytime_ab_monitor", ["events"]),
+    ("q368_drift_edetector", ["events"]),
+    # late-interaction retrieval over the embeddings decade
+    ("q365_maxsim_late_interaction", ["embeddings"]),
 ]
 
 ALPHA_FLAG = 1.3
@@ -235,10 +247,14 @@ def main() -> int:
             "corpus from the sf0.1 fixture (empirical vocab, lengths,",
             "near-dup rate, per-label centroids + dispersion);",
             "`write_synthetic_events_decade` (epoch-bootstrapped, covisit",
-            "bucket occupancy preserved) and `write_synthetic_lineitem_"
-            "decade` (catalog-sharded epochs, copurchase degree",
+            "bucket occupancy preserved; the value column's distinct",
+            "domain grows linearly via whole-unit epoch offsets so the",
+            "distributed-prefix family is stressed, not saturated) and",
+            "`write_synthetic_lineitem_decade` (catalog-sharded epochs,",
+            "copurchase degree",
             "distribution preserved exactly) extend it to the iterative",
-            "graph family (r14). Rungs are sf0.01 / sf0.1 / synth10x —",
+            "graph family and the prefix/monitor family (r14). Rungs are",
+            "sf0.01 / sf0.1 / synth10x —",
             "two full measured decades for documents/events/lineitem,",
             "4x + 10x for embeddings.",
             "",
@@ -273,7 +289,9 @@ def main() -> int:
                 f"{len(sublin)}/{len(results)} probed ops show tail "
                 f"alpha <= 1.0 across the decade ({', '.join(sublin)}) — "
                 "scan-side candidate generation (bands/buckets/cells/"
-                "graph) bounding pair work at 10x.",
+                "graph) bounding pair work, and range-partitioned "
+                "prefix sums bounding the growing distinct-value "
+                "domain, at 10x.",
             ]
         pair = [
             (a, b)
