@@ -1143,18 +1143,28 @@ AB_E_LAMBDA = 0.25
 AB_E_LOG_THRESHOLD = 2.995732273553991  # ln(1/0.05), pinned literal
 
 
-def q367_anytime_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").where(
+def ab_daily_frame(ev: DataFrame, extra_keys: tuple = ()) -> DataFrame:
+    """Day-frame reduce for the A/B e-process: (day, n, k) from raw
+    click/purchase events. Shared by the batch op and the streaming
+    monitor face (streaming/ingest_stream.py), whose per-micro-batch
+    partials — this same reduce keyed additionally by source file via
+    ``extra_keys`` — merge into exactly this frame: integer sums
+    commute, so stream==batch is an exact equality."""
+    return ev.where(
         F.col("event_type").isin("click", "purchase")
-    )
-    daily = ev.groupBy(
-        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).groupBy(
+        *extra_keys,
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum((F.col("event_type") == "purchase").cast("bigint"))
         .cast("bigint")
         .alias("k"),
     )
+
+
+def ab_monitor_from_daily(daily: DataFrame) -> DataFrame:
+    """The q367 e-process table from a (day, n, k) day frame."""
     cum = prefix_sums(
         daily, ["day"], {"n": "n_t", "k": "k_t"}, inclusive=True
     )
@@ -1173,6 +1183,12 @@ def q367_anytime_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("day")
+    )
+
+
+def q367_anytime_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ab_monitor_from_daily(
+        ab_daily_frame(load(spark, sf_dir, "events"))
     )
 
 
@@ -1244,20 +1260,26 @@ DRIFT_E_LAMBDA = 0.125
 DRIFT_E_LOG_THRESHOLD = 2.995732273553991  # ln(1/0.05), pinned literal
 
 
-def q368_drift_edetector(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").where(
-        F.col("event_type") == DRIFT_TYPE
-    )
-    daily = ev.groupBy(
-        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+def drift_daily_frame(ev: DataFrame, extra_keys: tuple = ()) -> DataFrame:
+    """Day-frame reduce for the drift e-process: (day, n, s, mx, mn)
+    over integer cents. Shared by the batch op and the streaming
+    monitor face (which keys it additionally by source file via
+    ``extra_keys``) — sums, min and max all merge associatively
+    across micro-batch partials, so stream==batch is exact."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return ev.where(F.col("event_type") == DRIFT_TYPE).groupBy(
+        *extra_keys,
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.round(F.col("value") * 100).cast("bigint"))
-        .cast("bigint")
-        .alias("s"),
-        F.max(F.round(F.col("value") * 100).cast("bigint")).alias("mx"),
-        F.min(F.round(F.col("value") * 100).cast("bigint")).alias("mn"),
+        F.sum(cents).cast("bigint").alias("s"),
+        F.max(cents).alias("mx"),
+        F.min(cents).alias("mn"),
     )
+
+
+def drift_edetector_from_daily(daily: DataFrame) -> DataFrame:
+    """The q368 e-process table from a (day, n, s, mx, mn) day frame."""
     ranked = prefix_sums(
         daily.withColumn("_one", F.lit(1)),
         ["day"],
@@ -1308,6 +1330,12 @@ def q368_drift_edetector(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("day")
+    )
+
+
+def q368_drift_edetector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return drift_edetector_from_daily(
+        drift_daily_frame(load(spark, sf_dir, "events"))
     )
 
 

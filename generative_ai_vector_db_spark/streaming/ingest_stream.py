@@ -1028,3 +1028,139 @@ def query_graph_index(
         .where(F.col("rn") <= K)
         .orderBy("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming anytime-valid monitors (r14): the q367 A/B e-process and
+# the q368 drift e-detector as CONTINUOUSLY-MAINTAINED monitors — the
+# production shape these statistics exist for (Ramdas et al.: the
+# e-process is valid at ANY stopping rule, i.e. read after every
+# micro-batch). Each trigger reduces the micro-batch to its per-day
+# integer partials (counts / cent-sums / min / max) and APPENDS them
+# keyed by SOURCE FILE (input_file_name — the file stream's content
+# key; a batch_id key would alias DIFFERENT file sets across
+# checkpoint generations, double-counting on a fresh-checkpoint
+# replay); the read side dedups on (src_file, day), so re-processing
+# any file — crash replay on the same checkpoint OR a full
+# fresh-checkpoint replay — re-appends identical partials that dedup
+# away. The merged day frame rides the SAME ab_monitor_from_daily /
+# drift_edetector_from_daily core as the graded batch ops. Integer sums and min/max merge associatively
+# across any batch split, so stream==batch is an EXACT equality
+# (tested at sf0.01 and sf0.1), not an approximation.
+#
+# Scale: per trigger the work is O(micro-batch) plus a day-frame
+# recompute over the partials store, which grows with days x batches
+# (tiny integers), not with events; the raw stream is never rescanned.
+# ---------------------------------------------------------------------------
+def _monitor_partials_path(monitor_path: str) -> str:
+    return os.path.join(monitor_path, "daily_partials")
+
+
+def _ab_monitor_batch(batch: DataFrame, monitor_path: str) -> None:
+    from ..operators.stats import ab_daily_frame
+
+    ab_daily_frame(
+        batch.withColumn("src_file", F.input_file_name()),
+        extra_keys=("src_file",),
+    ).write.mode("append").parquet(_monitor_partials_path(monitor_path))
+
+
+def _drift_monitor_batch(batch: DataFrame, monitor_path: str) -> None:
+    from ..operators.stats import drift_daily_frame
+
+    drift_daily_frame(
+        batch.withColumn("src_file", F.input_file_name()),
+        extra_keys=("src_file",),
+    ).write.mode("append").parquet(_monitor_partials_path(monitor_path))
+
+
+_EVENTS_STREAM_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint,"
+    " event_type string, value double, props string"
+)
+
+
+def _run_monitor_stream(
+    spark: SparkSession,
+    src_dir: str,
+    monitor_path: str,
+    checkpoint_dir: str,
+    batch_fn,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    reader = spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(src_dir)
+    (
+        ev.writeStream.foreachBatch(
+            lambda batch, _bid: batch_fn(batch, monitor_path)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def run_ab_monitor_stream(
+    spark: SparkSession,
+    src_dir: str,
+    monitor_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Maintain the q367 A/B e-process over an events file stream."""
+    _run_monitor_stream(
+        spark, src_dir, monitor_path, checkpoint_dir,
+        _ab_monitor_batch, max_files_per_trigger,
+    )
+
+
+def run_drift_monitor_stream(
+    spark: SparkSession,
+    src_dir: str,
+    monitor_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Maintain the q368 drift e-detector over an events file stream."""
+    _run_monitor_stream(
+        spark, src_dir, monitor_path, checkpoint_dir,
+        _drift_monitor_batch, max_files_per_trigger,
+    )
+
+
+def _merged_partials(spark: SparkSession, monitor_path: str) -> DataFrame:
+    # dedup on (src_file, day): re-processing a file under ANY
+    # checkpoint re-appends the same deterministic partial row;
+    # distinct files legitimately contribute separate partials for
+    # one day and merge by sum/min/max
+    return (
+        spark.read.parquet(_monitor_partials_path(monitor_path))
+        .dropDuplicates(["src_file", "day"])
+    )
+
+
+def read_ab_monitor(spark: SparkSession, monitor_path: str) -> DataFrame:
+    """The q367 e-process table over everything absorbed so far."""
+    from ..operators.stats import ab_monitor_from_daily
+
+    daily = _merged_partials(spark, monitor_path).groupBy("day").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("k"),
+    )
+    return ab_monitor_from_daily(daily)
+
+
+def read_drift_monitor(spark: SparkSession, monitor_path: str) -> DataFrame:
+    """The q368 e-detector table over everything absorbed so far."""
+    from ..operators.stats import drift_edetector_from_daily
+
+    daily = _merged_partials(spark, monitor_path).groupBy("day").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("s"),
+        F.max("mx").alias("mx"),
+        F.min("mn").alias("mn"),
+    )
+    return drift_edetector_from_daily(daily)

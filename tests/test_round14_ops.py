@@ -556,3 +556,69 @@ def test_index_stream_resume_same_checkpoint(spark, sf_dir_t2, tmp_path):
             for r in batch_fn(spark, sf_dir_t2).collect()
         ]
         assert got == want
+
+
+# --------------------------------------------------------------------------
+# Streaming anytime-valid monitors: the q367/q368 e-processes
+# maintained per micro-batch. E-processes exist for exactly this
+# deployment (valid at any stopping rule = read after every trigger);
+# integer partials merge associatively, so stream==batch is EXACT.
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_monitor_streams_equal_batch(spark, sf, tmp_path):
+    from generative_ai_vector_db_spark.operators import stats
+    from generative_ai_vector_db_spark.streaming import ingest_stream as ist
+
+    ev = load(spark, sf, "events")
+
+    cases = [
+        (
+            "ab",
+            ist.run_ab_monitor_stream,
+            ist.read_ab_monitor,
+            stats.q367_anytime_ab_monitor,
+            ("day", "n_t", "k_t", "log_e", "rejected"),
+        ),
+        (
+            "drift",
+            ist.run_drift_monitor_stream,
+            ist.read_drift_monitor,
+            stats.q368_drift_edetector,
+            ("day", "n_t", "log_e", "rejected"),
+        ),
+    ]
+    for name, run_fn, read_fn, batch_fn, cols in cases:
+        src = str(tmp_path / f"src_{name}")
+        mon = str(tmp_path / f"mon_{name}")
+        ck = str(tmp_path / f"ck_{name}")
+        # slices interleave DAYS across micro-batches (the hard case:
+        # every day's counts must merge across triggers)
+        for s in (0, 1):
+            ev.where(F.col("event_id") % 3 == s).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        run_fn(spark, src, mon, ck, max_files_per_trigger=1)
+        # a later file resumes the SAME checkpoint (restart recovery)
+        ev.where(F.col("event_id") % 3 == 2).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run_fn(spark, src, mon, ck, max_files_per_trigger=1)
+
+        got = [
+            tuple(r[c] for c in cols) for r in read_fn(spark, mon).collect()
+        ]
+        want = [
+            tuple(r[c] for c in cols) for r in batch_fn(spark, sf).collect()
+        ]
+        assert got == want and len(want) > 0, name
+
+        # replay the whole stream under a FRESH checkpoint: partials
+        # re-append under the same batch_ids; the read-side dedup
+        # must keep the monitor identical
+        run_fn(spark, src, mon, str(tmp_path / f"ck2_{name}"))
+        got2 = [
+            tuple(r[c] for c in cols) for r in read_fn(spark, mon).collect()
+        ]
+        assert got2 == want, name
