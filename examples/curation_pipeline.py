@@ -140,6 +140,39 @@ def main() -> None:
         f"(final log E={drift['log_e'].iloc[-1]:.3f})"
     )
 
+    # 13b. the same drift monitor as you would DEPLOY it (r14): a
+    # maintenance stream absorbs event files per micro-batch into
+    # per-day integer partials; reading the monitor after any trigger
+    # gives the exact batch table — validity at any stopping rule is
+    # the whole point of the e-process.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from generative_ai_vector_db_spark.streaming import (
+        ingest_stream as ist,
+    )
+    from generative_ai_vector_db_spark.tables import load
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src, mon, ck = f"{tmp}/src", f"{tmp}/mon", f"{tmp}/ck"
+        ev = load(spark, sf_dir, "events")
+        for s in (0, 1, 2):  # days interleave across micro-batches
+            ev.where(F.col("event_id") % 3 == s).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        ist.run_drift_monitor_stream(
+            spark, src, mon, ck, max_files_per_trigger=1
+        )
+        live = ist.read_drift_monitor(spark, mon).toPandas()
+        same = live[["day", "n_t", "log_e", "rejected"]].equals(
+            drift[["day", "n_t", "log_e", "rejected"]]
+        )
+        print(
+            f"[13b] streaming drift monitor: {len(live)} monitored days "
+            f"across 3 micro-batches; equals batch table: {same}"
+        )
+
     spark.stop()
     print("curation pipeline complete")
 
