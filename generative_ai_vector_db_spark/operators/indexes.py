@@ -13,6 +13,8 @@ test as one surface:
     run_index_stream(spark, root, "prod", src, ck)    # continuous absorb
     query_index(spark, root, "prod", q_emb, q_id)     # probe, never rescans
     open_index / describe_index / list_indexes        # catalog surface
+    compact_index(spark, root, "prod")                # offline rewrite
+    drop_index(spark, root, "prod")                   # R22 analog
 
 Kinds and their persisted components (append-only parquet; Delta/
 Iceberg at production — an environment binding, not a design change):
@@ -275,3 +277,22 @@ def compact_index(spark: SparkSession, root: str, name: str) -> DataFrame:
         "name string, component string, rows_before bigint,"
         " rows_after bigint",
     )
+
+
+def drop_index(spark: SparkSession, root: str, name: str) -> None:
+    """R22 analog for indexes: remove index ``name`` and every
+    component under it. Fails loudly on an unknown name (the
+    create-side contract: silent no-ops hide typos that leave the
+    real index growing unmaintained). Deletes through the Hadoop
+    FileSystem API so it works on any Spark-reachable scheme, and
+    deletes ``_meta`` FIRST — a crash mid-drop then leaves a
+    directory the catalog no longer lists (invisible garbage, never
+    a half-readable index)."""
+    from ..fsutil import _hadoop_path_and_fs
+
+    # raises ValueError on unknown names
+    index_kind(spark, root, name)
+    mpath, fs = _hadoop_path_and_fs(spark, _meta_path(root, name))
+    fs.delete(mpath, True)
+    hpath, fs = _hadoop_path_and_fs(spark, _index_path(root, name))
+    fs.delete(hpath, True)

@@ -622,3 +622,31 @@ def test_monitor_streams_equal_batch(spark, sf, tmp_path):
             tuple(r[c] for c in cols) for r in read_fn(spark, mon).collect()
         ]
         assert got2 == want, name
+
+
+def test_index_catalog_drop(spark, sf_dir_t2, tmp_path):
+    """drop_index removes the index from the catalog AND disk, fails
+    loudly on unknown names, and frees the name for re-create."""
+    from generative_ai_vector_db_spark.operators import indexes as ix
+
+    root = str(tmp_path / "root")
+    emb = load(spark, sf_dir_t2, "embeddings").select("vec_id", "embedding")
+    ix.create_index(spark, root, "a", "hyperplane", emb)
+    ix.create_index(spark, root, "b", "ivfpq", emb)
+
+    ix.drop_index(spark, root, "a")
+    listed = {r["name"] for r in ix.list_indexes(spark, root).collect()}
+    assert listed == {"b"}
+    import os as _os
+
+    assert not _os.path.exists(str(tmp_path / "root" / "a"))
+    with pytest.raises(ValueError):
+        ix.open_index(spark, root, "a")
+    with pytest.raises(ValueError):
+        ix.drop_index(spark, root, "a")  # already gone -> loud
+    # the name is free again, and the survivor is untouched
+    ix.create_index(spark, root, "a", "graph", emb)
+    listed = {
+        (r["name"], r["kind"]) for r in ix.list_indexes(spark, root).collect()
+    }
+    assert listed == {("a", "graph"), ("b", "ivfpq")}
