@@ -650,3 +650,40 @@ def test_index_catalog_drop(spark, sf_dir_t2, tmp_path):
         (r["name"], r["kind"]) for r in ix.list_indexes(spark, root).collect()
     }
     assert listed == {("a", "graph"), ("b", "ivfpq")}
+
+
+def test_monitor_stream_before_first_matching_event(spark, tmp_path):
+    """A monitor deployed before any matching event arrives must stay
+    readable: a micro-batch with zero click/purchase rows appends a
+    zero-row (schema-preserving) partial and the monitor reads as
+    empty rather than throwing; matching events in a later file then
+    populate it through the same checkpoint."""
+    from generative_ai_vector_db_spark.operators import stats
+    from generative_ai_vector_db_spark.streaming import ingest_stream as ist
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    mon = str(tmp_path / "mon")
+    ck = str(tmp_path / "ck")
+
+    ev.where(F.col("event_type") == "view").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ist.run_ab_monitor_stream(spark, src, mon, ck)
+    assert ist.read_ab_monitor(spark, mon).count() == 0
+
+    ev.where(F.col("event_type") != "view").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ist.run_ab_monitor_stream(spark, src, mon, ck)
+    got = [
+        (r["day"], r["n_t"], r["k_t"], r["log_e"], r["rejected"])
+        for r in ist.read_ab_monitor(spark, mon).collect()
+    ]
+    want = [
+        (r["day"], r["n_t"], r["k_t"], r["log_e"], r["rejected"])
+        for r in stats.q367_anytime_ab_monitor(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    ]
+    assert got == want and len(want) > 0
