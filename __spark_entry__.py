@@ -100,8 +100,10 @@ _PRIORITY = [
     # de-weak added the n_cells rung ladder), so its r13 record no
     # longer describes its output and it must re-grade first. No new
     # registry rows this round (VERDICT item 8: depth over breadth -
-    # the r14 additions are streaming faces and the index catalog,
-    # rows-only surfaces tested in tests/test_round14_ops.py). The
+    # the r14 additions are streaming faces for all four index
+    # families and the q367/q368 monitors, the index catalog with its
+    # full lifecycle, and decade-scale evidence, all rows-only
+    # surfaces tested in tests/test_round14_ops.py). The
     # last 4 slots resume the staleness rotation at the r6 tier
     # (q01-q04). Below the fold: the r13 window (freshest records),
     # then prior tiers in prior order; rows-only-by-design stay at
