@@ -183,6 +183,53 @@ def revived_queries(
     )
 
 
+# r14 verdict item 2: the point probe alone has a false-negative mode
+# — BENCH_r14 recorded kept-rep totals of [178.1, 90.4, 103.0] (kept
+# spread 97%) while the probes only flagged the DROPPED rep, so the
+# record self-labeled `contended: false`. Contention that lands on the
+# measured queries but misses the 2-second probe window is invisible
+# to the probe; the kept reps' own spread is the direct evidence.
+REP_RELATIVE_FACTOR = 1.5  # kept rep total vs fastest kept rep
+KEPT_SPREAD_LIMIT_PCT = 35.0  # max-min over min across kept reps
+
+
+def contention_verdict(
+    probe_times: list[float],
+    kept_idx: list[int],
+    kept_totals: list[float],
+) -> dict:
+    """Combine the point probe with rep-relative evidence (pure, so it
+    unit-tests on recorded BENCH shapes without a Spark session).
+
+    - probe: any KEPT rep whose pre-rep probe ran > 1.5x the session's
+      median probe (the r11 rule, unchanged).
+    - rep-relative: any kept rep total > REP_RELATIVE_FACTOR x the
+      fastest kept rep — same-workload reps differing 1.5x cannot both
+      be steady-state.
+    - spread: kept spread above KEPT_SPREAD_LIMIT_PCT.
+    """
+    probe_ref = statistics.median(probe_times) if probe_times else 0.0
+    contended_reps = [
+        i for i, p in enumerate(probe_times) if p > 1.5 * probe_ref
+    ]
+    probe_hit = bool(set(contended_reps) & set(kept_idx))
+    lo = min(kept_totals) if kept_totals else 0.0
+    rep_relative_hit = bool(lo) and any(
+        t > REP_RELATIVE_FACTOR * lo for t in kept_totals
+    )
+    spread_pct = (
+        round(100.0 * (max(kept_totals) - lo) / lo, 1) if lo else 0.0
+    )
+    spread_hit = spread_pct > KEPT_SPREAD_LIMIT_PCT
+    return {
+        "contended_reps": contended_reps,
+        "contended_probe": probe_hit,
+        "contended_rep_relative": rep_relative_hit,
+        "contended_spread": spread_hit,
+        "contended": probe_hit or rep_relative_hit or spread_hit,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -260,15 +307,6 @@ def main() -> None:
         )
         kept_idx.remove(drop_i)
     kept = [per_rep[i] for i in kept_idx]
-    # reference = MEDIAN probe, not the minimum: one anomalously fast
-    # probe (observed 0.195 s against a 0.35 s session norm) would
-    # otherwise flag every normal rep as contended — the flag should
-    # fire for reps slower than the session's typical, not for the
-    # session being briefly lucky.
-    probe_ref = statistics.median(probe_times)
-    contended_reps = [
-        i for i, p in enumerate(probe_times) if p > 1.5 * probe_ref
-    ]
     times = {
         name: round(statistics.median(r[name] for r in kept), 3)
         for name in HEADLINE
@@ -276,6 +314,12 @@ def main() -> None:
     kept_totals = [round(sum(r.values()), 3) for r in kept]
     lo, hi = min(kept_totals), max(kept_totals)
     rlo, rhi = min(rep_totals), max(rep_totals)
+    # reference inside contention_verdict = MEDIAN probe, not the
+    # minimum: one anomalously fast probe (observed 0.195 s against a
+    # 0.35 s session norm) would otherwise flag every normal rep as
+    # contended — the flag should fire for reps slower than the
+    # session's typical, not for the session being briefly lucky.
+    verdict = contention_verdict(probe_times, kept_idx, kept_totals)
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(times.values()), 3),
@@ -293,8 +337,7 @@ def main() -> None:
         "retired_total": round(sum(retired_times.values()), 3),
         "revived": revived_queries(retired_times),
         "probe_times": probe_times,
-        "contended_reps": contended_reps,
-        "contended": bool(set(contended_reps) & set(kept_idx)),
+        **verdict,
     }
     print(json.dumps(out))
     spark.stop()

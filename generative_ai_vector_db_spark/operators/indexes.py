@@ -23,13 +23,19 @@ Iceberg at production — an environment binding, not a design change):
     hyperplane buckets(vec_id, tbl, bucket) + vectors   (q320 family)
     graph      edges(src, dst, sim)         + vectors   (q214/q347 family)
     neardup    bands(doc_id, band, key) + shingles      (q302/q322 family)
+    ab_monitor     daily_partials(src_file, day, n, k)     (q367 family)
+    drift_monitor  daily_partials(src_file, day, n, s, ..) (q368 family)
 
 The kind is recorded in a one-row ``_meta`` parquet component at
 create time, so ``append``/``query`` dispatch without the caller
 restating it. ``neardup`` is a document index: its absorb classifies
 AND absorbs (results land in the index's ``results`` component), and
 ``query_index`` is undefined for it by design — probing without
-absorbing is the batch op q322.
+absorbing is the batch op q322. The two monitor kinds (r15, VERDICT
+r14 item 4) are EVENT indexes: their absorb reduces a micro-batch of
+events to per-day integer partials, and their read face is
+``read_index`` — the full anytime e-process table (q367/q368) over
+everything absorbed so far; ``query_index`` is undefined for them.
 
 Scale: every operation below is a thin dispatcher over the streaming
 faces, which are each O(batch) per trigger with read-side dedup /
@@ -49,9 +55,14 @@ _COMPONENTS = {
     "hyperplane": ("buckets", "vectors"),
     "graph": ("edges", "vectors"),
     "neardup": ("bands", "shingles"),
+    "ab_monitor": ("daily_partials",),
+    "drift_monitor": ("daily_partials",),
 }
 
 _VECTOR_KINDS = ("ivfpq", "hyperplane", "graph")
+_MONITOR_KINDS = ("ab_monitor", "drift_monitor")
+
+_COMPACT_SUFFIX = "._compacting"
 
 
 def _index_path(root: str, name: str) -> str:
@@ -62,10 +73,56 @@ def _meta_path(root: str, name: str) -> str:
     return os.path.join(_index_path(root, name), "_meta")
 
 
+def _recover_components(spark: SparkSession, root: str, name: str) -> None:
+    """Read-side recovery for a crash inside ``compact_index``'s
+    two-rename swap (r14 verdict item 3). Every catalog operation
+    passes through here (via ``index_kind``), so a component is never
+    observed missing:
+
+    - base present  + ``._old``/``._compacting`` leftover -> the swap
+      completed (or the staging write died early); drop the leftover.
+    - base MISSING + committed ``._compacting`` (has _SUCCESS — the
+      swap only starts after the staging write commits) -> the crash
+      hit between the two renames; roll FORWARD by renaming the staged
+      copy into place (compaction is answer-preserving, so forward ==
+      back for readers).
+    - base MISSING + ``._old`` only -> roll BACK the prior copy.
+
+    Committed-``._compacting`` entries are processed first so the
+    between-renames state (both leftovers present) deterministically
+    rolls forward. Cost: one listStatus of the index dir per call."""
+    from ..fsutil import OLD_SUFFIX, _hadoop_path_and_fs
+
+    path = _index_path(root, name)
+    hpath, fs = _hadoop_path_and_fs(spark, path)
+    if not fs.exists(hpath):
+        return
+    leftovers = []
+    for st in fs.listStatus(hpath):
+        n = st.getPath().getName()
+        if n.endswith(OLD_SUFFIX) or n.endswith(_COMPACT_SUFFIX):
+            leftovers.append(n)
+    for n in sorted(leftovers, key=lambda x: not x.endswith(_COMPACT_SUFFIX)):
+        suffix = _COMPACT_SUFFIX if n.endswith(_COMPACT_SUFFIX) else OLD_SUFFIX
+        base = os.path.join(path, n[: -len(suffix)])
+        lpath = os.path.join(path, n)
+        lp, _ = _hadoop_path_and_fs(spark, lpath)
+        committed = suffix == OLD_SUFFIX or _path_exists(
+            spark, os.path.join(lpath, "_SUCCESS")
+        )
+        if _path_exists(spark, base) or not committed:
+            fs.delete(lp, True)
+        else:
+            bp, _ = _hadoop_path_and_fs(spark, base)
+            if not fs.rename(lp, bp):
+                raise IOError(f"recovery rename {lpath} -> {base} failed")
+
+
 def index_kind(spark: SparkSession, root: str, name: str) -> str:
     meta = _meta_path(root, name)
     if not _path_exists(spark, meta):
         raise ValueError(f"index {name!r} does not exist under {root!r}")
+    _recover_components(spark, root, name)
     return spark.read.parquet(meta).first()["kind"]
 
 
@@ -92,12 +149,26 @@ def create_index(
             " append_index / run_index_stream to grow it"
         )
     path = _index_path(root, name)
+    # A directory WITHOUT _meta is invisible garbage by the drop
+    # contract (drop deletes _meta first, so a crash mid-drop leaves
+    # exactly this state). Clear it before seeding so stale components
+    # from the half-dropped index can't leak into the new one via
+    # open/describe/compact (r14 advice).
+    if _path_exists(spark, path):
+        from ..fsutil import _hadoop_path_and_fs
+
+        hpath, fs = _hadoop_path_and_fs(spark, path)
+        fs.delete(hpath, True)
     if kind == "ivfpq":
         ist.seed_vector_index(spark, df, path)
     elif kind == "hyperplane":
         ist.seed_hyperplane_index(spark, df, path)
     elif kind == "graph":
         ist.seed_graph_index(spark, df, path)
+    elif kind == "ab_monitor":
+        ist._ab_monitor_batch(df, path)
+    elif kind == "drift_monitor":
+        ist._drift_monitor_batch(df, path)
     else:
         ist.seed_neardup_index(spark, df, path)
     spark.createDataFrame([(name, kind)], "name string, kind string").coalesce(
@@ -120,6 +191,10 @@ def append_index(
         ist._hyperplane_index_batch(batch, path)
     elif kind == "graph":
         ist._graph_index_batch(batch, path)
+    elif kind == "ab_monitor":
+        ist._ab_monitor_batch(batch, path)
+    elif kind == "drift_monitor":
+        ist._drift_monitor_batch(batch, path)
     else:
         ist._neardup_batch(batch, path, os.path.join(path, "results"))
 
@@ -149,6 +224,14 @@ def run_index_stream(
         ist.run_graph_index_stream(
             spark, src_dir, path, checkpoint_dir, max_files_per_trigger
         )
+    elif kind == "ab_monitor":
+        ist.run_ab_monitor_stream(
+            spark, src_dir, path, checkpoint_dir, max_files_per_trigger
+        )
+    elif kind == "drift_monitor":
+        ist.run_drift_monitor_stream(
+            spark, src_dir, path, checkpoint_dir, max_files_per_trigger
+        )
     else:
         ist.run_neardup_stream(
             spark,
@@ -176,9 +259,35 @@ def query_index(
         return ist.query_hyperplane_index(spark, path, q_emb, q_id)
     if kind == "graph":
         return ist.query_graph_index(spark, path, q_emb, q_id)
+    if kind in _MONITOR_KINDS:
+        raise ValueError(
+            f"index kind {kind!r} has no vector query face; its read"
+            " face is read_index (the anytime e-process table)"
+        )
     raise ValueError(
         f"index kind {kind!r} has no vector query face; "
         "probe-and-absorb via append_index (q322 is the batch probe)"
+    )
+
+
+def read_index(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Monitor read face (r15): the full anytime e-process table
+    (q367 for ``ab_monitor``, q368 for ``drift_monitor``) over
+    everything absorbed so far. Empty — not an error — before the
+    first matching event (cold-start contract). Undefined for the
+    vector/document kinds, whose read faces are query_index /
+    open_index."""
+    from ..streaming import ingest_stream as ist
+
+    kind = index_kind(spark, root, name)
+    path = _index_path(root, name)
+    if kind == "ab_monitor":
+        return ist.read_ab_monitor(spark, path)
+    if kind == "drift_monitor":
+        return ist.read_drift_monitor(spark, path)
+    raise ValueError(
+        f"index kind {kind!r} has no monitor read face; use"
+        " query_index / open_index"
     )
 
 
@@ -233,17 +342,22 @@ def compact_index(spark: SparkSession, root: str, name: str) -> DataFrame:
     the absorb faces defer to): rewrite each component to its
     READ-SIDE-CANONICAL view — vectors/codes/buckets deduped by key,
     graph edges pruned to the per-src degree bound that queries already
-    apply — via the staging-write + atomic-rename swap (`_upsert_batch`
-    / q335's crash discipline: a failure mid-compact leaves the old
-    store intact). Query results are unchanged by construction (the
-    rewrite IS the read-side view); only storage and probe-scan width
-    shrink. Returns one row per compacted component:
+    apply — via a staging write + the TWO-RENAME swap (``swap_dir``,
+    r14 verdict item 3): the staged copy commits (with _SUCCESS)
+    before the live component moves aside, so NO instant of the swap
+    has both copies gone. A crash anywhere in the sequence leaves a
+    state ``_recover_components`` repairs on the next catalog call —
+    partial stage with base intact: stage dropped; between the
+    renames: committed stage rolls forward; after the second rename:
+    stale ``._old`` dropped. Query results are unchanged by
+    construction (the rewrite IS the read-side view); only storage and
+    probe-scan width shrink. Returns one row per compacted component:
     (name, component, rows_before, rows_after).
 
     Scale: one shuffle per component on its key — the same cost as one
     absorb over the whole store, scheduled offline (nightly / when the
     append tail exceeds a fraction of the base), never per trigger."""
-    from ..fsutil import rename_dir
+    from ..fsutil import swap_dir
     from ..streaming.ingest_stream import _graph_index_edges
 
     kind = index_kind(spark, root, name)
@@ -255,6 +369,7 @@ def compact_index(spark: SparkSession, root: str, name: str) -> DataFrame:
         "bands": ["doc_id", "band"],
         "shingles": ["doc_id"],
         "results": ["doc_id"],
+        "daily_partials": ["src_file", "day"],
     }
     rows = []
     for comp in _COMPONENTS[kind] + ("results",):
@@ -267,10 +382,10 @@ def compact_index(spark: SparkSession, root: str, name: str) -> DataFrame:
             canonical = _graph_index_edges(spark, path)
         else:
             canonical = before.dropDuplicates(dedup_keys[comp])
-        tmp = cpath + "._compacting"
+        tmp = cpath + _COMPACT_SUFFIX
         canonical.write.mode("overwrite").parquet(tmp)
         n_after = spark.read.parquet(tmp).count()
-        rename_dir(spark, tmp, cpath)
+        swap_dir(spark, tmp, cpath)
         rows.append((name, comp, n_before, n_after))
     return spark.createDataFrame(
         rows,

@@ -3132,18 +3132,29 @@ def _semdedup_rungs(n_docs: int) -> list[int]:
 
 
 def _semdedup_tau_curve(
-    spark: SparkSession, emb: DataFrame, n_cells: int, name: str
+    spark: SparkSession,
+    emb: DataFrame,
+    n_cells: int,
+    name: str,
+    pivots: DataFrame | None = None,
 ) -> DataFrame:
     """One rung of the SemDeDup curve: within-cell pair scan at
     ``n_cells`` pinned pivots, swept over SEMDEDUP_TAUS. Shared by
-    q346 (rung ladder) and q366 (fixed scaled rung)."""
+    q346 (rung ladder) and q366 (fixed scaled rung). ``pivots`` (r15):
+    an optional (cell, cent) BROADCAST RELATION — e.g. trained_pivots'
+    seeded-Lloyd's table — replacing the pinned plan-literal pivots so
+    the SemDeDup cells adapt to the corpus; with the default None the
+    graded q346/q366 outputs are byte-identical to before."""
     # localCheckpoint the cell assignment ONCE: it feeds the guard,
     # BOTH pair-join sides and n_docs — without it the numpy code
     # scan recomputes 4x (measured 22.8 s at sf0.1 in BENCH_r12's
     # first record; ~4x cheaper materialized).
-    assigned = (
-        emb.join(_ivf_assign_n(emb, n_cells), "vec_id").localCheckpoint()
+    cells = (
+        _ivf_assign_n(emb, n_cells)
+        if pivots is None
+        else _assign_to_pivots(_int8_codes(emb).select("vec_id", "code"), pivots)
     )
+    assigned = emb.join(cells, "vec_id").localCheckpoint()
     withcell = _guard_blocks(assigned, "cell", name, SEMDEDUP_CELL_CAP)
     a = withcell.select(
         F.col("vec_id").alias("id_a"),
@@ -4948,7 +4959,318 @@ ORDER BY tau
 """
 
 
+# ---------------------------------------------------------------------------
+# q369/q370 — TRAINED portable IVF pivots (r15, VERDICT r14 item 5):
+# the hash-graded ANN family's pivots were data-BLIND pinned ±1 LCG
+# vectors (q325/q346/q362), whose recall on structured corpora sits at
+# the isotropic-tiling ceiling, while the trained-KMeans siblings
+# (q49/q224) were rows-only. This closes the gap with a PORTABLE
+# seeded Lloyd's — the q302 portability discipline applied to
+# TRAINING: pure int64 arithmetic end to end, so a second engine
+# derives bit-identical pivots from the data itself.
+#
+#   init:    codes sorted by vec_id; centroid i = the code at rank
+#            floor(i*N/CELLS) — deterministic, data-dependent, and a
+#            one-line SQL join (no RNG to replicate cross-engine).
+#   assign:  argmin_c ( |cent_c|^2 - 2*code·cent_c ) over int64 (the
+#            |code|^2 term is constant per row, so ties and order
+#            match the full squared L2), first-cell tie-break ==
+#            np.argmin first occurrence == SQL row_number (dist, cell).
+#   update:  element-wise integer mean floor(sum/count) (floor toward
+#            -inf on both engines); an emptied cell CARRIES its
+#            previous centroid. LLOYD_ITERS pinned iterations.
+#
+# The fit runs as ONE applyInPandas task over the int8 codes — 60k x
+# 64 int64 at sf0.1 is ~30 MB and 5 numpy matmuls; at 100 TB the fit
+# input is a fixed-size sample (q330's reservoir discipline) so this
+# stays one bounded task, while everything downstream — the corpus
+# cell assignment, probe, re-rank — is distributed and identical in
+# shape to the graded q325 plan. The learned pivot table then feeds
+# the SAME plan shapes as a 16-row BROADCAST RELATION instead of plan
+# literals: _assign_to_pivots is one Arrow pass (the q362 1-row-
+# broadcast-table pattern), and _semdedup_tau_curve accepts the same
+# relation (pivots=) so the q346/q366 SemDeDup path trains too.
+# q370 grades the recall cross-engine — the DuckDB oracle re-derives
+# the pivots through LLOYD_ITERS unrolled CTE rounds of the same
+# integer arithmetic, so the trained-index recall is a hash-verified
+# number, not a QUALITY.md self-claim. Measured (QUALITY.md): on the
+# planted structured corpus the trained pivots lift recall@13 above
+# the data-blind q325 ceiling at comparable scan fraction.
+# ---------------------------------------------------------------------------
+LLOYD_ITERS = 5
+
+
+def trained_pivots(
+    emb: DataFrame, n_cells: int = IVF_CELLS, iters: int = LLOYD_ITERS
+) -> DataFrame:
+    """(cell, cent array<bigint>): portable seeded integer Lloyd's
+    over the int8 codes (see block comment)."""
+    codes = _int8_codes(emb).select("vec_id", "code")
+
+    def fit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        C = np.array(pdf["code"].tolist(), dtype=np.int64)
+        n = len(C)
+        idx = (np.arange(n_cells, dtype=np.int64) * n) // n_cells
+        cents = C[idx].copy()
+        for _ in range(iters):
+            d = (cents * cents).sum(axis=1)[None, :] - 2 * (C @ cents.T)
+            a = np.argmin(d, axis=1)
+            for c in range(n_cells):
+                members = C[a == c]
+                if len(members):
+                    cents[c] = members.sum(axis=0) // len(members)
+        return pd.DataFrame(
+            {
+                "cell": np.arange(n_cells, dtype="int64"),
+                "cent": [[int(x) for x in row] for row in cents],
+            }
+        )
+
+    return codes.groupBy(F.lit(0).alias("_g")).applyInPandas(
+        lambda pdf: fit(pdf), "cell bigint, cent array<bigint>"
+    )
+
+
+def _assign_to_pivots(codes: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): argmin-L2 assignment of every code to a PIVOT
+    RELATION — the broadcast-table analog of _ivf_assign_n's plan-
+    literal pivots (q362's 1-row broadcast pattern: the 16-row pivot
+    table collapses to one sorted array column, crossJoin-broadcast,
+    one Arrow pass computes the int64 argmin)."""
+    pv = cents.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("cell", "cent"))),
+            lambda s: s["cent"],
+        ).alias("pv")
+    )
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            P = np.array(
+                [list(r) for r in pdf["pv"].iloc[0]], dtype=np.int64
+            )
+            C = np.array(pdf["code"].tolist(), dtype=np.int64)
+            d = (P * P).sum(axis=1)[None, :] - 2 * (C @ P.T)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cell": np.argmin(d, axis=1).astype(np.int64),
+                }
+            )
+
+    return codes.crossJoin(F.broadcast(pv)).mapInPandas(
+        assign, "vec_id bigint, cell bigint"
+    )
+
+
+def q369_trained_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codes = _int8_codes(emb).select("vec_id", "code")
+    cents = trained_pivots(emb).localCheckpoint()
+    assigned = _assign_to_pivots(codes, cents)
+    # probe list: the NPROBE trained cells nearest the query code —
+    # full int64 squared L2 this time (16 rows, declarative)
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("code"), F.col("cent"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.orderBy(F.col("dist").asc(), "cell")
+    probed = (
+        codes.where(F.col("vec_id") == BINARY_Q_ID)
+        .crossJoin(F.broadcast(cents))
+        .select("cell", dist.alias("dist"))
+        .withColumn("pr", F.row_number().over(w))
+        .where(F.col("pr") <= IVF_NPROBE)
+        .select(F.col("cell").cast("bigint").alias("cell"))
+    )
+    cand = (
+        assigned.where(F.col("vec_id") != BINARY_Q_ID)
+        .join(F.broadcast(probed), "cell")
+        .select("vec_id")
+    )
+    qv = emb.where(F.col("vec_id") == BINARY_Q_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        cand.join(emb, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wr = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rn") <= K)
+        .orderBy("rn")
+    )
+
+
+def q370_trained_ivf_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@13 of the TRAINED IVF index vs the exact-cosine top-13 —
+    the driver-graded row for the trained-pivot family (q326's pattern
+    for q369)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ann = q369_trained_ivf_ann(spark, sf_dir).select("vec_id")
+    qv = emb.where(F.col("vec_id") == BINARY_Q_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    w = Window.orderBy(
+        F.round(V.cosine(F.col("q_emb"), F.col("embedding")), 4).desc(),
+        F.col("vec_id"),
+    )
+    exact = (
+        emb.where(F.col("vec_id") != BINARY_Q_ID)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= K)
+        .select("vec_id")
+    )
+    return ann.join(exact, "vec_id").agg(
+        F.lit(K).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        (F.count(F.lit(1)) / F.lit(float(K))).alias("recall"),
+    )
+
+
+def _lloyd_ctes(n_cells: int, iters: int) -> str:
+    """DuckDB mirror of trained_pivots: LLOYD_ITERS unrolled rounds of
+    the integer assign/update, starting from the rank-strided init.
+    cent{iters} is the final pivot relation."""
+    dist = (
+        "list_sum([ (c.code[k] - t.cent[k]) * (c.code[k] - t.cent[k])"
+        f" for k in generate_series(1, {EMB_DIM})])"
+    )
+    parts = [
+        f"""codes AS MATERIALIZED (
+  SELECT vec_id, {_DUCK_I8.format(e='embeddings')} AS code FROM embeddings
+),
+ranked AS (
+  SELECT vec_id, code, row_number() OVER (ORDER BY vec_id) - 1 AS rk
+  FROM codes
+),
+cent0 AS (
+  SELECT CAST(i.cell AS BIGINT) AS cell, r.code AS cent
+  FROM (SELECT unnest(generate_series(0, {n_cells - 1})) AS cell) i
+  JOIN ranked r
+    ON r.rk = (i.cell * (SELECT count(*) FROM codes)) // {n_cells}
+)"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, t.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {dist} ASC, t.cell ASC) AS rn
+    FROM codes c CROSS JOIN cent{it - 1} t
+  ) WHERE rn = 1
+),
+cent{it} AS MATERIALIZED (
+  SELECT p.cell, coalesce(m.cent, p.cent) AS cent
+  FROM cent{it - 1} p LEFT JOIN (
+    SELECT cell, list(v ORDER BY k) AS cent FROM (
+      SELECT a.cell, ks.k,
+             CAST(floor(CAST(sum(c.code[ks.k]) AS DOUBLE) / count(*))
+                  AS BIGINT) AS v
+      FROM a{it} a
+      JOIN codes c USING (vec_id)
+      CROSS JOIN generate_series(1, {EMB_DIM}) ks(k)
+      GROUP BY a.cell, ks.k
+    ) GROUP BY cell
+  ) m ON m.cell = p.cell
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_Q369_DIST = (
+    "list_sum([ (c.code[k] - t.cent[k]) * (c.code[k] - t.cent[k])"
+    f" for k in generate_series(1, {EMB_DIM})])"
+)
+
+Q369_CTES = f"""{_lloyd_ctes(IVF_CELLS, LLOYD_ITERS)},
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, t.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_Q369_DIST} ASC, t.cell ASC) AS rn
+    FROM codes c CROSS JOIN cent{LLOYD_ITERS} t
+  ) WHERE rn = 1
+),
+probed AS (
+  SELECT cell FROM (
+    SELECT t.cell,
+           row_number() OVER (ORDER BY {_Q369_DIST} ASC, t.cell ASC) AS pr
+    FROM codes c CROSS JOIN cent{LLOYD_ITERS} t
+    WHERE c.vec_id = {BINARY_Q_ID}
+  ) WHERE pr <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT a.vec_id FROM assigned a JOIN probed USING (cell)
+  WHERE a.vec_id != {BINARY_Q_ID}
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {BINARY_Q_ID}),
+ann AS (
+  SELECT vec_id, cos_sim,
+         CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+              AS BIGINT) AS rn
+  FROM (
+    SELECT c.vec_id,
+           round({_DUCK_QDOT} / ({_DUCK_QNORM} * {_DUCK_BNORM}), 4)
+             AS cos_sim
+    FROM cand c
+    JOIN embeddings b ON b.vec_id = c.vec_id, q
+  )
+)"""
+
+Q369_SQL = f"""
+WITH {Q369_CTES}
+SELECT vec_id, cos_sim, rn FROM ann WHERE rn <= {K} ORDER BY rn
+"""
+
+Q370_SQL = f"""
+WITH {Q369_CTES},
+exact AS (
+  SELECT vec_id
+  FROM (
+    SELECT b.vec_id,
+           row_number() OVER (
+             ORDER BY round({_DUCK_QDOT} / ({_DUCK_QNORM} * {_DUCK_BNORM}), 4)
+                        DESC,
+                      b.vec_id) AS rn
+    FROM embeddings b, q
+    WHERE b.vec_id != {BINARY_Q_ID}
+  ) WHERE rn <= {K}
+)
+SELECT CAST({K} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_common,
+       CAST(count(*) AS DOUBLE) / {float(K)} AS recall
+FROM (SELECT vec_id FROM ann WHERE rn <= {K}) a
+JOIN exact USING (vec_id)
+"""
+
+
 QUERIES = {
+    "q369_trained_ivf_ann": q369_trained_ivf_ann,
+    "q370_trained_ivf_recall_eval": q370_trained_ivf_recall_eval,
     "q366_semdedup_scaled_cells": q366_semdedup_scaled_cells,
     "q362_portable_ivfpq_ann": q362_portable_ivfpq_ann,
     "q363_ivfpq_recall_eval": q363_ivfpq_recall_eval,
@@ -5001,6 +5323,8 @@ ORACLE = {
     "q363_ivfpq_recall_eval": Q363_SQL,
     "q364_pq_shortlist_curve": Q364_SQL,
     "q365_maxsim_late_interaction": Q365_SQL,
+    "q369_trained_ivf_ann": Q369_SQL,
+    "q370_trained_ivf_recall_eval": Q370_SQL,
     "q346_semdedup_cells": Q346_SQL,
     "q359_mutual_knn": Q359_SQL,
     "q360_ann_ensemble_recall": Q360_SQL,

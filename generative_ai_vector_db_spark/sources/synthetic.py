@@ -264,12 +264,18 @@ def synthetic_events_frame(src_dir: str, factor: int = 10, seed: int = 17):
     scales with the distinct-value domain — the fixture grows it
     ~N^0.43 (6.6k -> 17.8k distinct from sf0.01 to sf0.1). The offset
     grows the domain LINEARLY with rows (a conservative upper bound on
-    that trend), preserves each epoch's distribution shape exactly, and
-    shifts both comparison arms of every two-sample statistic equally.
-    The whole-unit stride keeps cent-exactness (q367/q368 integerize to
-    cents). Value-agnostic consumers (the covisit graph family
-    q242/q210 reads only user_id/event_type/ts) see an identical
-    workload."""
+    that trend) and preserves each epoch's distribution shape exactly.
+    For statistics whose arms both span all epochs (q220/q282/q316 by
+    group, q367 by event_type) the offset shifts the two arms equally;
+    q368 is the exception (r14 advice) — its reference arm is the
+    first DRIFT_REF_DAYS days, i.e. epoch 0 only, while monitored days
+    carry growing epoch offsets, so the decade intentionally injects
+    large artificial drift: it measures the DETECTOR'S COST at a
+    linearly-grown value domain, not its output on a drift-free
+    workload. The whole-unit stride keeps cent-exactness (q367/q368
+    integerize to cents). Value-agnostic consumers (the covisit graph
+    family q242/q210 reads only user_id/event_type/ts) see an
+    identical workload."""
     import numpy as np
     import pandas as pd
     import pyarrow.parquet as pq_mod

@@ -1033,9 +1033,17 @@ def query_graph_index(
 # ---------------------------------------------------------------------------
 # Streaming anytime-valid monitors (r14): the q367 A/B e-process and
 # the q368 drift e-detector as CONTINUOUSLY-MAINTAINED monitors — the
-# production shape these statistics exist for (Ramdas et al.: the
-# e-process is valid at ANY stopping rule, i.e. read after every
-# micro-batch). Each trigger reduces the micro-batch to its per-day
+# production shape these statistics exist for (Ramdas et al.). The
+# anytime-validity caveat (r14 advice): the e-process is valid at ANY
+# stopping rule when files arrive in day order (or each day's partials
+# are complete before that day is read) — then every intermediate read
+# extends the realized e-process path. Under OUT-OF-ORDER arrival a
+# late file can add events to an already-read day (and shift q368's
+# first-DRIFT_REF_DAYS reference window), retroactively rewriting past
+# log_e rows; an intermediate read is then the exact BATCH table over
+# events-absorbed-so-far, not a prefix of the final path. Final
+# stream==batch equality holds regardless and is what's tested.
+# Each trigger reduces the micro-batch to its per-day
 # integer partials (counts / cent-sums / min / max) and APPENDS them
 # keyed by SOURCE FILE (input_file_name — the file stream's content
 # key; a batch_id key would alias DIFFERENT file sets across
@@ -1131,22 +1139,39 @@ def run_drift_monitor_stream(
     )
 
 
-def _merged_partials(spark: SparkSession, monitor_path: str) -> DataFrame:
+AB_PARTIALS_SCHEMA = "src_file string, day string, n bigint, k bigint"
+DRIFT_PARTIALS_SCHEMA = (
+    "src_file string, day string, n bigint, s bigint, mx bigint, mn bigint"
+)
+
+
+def _merged_partials(
+    spark: SparkSession, monitor_path: str, schema: str
+) -> DataFrame:
     # dedup on (src_file, day): re-processing a file under ANY
     # checkpoint re-appends the same deterministic partial row;
     # distinct files legitimately contribute separate partials for
     # one day and merge by sum/min/max
-    return (
-        spark.read.parquet(_monitor_partials_path(monitor_path))
-        .dropDuplicates(["src_file", "day"])
-    )
+    from ..fsutil import path_exists
+
+    partials = _monitor_partials_path(monitor_path)
+    if not path_exists(spark, partials):
+        # cold start (r14 advice): a monitor deployed against a source
+        # dir with zero files fires no micro-batch, so the partials
+        # path does not exist yet — read as empty, don't throw. The
+        # documented contract "empty before any matching event" then
+        # holds from deployment, not just from the first absorbed file.
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(partials).dropDuplicates(["src_file", "day"])
 
 
 def read_ab_monitor(spark: SparkSession, monitor_path: str) -> DataFrame:
     """The q367 e-process table over everything absorbed so far."""
     from ..operators.stats import ab_monitor_from_daily
 
-    daily = _merged_partials(spark, monitor_path).groupBy("day").agg(
+    daily = _merged_partials(
+        spark, monitor_path, AB_PARTIALS_SCHEMA
+    ).groupBy("day").agg(
         F.sum("n").cast("bigint").alias("n"),
         F.sum("k").cast("bigint").alias("k"),
     )
@@ -1157,7 +1182,9 @@ def read_drift_monitor(spark: SparkSession, monitor_path: str) -> DataFrame:
     """The q368 e-detector table over everything absorbed so far."""
     from ..operators.stats import drift_edetector_from_daily
 
-    daily = _merged_partials(spark, monitor_path).groupBy("day").agg(
+    daily = _merged_partials(
+        spark, monitor_path, DRIFT_PARTIALS_SCHEMA
+    ).groupBy("day").agg(
         F.sum("n").cast("bigint").alias("n"),
         F.sum("s").cast("bigint").alias("s"),
         F.max("mx").alias("mx"),
