@@ -103,6 +103,10 @@ HEADLINE = [
     # round-13 heavy operator: the portable IVF-PQ pipeline (encode
     # scan + ADC shortlist + exact re-rank)
     "q362_portable_ivfpq_ann",
+    # round-15 heavy operator: the trained-pivot IVF pipeline (one
+    # applyInPandas Lloyd's fit + broadcast-relation assignment scan
+    # + probe/re-rank)
+    "q369_trained_ivf_ann",
 ]
 
 # Settled sub-second rows (retired r13; medians stable across the

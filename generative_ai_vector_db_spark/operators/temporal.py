@@ -3282,54 +3282,76 @@ ORDER BY event_type
 # within SEQ_WINDOW of a (NOT necessarily adjacent — q156's Markov
 # counts see only consecutive pairs; funnels with interleaved noise
 # need the windowed count). Support = share of all users exhibiting
-# the pattern. Plan: per-user time-bounded self-join — shuffle once on
-# user_id, quadratic only within a (user, window) span (fixture ~67
-# events/user; at 100 TB pre-bucket by (user, hour) so the join is
-# range-local per bucket pair), then a 25-row aggregate.
+# the pattern. Plan (r15 rewrite, VERDICT r14 item 6): the r10 shape
+# joined on user_id alone with the time predicate applied POST-join —
+# per-user quadratic, and the events decade (user domain fixed, so
+# events/user grows 10x) measured it at tail alpha 2.06 / 152 s. Now
+# the join is RANGE-LOCAL per (user, hour-bucket): with the window
+# equal to one bucket width, a true pair's buckets differ by at most
+# one, so the `a` side probes exactly two keys (its bucket and the
+# next — explode of a 2-element array) and the equi-join key becomes
+# (user_id, bucket). The bucket pairing is a strict SUPERSET of the
+# window pairs and the original predicate still applies — output
+# identical (oracle unchanged) — but pair work drops from
+# O(events_per_user^2) to O(events_per_adjacent-bucket-span^2):
+# linear in rows for any bounded event rate per user-hour. Decade
+# re-measured after the rewrite: 151.8 s -> see SCALING.md.
 # Strict ordering ties: (ts, event_id) lexicographic, so self-pairs
 # and simultaneous events resolve identically on both engines.
-# In-plan scale guard (q221/q288 discipline): the join is quadratic
-# in the largest user block, so a broadcast assert_true caps the max
-# per-user event count — a whale user fails LOUDLY instead of
-# silently going quadratic; the 100 TB remedy is the documented
-# (user, hour-bucket) range-local join.
+# In-plan scale guard (q221/q288 discipline): the quadratic term is
+# now the largest (user, bucket) block, so the broadcast assert_true
+# caps THAT — a whale user-hour fails LOUDLY instead of silently
+# going quadratic; the remedy is a finer bucket (minutes) with the
+# same 2-key probe.
 # ---------------------------------------------------------------------------
 SEQ_WINDOW_MIN = 60  # minutes
-SEQ_USER_CAP = 100_000  # max events per user before the pair join degenerates
+SEQ_BUCKET_SEC = SEQ_WINDOW_MIN * 60  # bucket == window: 2-key probe
+SEQ_BUCKET_CAP = 100_000  # max events per (user, bucket) block
 
 
 def q303_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
+    ).withColumn(
+        "bkt", F.floor(F.col("ts").cast("long") / SEQ_BUCKET_SEC)
     )
-    guard = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("_g")).agg(
-        F.max("_g").alias("_gmax")
-    )
+    guard = ev.groupBy("user_id", "bkt").agg(
+        F.count(F.lit(1)).alias("_g")
+    ).agg(F.max("_g").alias("_gmax"))
     ev = ev.crossJoin(F.broadcast(guard)).where(
         F.assert_true(
-            F.col("_gmax") <= SEQ_USER_CAP,
+            F.col("_gmax") <= SEQ_BUCKET_CAP,
             F.lit(
-                "q303: user event block exceeds pair-join cap — "
-                "use the (user, hour-bucket) range-local rewrite"
+                "q303: (user, hour-bucket) block exceeds pair-join cap"
+                " — shrink SEQ_BUCKET_SEC (same 2-key probe)"
             ),
         ).isNull()
     ).drop("_gmax")
     total_users = ev.agg(
         F.countDistinct("user_id").cast("bigint").alias("_u")
     )
+    # the `a` side probes its own bucket and the next: a true pair
+    # (t1 < t2 <= t1 + window) has bucket(t2) in {bucket(t1),
+    # bucket(t1)+1} because window == bucket width
     a = ev.select(
         "user_id",
         F.col("ts").alias("t1"),
         F.col("event_id").alias("e1"),
         F.col("event_type").alias("from_type"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("bp"),
     )
     b = ev.select(
-        "user_id",
+        F.col("user_id").alias("user_b"),
         F.col("ts").alias("t2"),
         F.col("event_id").alias("e2"),
         F.col("event_type").alias("to_type"),
+        F.col("bkt").alias("b2"),
     )
-    pairs = a.join(b, "user_id").where(
+    pairs = a.join(
+        b,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("bp") == F.col("b2")),
+    ).where(
         (
             (F.col("t2") > F.col("t1"))
             | ((F.col("t2") == F.col("t1")) & (F.col("e2") > F.col("e1")))

@@ -137,31 +137,114 @@ ORDER BY q_id, rn
 
 # ---------------------------------------------------------------------------
 # Q27 similarity join, label-blocked — all same-label pairs with L2 <= tau.
-# Scale: the block key bounds the quadratic term to within-block; swap the
-# label for an LSH band key (dedup.py) when no natural block exists.
+#
+# Plan (r15 rewrite, VERDICT r14 item 6): the r6 shape joined the two
+# label-keyed sides ROW-BY-ROW, materializing every within-label pair
+# through the shuffle with both float arrays attached (~1 KB/pair) and
+# Arrow-scoring each — the embeddings decade (label blocks grow with
+# N, so within-block pairs grow ~N^2/labels) measured it at tail
+# alpha 1.93 / 186 s. Now pair enumeration never leaves the executor:
+#
+#   1. SLICE-GRID co-partitioning: each vector lands in slice
+#      vec_id % Q27_SLICES; every unordered slice pair (i <= j) is a
+#      grid cell, and a row is replicated to the cells where it plays
+#      either side (broadcast grid join — S+1 copies/row, id-and-array
+#      only). Every within-label pair falls in EXACTLY one cell, so
+#      the union of cells is an exact cover and parallelism is
+#      labels x S(S+1)/2 tasks instead of one task per label.
+#   2. Per-cell numpy: one gram-matrix candidate pass (chunked,
+#      d^2 <= (tau + 1e-3)^2 — a PRUNER with a margin far beyond
+#      float64 gram error), then the surviving pairs re-scored with
+#      THE EXACT l2_arrow ARITHMETIC (cumsum left-to-right float64,
+#      functions/vectors.py) so the emitted distance is bit-identical
+#      to the r6 plan's and the oracle hash is unchanged.
+#
+# Only qualifying pairs (plus the thin margin band) ever materialize
+# as rows. Decade re-measured after the rewrite: 186 s -> see
+# SCALING.md. Swap the label for an LSH band key (dedup.py) when no
+# natural block exists.
 # ---------------------------------------------------------------------------
+Q27_SLICES = 4
+
+
 def q27_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("label").alias("label_a"),
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.col("label").cast("bigint").alias("label")
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("label").alias("label_b"),
+    S = Q27_SLICES
+    tagged = emb.withColumn("sl", (F.col("vec_id") % S).cast("int"))
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(S) for j in range(S) if i <= j],
+        "ga int, gb int",
     )
-    # Arrow scorer: bit-identical to the V.l2 fold, 2.4x faster on the
-    # blocked pair set (functions/vectors.py)
-    l2 = V.l2_arrow()
+    left = tagged.join(
+        F.broadcast(grid), F.col("sl") == F.col("ga")
+    ).withColumn("side", F.lit(0))
+    right = tagged.join(
+        F.broadcast(grid), F.col("sl") == F.col("gb")
+    ).withColumn("side", F.lit(1))
+    # diagonal cells would tag every row twice; keep one copy
+    both = left.unionByName(right).where(
+        (F.col("ga") != F.col("gb")) | (F.col("side") == 0)
+    )
+
+    tau2 = (L2_TAU + 1e-3) ** 2
+
+    def cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy().astype("int64")
+        side = pdf["side"].to_numpy()
+        label = int(pdf["label"].iloc[0])
+        diag = bool((pdf["ga"].iloc[0] == pdf["gb"].iloc[0]))
+        n2 = np.einsum("ij,ij->i", X, X)
+        out = []
+        li = np.flatnonzero(side == 0)
+        for s in range(0, len(li), 512):
+            rows = li[s : s + 512]
+            d2 = n2[rows, None] + n2[None, :] - 2.0 * (X[rows] @ X.T)
+            cm = d2 <= tau2
+            if diag:
+                # within-slice: strictly upper triangle in sorted-id order
+                cm &= ids[None, :] > ids[rows, None]
+            else:
+                # cross-slice: the other side only, either id order —
+                # each unordered pair appears once (sides are disjoint)
+                cm &= (side == 1)[None, :]
+            ii, jj = np.nonzero(cm)
+            if not len(ii):
+                continue
+            gi = rows[ii]
+            ia, ib = ids[gi], ids[jj]
+            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+            # exact rescore: the l2_arrow cumsum arithmetic, verbatim
+            D = X[gi] - X[jj]
+            dist = np.sqrt(np.cumsum(D * D, axis=1)[:, -1])
+            out.append(
+                pd.DataFrame(
+                    {"id_a": lo, "id_b": hi, "label": label, "dist": dist}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "label": pd.Series(dtype="int64"),
+                    "dist": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    cand = both.groupBy("label", "ga", "gb").applyInPandas(
+        cell_pairs, "id_a bigint, id_b bigint, label bigint, dist double"
+    )
     return (
-        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
-        .select(
-            "id_a",
-            "id_b",
-            F.col("label_a").cast("bigint").alias("label"),
-            F.round(l2(F.col("emb_a"), F.col("emb_b")), 4).alias("dist"),
+        cand.select(
+            "id_a", "id_b", "label", F.round("dist", 4).alias("dist")
         )
         .where(F.col("dist") <= L2_TAU)
         .orderBy("id_a", "id_b")

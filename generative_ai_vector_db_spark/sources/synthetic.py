@@ -414,3 +414,79 @@ def write_synthetic_lineitem_decade(
         pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), path
     )
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# Part decade (r15, VERDICT r14 item 6): q223 fuzzy survivorship was
+# the one bench heavy whose driver table (`part`) had no synthetic
+# decade. A plain bootstrap would grow row multiplicity 10x but leave
+# the distinct (block, name) key set frozen at the fixture's 6 x 64 —
+# measuring only the groupBy scan and skipping the pair join q223
+# actually guards. Real record-linkage corpora grow their distinct-
+# spelling pool with volume (misspellings accumulate); the decade
+# models exactly that: each bootstrapped row keeps its source row's
+# joint (name, brand, type, size, price), and a typo_rate fraction of
+# rows get ONE seeded character-level typo (delete or double one
+# character — edit distance 1, within q223's FUZZY_MAX_DIST=2 of the
+# attested spelling). Distinct keys then grow ~ typo_rate x rows
+# until the per-name typo space saturates, stressing BOTH the
+# distinct-key reduction and the within-block Levenshtein pair join,
+# while survivorship semantics stay meaningful (typos are rarer than
+# their parents, so the most-attested spelling still wins its
+# cluster). Deterministic: one seeded RandomState.
+# ---------------------------------------------------------------------------
+def synthetic_part_frame(
+    src_dir: str, factor: int = 10, typo_rate: float = 0.05, seed: int = 23
+):
+    """pandas part frame (fixture schema) at factor x the src rows."""
+    import numpy as np
+    import pyarrow.parquet as pq_mod
+
+    src = pq_mod.read_table(os.path.join(src_dir, "part.parquet")).to_pandas()
+    n = len(src)
+    rng = np.random.RandomState(seed)
+    j = rng.randint(0, n, size=n * factor)
+    out = src.iloc[j].reset_index(drop=True)
+    out["p_partkey"] = np.arange(n * factor, dtype="int64")
+    mask = rng.random_sample(n * factor) < typo_rate
+    names = out["p_name"].to_numpy(object)
+    idx = np.flatnonzero(mask)
+    pos = rng.randint(0, 1 << 30, size=len(idx))
+    ops = rng.randint(0, 2, size=len(idx))
+    for t, i in enumerate(idx):
+        s = names[i]
+        p = int(pos[t]) % len(s)
+        names[i] = (
+            s[:p] + s[p + 1 :] if ops[t] == 0 else s[:p] + s[p] + s[p:]
+        )
+    out["p_name"] = names
+    return out
+
+
+def write_synthetic_part_decade(
+    out_dir: str, src_dir: str = "/root/testdata/sf0.1", factor: int = 10
+) -> str:
+    """Write part.parquet (fixture schema) at factor x the src
+    fixture; skips work if the file exists."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    path = os.path.join(out_dir, "part.parquet")
+    if os.path.exists(path):
+        return out_dir
+    pdf = synthetic_part_frame(src_dir, factor)
+    os.makedirs(out_dir, exist_ok=True)
+    schema = pa.schema(
+        [
+            pa.field("p_partkey", pa.int64()),
+            pa.field("p_name", pa.string()),
+            pa.field("p_brand", pa.string()),
+            pa.field("p_type", pa.string()),
+            pa.field("p_size", pa.int32()),
+            pa.field("p_retailprice", pa.float64()),
+        ]
+    )
+    pq_mod.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), path
+    )
+    return out_dir

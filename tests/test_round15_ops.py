@@ -183,6 +183,35 @@ def test_compact_crash_during_staging_write(spark, sf_dir_t2, tmp_path):
     assert not os.path.exists(stage)
 
 
+def test_recovery_rolls_back_old_when_stage_uncommitted(
+    spark, sf_dir_t2, tmp_path
+):
+    """The other crash shape: base missing, prior copy at ._old, stage
+    absent or uncommitted (no _SUCCESS) — recovery must roll the prior
+    copy BACK, never forward a partial stage."""
+    import shutil
+
+    from generative_ai_vector_db_spark.operators import indexes as ix
+
+    root = str(tmp_path / "root")
+    emb = load(spark, sf_dir_t2, "embeddings").select("vec_id", "embedding")
+    ix.create_index(spark, root, "vec", "ivfpq", emb)
+    want = _ivfpq_answer(spark, root, "vec", emb)
+
+    codes = os.path.join(root, "vec", "codes")
+    shutil.move(codes, codes + "._old")
+    # an uncommitted stage alongside (simulates the staging write
+    # itself having died after the first rename of a PRIOR swap)
+    os.makedirs(codes + "._compacting")
+    with open(os.path.join(codes + "._compacting", "part-0.parquet"), "wb") as f:
+        f.write(b"\x00junk")
+
+    assert _ivfpq_answer(spark, root, "vec", emb) == want
+    assert os.path.exists(codes)
+    assert not os.path.exists(codes + "._old")
+    assert not os.path.exists(codes + "._compacting")
+
+
 def test_create_index_clears_half_dropped_dir(spark, sf_dir_t2, tmp_path):
     """drop_index deletes _meta FIRST, so a crash mid-drop leaves a
     catalog-invisible dir. create_index of the same name must not leak
@@ -210,6 +239,42 @@ def test_create_index_clears_half_dropped_dir(spark, sf_dir_t2, tmp_path):
     assert not os.path.exists(os.path.join(root, "a", "codes"))
     desc = {r["component"] for r in ix.describe_index(spark, root, "a").collect()}
     assert desc == {"buckets", "vectors"}
+
+
+# --------------------------------------------------------------------------
+# Decade de-quadraticization (VERDICT r14 item 6): the r15 sweep
+# caught q27 (tail alpha 1.93, 186 s) and q303 (2.06, 152 s) going
+# quadratic at the 10x rung; both were rewritten output-identically
+# (oracle hashes unchanged — re-verified) and the new plan shapes are
+# locked here.
+# --------------------------------------------------------------------------
+def test_q27_pairs_stay_executor_side(spark, sf_dir):
+    """q27's pair enumeration must run inside the grouped numpy stage
+    (slice-grid cells), never as a row-materializing self-join of the
+    embedding arrays."""
+    from generative_ai_vector_db_spark.plans.audit import plan_of as _plan_of
+
+    plan = _plan_of(vector.q27_similarity_join(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # no join remains that carries BOTH sides' embedding arrays as
+    # join output (the r6 shape); the only join left is the broadcast
+    # grid replication
+    assert "SortMergeJoin" not in plan, plan
+    rows = vector.q27_similarity_join(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["id_a"] < r["id_b"] and r["dist"] <= vector.L2_TAU for r in rows)
+
+
+def test_q303_bucket_range_local_join(spark, sf_dir):
+    """q303's self-join key must include the hour bucket (range-local
+    2-key probe), not user_id alone."""
+    from generative_ai_vector_db_spark.operators import temporal
+    from generative_ai_vector_db_spark.plans.audit import plan_of as _plan_of
+
+    plan = _plan_of(temporal.q303_seq_patterns(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "user_id" in plan and "bp" in plan and "b2" in plan, plan
 
 
 # --------------------------------------------------------------------------

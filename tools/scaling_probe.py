@@ -90,6 +90,21 @@ SYNTH_PROBE = [
     ("q368_drift_edetector", ["events"]),
     # late-interaction retrieval over the embeddings decade
     ("q365_maxsim_late_interaction", ["embeddings"]),
+    # r15 (VERDICT r14 item 6): the remaining bench heavies with no
+    # measured 10x tail — the within-threshold similarity join, the
+    # MLlib index family, fuzzy survivorship (over the typo-injected
+    # part decade so the distinct-spelling pool grows with rows),
+    # sequential patterns, the Poisson bootstrap, the hubness audit —
+    # plus the new trained-pivot ANN (q369)
+    ("q27_similarity_join", ["embeddings"]),
+    ("q44_minhash_neardup", ["documents"]),
+    ("q47_ann_brp_lsh", ["embeddings"]),
+    ("q49_ann_ivf", ["embeddings"]),
+    ("q223_fuzzy_survivorship", ["part"]),
+    ("q303_seq_patterns", ["events"]),
+    ("q305_poisson_bootstrap", ["events"]),
+    ("q351_hubness_audit", ["embeddings"]),
+    ("q369_trained_ivf_ann", ["embeddings"]),
 ]
 
 ALPHA_FLAG = 1.3
@@ -139,11 +154,13 @@ def main() -> int:
             write_synthetic_decade,
             write_synthetic_events_decade,
             write_synthetic_lineitem_decade,
+            write_synthetic_part_decade,
         )
 
         write_synthetic_decade(args.synth)
         write_synthetic_events_decade(args.synth)
         write_synthetic_lineitem_decade(args.synth)
+        write_synthetic_part_decade(args.synth)
         sf_dirs = [
             ("sf0.01", os.path.join(TESTDATA, "sf0.01")),
             ("sf0.1", os.path.join(TESTDATA, "sf0.1")),
@@ -253,9 +270,13 @@ def main() -> int:
             "`write_synthetic_lineitem_decade` (catalog-sharded epochs,",
             "copurchase degree",
             "distribution preserved exactly) extend it to the iterative",
-            "graph family and the prefix/monitor family (r14). Rungs are",
+            "graph family and the prefix/monitor family (r14);",
+            "`write_synthetic_part_decade` (joint bootstrap + seeded",
+            "typo injection, so the distinct-spelling pool grows with",
+            "rows instead of freezing at the fixture's 64 names) covers",
+            "the fuzzy-survivorship family (r15). Rungs are",
             "sf0.01 / sf0.1 / synth10x —",
-            "two full measured decades for documents/events/lineitem,",
+            "two full measured decades for documents/events/lineitem/part,",
             "4x + 10x for embeddings.",
             "",
             "| query | driver tables | rows (3 rungs) | wall s (3 rungs) |"
