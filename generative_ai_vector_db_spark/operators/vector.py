@@ -3899,29 +3899,91 @@ ORDER BY nprobe
 # the occ=0 antihub row. A healthy isotropic corpus shows a thin
 # binomial-ish histogram; a long tail = hub pathology, and the
 # downstream ops should switch to cosine re-centering or mutual-kNN.
+#
+# Plan (r15 rewrite): the prior shape broadcast the anchors but scored
+# all HUB_A x N pairs through the interpreted higher-order-function
+# cosine and shuffled every scored row into a HUB_A-partition window —
+# linear, but with the sweep's worst constant (decade: 25.5 s). Now the
+# q27 discipline: corpus blocks (vec_id % HUB_BLOCKS) each receive the
+# anchor set via a broadcast replicate; per block ONE float64 gram
+# matmul prunes to the per-anchor local top-HUB_K plus a 2e-4 margin
+# band (>> matmul-vs-cumsum fp error + the 1e-4 rounding quantum, so a
+# locally pruned row is strictly rounded-below >= HUB_K rows of its own
+# block and can never reach the global top-k), surviving pairs are
+# rescored with THE EXACT cosine_arrow cumsum arithmetic
+# (functions/vectors.py), and only ~HUB_BLOCKS x HUB_A x (HUB_K + band)
+# rows reach the global rounded re-rank. Emitted cos_sim is
+# bit-identical; the oracle SQL is unchanged.
 # Scale: anchors are a HUB_A-row broadcast; scoring is one corpus
-# scan x HUB_A (bounded); per-anchor top-k are WindowGroupLimit
-# frames; the histogram is a two-level count. Never N^2.
+# scan x HUB_A inside numpy (bounded); the shuffle carries candidates,
+# not the corpus. Never N^2. The answer is block-count-invariant
+# (asserted in tests), so at production scale HUB_BLOCKS grows with N
+# (~ N*dim*8 / executor-batch bytes) to keep each numpy block bounded.
 # ---------------------------------------------------------------------------
 HUB_A = 50
 HUB_K = 10
+HUB_BLOCKS = 32
 
 
 def q351_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    anchors = emb.where(F.col("vec_id") < HUB_A).select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    corpus = emb.withColumn(
+        "blk", (F.col("vec_id") % HUB_BLOCKS).cast("int")
+    ).withColumn("side", F.lit(0))
+    blocks = spark.range(HUB_BLOCKS).select(
+        F.col("id").cast("int").alias("blk")
     )
-    scored = (
-        emb.crossJoin(F.broadcast(anchors))
-        .where(F.col("vec_id") != F.col("a_id"))
-        .select(
-            "a_id",
-            "vec_id",
-            F.round(V.cosine(F.col("a_emb"), F.col("embedding")), 4).alias(
-                "cos_sim"
-            ),
+    anchors = (
+        emb.where(F.col("vec_id") < HUB_A)
+        .crossJoin(F.broadcast(blocks))
+        .withColumn("side", F.lit(1))
+    )
+    both = corpus.unionByName(anchors)
+
+    def block_topk(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "a_id": pd.Series(dtype="int64"),
+                "vec_id": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
         )
+        cp = pdf[pdf["side"] == 0]
+        ap = pdf[pdf["side"] == 1].sort_values("vec_id")
+        if not len(cp) or not len(ap):
+            return empty
+        C = np.stack(cp["embedding"].to_numpy()).astype(np.float64)
+        A = np.stack(ap["embedding"].to_numpy()).astype(np.float64)
+        c_ids = cp["vec_id"].to_numpy().astype("int64")
+        a_ids = ap["vec_id"].to_numpy().astype("int64")
+        # float64 matmul gram — PRUNER only (error ~1e-12 << margin)
+        sims = (A @ C.T) / (
+            np.sqrt(np.einsum("ij,ij->i", A, A))[:, None]
+            * np.sqrt(np.einsum("ij,ij->i", C, C))[None, :]
+        )
+        sims[a_ids[:, None] == c_ids[None, :]] = -np.inf
+        k = min(HUB_K, sims.shape[1])
+        kth = np.partition(sims, sims.shape[1] - k, axis=1)[:, sims.shape[1] - k]
+        ii, jj = np.nonzero(sims >= (kth[:, None] - 2e-4))
+        if not len(ii):
+            return empty
+        # exact rescore: the cosine_arrow cumsum arithmetic, verbatim
+        Ai, Cj = A[ii], C[jj]
+        dot = np.cumsum(Ai * Cj, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(Ai * Ai, axis=1)[:, -1])
+        nc = np.sqrt(np.cumsum(Cj * Cj, axis=1)[:, -1])
+        return pd.DataFrame(
+            {"a_id": a_ids[ii], "vec_id": c_ids[jj], "cos": dot / (na * nc)}
+        )
+
+    cand = both.groupBy("blk").applyInPandas(
+        block_topk, "a_id bigint, vec_id bigint, cos double"
+    )
+    scored = cand.select(
+        "a_id", "vec_id", F.round("cos", 4).alias("cos_sim")
     )
     w = Window.partitionBy("a_id").orderBy(
         F.col("cos_sim").desc(), "vec_id"

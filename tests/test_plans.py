@@ -1167,8 +1167,9 @@ def test_q346_guard_in_optimized_plan(spark, sf_dir):
 
 
 def test_q351_anchor_topk_is_window_group_limit(spark, sf_dir):
-    """q351's per-anchor top-10 must run as WindowGroupLimit (rank
-    pushdown), and the 50-anchor side must broadcast."""
+    """q351's global per-anchor top-10 (over the numpy-stage candidate
+    band, r15 shape) must run as WindowGroupLimit (rank pushdown), and
+    the anchor-replication block list must broadcast."""
     from generative_ai_vector_db_spark.operators import vector
 
     plan = plan_of(vector.q351_hubness_audit(spark, sf_dir))

@@ -266,6 +266,70 @@ def test_q27_pairs_stay_executor_side(spark, sf_dir):
     assert all(r["id_a"] < r["id_b"] and r["dist"] <= vector.L2_TAU for r in rows)
 
 
+def test_q351_blocked_gram_is_exact(spark, sf_dir, monkeypatch):
+    """q351's r15 rewrite (per-block numpy gram + margin band + exact
+    cumsum rescore) must emit the IDENTICAL histogram to the direct
+    crossJoin shape it replaced, be block-count-invariant (the scale
+    dial must not touch the answer), and its pair scoring must run
+    inside the grouped numpy stage."""
+    from pyspark.sql import Window as W
+
+    from generative_ai_vector_db_spark.functions import vectors as V
+    from generative_ai_vector_db_spark.plans.audit import plan_of as _plan_of
+
+    plan = _plan_of(vector.q351_hubness_audit(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    got = [tuple(r) for r in vector.q351_hubness_audit(spark, sf_dir).collect()]
+
+    # block-count invariance: the memory dial must not move the answer
+    monkeypatch.setattr(vector, "HUB_BLOCKS", 7)
+    got7 = [
+        tuple(r) for r in vector.q351_hubness_audit(spark, sf_dir).collect()
+    ]
+    monkeypatch.undo()
+    assert got7 == got
+
+    # the r12 reference shape, inline: score ALL anchor x corpus pairs
+    # with the higher-order-function cosine, then window top-k
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    anchors = emb.where(F.col("vec_id") < vector.HUB_A).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .where(F.col("vec_id") != F.col("a_id"))
+        .select(
+            "a_id",
+            "vec_id",
+            F.round(V.cosine(F.col("a_emb"), F.col("embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = W.partitionBy("a_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    topk = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= vector.HUB_K
+    )
+    nk = topk.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("occ")
+    )
+    hist = nk.groupBy("occ").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    n_total = emb.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    n_app = nk.agg(F.count(F.lit(1)).cast("bigint").alias("na"))
+    antihub = n_total.crossJoin(n_app).select(
+        F.lit(0).cast("bigint").alias("occ"),
+        (F.col("nt") - F.col("na")).cast("bigint").alias("n_vectors"),
+    )
+    want = [
+        tuple(r) for r in antihub.unionByName(hist).orderBy("occ").collect()
+    ]
+    assert got == want
+
+
 def test_q303_bucket_range_local_join(spark, sf_dir):
     """q303's self-join key must include the hour bucket (range-local
     2-key probe), not user_id alone."""
