@@ -197,6 +197,22 @@ REP_RELATIVE_FACTOR = 1.5  # kept rep total vs fastest kept rep
 KEPT_SPREAD_LIMIT_PCT = 35.0  # max-min over min across kept reps
 
 
+def _steal_jiffies() -> int:
+    """Cumulative hypervisor steal time (/proc/stat `cpu` line, field
+    9) — 0 where unavailable. This is the GROUND TRUTH behind the
+    heuristic flags above: a co-tenant burst on a shared host is
+    invisible to in-VM `ps` (r15 observed ~4.8 cumulative CPU-hours of
+    steal with a quiet process table) but lands directly here, so the
+    JSON records the per-rep steal share alongside the inferred
+    verdict."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8])
+    except Exception:
+        return 0
+
+
 def contention_verdict(
     probe_times: list[float],
     kept_idx: list[int],
@@ -296,9 +312,16 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
     per_rep: list[dict[str, float]] = []
     probe_times: list[float] = []
+    steal_pct_per_rep: list[float] = []
     for _ in range(reps):
+        s0, w0 = _steal_jiffies(), time.time()
         probe_times.append(round(probe(), 3))
         per_rep.append({name: run(name) for name in HEADLINE})
+        s1, w1 = _steal_jiffies(), time.time()
+        # steal share of this rep's total CPU capacity (USER_HZ=100
+        # jiffies/s per CPU); >~5% of a rep explains a slow outlier
+        cap = 100.0 * int(cpus) * max(w1 - w0, 1e-6)
+        steal_pct_per_rep.append(round(100.0 * (s1 - s0) / cap, 2))
 
     rep_totals = [round(sum(r.values()), 3) for r in per_rep]
     # Drop-index computed directly (r11 advice): recovering kept
@@ -341,6 +364,7 @@ def main() -> None:
         "retired_total": round(sum(retired_times.values()), 3),
         "revived": revived_queries(retired_times),
         "probe_times": probe_times,
+        "steal_pct_per_rep": steal_pct_per_rep,
         **verdict,
     }
     print(json.dumps(out))

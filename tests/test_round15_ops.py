@@ -67,6 +67,35 @@ def test_contention_verdict_rep_relative():
     assert p["contended"] is True and p["contended_probe"] is True
 
 
+def test_steal_jiffies_ground_truth(tmp_path, monkeypatch):
+    """_steal_jiffies reads the cumulative steal counter (field 9 of
+    /proc/stat's cpu line) and degrades to 0 when the file is absent
+    or malformed — the bench must never crash over its own
+    diagnostics."""
+    import bench
+
+    # on this Linux host the real counter is a non-negative int and
+    # monotone across a read
+    a = bench._steal_jiffies()
+    assert isinstance(a, int) and a >= 0
+    assert bench._steal_jiffies() >= a
+
+    real_open = open
+
+    def fake_open(path, *args, **kwargs):
+        if path == "/proc/stat":
+            return real_open(tmp_path / "stat", *args, **kwargs)
+        return real_open(path, *args, **kwargs)
+
+    (tmp_path / "stat").write_text("cpu  1 2 3 4 5 6 7 4242 9 10\n")
+    monkeypatch.setattr("builtins.open", fake_open)
+    assert bench._steal_jiffies() == 4242
+    (tmp_path / "stat").write_text("garbage\n")
+    assert bench._steal_jiffies() == 0
+    (tmp_path / "stat").unlink()
+    assert bench._steal_jiffies() == 0
+
+
 # --------------------------------------------------------------------------
 # compact_index crash windows (VERDICT r14 item 3): the old
 # delete-then-rename swap had an instant with BOTH copies gone; the
