@@ -45,6 +45,7 @@ degree bounds; nothing here adds a corpus rescan.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -63,6 +64,11 @@ _VECTOR_KINDS = ("ivfpq", "hyperplane", "graph")
 _MONITOR_KINDS = ("ab_monitor", "drift_monitor")
 
 _COMPACT_SUFFIX = "._compacting"
+
+# a base-present staging dir younger than this is treated as a LIVE
+# compactor's and left alone; crash remnants age past it and are
+# swept by a later catalog call (see _recover_components)
+COMPACT_STALE_MS = 3_600_000
 
 
 def _index_path(root: str, name: str) -> str:
@@ -90,7 +96,20 @@ def _recover_components(spark: SparkSession, root: str, name: str) -> None:
 
     Committed-``._compacting`` entries are processed first so the
     between-renames state (both leftovers present) deterministically
-    rolls forward. Cost: one listStatus of the index dir per call."""
+    rolls forward. Cost: one listStatus of the index dir per call.
+
+    Concurrency (r15 review): recovery runs on EVERY catalog call, so
+    a reader racing an in-flight ``compact_index`` would otherwise
+    delete the compactor's LIVE staging dir (worst case: the compact
+    fails; the store itself stays intact via rollback). A
+    base-present ``._compacting`` is therefore only swept once its
+    mtime is older than ``COMPACT_STALE_MS`` — a live compactor's
+    staging is always fresh, while genuine crash remnants age past the
+    threshold and get collected by a later call. Roll-forward /
+    roll-back (base MISSING) stay immediate: readers need the
+    component back NOW, and a live compactor can only be mid-swap
+    there, where both interleavings converge (rename/delete of an
+    already-moved path is a no-op failure, not data loss)."""
     from ..fsutil import OLD_SUFFIX, _hadoop_path_and_fs
 
     path = _index_path(root, name)
@@ -98,10 +117,13 @@ def _recover_components(spark: SparkSession, root: str, name: str) -> None:
     if not fs.exists(hpath):
         return
     leftovers = []
+    mtimes = {}
     for st in fs.listStatus(hpath):
         n = st.getPath().getName()
         if n.endswith(OLD_SUFFIX) or n.endswith(_COMPACT_SUFFIX):
             leftovers.append(n)
+            mtimes[n] = st.getModificationTime()
+    now_ms = int(time.time() * 1000)
     for n in sorted(leftovers, key=lambda x: not x.endswith(_COMPACT_SUFFIX)):
         suffix = _COMPACT_SUFFIX if n.endswith(_COMPACT_SUFFIX) else OLD_SUFFIX
         base = os.path.join(path, n[: -len(suffix)])
@@ -111,6 +133,12 @@ def _recover_components(spark: SparkSession, root: str, name: str) -> None:
             spark, os.path.join(lpath, "_SUCCESS")
         )
         if _path_exists(spark, base) or not committed:
+            if (
+                suffix == _COMPACT_SUFFIX
+                and _path_exists(spark, base)
+                and now_ms - mtimes[n] < COMPACT_STALE_MS
+            ):
+                continue  # possibly a LIVE compactor's staging dir
             fs.delete(lp, True)
         else:
             bp, _ = _hadoop_path_and_fs(spark, base)

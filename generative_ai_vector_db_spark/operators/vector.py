@@ -3232,11 +3232,22 @@ def _semdedup_tau_curve(
     # BOTH pair-join sides and n_docs — without it the numpy code
     # scan recomputes 4x (measured 22.8 s at sf0.1 in BENCH_r12's
     # first record; ~4x cheaper materialized).
-    cells = (
-        _ivf_assign_n(emb, n_cells)
-        if pivots is None
-        else _assign_to_pivots(_int8_codes(emb).select("vec_id", "code"), pivots)
-    )
+    if pivots is None:
+        cells = _ivf_assign_n(emb, n_cells)
+    else:
+        # the pivot relation defines the cell count — refuse a caller
+        # who believes a different n_cells is in force (the guard name
+        # and pair-mass reasoning would silently describe the wrong
+        # granularity otherwise)
+        n_pivots = pivots.count()
+        if n_pivots != n_cells:
+            raise ValueError(
+                f"{name}: pivots relation has {n_pivots} cells but "
+                f"n_cells={n_cells} was requested"
+            )
+        cells = _assign_to_pivots(
+            _int8_codes(emb).select("vec_id", "code"), pivots
+        )
     assigned = emb.join(cells, "vec_id").localCheckpoint()
     withcell = _guard_blocks(assigned, "cell", name, SEMDEDUP_CELL_CAP)
     a = withcell.select(
@@ -5176,7 +5187,7 @@ def trained_pivots(
         )
 
     return codes.groupBy(F.lit(0).alias("_g")).applyInPandas(
-        lambda pdf: fit(pdf), "cell bigint, cent array<bigint>"
+        fit, "cell bigint, cent array<bigint>"
     )
 
 
@@ -5295,14 +5306,21 @@ def q370_trained_ivf_recall_eval(
     )
 
 
+# the one DuckDB int-L2 distance literal (codes c vs pivot table t) —
+# shared by the Lloyd's training rounds AND the q369 assign/probe CTEs
+# so the oracle's training distance can never desynchronize from its
+# query-time distance
+_Q369_DIST = (
+    "list_sum([ (c.code[k] - t.cent[k]) * (c.code[k] - t.cent[k])"
+    f" for k in generate_series(1, {EMB_DIM})])"
+)
+
+
 def _lloyd_ctes(n_cells: int, iters: int) -> str:
     """DuckDB mirror of trained_pivots: LLOYD_ITERS unrolled rounds of
     the integer assign/update, starting from the rank-strided init.
     cent{iters} is the final pivot relation."""
-    dist = (
-        "list_sum([ (c.code[k] - t.cent[k]) * (c.code[k] - t.cent[k])"
-        f" for k in generate_series(1, {EMB_DIM})])"
-    )
+    dist = _Q369_DIST
     parts = [
         f"""codes AS MATERIALIZED (
   SELECT vec_id, {_DUCK_I8.format(e='embeddings')} AS code FROM embeddings
@@ -5345,11 +5363,6 @@ cent{it} AS MATERIALIZED (
         )
     return ",\n".join(parts)
 
-
-_Q369_DIST = (
-    "list_sum([ (c.code[k] - t.cent[k]) * (c.code[k] - t.cent[k])"
-    f" for k in generate_series(1, {EMB_DIM})])"
-)
 
 Q369_CTES = f"""{_lloyd_ctes(IVF_CELLS, LLOYD_ITERS)},
 assigned AS (

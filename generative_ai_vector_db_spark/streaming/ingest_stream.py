@@ -1064,11 +1064,29 @@ def _monitor_partials_path(monitor_path: str) -> str:
     return os.path.join(monitor_path, "daily_partials")
 
 
+def _monitor_src_key():
+    """Partials key column: file-backed rows keep their file name
+    (idempotent re-absorption — a re-streamed or backfilled-then-
+    streamed file dedups away), while MEMORY-backed rows
+    (input_file_name = '') get a per-call unique token — without it
+    every in-memory batch would alias to the key ('', day) and the
+    read-side dedup would silently keep one arbitrary batch (r15
+    review). Consequence of file-keying: absorbing two different
+    SUBSETS of the same file is outside the contract — the dedup key
+    is the whole file."""
+    import uuid
+
+    return F.coalesce(
+        F.nullif(F.input_file_name(), F.lit("")),
+        F.lit(f"mem:{uuid.uuid4().hex}"),
+    )
+
+
 def _ab_monitor_batch(batch: DataFrame, monitor_path: str) -> None:
     from ..operators.stats import ab_daily_frame
 
     ab_daily_frame(
-        batch.withColumn("src_file", F.input_file_name()),
+        batch.withColumn("src_file", _monitor_src_key()),
         extra_keys=("src_file",),
     ).write.mode("append").parquet(_monitor_partials_path(monitor_path))
 
@@ -1077,7 +1095,7 @@ def _drift_monitor_batch(batch: DataFrame, monitor_path: str) -> None:
     from ..operators.stats import drift_daily_frame
 
     drift_daily_frame(
-        batch.withColumn("src_file", F.input_file_name()),
+        batch.withColumn("src_file", _monitor_src_key()),
         extra_keys=("src_file",),
     ).write.mode("append").parquet(_monitor_partials_path(monitor_path))
 

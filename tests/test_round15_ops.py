@@ -9,6 +9,7 @@ throwing)."""
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -192,11 +193,17 @@ def test_compact_crash_during_staging_write(spark, sf_dir_t2, tmp_path):
         ).collect()
     ]
 
-    # fake a died-mid-write stage: partial dir, no _SUCCESS marker
+    # fake a died-mid-write stage: partial dir, no _SUCCESS marker.
+    # Aged past COMPACT_STALE_MS — a FRESH base-present staging dir is
+    # deliberately left alone (it may belong to a live compactor).
     stage = os.path.join(root, "vec", "buckets._compacting")
     os.makedirs(stage)
     with open(os.path.join(stage, "part-00000.parquet"), "wb") as f:
         f.write(b"\x00garbage")
+    from generative_ai_vector_db_spark.operators import indexes as ixmod
+
+    old = time.time() - (ixmod.COMPACT_STALE_MS / 1000.0) - 60
+    os.utime(stage, (old, old))
 
     got = [
         (r["vec_id"], r["rn"])
@@ -376,6 +383,62 @@ def test_q303_bucket_range_local_join(spark, sf_dir):
 # describe/compact/drop lifecycle and test contract as the four index
 # kinds.
 # --------------------------------------------------------------------------
+def test_fresh_staging_dir_is_left_alone(spark, sf_dir_t2, tmp_path):
+    """A base-present ._compacting dir YOUNGER than COMPACT_STALE_MS
+    may belong to a live compactor — recovery must skip it (and the
+    index must keep answering from the intact base), not delete it
+    out from under the compactor (r15 review)."""
+    from generative_ai_vector_db_spark.operators import indexes as ix
+
+    root = str(tmp_path / "root")
+    emb = load(spark, sf_dir_t2, "embeddings").select("vec_id", "embedding")
+    ix.create_index(spark, root, "vec", "hyperplane", emb)
+
+    stage = os.path.join(root, "vec", "buckets._compacting")
+    os.makedirs(stage)
+    with open(os.path.join(stage, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00live")
+
+    assert ix.index_kind(spark, root, "vec") == "hyperplane"
+    assert os.path.exists(stage)  # fresh: spared as a live stage
+    rows = ix.query_index(
+        spark,
+        root,
+        "vec",
+        emb.where(F.col("vec_id") == vector.BINARY_Q_ID),
+        vector.BINARY_Q_ID,
+    ).collect()
+    assert len(rows) > 0
+
+
+def test_monitor_inmemory_batches_do_not_alias(spark, tmp_path):
+    """Two DIFFERENT in-memory batches (input_file_name = '') covering
+    the same days must BOTH survive the read-side (src_file, day)
+    dedup: absorbing them separately must equal absorbing their union
+    at once (r15 review — previously both keyed ('', day) and one was
+    silently dropped)."""
+    from generative_ai_vector_db_spark.operators import indexes as ix
+
+    root = str(tmp_path / "root")
+    ev = load(spark, SF_T1, "events")
+    # materialize through the driver so lineage carries no source file
+    mem = spark.createDataFrame(ev.collect(), ev.schema)
+    b1 = mem.where(F.col("event_id") % 2 == 0)
+    b2 = mem.where(F.col("event_id") % 2 == 1)
+
+    for kind in ("ab_monitor", "drift_monitor"):
+        ix.create_index(spark, root, f"split_{kind}", kind, b1)
+        ix.append_index(spark, root, f"split_{kind}", b2)
+        ix.create_index(spark, root, f"whole_{kind}", kind, mem)
+        got = sorted(
+            map(tuple, ix.read_index(spark, root, f"split_{kind}").collect())
+        )
+        want = sorted(
+            map(tuple, ix.read_index(spark, root, f"whole_{kind}").collect())
+        )
+        assert got == want and len(want) > 0, kind
+
+
 def test_monitor_catalog_lifecycle(spark, tmp_path):
     from generative_ai_vector_db_spark.operators import indexes as ix
     from generative_ai_vector_db_spark.operators import stats
@@ -509,6 +572,13 @@ def test_semdedup_takes_trained_pivot_relation(spark, sf_dir_t2):
     ).collect()
     assert sorted(r["tau"] for r in got) == sorted(vector.SEMDEDUP_TAUS)
     assert all(r["n_pairs"] >= 0 for r in got)
+
+    # a pivot relation whose cell count contradicts n_cells must be
+    # refused, not silently override the requested granularity
+    with pytest.raises(ValueError, match="pivots relation has"):
+        vector._semdedup_tau_curve(
+            spark, emb, vector.IVF_CELLS + 1, "mismatch_test", pivots=cents
+        )
 
     default = vector._semdedup_tau_curve(
         spark, emb, vector.SEMDEDUP_SCALED, "q366_twin_test"

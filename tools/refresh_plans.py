@@ -56,7 +56,10 @@ def main() -> int:
             rf"^## {re.escape(name)}\n.*?(?=^## |\Z)", re.M | re.S
         )
         if pat.search(text):
-            text = pat.sub(section + "\n", text, count=1)
+            # callable replacement: plan text contains backslash
+            # sequences (e.g. regex literals like \s+ inside split())
+            # that a string replacement would interpret as escapes
+            text = pat.sub(lambda m: section + "\n", text, count=1)
             print(f"refreshed {name}")
         else:
             text = text.rstrip("\n") + "\n\n" + section
