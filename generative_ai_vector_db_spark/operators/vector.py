@@ -4562,18 +4562,53 @@ def _pq_qtable(codes: DataFrame) -> DataFrame:
 
 def q362_portable_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _ivfpq_ann(spark, emb)
+
+
+def _ivfpq_ann(
+    spark: SparkSession, emb: DataFrame, pivots: DataFrame | None = None
+) -> DataFrame:
+    """The q362 IVF-PQ pipeline with a swappable COARSE quantizer
+    (r15, VERDICT r14 item 5's last surface): ``pivots=None`` keeps
+    q362's pinned ±1 cells (argmax int dot — the graded default,
+    byte-identical); a (cell, cent) broadcast relation — e.g.
+    ``trained_pivots``' seeded-Lloyd's table — swaps in trained cells
+    via the q369 conventions (argmin int64 L2 assign AND probe). The
+    PQ encode / ADC / shortlist / exact re-rank stages are shared
+    verbatim, so at 100 TB the trained coarse stage and the trained
+    per-block codebooks (q175) broadcast through the SAME plan."""
     codes = _int8_codes(emb).select("vec_id", "code")
-    # coarse stage: q325's pinned IVF cells + nprobe probe list
-    assigned = _ivf_assign(emb)
-    qdots = codes.where(F.col("vec_id") == BINARY_Q_ID).select(
-        F.posexplode(_ivf_dots(F.col("code"))).alias("cell", "qdot")
-    )
-    w = Window.orderBy(F.col("qdot").desc(), "cell")
-    probed = (
-        qdots.withColumn("pr", F.row_number().over(w))
-        .where(F.col("pr") <= IVF_NPROBE)
-        .select(F.col("cell").cast("bigint").alias("cell"))
-    )
+    if pivots is None:
+        # coarse stage: q325's pinned IVF cells + nprobe probe list
+        assigned = _ivf_assign(emb)
+        qdots = codes.where(F.col("vec_id") == BINARY_Q_ID).select(
+            F.posexplode(_ivf_dots(F.col("code"))).alias("cell", "qdot")
+        )
+        w = Window.orderBy(F.col("qdot").desc(), "cell")
+        probed = (
+            qdots.withColumn("pr", F.row_number().over(w))
+            .where(F.col("pr") <= IVF_NPROBE)
+            .select(F.col("cell").cast("bigint").alias("cell"))
+        )
+    else:
+        # coarse stage: trained cells — q369's assign/probe verbatim
+        assigned = _assign_to_pivots(codes, pivots)
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("code"), F.col("cent"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        w = Window.orderBy(F.col("dist").asc(), "cell")
+        probed = (
+            codes.where(F.col("vec_id") == BINARY_Q_ID)
+            .crossJoin(F.broadcast(pivots))
+            .select("cell", dist.alias("dist"))
+            .withColumn("pr", F.row_number().over(w))
+            .where(F.col("pr") <= IVF_NPROBE)
+            .select(F.col("cell").cast("bigint").alias("cell"))
+        )
     cand = (
         assigned.where(F.col("vec_id") != BINARY_Q_ID)
         .join(F.broadcast(probed), "cell")
