@@ -93,3 +93,26 @@ def cosine_arrow() -> "Column":
         return pd.Series(dot / (na * nb))
 
     return _cos
+
+
+def int_dot_arrow() -> "Column":
+    """Vectorized int64 dot over two integer-array columns. Unlike the
+    float scorers above, no accumulation-order discipline is needed:
+    integer addition is exact and associative, so a plain row-wise
+    product-sum equals the zip_with/aggregate fold bit-for-bit (the
+    |code| <= 127, dim <= a few thousand regime is ~2^24 per dot —
+    nowhere near int64). Used by the q347 NN-descent pair scoring,
+    where the N*R^2 candidate mass makes the interpreted fold a
+    per-pair cost that grows with N while the build's per-round job
+    cadence stays constant."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _idot(a, b):
+        A = np.stack(a.to_numpy()).astype(np.int64)
+        B = np.stack(b.to_numpy()).astype(np.int64)
+        return pd.Series((A * B).sum(axis=1))
+
+    return _idot

@@ -83,13 +83,23 @@ def _scored_topg(cand: DataFrame, emb: DataFrame, g: int) -> DataFrame:
         F.col("vec_id").alias("dst"), F.col("embedding").alias("_e_dst")
     )
     w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst"))
+    # r15 PERF: the candidate mass is ~N*(g^2+2g) pairs per NN-descent
+    # round, each paying the interpreted higher-order-function cosine
+    # (3 folds + 2 transforms, no codegen) — a per-pair term that
+    # grows with N while the per-round job cadence stays constant.
+    # cosine_arrow is
+    # BIT-IDENTICAL to V.cosine (float64 elementwise + strict
+    # left-to-right cumsum — asserted in test_vector.py), so the edge
+    # list, every downstream recall floor, and the stream==batch faces
+    # are unchanged (old-vs-new equality test-locked, r15).
+    cos = V.cosine_arrow()
     return (
         cand.join(e_src, "src")
         .join(e_dst, "dst")
         .select(
             "src",
             "dst",
-            V.cosine(F.col("_e_src"), F.col("_e_dst")).alias("sim"),
+            cos(F.col("_e_src"), F.col("_e_dst")).alias("sim"),
         )
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= g)

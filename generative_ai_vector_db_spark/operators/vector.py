@@ -3413,6 +3413,10 @@ NNG_STRIDE = 37
 
 
 def _nng_code_dot(code_a, code_b):
+    """Declarative int64 code dot — the reference arithmetic the
+    DuckDB oracle mirrors. The hot paths (_nng_score, the qd scan) use
+    V.int_dot_arrow(), which is bit-identical; this form is retained
+    as the equivalence-test reference."""
     return F.aggregate(
         F.zip_with(code_a, code_b, lambda a, b: a * b),
         F.lit(0).cast("bigint"),
@@ -3431,12 +3435,27 @@ def _nng_topr(scored: DataFrame) -> DataFrame:
 
 
 def _nng_score(cand: DataFrame, codes: DataFrame) -> DataFrame:
-    cu = codes.select(F.col("vec_id").alias("u"), F.col("code").alias("cu"))
-    cv = codes.select(F.col("vec_id").alias("v"), F.col("code").alias("cv"))
+    # r15 PERF: the candidate mass is N*(R^2+2R) pairs per refine
+    # round, each paying the interpreted zip_with/aggregate fold (no
+    # codegen) — a per-pair term that grows with N (the _ivf_assign
+    # PERF NOTE, third instance). One Arrow batch product-sum per task
+    # is bit-identical — pure int64 arithmetic, order-free — so
+    # ranking and oracle hashes are unchanged (equivalence vs
+    # _nng_code_dot test-locked in test_round15_ops).
+    idot = V.int_dot_arrow()
+    # narrow the payload BEFORE the pair joins (guide: shuffle fewer
+    # bytes): _int8_codes values are in [-127, 127] by construction,
+    # so the array<bigint> -> array<tinyint> cast is exact, ships 1/8
+    # the bytes per pair, and drops the code relation under the
+    # broadcast threshold; int_dot_arrow widens back to int64 before
+    # multiplying, so the dot is unchanged.
+    i8 = lambda c: c.cast("array<tinyint>")  # noqa: E731
+    cu = codes.select(F.col("vec_id").alias("u"), i8(F.col("code")).alias("cu"))
+    cv = codes.select(F.col("vec_id").alias("v"), i8(F.col("code")).alias("cv"))
     return (
         cand.join(cu, "u")
         .join(cv, "v")
-        .select("u", "v", _nng_code_dot(F.col("cu"), F.col("cv")).alias("dot"))
+        .select("u", "v", idot(F.col("cu"), F.col("cv")).alias("dot"))
     )
 
 
@@ -3485,9 +3504,11 @@ def _nng_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
     # beam re-rank (NNG_HOPS re-derivations otherwise)
     qd = (
         codes.where(F.col("vec_id") != BINARY_Q_ID)
+        .select("vec_id", F.col("code").cast("array<tinyint>").alias("code"))
         .crossJoin(F.broadcast(qc))
         .select(
-            "vec_id", _nng_code_dot(F.col("code"), F.col("qcode")).alias("qd")
+            "vec_id",
+            V.int_dot_arrow()(F.col("code"), F.col("qcode")).alias("qd"),
         )
         .localCheckpoint()
     )

@@ -672,3 +672,89 @@ def test_monitor_cold_start_zero_files(spark, tmp_path):
         spark, root, "ab", str(tmp_path / "src2"), str(tmp_path / "ck3")
     )
     assert ix.read_index(spark, root, "ab").count() > 0
+
+
+def test_nng_vectorized_dot_is_exact(spark, sf_dir):
+    """r15 perf: q347's pair scoring moved from the interpreted
+    zip_with/aggregate fold to V.int_dot_arrow() (one Arrow int64
+    matmul per batch — the _ivf_assign PERF NOTE, third instance).
+    Integer addition is order-free, so the vectorized dot must equal
+    the declarative reference bit-for-bit on the real refined graph's
+    edge set, and the scoring must appear in the plan as
+    ArrowEvalPython rather than an interpreted fold."""
+    from generative_ai_vector_db_spark.plans.audit import plan_of as _plan_of
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codes = vector._int8_codes(emb).select("vec_id", "code")
+    g = vector._nng_graph(codes)
+
+    got = {
+        (r.u, r.v): r.dot for r in vector._nng_score(g, codes).collect()
+    }
+    cu = codes.select(F.col("vec_id").alias("u"), F.col("code").alias("cu"))
+    cv = codes.select(F.col("vec_id").alias("v"), F.col("code").alias("cv"))
+    ref = {
+        (r.u, r.v): r.dot
+        for r in g.join(cu, "u")
+        .join(cv, "v")
+        .select(
+            "u",
+            "v",
+            vector._nng_code_dot(F.col("cu"), F.col("cv")).alias("dot"),
+        )
+        .collect()
+    }
+    assert got == ref
+
+    # q347's final plan is lineage-truncated by the build's
+    # localCheckpoints, so assert on the scoring frame itself: the dot
+    # must run as a vectorized ArrowEvalPython, not an interpreted fold
+    plan = _plan_of(vector._nng_score(g, codes))
+    assert "ArrowEvalPython" in plan, plan
+    assert "aggregate(zip_with" not in plan, plan
+
+
+def test_build_knn_graph_arrow_cosine_is_exact(spark, sf_dir):
+    """r15 perf: _scored_topg's pair scoring moved from the
+    interpreted V.cosine fold to V.cosine_arrow() (bit-identical by
+    the cumsum discipline). The refined edge list — ids, ranks AND
+    float sims — must equal the fold-scored build exactly."""
+    from pyspark.sql import Window as W
+
+    from generative_ai_vector_db_spark.functions import vectors as V
+    from generative_ai_vector_db_spark.operators import graph_ann as ga
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    got = sorted(
+        tuple(r) for r in ga.build_knn_graph(spark, emb).collect()
+    )
+
+    # fold-scored reference: the pre-r15 _scored_topg, inline
+    def scored_topg_fold(cand, emb, g):
+        e_src = emb.select(
+            F.col("vec_id").alias("src"), F.col("embedding").alias("_e_src")
+        )
+        e_dst = emb.select(
+            F.col("vec_id").alias("dst"), F.col("embedding").alias("_e_dst")
+        )
+        w = W.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst"))
+        return (
+            cand.join(e_src, "src")
+            .join(e_dst, "dst")
+            .select(
+                "src",
+                "dst",
+                V.cosine(F.col("_e_src"), F.col("_e_dst")).alias("sim"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= g)
+            .select("src", "dst", "sim")
+        )
+
+    import unittest.mock as mock
+
+    with mock.patch.object(ga, "_scored_topg", scored_topg_fold):
+        ref = sorted(
+            tuple(r) for r in ga.build_knn_graph(spark, emb).collect()
+        )
+    assert got == ref
