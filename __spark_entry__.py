@@ -76,82 +76,102 @@ _QUERIES, _ORACLE = merge_registries(*_MODULES)
 # into the head. The current window's composition is documented at the
 # top of the list below.
 _PRIORITY = [
-    # ===== ROUND-15 WINDOW (50 slots, every one EXPLICITLY LISTED;
+    # ===== ROUND-16 WINDOW (50 slots, every one EXPLICITLY LISTED;
     # the registry-coverage test forbids unlisted names). Composition
-    # follows VERDICT r14 "Next round" items 1 and 5 and the
-    # regenerated-at-round-open WINDOW_REPORT.md: the mechanical
-    # rotation says the 46 r6-stale oracle rows lead — the relational/
-    # join/window CORE (q06-q37 kin plus the q200-q213 tier and
-    # q132/q184/q187/q189, WINDOW_REPORT positions 260-305). TWO new
-    # rows head the window ahead of them: q369/q370 are the r15
-    # trained-pivot family (item 5's mandated driver-graded recall
-    # row) — new oracle rows are by definition unverified, and
-    # leaving them unlisted would auto-sort them to the front anyway;
-    # listing them explicitly keeps the displacement visible and
-    # bounded to 2 slots. The remaining 2 slots take the next-tier
-    # (r7-stale) fillers q215/q216, resuming the staleness rotation;
-    # the other two fillers item 1 budgeted (q217/q218) lead the r16
-    # rotation instead. Below the fold: the r14 window (freshest
-    # records), then prior tiers in prior order; rows-only-by-design
-    # stay at the back. r15 source changes to ALREADY-GRADED rows
-    # (_semdedup_tau_curve gained an optional pivots= relation,
-    # default None) are output-identical on the fixtures — re-verified
-    # green via the driver-recipe verify before each commit batch.
+    # follows VERDICT r15 "Next round" item 8 and the WINDOW_REPORT.md
+    # regenerated at round open (now that CORRECTNESS_r15.json grades
+    # the r15 window): the mechanical longest-ungraded rotation puts
+    # the 48 remaining r7-stale oracle rows first — headed by
+    # q217/q218, the two budgeted fillers that missed the r15 window —
+    # and the last 2 slots take the next-tier (r8-stale) rows
+    # q73_temporal_split/q231_ohlc_bars, resuming the staleness
+    # rotation. Below the fold: the r15 window (freshest records),
+    # then prior tiers in prior order; rows-only-by-design stay at the
+    # back. r16 source changes touch q294/q305/q312/q346/q347/q350/
+    # q366 (optimization rewrites, output-identical) — none is in this
+    # window, and each is re-proved against the oracle at all SFs
+    # before its commit (OPTIMIZATION_r16.md).
     # =====
-    "q369_trained_ivf_ann", "q370_trained_ivf_recall_eval", "q06_join_inner",
+    "q217_bucketed_join", "q218_pareto_front", "q219_chi2_assoc",
+    "q220_ks_drift", "q221_heavy_hitters", "q222_interval_union",
+    "q223_fuzzy_survivorship", "q225_dataset_card", "q226_variant_shred",
+    "q227_schema_drift", "q228_quantile_normalize", "q229_graph_profile",
+    "q230_lsh_param_advisor", "q38_text_quality", "q39_token_count",
+    "q40_fingerprint", "q41_ngram_jaccard", "q42_cosine_neardup",
+    "q54_percentiles", "q55_pivot", "q57_redact_pii",
+    "q60_systematic_sample", "q63_corpus_stats", "q64_repetition_ratio",
+    "q72_window_rank_family", "q75_chunk_udtf", "q31_tumbling_window",
+    "q32_sliding_window", "q35_pandas_udf_zscore",
+    "q43_multimodal_decode", "q52_delete_by_source", "q53_rag_pipeline",
+    "q56_salted_agg", "q59_range_join", "q62_chatlog_format",
+    "q65_contamination", "q66_multimodal_framesample",
+    "q67_correlated_min", "q68_exists_distribution",
+    "q69_count_distribution", "q74_curation_pipeline",
+    "q76_dedup_clusters", "q77_user_filtered_knn",
+    "q78_ingest_pipeline_stride", "q79_token_packing",
+    "q80_corpus_mixing", "q81_embedding_quantize", "q82_length_histogram",
+    "q73_temporal_split", "q231_ohlc_bars", "q369_trained_ivf_ann",
+    "q370_trained_ivf_recall_eval", "q06_join_inner",
     "q07_join_broadcast", "q08_join_multiway", "q09_join_left",
-    "q10_join_semi", "q11_join_anti", "q12_dedup_exact", "q13_window_topk",
-    "q14_window_running", "q15_window_lag", "q16_global_topk", "q17_set_ops",
-    "q18_rollup", "q19_string_fns", "q20_date_fns", "q21_math_fns",
-    "q22_array_fns", "q23_json_fns", "q24_chunk_stride", "q25_knn_l2",
-    "q26_knn_cosine", "q27_similarity_join", "q28_context_assembly",
-    "q29_ingest_routing", "q30_store_counts", "q34_latest_per_key",
-    "q36_weighted_avg", "q37_lang_id", "q200_recursive_hierarchy",
-    "q201_context_budget", "q202_compaction_plan", "q203_decile_lift",
-    "q204_lateral_topk", "q205_seasonality", "q206_null_semantics",
-    "q207_asof_tolerance", "q208_ppl_filter", "q209_tuning_advisor",
-    "q210_triangle_count", "q211_personalized_pagerank", "q212_join_ivm",
-    "q213_cross_label_audit", "q132_weighted_sample", "q184_epoch_shuffle",
-    "q187_bucket_layout", "q189_embedding_drift", "q215_fuzzy_blocked_dedup",
-    "q216_rolling_distinct", "q346_semdedup_cells", "q150_dedup_keep_best",
+    "q10_join_semi", "q11_join_anti", "q12_dedup_exact",
+    "q13_window_topk", "q14_window_running", "q15_window_lag",
+    "q16_global_topk", "q17_set_ops", "q18_rollup", "q19_string_fns",
+    "q20_date_fns", "q21_math_fns", "q22_array_fns", "q23_json_fns",
+    "q24_chunk_stride", "q25_knn_l2", "q26_knn_cosine",
+    "q27_similarity_join", "q28_context_assembly", "q29_ingest_routing",
+    "q30_store_counts", "q34_latest_per_key", "q36_weighted_avg",
+    "q37_lang_id", "q200_recursive_hierarchy", "q201_context_budget",
+    "q202_compaction_plan", "q203_decile_lift", "q204_lateral_topk",
+    "q205_seasonality", "q206_null_semantics", "q207_asof_tolerance",
+    "q208_ppl_filter", "q209_tuning_advisor", "q210_triangle_count",
+    "q211_personalized_pagerank", "q212_join_ivm",
+    "q213_cross_label_audit", "q132_weighted_sample",
+    "q184_epoch_shuffle", "q187_bucket_layout", "q189_embedding_drift",
+    "q215_fuzzy_blocked_dedup", "q216_rolling_distinct",
+    "q346_semdedup_cells", "q150_dedup_keep_best",
     "q152_multimodal_resize", "q153_matryoshka_retention",
     "q154_novelty_curve", "q155_column_profile", "q156_event_transitions",
     "q157_winsorized_stats", "q158_centroid_similarity",
     "q159_weighted_jaccard", "q160_decayed_engagement", "q161_ce_rerank",
-    "q162_token_budget_mixture", "q163_state_ttl_profile", "q164_cube_profile",
-    "q165_containment", "q166_tokenizer_fertility", "q167_wow_trend",
-    "q168_sketch_quantiles", "q169_threshold_curve", "q170_funnel_timing",
-    "q171_burstiness", "q172_lang_confusion", "q173_patch_grid",
-    "q174_audio_windows", "q176_snapshot_diff", "q177_covisitation",
-    "q178_hard_negatives", "q179_pii_inventory", "q180_last_touch",
-    "q181_neardup_explain", "q182_join_size_advisor", "q183_dup_rate_curve",
-    "q185_dedup_savings", "q186_incremental_dedup", "q188_salt_plan",
-    "q190_compression_proxy", "q191_debounce", "q192_citation_coverage",
-    "q193_graph_pagerank", "q194_range_partition_plan", "q195_session_paths",
+    "q162_token_budget_mixture", "q163_state_ttl_profile",
+    "q164_cube_profile", "q165_containment", "q166_tokenizer_fertility",
+    "q167_wow_trend", "q168_sketch_quantiles", "q169_threshold_curve",
+    "q170_funnel_timing", "q171_burstiness", "q172_lang_confusion",
+    "q173_patch_grid", "q174_audio_windows", "q176_snapshot_diff",
+    "q177_covisitation", "q178_hard_negatives", "q179_pii_inventory",
+    "q180_last_touch", "q181_neardup_explain", "q182_join_size_advisor",
+    "q183_dup_rate_curve", "q185_dedup_savings", "q186_incremental_dedup",
+    "q188_salt_plan", "q190_compression_proxy", "q191_debounce",
+    "q192_citation_coverage", "q193_graph_pagerank",
+    "q194_range_partition_plan", "q195_session_paths",
     "q196_weighted_length_quartiles", "q197_vector_integrity",
     "q198_purge_audit", "q199_rate_limit", "q01_scan_project",
     "q02_filter_pushdown", "q03_tpch_q1", "q04_count_distinct",
-    "q145_token_entropy", "q146_pmi_collocations", "q147_late_arrival_profile",
-    "q148_tpch_q6_shape", "q151_traffic_bursts", "q71_stats_agg",
-    "q149_gap_fill", "q362_portable_ivfpq_ann", "q363_ivfpq_recall_eval",
+    "q145_token_entropy", "q146_pmi_collocations",
+    "q147_late_arrival_profile", "q148_tpch_q6_shape",
+    "q151_traffic_bursts", "q71_stats_agg", "q149_gap_fill",
+    "q362_portable_ivfpq_ann", "q363_ivfpq_recall_eval",
     "q364_pq_shortlist_curve", "q365_maxsim_late_interaction",
     "q366_semdedup_scaled_cells", "q367_anytime_ab_monitor",
     "q368_drift_edetector", "q320_portable_hyperplane_ann",
     "q321_hyperplane_recall_eval", "q322_incremental_neardup",
-    "q323_band_index_growth", "q324_bucket_cap_audit", "q325_portable_ivf_ann",
-    "q326_ivf_recall_eval", "q327_portable_hll", "q328_portable_countmin",
-    "q329_portable_bloom", "q330_priority_sample", "q331_js_divergence",
+    "q323_band_index_growth", "q324_bucket_cap_audit",
+    "q325_portable_ivf_ann", "q326_ivf_recall_eval", "q327_portable_hll",
+    "q328_portable_countmin", "q329_portable_bloom",
+    "q330_priority_sample", "q331_js_divergence",
     "q332_temperature_mixture", "q333_degree_assortativity",
     "q334_neyman_allocation", "q335_idempotent_replay",
     "q336_weighted_priority_sample", "q337_rebalance_audit",
     "q338_containment_pairs", "q339_neardup_family_eval",
-    "q294_label_propagation", "q295_lexical_diversity", "q296_char_trigram_lm",
-    "q297_boilerplate_ngrams", "q298_budget_waterfill", "q299_int8_rerank",
-    "q300_map_eval", "q301_snapshot_as_of", "q302_portable_minhash",
-    "q303_seq_patterns", "q304_result_diversity", "q305_poisson_bootstrap",
-    "q306_welch_ttest", "q307_blocking_advisor", "q308_batch_knn",
-    "q309_position_attribution", "q310_ipf_raking", "q311_syndication_matrix",
-    "q312_hits_bipartite", "q313_forecast_eval", "q314_dup_cluster_stats",
+    "q294_label_propagation", "q295_lexical_diversity",
+    "q296_char_trigram_lm", "q297_boilerplate_ngrams",
+    "q298_budget_waterfill", "q299_int8_rerank", "q300_map_eval",
+    "q301_snapshot_as_of", "q302_portable_minhash", "q303_seq_patterns",
+    "q304_result_diversity", "q305_poisson_bootstrap", "q306_welch_ttest",
+    "q307_blocking_advisor", "q308_batch_knn",
+    "q309_position_attribution", "q310_ipf_raking",
+    "q311_syndication_matrix", "q312_hits_bipartite",
+    "q313_forecast_eval", "q314_dup_cluster_stats",
     "q315_cache_hit_curve", "q316_cvm_test", "q317_fellegi_sunter",
     "q318_topk_drift", "q319_portable_simhash", "q340_bm25_prf",
     "q341_quantization_rank_stability", "q342_contrastive_negatives",
@@ -160,70 +180,56 @@ _PRIORITY = [
     "q348_graph_ann_recall_eval", "q349_ivf_nprobe_curve",
     "q350_dsir_importance", "q351_hubness_audit",
     "q352_crossdomain_dup_matrix", "q353_sampled_quantile_eval",
-    "q354_conformal_interval", "q355_tcloseness_audit", "q356_doremi_step",
-    "q357_crosslingual_neardup", "q358_decontam_curve", "q359_mutual_knn",
-    "q360_ann_ensemble_recall", "q361_sketch_error_audit",
-    "q116_tpch_q19_shape", "q117_tpch_q21_shape", "q118_tpch_q22_shape",
-    "q119_ngram_decontam", "q120_span_dedup", "q121_unigram_logprob",
-    "q122_scd2_dimension", "q123_store_upsert", "q124_outer_attribution",
-    "q125_time_rollup", "q126_tpch_q8_shape", "q127_tpch_q9_shape",
-    "q128_zorder_stats", "q129_unpivot_metrics", "q130_range_search",
-    "q131_copurchase_lift", "q133_tpch_q16_shape", "q134_tpch_q17_shape",
-    "q135_tpch_q20_shape", "q136_quality_percentile_gate",
-    "q137_token_curriculum", "q138_skew_profile", "q139_integrity_audit",
-    "q140_pergroup_trend", "q141_incremental_agg", "q142_event_bitmask",
+    "q354_conformal_interval", "q355_tcloseness_audit",
+    "q356_doremi_step", "q357_crosslingual_neardup",
+    "q358_decontam_curve", "q359_mutual_knn", "q360_ann_ensemble_recall",
+    "q361_sketch_error_audit", "q116_tpch_q19_shape",
+    "q117_tpch_q21_shape", "q118_tpch_q22_shape", "q119_ngram_decontam",
+    "q120_span_dedup", "q121_unigram_logprob", "q122_scd2_dimension",
+    "q123_store_upsert", "q124_outer_attribution", "q125_time_rollup",
+    "q126_tpch_q8_shape", "q127_tpch_q9_shape", "q128_zorder_stats",
+    "q129_unpivot_metrics", "q130_range_search", "q131_copurchase_lift",
+    "q133_tpch_q16_shape", "q134_tpch_q17_shape", "q135_tpch_q20_shape",
+    "q136_quality_percentile_gate", "q137_token_curriculum",
+    "q138_skew_profile", "q139_integrity_audit", "q140_pergroup_trend",
+    "q141_incremental_agg", "q142_event_bitmask",
     "q143_embedding_dim_stats", "q144_zipf_fit", "q112_tpch_q7_shape",
     "q113_tpch_q11_shape", "q114_tpch_q15_shape", "q115_tpch_q2_shape",
-    "q73_temporal_split", "q231_ohlc_bars", "q232_source_corr",
-    "q233_range_frame_ma", "q234_mutual_info", "q235_mad_outliers",
-    "q236_inverted_index", "q237_knn_classify", "q238_gaps_islands",
-    "q240_benford_test", "q241_interpolation_join", "q243_split_leakage",
-    "q244_run_length", "q246_revenue_bridge", "q247_records_drawdown",
-    "q83_bm25_topk", "q84_hybrid_rrf", "q85_dedup_corpus",
-    "q86_tfidf_keywords", "q87_vocab_coverage", "q88_median_length_filter",
-    "q90_tpch_q4_shape", "q91_tpch_q12_shape", "q92_tpch_q14_shape",
-    "q93_gopher_quality", "q94_source_cap", "q95_lang_kl_divergence",
-    "q96_event_funnel", "q97_tpch_q3_shape", "q98_tpch_q10_shape",
-    "q99_centroid_outliers", "q100_rolling_anomaly",
-    "q101_stratified_downsample", "q102_hash_split", "q103_length_bucketing",
-    "q104_truncation_stats", "q105_source_overlap_matrix",
-    "q107_retention_cohorts", "q33_session_window", "q58_asof_join",
-    "q70_interval_join", "q106_sessionize", "q108_grouping_sets",
-    "q109_tpch_q5_shape", "q110_tpch_q18_shape", "q111_stream_static_enrich",
-    "q217_bucketed_join", "q218_pareto_front", "q219_chi2_assoc",
-    "q220_ks_drift", "q221_heavy_hitters", "q222_interval_union",
-    "q223_fuzzy_survivorship", "q225_dataset_card", "q226_variant_shred",
-    "q227_schema_drift", "q228_quantile_normalize", "q229_graph_profile",
-    "q230_lsh_param_advisor", "q38_text_quality", "q39_token_count",
-    "q40_fingerprint", "q41_ngram_jaccard", "q42_cosine_neardup",
-    "q54_percentiles", "q55_pivot", "q57_redact_pii", "q60_systematic_sample",
-    "q63_corpus_stats", "q64_repetition_ratio", "q72_window_rank_family",
-    "q75_chunk_udtf", "q31_tumbling_window", "q32_sliding_window",
-    "q35_pandas_udf_zscore", "q43_multimodal_decode", "q52_delete_by_source",
-    "q53_rag_pipeline", "q56_salted_agg", "q59_range_join",
-    "q62_chatlog_format", "q65_contamination", "q66_multimodal_framesample",
-    "q67_correlated_min", "q68_exists_distribution", "q69_count_distribution",
-    "q74_curation_pipeline", "q76_dedup_clusters", "q77_user_filtered_knn",
-    "q78_ingest_pipeline_stride", "q79_token_packing", "q80_corpus_mixing",
-    "q81_embedding_quantize", "q82_length_histogram", "q50_ingest_pipeline",
-    "q260_ewma_smoothing", "q261_cohort_ltv", "q262_session_threshold_advisor",
-    "q263_spectral_gap", "q264_bloom_join_advisor", "q265_filter_waterfall",
-    "q266_psi_drift", "q267_ndcg_eval", "q268_stats_histogram",
-    "q269_hourweek_fingerprint", "q270_stream_dedup_profile",
-    "q271_lead_lag_xcorr", "q272_centroid_silhouette",
-    "q273_seasonal_decompose", "q274_mrr_eval", "q275_rule_confidence",
-    "q276_kanon_audit", "q277_higher_moments", "q278_anova_oneway",
-    "q279_theil_sen", "q280_holt_forecast", "q281_tukey_contrasts",
-    "q282_mann_whitney", "q283_snm_dedup", "q284_binary_hamming_topk",
+    "q232_source_corr", "q233_range_frame_ma", "q234_mutual_info",
+    "q235_mad_outliers", "q236_inverted_index", "q237_knn_classify",
+    "q238_gaps_islands", "q240_benford_test", "q241_interpolation_join",
+    "q243_split_leakage", "q244_run_length", "q246_revenue_bridge",
+    "q247_records_drawdown", "q83_bm25_topk", "q84_hybrid_rrf",
+    "q85_dedup_corpus", "q86_tfidf_keywords", "q87_vocab_coverage",
+    "q88_median_length_filter", "q90_tpch_q4_shape", "q91_tpch_q12_shape",
+    "q92_tpch_q14_shape", "q93_gopher_quality", "q94_source_cap",
+    "q95_lang_kl_divergence", "q96_event_funnel", "q97_tpch_q3_shape",
+    "q98_tpch_q10_shape", "q99_centroid_outliers", "q100_rolling_anomaly",
+    "q101_stratified_downsample", "q102_hash_split",
+    "q103_length_bucketing", "q104_truncation_stats",
+    "q105_source_overlap_matrix", "q107_retention_cohorts",
+    "q33_session_window", "q58_asof_join", "q70_interval_join",
+    "q106_sessionize", "q108_grouping_sets", "q109_tpch_q5_shape",
+    "q110_tpch_q18_shape", "q111_stream_static_enrich",
+    "q50_ingest_pipeline", "q260_ewma_smoothing", "q261_cohort_ltv",
+    "q262_session_threshold_advisor", "q263_spectral_gap",
+    "q264_bloom_join_advisor", "q265_filter_waterfall", "q266_psi_drift",
+    "q267_ndcg_eval", "q268_stats_histogram", "q269_hourweek_fingerprint",
+    "q270_stream_dedup_profile", "q271_lead_lag_xcorr",
+    "q272_centroid_silhouette", "q273_seasonal_decompose",
+    "q274_mrr_eval", "q275_rule_confidence", "q276_kanon_audit",
+    "q277_higher_moments", "q278_anova_oneway", "q279_theil_sen",
+    "q280_holt_forecast", "q281_tukey_contrasts", "q282_mann_whitney",
+    "q283_snm_dedup", "q284_binary_hamming_topk",
     "q285_binary_recall_eval", "q248_cdc_apply", "q249_ab_lift",
     "q250_gini_concentration", "q251_prune_advisor", "q252_readability",
-    "q253_canonical_dedup", "q254_survival_retention", "q255_effective_rank",
-    "q256_acf", "q257_change_point", "q258_bpe_pair_stats",
-    "q259_fill_latency", "q239_rfm_segmentation", "q242_shortest_paths",
-    "q245_power_iteration", "q89_mmr_rerank", "q286_roc_curve",
-    "q287_calibration_bins", "q288_kendall_tau", "q289_kruskal_wallis",
-    "q290_brown_forsythe", "q291_spearman_rho", "q292_kcore",
-    "q293_link_prediction", "q05_approx_count_distinct",
+    "q253_canonical_dedup", "q254_survival_retention",
+    "q255_effective_rank", "q256_acf", "q257_change_point",
+    "q258_bpe_pair_stats", "q259_fill_latency", "q239_rfm_segmentation",
+    "q242_shortest_paths", "q245_power_iteration", "q89_mmr_rerank",
+    "q286_roc_curve", "q287_calibration_bins", "q288_kendall_tau",
+    "q289_kruskal_wallis", "q290_brown_forsythe", "q291_spearman_rho",
+    "q292_kcore", "q293_link_prediction", "q05_approx_count_distinct",
     "q61_approx_quantiles", "q46_ann_lsh_topk", "q48_chunk_recursive",
     "q44_minhash_neardup", "q45_simhash_neardup", "q47_ann_brp_lsh",
     "q49_ann_ivf", "q51_minhash_lsh_simjoin", "q175_ann_ivf_pq",
