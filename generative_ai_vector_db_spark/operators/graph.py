@@ -844,8 +844,22 @@ LIMIT {LINKPRED_TOP}
 # integer labels with a deterministic tie-break, so the fixed-round
 # result is exact on both engines (no convergence/oscillation
 # ambiguity: the operator is DEFINED as R synchronous rounds).
+#
+# r16 PERF (guide §2.4 remove shuffles, §2.2 iterative cadence): the
+# per-round groupBy(dst, label).count + row_number window was TWO
+# exchanges plus a per-node sort per round; mode(label, true) — the
+# deterministic mode, which by definition returns the LOWEST value
+# among the most-frequent (Spark 4's documented tie rule, exactly this
+# operator's "most frequent, ties to smallest") — computes the same
+# label in ONE hash aggregate with map-side partial maps, no sort. The
+# per-round localCheckpoint is gone too: each round's labels frame has
+# exactly one consumer (the next round), so the 4 rounds pipeline into
+# a single job over the one checkpointed edge list instead of 4 eager
+# barrier jobs (bit-identical at all SFs + the lineitem decade;
+# reference-vs-mode equality is test-locked, and the sparse graph makes
+# count-1 ties ubiquitous, so the fixtures exercise the tie rule hard).
 # Scale: one shuffle per round (edges join labels on src, re-aggregate
-# on dst), labels re-materialized per round with localCheckpoint.
+# on dst), lineage depth fixed at LPA_ROUNDS.
 # ---------------------------------------------------------------------------
 def q294_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
@@ -853,20 +867,12 @@ def q294_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
     )
     for _ in range(LPA_ROUNDS):
-        nb = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node2"), "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        w = Window.partitionBy("node2").orderBy(F.desc("c"), F.asc("label"))
         labels = (
-            nb.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select(F.col("node2").alias("node"), "label")
-            .localCheckpoint()
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.mode(F.col("label"), True).alias("label"))
         )
     return (
         labels.groupBy("label")
@@ -941,11 +947,19 @@ def q312_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # r16 PERF (guide §2.2 iterative cadence): the checkpoint moved
+    # from the RENORMALIZED frame to the RAW per-side aggregate. The
+    # renorm total (atot/htot) is a broadcast subtree, and a broadcast
+    # materializes through its own job — checkpointing only `auth`
+    # meant every half-round executed the heavy edges-join-groupBy
+    # TWICE (once under the 1-row total's broadcast, once in the main
+    # plan). Checkpointing `araw`/`hraw` computes it ONCE; the renorm
+    # projection and the 1-row total both read the materialized rows.
+    # Bit-identical (integer state) at all SFs + the lineitem decade.
     hubs = (
         ed.select("s")
         .distinct()
         .select("s", F.lit(1).cast("bigint").alias("h"))
-        .localCheckpoint()
     )
     auth = None
     for _ in range(HITS_ITERS):
@@ -953,29 +967,23 @@ def q312_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ed.join(hubs, "s")
             .groupBy("p")
             .agg(F.sum("h").cast("bigint").alias("ar"))
+            .localCheckpoint()
         )
         atot = araw.agg(F.sum("ar").cast("bigint").alias("_t"))
-        auth = (
-            araw.crossJoin(F.broadcast(atot))
-            .select(
-                "p",
-                F.expr(f"ar * {HITS_SCALE} div _t").cast("bigint").alias("a"),
-            )
-            .localCheckpoint()
+        auth = araw.crossJoin(F.broadcast(atot)).select(
+            "p",
+            F.expr(f"ar * {HITS_SCALE} div _t").cast("bigint").alias("a"),
         )
         hraw = (
             ed.join(auth, "p")
             .groupBy("s")
             .agg(F.sum("a").cast("bigint").alias("hr"))
+            .localCheckpoint()
         )
         htot = hraw.agg(F.sum("hr").cast("bigint").alias("_t"))
-        hubs = (
-            hraw.crossJoin(F.broadcast(htot))
-            .select(
-                "s",
-                F.expr(f"hr * {HITS_SCALE} div _t").cast("bigint").alias("h"),
-            )
-            .localCheckpoint()
+        hubs = hraw.crossJoin(F.broadcast(htot)).select(
+            "s",
+            F.expr(f"hr * {HITS_SCALE} div _t").cast("bigint").alias("h"),
         )
     deg = ed.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("n_suppliers"))
     return (
