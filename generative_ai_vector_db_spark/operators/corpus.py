@@ -1786,10 +1786,30 @@ def q350_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.expr(_DSIR_HASH_SPARK.format(b=DSIR_BUCKETS)).alias("bucket"),
     )
+    # r16 PERF (guide §1.2 don't compute twice, §2.3 shuffle fewer
+    # bytes): `toks` used to feed BOTH the bucket-count aggregate and
+    # the per-doc scoring aggregate as separate subtrees, so the
+    # explode + per-token string hash ran TWICE over the corpus (the
+    # dominant cost — measured 5.5 s at the documents decade). One
+    # pass now compresses the token stream to per-(doc, bucket) counts
+    # (map-side combinable; <= min(tokens, B) rows per doc) and
+    # localCheckpoints that — the global LM counts, the totals, and
+    # the per-doc score all derive from the compressed frame. Integer
+    # counts are exact; importance becomes sum(c*lw)/sum(c) instead of
+    # per-token sum(lw)/count(*) — same quantity, bucket-grouped
+    # summation order (oracle hash re-verified at all SFs + decade;
+    # reference-vs-grouped equality test-locked).
+    toksc = (
+        toks.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
     is_t = F.col("lang") == DSIR_TARGET_LANG
-    counts = toks.groupBy("bucket").agg(
-        F.sum(F.when(is_t, 1).otherwise(0)).cast("bigint").alias("ct"),
-        F.count(F.lit(1)).cast("bigint").alias("cr"),
+    counts = toksc.groupBy("bucket").agg(
+        F.sum(F.when(is_t, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("ct"),
+        F.sum("c").cast("bigint").alias("cr"),
     )
     totals = counts.agg(
         F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
@@ -1802,11 +1822,15 @@ def q350_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lw"),
     )
     scored = (
-        toks.join(F.broadcast(weights), "bucket")
+        toksc.join(F.broadcast(weights), "bucket")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.round(F.sum("lw") / F.count(F.lit(1)), 4).alias("importance"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c").cast("double") * F.col("lw"))
+                / F.sum("c").cast("double"),
+                4,
+            ).alias("importance"),
         )
     )
     w = Window.orderBy(F.col("importance").desc(), "doc_id")
