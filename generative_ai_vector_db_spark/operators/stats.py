@@ -638,10 +638,28 @@ ORACLE: dict[str, str] = {
 # summands -> rank ties resolve identically), then the 2.5%/97.5%
 # empirical quantiles come from a row_number over the B=BOOT_B rows
 # per type — a bounded window (B rows/group), never a row-scale sort.
-# Scale: the only row-scale work is one groupBy((type, r)) over the
-# B-fanned event stream — map-side combinable; B is the knob.
+# Scale: the only row-scale work is one numpy pass over the event
+# stream (guide §4.2, §2.1) — r16 PERF: the B-way logical fan-out
+# (crossJoin(broadcast(reps)) + per-cell codegen hash) became ONE
+# mapInPandas pass that draws all B multiplicities per row as an
+# (rows x B) numpy grid and emits per-(type, r) PARTIAL weighted sums
+# (<= n_types*B rows per batch), so the exchange ships partials, never
+# the fanned stream. The numpy mix replicates functions/hashing.py
+# lane by lane on int64 (same %/div arithmetic, non-negative ids,
+# < 2^63/1700 — no wrap), and u = cast-to-double / HASH_MOD compares
+# against the same _POIS literals, so every multiplicity is the
+# bit-identical integer; the 8-dp round before ranking absorbs the
+# partial-sum association order exactly as it already absorbed Spark's
+# partition-order sum. Final rows verified equal vs the fan-out form
+# at sf0.001/0.01/0.1 + the synthetic events decade.
 # ---------------------------------------------------------------------------
-from ..functions.hashing import HASH_MOD, mix_duck, mix_spark
+from ..functions.hashing import (
+    HASH_MOD,
+    KNUTH1,
+    KNUTH2,
+    PORTABLE_ID_MOD,
+    mix_duck,
+)
 
 BOOT_B = 200
 # P(X<=k) for Poisson(1), k=0..3 (fixed 9-dp decimals; >3 -> 4)
@@ -652,28 +670,59 @@ _HI_RANK = 196  # floor(0.975 * 200) + 1
 
 def q305_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    reps = spark.range(0, BOOT_B).select(F.col("id").cast("bigint").alias("r"))
-    u_expr = mix_spark(f"event_id * {BOOT_B} + r")
-    fanned = ev.crossJoin(F.broadcast(reps)).withColumn(
-        "u", F.expr(u_expr).cast("double") / F.lit(float(HASH_MOD))
-    )
-    m = (
-        F.when(F.col("u") < _POIS[0], 0)
-        .when(F.col("u") < _POIS[1], 1)
-        .when(F.col("u") < _POIS[2], 2)
-        .when(F.col("u") < _POIS[3], 3)
-        .otherwise(4)
-        .cast("bigint")
+    B = BOOT_B
+
+    def draw(batches):
+        import numpy as np
+        import pandas as pd
+
+        r = np.arange(B, dtype=np.int64)
+        p0, p1, p2, p3 = _POIS
+        M, K1, K2, H = PORTABLE_ID_MOD, KNUTH1, KNUTH2, HASH_MOD
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            eid = pdf["event_id"].to_numpy(dtype=np.int64)
+            val = pdf["value"].to_numpy(dtype=np.float64)
+            et = pdf["event_type"].to_numpy()
+            x = eid[:, None] * B + r[None, :]
+            core = (x % M) * K1 + ((x // M) % M) * K2
+            u = (core % H).astype(np.float64) / float(H)
+            m = (
+                (u >= p0).astype(np.int64)
+                + (u >= p1)
+                + (u >= p2)
+                + (u >= p3)
+            )
+            types, codes = np.unique(et, return_inverse=True)
+            smv = np.zeros((len(types), B), dtype=np.float64)
+            sm = np.zeros((len(types), B), dtype=np.int64)
+            for t in range(len(types)):
+                sel = codes == t
+                mw = m[sel]
+                smv[t] = (mw * val[sel, None]).sum(axis=0)
+                sm[t] = mw.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "event_type": np.repeat(types, B),
+                    "r": np.tile(r, len(types)),
+                    "smv": smv.ravel(),
+                    "sm": sm.ravel(),
+                }
+            )
+
+    partials = ev.mapInPandas(
+        draw, "event_type string, r bigint, smv double, sm bigint"
     )
     per = (
-        fanned.withColumn("m", m)
-        .groupBy("event_type", "r")
-        .agg(
-            F.round(
-                F.sum(F.col("m").cast("double") * F.col("value"))
-                / F.sum("m").cast("double"),
-                8,
-            ).alias("bmean")
+        partials.groupBy("event_type", "r")
+        .agg(F.sum("smv").alias("smv"), F.sum("sm").cast("bigint").alias("sm"))
+        .select(
+            "event_type",
+            "r",
+            F.round(F.col("smv") / F.col("sm").cast("double"), 8).alias(
+                "bmean"
+            ),
         )
     )
     w = Window.partitionBy("event_type").orderBy("bmean", "r")

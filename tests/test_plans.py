@@ -1056,13 +1056,16 @@ def test_q303_single_user_shuffle_pair_join(spark, sf_dir):
     assert "user_id" in plan
 
 
-def test_q305_bootstrap_fanout_is_broadcast(spark, sf_dir):
+def test_q305_bootstrap_draw_is_one_numpy_pass(spark, sf_dir):
     from generative_ai_vector_db_spark.operators import stats
 
     plan = plan_of(stats.q305_poisson_bootstrap(spark, sf_dir))
-    # the B-row replicate frame broadcasts onto the event stream; the
-    # resample means come from ONE hash aggregate over (type, r)
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    # r16: the B-way logical fan-out (broadcast replicate frame) is
+    # gone — all B multiplicities per event are drawn in ONE
+    # MapInPandas pass that emits per-(type, r) partial sums; the
+    # resample means still come from one hash aggregate over (type, r)
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
 
