@@ -63,6 +63,14 @@ def cosine(a: Column, b: Column) -> Column:
 # np.cumsum, which accumulates strictly left-to-right in index order —
 # the same sequence of double additions as aggregate()/list_sum
 # (asserted in tests/test_vector.py::test_arrow_scorers_bit_identical).
+#
+# INPUT CONTRACT (all scorers below): both array columns must be
+# NON-NULL with a FIXED per-call dimension — np.stack raises on null
+# or ragged elements (a task crash), where the interpreted folds they
+# replaced would have propagated null. Every caller scores arrays
+# produced by the fixture loaders / _int8_codes, which are non-null
+# fixed-dim by construction; a new caller with nullable arrays must
+# filter or coalesce BEFORE scoring.
 # ---------------------------------------------------------------------------
 def l2_arrow() -> "Column":
     import numpy as np

@@ -3250,27 +3250,64 @@ def _semdedup_tau_curve(
         )
     assigned = emb.join(cells, "vec_id").localCheckpoint()
     withcell = _guard_blocks(assigned, "cell", name, SEMDEDUP_CELL_CAP)
-    a = withcell.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("cell").alias("cell_a"),
-    )
-    b = withcell.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("cell").alias("cell_b"),
-    )
-    cos = V.cosine_arrow()
+
+    # r16 PERF (guide §2.3 shuffle fewer bytes, §2.4 partition-local
+    # work, §4.2 Arrow): the within-cell pair scan was a row self-join
+    # on cell — BOTH float arrays crossed the Exchange and every pair
+    # paid a per-row Arrow call (q27's pre-r15 shape). One grouped
+    # numpy stage per cell now computes the gram matrix in 512-row
+    # blocks, prefilters at min(tau) - 1e-3, and rescores survivors
+    # with the exact cosine_arrow cumsum arithmetic — the prefilter
+    # margin (1e-3) exceeds the BLAS-vs-cumsum float64 association
+    # error (~dim * eps ~ 1e-13) plus the 4-dp rounding quantum
+    # (5e-5) by >10x, so no pair that rounds to >= min(tau) can be
+    # pruned. Outputs verified bit-identical for q346 AND q366 at
+    # sf0.001/0.01/0.1 + the synthetic decade.
+    thr = min(SEMDEDUP_TAUS) - 1e-3
+
+    def cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id_b": pd.Series(dtype="int64"),
+                "cos_raw": pd.Series(dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        # exact per-row norm: the cosine_arrow cumsum arithmetic
+        nrm = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+        out = []
+        for s in range(0, len(ids), 512):
+            rows = np.arange(s, min(s + 512, len(ids)))
+            G = X[rows] @ X.T
+            cosap = G / (nrm[rows][:, None] * nrm[None, :])
+            cm = (cosap >= thr) & (ids[None, :] > ids[rows][:, None])
+            ii, jj = np.nonzero(cm)
+            if not len(ii):
+                continue
+            gi = rows[ii]
+            A, B = X[gi], X[jj]
+            dot = np.cumsum(A * B, axis=1)[:, -1]
+            out.append(
+                pd.DataFrame(
+                    {"id_b": ids[jj], "cos_raw": dot / (nrm[gi] * nrm[jj])}
+                )
+            )
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
+
     pairs = (
-        a.join(
-            b,
-            (F.col("cell_a") == F.col("cell_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .select(
-            "id_b",
-            F.round(cos(F.col("emb_a"), F.col("emb_b")), 4).alias("cos_sim"),
-        )
+        withcell.select("vec_id", "embedding", "cell")
+        .groupBy("cell")
+        .applyInPandas(cell_pairs, "id_b bigint, cos_raw double")
+        .select("id_b", F.round(F.col("cos_raw"), 4).alias("cos_sim"))
         .where(F.col("cos_sim") >= min(SEMDEDUP_TAUS))
         .localCheckpoint()
     )
@@ -3425,13 +3462,34 @@ def _nng_code_dot(code_a, code_b):
 
 
 def _nng_topr(scored: DataFrame) -> DataFrame:
-    """Keep the NNG_R best out-neighbors per u by (dot DESC, v ASC)."""
-    w = Window.partitionBy("u").orderBy(F.col("dot").desc(), F.col("v"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= NNG_R)
-        .select("u", "v")
+    """Keep the NNG_R best out-neighbors per u by (dot DESC, v ASC).
+
+    r16 PERF (guide §2.2, §2.4): was a row_number window —
+    Exchange(u) + a FULL partition sort per refine round. Now ONE
+    hash aggregate: array_sort ascending on struct(-dot, v) IS
+    (dot DESC, v ASC) — integer arithmetic throughout, so the tie
+    rule is preserved exactly — and slice keeps the NNG_R best.
+    Map-side partial aggregation replaces the partition sort; the
+    per-group sort touches <= ~NNG_R*(NNG_R+2) structs. collect_set
+    also makes the (u, v)-dedup contract explicit (identical pairs
+    collapse; callers pre-dedup so this is belt-and-braces, not a
+    semantics change). Edge list verified bit-identical vs the window
+    form at sf0.001/0.01/0.1 + the synthetic decade; test-locked in
+    test_round16_ops."""
+    top = scored.groupBy("u").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_set(
+                    F.struct(
+                        (-F.col("dot")).alias("nd"), F.col("v").alias("v")
+                    )
+                )
+            ),
+            1,
+            NNG_R,
+        ).alias("top")
     )
+    return top.select("u", F.explode(F.col("top").getField("v")).alias("v"))
 
 
 def _nng_score(cand: DataFrame, codes: DataFrame) -> DataFrame:
@@ -3449,6 +3507,11 @@ def _nng_score(cand: DataFrame, codes: DataFrame) -> DataFrame:
     # the bytes per pair, and drops the code relation under the
     # broadcast threshold; int_dot_arrow widens back to int64 before
     # multiplying, so the dot is unchanged.
+    # CALLER CONTRACT (ADVICE r15): ``codes`` must be an _int8_codes
+    # output (values in [-127, 127]) — a wider code would silently
+    # wrap under the non-ANSI tinyint cast. The range invariant is
+    # test-locked (test_round15_ops asserts _int8_codes bounds and
+    # this function's equivalence to the _nng_code_dot reference).
     i8 = lambda c: c.cast("array<tinyint>")  # noqa: E731
     cu = codes.select(F.col("vec_id").alias("u"), i8(F.col("code")).alias("cu"))
     cv = codes.select(F.col("vec_id").alias("v"), i8(F.col("code")).alias("cv"))
@@ -3495,7 +3558,12 @@ def _nng_graph(codes: DataFrame) -> DataFrame:
 def _nng_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beam-search visited set (vec_id) for BINARY_Q_ID's query."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    codes = _int8_codes(emb).select("vec_id", "code")
+    # r16 PERF (guide §1.2 don't compute twice): materialize the int8
+    # code table ONCE — it feeds every per-round cu/cv broadcast in
+    # the graph build plus the qd scan below, and each broadcast used
+    # to re-run the parquet scan + Arrow quantization (6+ passes per
+    # query). Values unchanged; lineage truncation only.
+    codes = _int8_codes(emb).select("vec_id", "code").localCheckpoint()
     g = _nng_graph(codes)
     qc = codes.where(F.col("vec_id") == BINARY_Q_ID).select(
         F.col("code").alias("qcode")
