@@ -107,6 +107,13 @@ HEADLINE = [
     # applyInPandas Lloyd's fit + broadcast-relation assignment scan
     # + probe/re-rank)
     "q369_trained_ivf_ann",
+    # round-16 additions (additions-only per the bench contract): the
+    # three r16-optimized heavies that were not yet benched — LPA
+    # mode-agg rounds, HITS raw-aggregate checkpoint cadence, scaled
+    # SemDeDup grouped gram scan
+    "q294_label_propagation",
+    "q312_hits_bipartite",
+    "q366_semdedup_scaled_cells",
 ]
 
 # Settled sub-second rows (retired r13; medians stable across the
