@@ -679,29 +679,57 @@ def q305_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = np.arange(B, dtype=np.int64)
         p0, p1, p2, p3 = _POIS
         M, K1, K2, H = PORTABLE_ID_MOD, KNUTH1, KNUTH2, HASH_MOD
+        # ALLOCATION DISCIPLINE (guide §5 memory): the (rows x B) grid
+        # is computed in CAP-row blocks through buffers allocated ONCE
+        # per task and reused via out= — a whole-batch grid allocates
+        # ~8 fresh 16 MB temporaries per Arrow batch, and first-touch
+        # page faults on fresh large blocks dominated the runtime
+        # (measured: whole-batch grid 10-12 s at sf0.1 / 29-57 s at
+        # the events decade vs 1.5 s / 7-9 s blocked+reused; even the
+        # JVM fan-out it replaced was 2.2 s / 14-16 s). Every
+        # arithmetic op is unchanged — same int64 lane math, same
+        # float division, same thresholds — only buffer reuse.
+        CAP = 2048  # rows per block: each grid temp stays ~3 MB
+        X = np.empty((CAP, B), dtype=np.int64)
+        T = np.empty((CAP, B), dtype=np.int64)
+        U = np.empty((CAP, B), dtype=np.float64)
+        BB = np.empty((CAP, B), dtype=bool)
+        MI = np.empty((CAP, B), dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
                 continue
-            eid = pdf["event_id"].to_numpy(dtype=np.int64)
-            val = pdf["value"].to_numpy(dtype=np.float64)
-            et = pdf["event_type"].to_numpy()
-            x = eid[:, None] * B + r[None, :]
-            core = (x % M) * K1 + ((x // M) % M) * K2
-            u = (core % H).astype(np.float64) / float(H)
-            m = (
-                (u >= p0).astype(np.int64)
-                + (u >= p1)
-                + (u >= p2)
-                + (u >= p3)
-            )
-            types, codes = np.unique(et, return_inverse=True)
+            eid_all = pdf["event_id"].to_numpy(dtype=np.int64)
+            val_all = pdf["value"].to_numpy(dtype=np.float64)
+            et_all = pdf["event_type"].to_numpy()
+            types, codes = np.unique(et_all, return_inverse=True)
             smv = np.zeros((len(types), B), dtype=np.float64)
             sm = np.zeros((len(types), B), dtype=np.int64)
-            for t in range(len(types)):
-                sel = codes == t
-                mw = m[sel]
-                smv[t] = (mw * val[sel, None]).sum(axis=0)
-                sm[t] = mw.sum(axis=0)
+            for s in range(0, len(eid_all), CAP):
+                n = min(CAP, len(eid_all) - s)
+                eid = eid_all[s : s + n]
+                x, t, u, bb, mi = X[:n], T[:n], U[:n], BB[:n], MI[:n]
+                np.add(eid[:, None] * B, r[None, :], out=x)
+                np.floor_divide(x, M, out=t)
+                np.mod(t, M, out=t)
+                np.multiply(t, K2, out=t)
+                np.mod(x, M, out=x)
+                np.multiply(x, K1, out=x)
+                np.add(x, t, out=x)
+                np.mod(x, H, out=x)
+                np.true_divide(x, float(H), out=u)
+                mi[...] = 0
+                for p in (p0, p1, p2, p3):
+                    np.greater_equal(u, p, out=bb)
+                    np.add(mi, bb, out=mi)
+                cb = codes[s : s + n]
+                vb = val_all[s : s + n]
+                for tt in range(len(types)):
+                    sel = cb == tt
+                    if not sel.any():
+                        continue
+                    mw = mi[sel]
+                    smv[tt] += (mw * vb[sel, None]).sum(axis=0)
+                    sm[tt] += mw.sum(axis=0)
             yield pd.DataFrame(
                 {
                     "event_type": np.repeat(types, B),
